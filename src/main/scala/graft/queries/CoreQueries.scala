@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Relational operator inventory (SURVEY.md §2) expressed over the driver
+  * testdata tables, each paired with ANSI SQL the DuckDB oracle runs on the
+  * same parquet files.
+  *
+  * Determinism rules (SURVEY.md §7.5):
+  *  - every query ends in a total ORDER BY, identical on both engines;
+  *  - sums over fractional doubles go through [[exactSum]] (fixed-point
+  *    bigint units) so parallel summation order can never flip a rounded
+  *    digit vs the oracle's sequential sum;
+  *  - argmax/dedup winners are pinned by a total order, never left to
+  *    "first row encountered" (the reference's R semantics are frame-order
+  *    dependent; see SURVEY.md §2.4 A4/A7).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Exact sum of a fractional double column: round to integer units at
+    * `scale` decimals (values are fixed-point in the data, so the rounded
+    * unit count is bit-exact), sum as long, divide back. Deterministic under
+    * any partitioning — safe to hash-compare against a single-threaded
+    * oracle, and exactly what you want at 1000-executor scale where the
+    * reduction tree order is nondeterministic. */
+  private def exactSum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f, 0).cast("long")) / f
+  }
+  /** SQL-side twin of [[exactSum]]. */
+  private def sqlExactSum(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"sum(CAST(round(($e) * $f) AS BIGINT)) / $f.0"
+  }
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1/P8/A2 + exact sums: TPC-H Q1-style pricing summary.
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-31 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // P2-P4/F3: projection + range predicates, pushed to the parquet scan.
+    "q02_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && year(col("l_shipdate")) === 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J1/J2: multi-way equi-join with broadcast dimension, revenue rollup.
+    "q03_join_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("num_items"),
+             exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // J7: semi-join (EXISTS) — customers with at least one open order.
+    "q04_exists_semi" -> { (s, dir) =>
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      t(s, dir, "customer")
+        .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // J6: anti-join (NOT EXISTS) — customers with no recent 'P' order
+    // (the reference's exclusion mechanism: cohort MINUS excluded-key set).
+    "q05_not_exists_anti" -> { (s, dir) =>
+      val excl = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P" && year(col("o_orderdate")) >= 2000)
+      t(s, dir, "customer")
+        .join(excl, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // J5: composite-key self-join — view→purchase pairs on the same day
+    // (same shape as the reference's same-day SBP+DBP pairing, SURVEY §2.3 J5).
+    "q06_pair_join" -> { (s, dir) =>
+      val e = t(s, dir, "events").withColumn("d", to_date(col("ts")))
+      val v = e.filter(col("event_type") === "view").select("user_id", "d")
+      val p = e.filter(col("event_type") === "purchase").select("user_id", "d")
+      v.join(p, Seq("user_id", "d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("pairs"))
+        .orderBy("user_id", "d")
+    },
+
+    // A1: count-distinct per key + equality filter (the reference's
+    // mis-bridge detector shape: keep keys with exactly-N distinct values).
+    "q07_count_distinct" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+             count(lit(1)).as("n_events"),
+             max(col("value")).as("max_value"))
+        .filter(col("n_types") === 5)
+        .orderBy("user_id")
+    },
+
+    // A7/W1: keyed dedup with a pinned total order (deterministic keep-first).
+    "q08_dedup_first" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+                col("event_type").as("first_type"))
+        .orderBy("user_id")
+    },
+
+    // A4: argmax per group via lexicographic struct max — latest order per
+    // customer, ties broken by highest key (total order, SURVEY §2.4 A4).
+    "q09_argmax_latest" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("o_custkey"),
+                to_date(col("m.o_orderdate")).as("last_orderdate"),
+                col("m.o_orderkey").as("last_orderkey"),
+                col("m.o_totalprice").as("last_totalprice"))
+        .orderBy("o_custkey")
+    },
+
+    // A5/W2: frequency table with share-of-total (tabyl shape).
+    "q10_share_pct" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          round(col("n").cast("double") * 100 / sum(col("n")).over(Window.partitionBy()), 4))
+        .orderBy("c_mktsegment")
+    },
+
+    // A5 totals: rollup with labeled total rows.
+    "q11_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("yr"), lit(-1)).as("yr"),
+                col("n_orders"), col("sum_price"))
+        .orderBy("status", "yr")
+    },
+
+    // U1-U3: union / intersect / except of key sets, tagged.
+    "q12_setops" -> { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")).distinct()
+      a.union(b).distinct().withColumn("op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select("op", "k")
+        .orderBy("op", "k")
+    },
+
+    // F1/F2/F9: scalar functions — recode, case-map, substring, length.
+    "q13_recode_scalar" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"),
+                lower(col("n_name")).as("nation_lc"),
+                substring(col("n_name"), 1, 3).as("abbr"),
+                length(col("n_name")).as("name_len"),
+                when(col("r_name") === "AMERICA", "WEST")
+                  .when(col("r_name") === "EUROPE", "WEST")
+                  .when(col("r_name") === "ASIA", "EAST")
+                  .otherwise("OTHER").as("bloc"))
+        .orderBy("n_nationkey")
+    },
+
+    // P8/F3/F6 + A1: group by year of a date column.
+    "q14_year_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_custs"),
+             exactSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("yr")
+    },
+
+    // O1-O3: global top-k with total tie-break order.
+    "q15_topk" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // J2/F10: left-join enrich + NULL→0 fill (the reference's flag-fill shape).
+    "q16_left_join_fill" -> { (s, dir) =>
+      val oc = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice"), 2).as("spend"))
+      t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+                coalesce(col("n"), lit(0L)).as("n_orders"),
+                coalesce(col("spend"), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    // Streaming-parity batch shape: tumbling 1h buckets per event type.
+    "q17_time_bucket" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value"), 2).as("sum_value"))
+        .orderBy("hour_epoch", "event_type")
+    },
+
+    // F-regex: extract a field from a JSON-ish string payload.
+    "q18_regex_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": *([0-9]+)", 1).cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value"), 2).as("sum_value"))
+        .orderBy("k")
+    }
+  )
+
+  // -------------------------------------------------------------------------
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  ${sqlExactSum("l_extendedprice", 2)} AS sum_base_price,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  round(avg(l_quantity), 4) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND year(l_shipdate) = 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      s"""SELECT n_name, count(*) AS num_items,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+
+    "q04_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_not_exists_anti" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+        |    AND year(o_orderdate) >= 2000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_pair_join" ->
+      """SELECT v.user_id, CAST(v.ts AS DATE) AS d, count(*) AS pairs
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id AND CAST(v.ts AS DATE) = CAST(p.ts AS DATE)
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q07_count_distinct" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+        |  count(*) AS n_events, max(value) AS max_value
+        |FROM events
+        |GROUP BY user_id
+        |HAVING count(DISTINCT event_type) = 5
+        |ORDER BY user_id""".stripMargin,
+
+    "q08_dedup_first" ->
+      """SELECT user_id, event_id AS first_event_id, event_type AS first_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q09_argmax_latest" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS last_orderdate,
+        |  o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q10_share_pct" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) * 100 / sum(count(*)) OVER (), 4) AS pct
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(yr, -1) AS yr,
+         |  count(*) AS n_orders, ${sqlExactSum("o_totalprice", 2)} AS sum_price
+         |FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice FROM orders)
+         |GROUP BY ROLLUP (o_orderstatus, yr)
+         |ORDER BY status, yr""".stripMargin,
+
+    "q12_setops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |ORDER BY op, k""".stripMargin,
+
+    "q13_recode_scalar" ->
+      """SELECT n_nationkey, lower(n_name) AS nation_lc,
+        |  substring(n_name, 1, 3) AS abbr, length(n_name) AS name_len,
+        |  CASE WHEN r_name = 'AMERICA' THEN 'WEST'
+        |       WHEN r_name = 'EUROPE' THEN 'WEST'
+        |       WHEN r_name = 'ASIA' THEN 'EAST'
+        |       ELSE 'OTHER' END AS bloc
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q14_year_agg" ->
+      s"""SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+         |  count(DISTINCT o_custkey) AS n_custs,
+         |  ${sqlExactSum("o_totalprice", 2)} AS sum_price
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY yr""".stripMargin,
+
+    "q15_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+
+    "q16_left_join_fill" ->
+      s"""SELECT c_custkey, coalesce(n, 0) AS n_orders,
+         |  coalesce(spend, CAST(0 AS DOUBLE)) AS total_spend
+         |FROM customer
+         |LEFT JOIN (SELECT o_custkey, count(*) AS n,
+         |             ${sqlExactSum("o_totalprice", 2)} AS spend
+         |           FROM orders GROUP BY o_custkey) o
+         |  ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q17_time_bucket" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         |  event_type, count(*) AS n, ${sqlExactSum("value", 2)} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q18_regex_extract" ->
+      s"""SELECT CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k,
+         |  count(*) AS n, ${sqlExactSum("value", 2)} AS sum_value
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY k""".stripMargin
+  )
+}
