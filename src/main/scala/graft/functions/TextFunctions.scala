@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface.
+  *
+  * Everything here is a composition of built-in Catalyst expressions
+  * (codegen-friendly, no UDFs — SURVEY.md §2.10 policy). Higher-order
+  * array functions run on Tungsten rows without serialization, and all
+  * of it is embarrassingly parallel per-row: no shuffle, scales linearly
+  * with input splits.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct token set (for Jaccard-style set similarity). */
+  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** n-word shingles: ["a b c", "b c d", ...]. Empty if fewer than n tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+
+  /** Ratio of tokens that are members of `stop` (language-ID / quality signal). */
+  def stopwordRatio(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stop))).cast("double") / size(toks)
+
+  /** Type-token ratio: distinct tokens / tokens. */
+  def distinctRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Deterministic 64-bit-ish document fingerprint: polynomial rolling hash
+    * of the token stream in a prime field (kept < 2^31 so ANSI-mode long
+    * arithmetic can never overflow). Order-sensitive — reordered tokens
+    * change the fingerprint, unlike the set-based signatures below. */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+
+  /** MinHash signature: k independent hash functions (xxhash64 salted by
+    * position), min over the shingle set per function. Similar shingle sets
+    * → equal signature positions with probability = Jaccard similarity. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles, sh => xxhash64(sh, seed))))
+
+  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA)
+
+  /** 64-bit SimHash of a token-array column (referenced by name): per bit
+    * position, each token votes +1/-1 with its hash's bit; the sign of the
+    * vote total becomes that bit of the result. Near-identical texts land
+    * within a small Hamming distance. Built as a SQL expression because
+    * shiftright/shiftleft need a column-valued shift amount, which the Scala
+    * DSL doesn't expose. Single pass over tokens, 64-wide vote vector. */
+  def simhashExpr(toksCol: String): Column = expr(
+    s"""aggregate(
+       |  sequence(0, 63),
+       |  named_struct('votes',
+       |    aggregate($toksCol, array_repeat(0L, 64),
+       |      (acc, t) -> zip_with(acc,
+       |        transform(sequence(0, 63),
+       |          i -> IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)),
+       |        (a, b) -> a + b)),
+       |    'h', 0L),
+       |  (st, i) -> named_struct('votes', st.votes,
+       |    'h', IF(st.votes[i] > 0, st.h | shiftleft(1L, i), st.h)),
+       |  st -> st.h)""".stripMargin)
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

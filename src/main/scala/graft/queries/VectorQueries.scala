@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Similarity
+
+/** Similarity-search surface over the `embeddings` table. */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact brute-force cosine top-5 for the first 8 vectors as queries.
+    "v01_cosine_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.cosineTopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // LSH-bucketed approximate variant (rows-only; recall vs v01 asserted
+    // in SimilaritySpec).
+    "v02_lsh_ann" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshCosineTopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // Vector norms + label stats: sanity surface for the embedding column.
+    "v03_norm_stats" -> { (s, dir) =>
+      val v = transform(col("embedding"), x => x.cast("double"))
+      emb(s, dir)
+        .select(col("label"), Similarity.norm(v).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             round(min(col("nrm")), 4).as("min_norm"),
+             round(max(col("nrm")), 4).as("max_norm"))
+        .orderBy("label")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Mirrors cosineTopK arithmetic exactly: double-cast vectors,
+    // dot/(sqrt(dot_aa)*sqrt(dot_bb)), ties broken by neighbor id.
+    "v01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |     n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |     p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |             list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |           FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |           WHERE q.vec_id < 8),
+        |     r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rank
+        |           FROM p)
+        |SELECT qid, rank, nid, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "v03_norm_stats" ->
+      """WITH e AS (SELECT label, sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                                 embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+        |FROM e
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
+  )
+}
