@@ -1,0 +1,95 @@
+package graft.htn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end hypertension e-phenotype pipeline (Parts 2-4 of the
+  * reference), as one lazy Spark DAG with optional parquet checkpoints at
+  * the reference's CSV stage boundaries (EP3 — restart-from-the-middle).
+  *
+  * Scale design (SURVEY §4):
+  *  - every per-patient stage shuffles on PATIENT_LINKAGE; the cohort is
+  *    repartitioned once on that key and reused so the flag joins become
+  *    co-partitioned (no repeated exchanges);
+  *  - exclusion/codelist sets are broadcast semi-joins on the (huge) event
+  *    tables with concept/year filters pushed to the parquet scan;
+  *  - checkpointing is Parquet (schema-preserving), never CSV.
+  */
+object HtnPipeline {
+
+  final case class Result(
+      cohort: DataFrame,          // all_pop3c: deduped, one row/patient
+      eligible: DataFrame,        // after exclusions + labels (all_pop_clean)
+      denominatorDays: DataFrame, // all_pop_clean3: (patient, date) grain
+      analytical: DataFrame,      // final one-row-per-patient table
+      metrics: Stats.ExclusionMetrics)
+
+  def run(spark: SparkSession, t: OmopTables, codes: Codelists,
+          cfg: HtnConfig = HtnConfig(),
+          checkpointDir: Option[String] = None): Result = {
+
+    def checkpoint(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+        spark.read.parquet(s"$dir/$name")
+      case None => df
+    }
+
+    // ---- Part 2: cohort ---------------------------------------------------
+    val demo = Cohort.demographics(t.person)
+    val cohort0 = checkpoint(
+      Cohort.dedupLocations(Cohort.dropMisBridged(demo)), "all_pop3c")
+    val adults = Cohort.adults(cohort0, cfg)
+    val wraKeys = Cohort.wra(cohort0, cfg).select("PATIENT_LINKAGE")
+
+    val exPreg = Exclusions.pregnancy(t, codes, cfg, wraKeys)
+    val afterPreg = Exclusions.exclude(cohort0, exPreg)
+    val afterEsrd = Exclusions.exclude(afterPreg, Exclusions.esrd(t, codes, cfg))
+    val afterCare = Exclusions.exclude(afterEsrd, Exclusions.inCare(t, codes, cfg))
+
+    // NOTE reference applies exclusions to the full cohort, then the
+    // 18+ filter effectively arrives via the analytic age variable; we keep
+    // the exclusion order identical and restrict to adults for the clean
+    // table, matching the intended denominator (adults 18+, excluded).
+    val eligible = checkpoint(
+      Cohort.cleanLabels(
+        afterCare.join(adults.select("PATIENT_LINKAGE"), Seq("PATIENT_LINKAGE"), "left_semi"),
+        cfg)
+        .repartition(col("PATIENT_LINKAGE")), // reused partitioning for all flag joins
+      "all_pop_clean")
+
+    // ---- Part 3: blood pressure ------------------------------------------
+    val sbp = BloodPressure.sameDayAvg(
+      BloodPressure.readings(t.measurement, Codelists.sbpConcepts, cfg.bpYears,
+        cfg.sbpPlausibleMin, cfg.sbpPlausibleMax, "SBP"), "SBP")
+    val dbp = BloodPressure.sameDayAvg(
+      BloodPressure.readings(t.measurement, Codelists.dbpConcepts, cfg.bpYears,
+        cfg.dbpPlausibleMin, cfg.dbpPlausibleMax, "DBP"), "DBP")
+    val pairs = BloodPressure.pairedDays(sbp, dbp)
+    val denomDays = checkpoint(
+      BloodPressure.denominatorDays(eligible, pairs), "all_pop_clean3")
+    val denomPatients = BloodPressure.denominatorPatients(denomDays)
+
+    val htn140 = BloodPressure.highBpFlag(denomDays, cfg, cfg.sbpHigh, cfg.dbpHigh, "HTN140_90")
+    val htn130 = BloodPressure.highBpFlag(denomDays, cfg, cfg.sbpHigh2, cfg.dbpHigh2, "HTN130_80")
+    val ctl140 = BloodPressure.controlFlag(denomDays, cfg, cfg.sbpHigh, cfg.dbpHigh, "HTNcontrol140")
+    val ctl130 = BloodPressure.controlFlag(denomDays, cfg, cfg.sbpHigh2, cfg.dbpHigh2, "HTNcontrol130")
+
+    // ---- Part 4: phenotype ------------------------------------------------
+    val dx = Phenotype.dxFlag(t.conditionOccurrence, codes.htnDx, cfg.phenotypeYears)
+    val meds = Phenotype.medsFlag(t.drugExposure, codes.htnRx, cfg.phenotypeYears)
+    val analytical = checkpoint(
+      Phenotype.analytical(denomPatients, htn140, htn130, ctl140, ctl130, dx, meds),
+      "analytical_htn")
+
+    // ---- QC metrics (single-action counts) --------------------------------
+    val metrics = Stats.ExclusionMetrics(
+      cohort = cohort0.count(),
+      wra = wraKeys.count(),
+      afterPregnancy = afterPreg.count(),
+      afterEsrd = afterEsrd.count(),
+      afterCare = afterCare.count())
+
+    Result(cohort0, eligible, denomDays, analytical, metrics)
+  }
+}
