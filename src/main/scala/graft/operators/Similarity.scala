@@ -62,15 +62,26 @@ object Similarity {
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: only candidates whose LSH bucket matches the query's
-    * (single-probe). Recall grows with fewer planes / multiple probe tables;
-    * `nPlanes=8` keeps ~1/256 of the corpus per probe in the uniform case. */
+  /** Approximate top-k via multi-probe sign-pattern LSH: the corpus is
+    * bucketed once by the sign pattern of `nPlanes` hyperplane projections;
+    * each query probes its own bucket plus every bucket within Hamming
+    * distance `probeRadius` of it (flipping the least-confident bits is the
+    * classic refinement; flipping all is fine at small nPlanes). Candidates
+    * are then ranked by exact cosine.
+    *
+    * Scale shape: corpus bucketing is one pass + one hash shuffle, reusable
+    * across query batches; the probe join replicates only the (small) query
+    * side `1 + nPlanes` times. */
   def lshCosineTopK(queries: DataFrame, qid: String, qvec: String,
                     corpus: DataFrame, nid: String, nvec: String,
-                    k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                    k: Int, nPlanes: Int = 8, dim: Int = 64,
+                    probeRadius: Int = 1): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    val probes: Column => Column = b =>
+      if (probeRadius == 0) array(b)
+      else array((b +: (0 until nPlanes).map(i => b.bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(qid).as("qid"), dbl(col(qvec)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("bucket", explode(probes(lshBucket(col("qv"), planes))))
       .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(nid).as("nid"), dbl(col(nvec)).as("nv"))
       .withColumn("bucket", lshBucket(col("nv"), planes))
@@ -78,6 +89,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid") // a neighbor can match several probes
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class DedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // Controlled corpus: base docs + near-duplicates (one token changed) +
+  // unrelated docs. Deterministic, no randomness.
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private def variant(i: Int) = base.replace("door", s"window$i")
+  private val unrelated = Seq(
+    "completely different content about distributed query engines and shuffle partitioning strategies in modern systems",
+    "yet another unrelated document discussing vector search recall precision tradeoffs at large scale deployments")
+
+  private lazy val docs = Seq(
+    (0L, base, "s"), (1L, variant(1), "s"), (2L, variant(2), "s"),
+    (3L, unrelated(0), "s"), (4L, unrelated(1), "s"),
+    (5L, base, "s") // exact duplicate of 0
+  ).toDF("doc_id", "text", "source")
+
+  test("exactByContent groups identical texts under one representative") {
+    val d = Dedup.exactByContent(docs, col("doc_id"), col("text")).collect()
+    assert(d.length === 5) // 6 docs, one exact dup pair
+    val dupGroup = d.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 0L) // min(doc_id) representative
+  }
+
+  test("keepFirst retains exactly the pinned winner per key") {
+    val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 30))
+      .toDF("k", "v", "x")
+    val kept = Dedup.keepFirst(df, Seq(col("k")), Seq(col("v"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept === Map(1L -> "a", 2L -> "c"))
+  }
+
+  test("minhash LSH finds near-duplicates and not unrelated pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 128, bands = 32, shingleWidth = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dup must be found with estimate 1.0
+    assert(pairs.contains((0L, 5L)))
+    // one-token variants of the same base: high overlap expected
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)))
+    // unrelated docs never pair with the base family
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L || p._1 == 3L || p._1 == 4L))
+  }
+
+  test("minhash estimate approximates exact jaccard on shingle sets") {
+    val exact = Dedup.jaccardPairs(docs.withColumn("blk", lit(1)),
+        "doc_id", "text", "blk", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 128, bands = 32, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: estimate exactly 1
+    assert(est((0L, 5L)) === 1.0)
+    // near-dup estimates land within 0.25 of the exact token-set jaccard
+    // (different granularity: shingles vs tokens, plus sampling error)
+    est.filterKeys(exact.contains).foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) < 0.35, s"pair $k est=$e exact=${exact(k)}")
+    }
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 5L)) === 0)
+    assert(pairs.contains((0L, 1L))) // one-token change: small distance
+    assert(!pairs.contains((3L, 4L))) // unrelated: far apart
+  }
+
+  test("jaccardPairs respects the blocking column") {
+    val blocked = Seq(
+      (0L, base, "a"), (1L, base, "b") // identical but different blocks
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", "source", 0.0).collect()
+    assert(pairs.isEmpty)
+  }
+}

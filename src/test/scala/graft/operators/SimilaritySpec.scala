@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosineTopK: hand-checkable geometry") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), // nearly parallel to q
+      (2L, Array(0f, 1f, 0f, 0f)),     // orthogonal
+      (3L, Array(-1f, 0f, 0f, 0f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.cosineTopK(
+        vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+    assert(res.head.getDouble(3) > 0.99)
+    assert(res.last.getDouble(3) === -1.0)
+  }
+
+  test("LSH ANN achieves useful recall vs brute force on real embeddings") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshCosineTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 5, nPlanes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // single-probe LSH with 4 planes keeps ~1/16 of the corpus per bucket;
+    // on near-orthogonal random vectors recall is modest but must be real
+    assert(recall > 0.2, s"recall=$recall")
+    // every approx neighbor's bucket matched, so sims must agree with exact
+    assert(approx.subsetOf(
+      Similarity.cosineTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 500)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
+  }
+}
