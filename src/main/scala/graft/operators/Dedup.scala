@@ -41,31 +41,93 @@ object Dedup {
     * buckets (e.g. boilerplate shingles shared by millions of docs) that
     * would otherwise go quadratic — standard practice for web-scale dedup,
     * and logged loudly rather than silently.
+    *
+    * Pick bands to match the threshold: the S-curve's 50% capture point is
+    * (1/bands)^(bands/k). Defaults (8 bands × 16 rows) sit at j≈0.77 —
+    * right for near-dup thresholds of 0.8+. A permissive curve (32×4,
+    * 50% at j≈0.42) on a self-similar corpus makes nearly every pair a
+    * candidate and goes quadratic — that's a parameter bug, not a scale
+    * limit (measured: 60× slowdown on the synthetic word-soup corpus).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
+                      k: Int = 128, bands: Int = 8, shingleWidth: Int = 3,
                       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val sigs = df
-      .select(col(idCol).as("id"),
-        minhashSignature(wordShingles(tokens(col(textCol)), shingleWidth), k).as("sig"))
-      .filter(size(col("sig")) === k) // docs shorter than one shingle have no signature
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
 
+    // Signature computation is the CPU-heavy per-row stage. The pure
+    // Catalyst-expression formulation (TextFunctions.minhashSignature) is
+    // correct but interpreted: higher-order lambdas aren't codegen'd and
+    // the shingle array is re-evaluated once per hash function (no
+    // loop-invariant hoisting inside lambdas) — measured 350+ s for 5000
+    // docs. This is the documented mapPartitions-as-last-resort case
+    // (SURVEY §2.10): a tight JVM loop computes the same k-min signature
+    // in ~2 s, still fully distributed. Repartition first so a
+    // single-file input doesn't pin the stage to one task; persist so the
+    // banding pass and verification join read it once.
+    import spark.implicits._
+    val sigs = df
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          val nSh = toks.length - shingleWidth + 1
+          if (nSh <= 0) None
+          else {
+            val sig = Array.fill(k)(Long.MaxValue)
+            val sb = new StringBuilder
+            var i = 0
+            while (i < nSh) {
+              sb.setLength(0)
+              var w = 0
+              while (w < shingleWidth) {
+                if (w > 0) sb.append(' ')
+                sb.append(toks(i + w)); w += 1
+              }
+              val sh = sb.toString
+              var f = 0
+              while (f < k) {
+                val h = scala.util.hashing.MurmurHash3.stringHash(sh, f).toLong &
+                  0xffffffffL
+                if (h < sig(f)) sig(f) = h
+                f += 1
+              }
+              i += 1
+            }
+            Some((id, sig.toSeq))
+          }
+        }
+      }
+      .toDF("id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Candidate generation never shuffles signatures: only (band, bandHash,
+    // id) rows move. Pairs are enumerated bucket-side from the sorted member
+    // list; buckets larger than maxBucket (degenerate boilerplate) are
+    // dropped — loudly quadratic work is refused, not silently attempted.
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bh", xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
+      .select(col("id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("bh"))
+    val pairs = banded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    named_struct('id_a', x, 'id_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-
-    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Verification: fetch both signatures for the (small) candidate set.
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", minhashEstimate(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
@@ -76,9 +138,12 @@ object Dedup {
     * bands — pigeonhole), verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val sigs = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"), simhashExpr("toks").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(col("id"), col("sh"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -103,8 +168,10 @@ object Dedup {
     * domain, length bucket, or an LSH band from above). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      tokenSet(col(textCol)).as("s"))
+    val t = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        tokenSet(col(textCol)).as("s"))
     val a = t.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
     val b = t.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("blk"))

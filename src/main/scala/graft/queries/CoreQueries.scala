@@ -232,6 +232,18 @@ object CoreQueries {
         .orderBy("hour_epoch", "event_type")
     },
 
+    // S7 profiling: one-pass column stats (the reference's skim/str shape).
+    "q19_profile" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_shipdate")).as("n_ship_nonnull"),
+        to_date(min(col("l_shipdate"))).as("min_ship"),
+        to_date(max(col("l_shipdate"))).as("max_ship"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    },
+
     // F-regex: extract a field from a JSON-ish string payload.
     "q18_regex_extract" -> { (s, dir) =>
       t(s, dir, "events")
@@ -382,6 +394,14 @@ object CoreQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q19_profile" ->
+      """SELECT count(*) AS n_rows, count(l_shipdate) AS n_ship_nonnull,
+        |  CAST(min(l_shipdate) AS DATE) AS min_ship,
+        |  CAST(max(l_shipdate) AS DATE) AS max_ship,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin,
 
     "q18_regex_extract" ->
       s"""SELECT CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k,

@@ -44,7 +44,7 @@ object TextQueries {
     // against d02's exact pairs is asserted in DedupSpec).
     "d03_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+          k = 128, bands = 8, shingleWidth = 3, threshold = 0.8)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                 round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -106,6 +106,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-ish tokenization: regex word/number/punct pieces (the
+    // pretraining token-count estimator shape), totals per language.
+    "t05_bpe_tokens" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_pieces"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"),
+             max(col("n_pieces")).as("max_pieces"))
+        .orderBy("lang")
+    },
+
     // Order-sensitive rolling-hash fingerprint (rows-only; FingerprintSpec
     // pins determinism + order sensitivity).
     "t04_fingerprint" -> { (s, dir) =>
@@ -133,6 +146,14 @@ object TextQueries {
         |WHERE len(list_intersect(a.s, b.s)) /
         |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t05_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_pieces,
+        |  max(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_pieces
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
