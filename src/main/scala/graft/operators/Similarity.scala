@@ -23,12 +23,21 @@ object Similarity {
   /** Cast a float array to double for stable arithmetic. */
   private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  /** Interpreted reference formulation of the dot product (higher-order
+    * functions; excluded from codegen — kept for double-array inputs and as
+    * the semantic spec for [[graft.plans.FloatDotProduct]]). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(v: Column): Column = sqrt(dot(v, v))
+  /** Codegen'd dot product over float arrays — the hot kernel. Requires
+    * [[graft.plans.FloatDotProduct.register]] on the session (operators
+    * below do it). Bit-identical to `dotHof(dbl(a), dbl(b))`. */
+  def dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(v: Column): Column = sqrt(dotHof(dbl(v), dbl(v)))
+
+  def cosine(a: Column, b: Column): Column =
+    dotHof(dbl(a), dbl(b)) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -37,10 +46,11 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, qid: String, qvec: String,
                  corpus: DataFrame, nid: String, nvec: String, k: Int): DataFrame = {
-    val q = queries.select(col(qid).as("qid"), dbl(col(qvec)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(nid).as("nid"), dbl(col(nvec)).as("nv"))
-      .withColumn("nn", norm(col("nv")))
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     broadcast(q).join(c, col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
@@ -58,7 +68,7 @@ object Similarity {
   /** Sign-pattern bucket id of a vector under the given hyperplanes. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = dot(v, typedLit(p))
+      val d = dot(v.cast("array<float>"), typedLit(p.map(_.toFloat)))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -76,16 +86,17 @@ object Similarity {
                     corpus: DataFrame, nid: String, nvec: String,
                     k: Int, nPlanes: Int = 8, dim: Int = 64,
                     probeRadius: Int = 1): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val probes: Column => Column = b =>
       if (probeRadius == 0) array(b)
       else array((b +: (0 until nPlanes).map(i => b.bitwiseXOR(lit(1L << i)))): _*)
-    val q = queries.select(col(qid).as("qid"), dbl(col(qvec)).as("qv"))
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
       .withColumn("bucket", explode(probes(lshBucket(col("qv"), planes))))
-      .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(nid).as("nid"), dbl(col(nvec)).as("nv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
       .withColumn("bucket", lshBucket(col("nv"), planes))
-      .withColumn("nn", norm(col("nv")))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
