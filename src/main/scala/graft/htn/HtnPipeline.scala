@@ -28,11 +28,20 @@ object HtnPipeline {
           cfg: HtnConfig = HtnConfig(),
           checkpointDir: Option[String] = None): Result = {
 
+    // Stage boundaries: with a checkpoint dir, stages are written to
+    // parquet and re-read (EP3 restartability). Without one, stages that
+    // feed MULTIPLE downstream consumers are persisted instead — the
+    // analytical DAG joins six flag tables that each derive from the same
+    // denominator; without a cut Spark re-executes the whole cohort +
+    // exclusion chain once per flag (measured: a 488-node physical plan on
+    // the fixture — at 100 TB that's 6 redundant scans of the largest
+    // tables).
     def checkpoint(df: DataFrame, name: String): DataFrame = checkpointDir match {
       case Some(dir) =>
         df.write.mode("overwrite").parquet(s"$dir/$name")
         spark.read.parquet(s"$dir/$name")
-      case None => df
+      case None =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
     // ---- Part 2: cohort ---------------------------------------------------
