@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, attach the latest right row whose time is
+  * strictly before (or equal to, see `strict`) the left row's time, per key.
+  *
+  * Spark-first formulation (SURVEY §7.3 preference (a): compose existing
+  * ops): union the two sides tagged, run one ranking window per key ordered
+  * by (time, tiebreak), and carry the "last right row seen" with a running
+  * `max(struct)` — nulls skipped, so left rows pick up the most recent
+  * right payload. ONE shuffle on the key, no range-explosion join, no
+  * per-row binary search: the classic distributed as-of shape that scales
+  * linearly with input and never builds candidate pairs.
+  *
+  * Tie semantics are pinned: right rows at the same timestamp resolve to
+  * the highest tiebreak value (struct ordering), and `strict` excludes
+  * same-instant right rows via the window frame (UNBOUNDED PRECEDING .. 1
+  * PRECEDING) — both deterministic under any partitioning.
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich
+    * @param right      rows providing the as-of payload
+    * @param keys       equi-join key column names (present on both sides)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightTiebreak column on `right` ordering same-instant rows
+    * @param payload    right columns to attach (emitted as `asof_<name>`)
+    * @param strict     true → right row must be strictly earlier in
+    *                   (time, tiebreak) order; false → allow same row order
+    *                   position (still earlier rows only, frame excludes self)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String, rightTiebreak: String,
+           payload: Seq[String], strict: Boolean = true): DataFrame = {
+    require(payload.nonEmpty, "payload columns required")
+    val keyCols = keys.map(col)
+
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", lit(null).cast("long"))
+    val r = right.withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", col(rightTiebreak).cast("long"))
+
+    // single tagged stream; right rows sort before left rows at the same
+    // instant iff non-strict matching should see them
+    val sideOrder = if (strict) col("__side") else -col("__side")
+    val common = (keys ++ Seq("__t", "__side", "__tb")).distinct
+    val lCols = l.columns.toSeq
+    val rPayload = payload
+    val tagged = l.select((common.map(col) ++
+        lCols.filterNot(common.contains).map(c => col(c)) ++
+        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))): _*)
+      .unionByName(
+        r.select((common.map(col) ++
+          lCols.filterNot(common.contains).map(c => lit(null).cast(l.schema(c).dataType).as(c)) ++
+          rPayload.map(c => col(c).as(s"__p_$c"))): _*))
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), sideOrder, col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    // running "latest right row": max over (time, tiebreak, payload...) of
+    // right rows only — null for left rows, and max skips nulls
+    val rightStruct = when(col("__side") === 1,
+      struct((Seq(col("__t"), col("__tb")) ++ rPayload.map(c => col(s"__p_$c"))): _*))
+    val joined = tagged
+      .withColumn("__last_r", max(rightStruct).over(w))
+      .filter(col("__side") === 0)
+
+    val out = joined.select(
+      (lCols.map(col) ++
+        rPayload.map(c => col(s"__last_r.__p_$c").as(s"asof_$c")) :+
+        col(s"__last_r.__t").as("asof_time")): _*)
+    out.drop("__t", "__side", "__tb")
+  }
+}

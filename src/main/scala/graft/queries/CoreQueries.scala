@@ -244,6 +244,63 @@ object CoreQueries {
         countDistinct(col("l_returnflag")).as("n_flags"))
     },
 
+    // Sketch/approximate aggregation (rows-only: HLL internals differ per
+    // engine; accuracy asserted in ApproxSpec).
+    "q20_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+             countDistinct(col("o_custkey")).as("exact_custs"))
+        .orderBy("o_orderstatus")
+    },
+
+    // As-of join: each purchase enriched with the latest strictly-prior
+    // view by the same user (union + running-max window: one shuffle,
+    // no range explosion — operators.AsOfJoin).
+    "q21_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "ts_us", "event_id")
+      graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+          "ts_us", "ts_us", "event_id", Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+                col("asof_event_id").as("prior_view_id"),
+                col("asof_time").as("prior_view_us"))
+        .orderBy("event_id")
+    },
+
+    // Grouping-sets cube with labeled subtotals.
+    "q22_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("yr"), lit(-1)).as("yr"), col("n"), col("sum_price"))
+        .orderBy("status", "yr")
+    },
+
+    // Gap-based sessionization in batch (lag + running session counter) —
+    // the batch twin of EventStreams.userSessions.
+    "q23_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs ||
+               lag(col("ts_us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+
     // F-regex: extract a field from a JSON-ish string payload.
     "q18_regex_extract" -> { (s, dir) =>
       t(s, dir, "events")
@@ -402,6 +459,50 @@ object CoreQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  count(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+
+    "q21_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, 0 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, 1 AS side
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, side,
+        |    max(CASE WHEN side = 1 THEN {'t': ts_us, 'id': event_id} END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+        |  FROM tagged)
+        |SELECT event_id, user_id, last_view.id AS prior_view_id,
+        |  last_view.t AS prior_view_us
+        |FROM m WHERE side = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q22_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(yr, -1) AS yr,
+         |  count(*) AS n, ${sqlExactSum("o_totalprice", 2)} AS sum_price
+         |FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice FROM orders)
+         |GROUP BY CUBE (o_orderstatus, yr)
+         |ORDER BY status, yr""".stripMargin,
+
+    "q23_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |           FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q18_regex_extract" ->
       s"""SELECT CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k,

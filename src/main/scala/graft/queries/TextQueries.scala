@@ -119,6 +119,17 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Text normalization for dedup keys: lowercase, strip non-alnum,
+    // collapse whitespace — hashed (the canonical pre-dedup transform).
+    "t06_normalize" -> { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, dir)
+        .select(col("doc_id"), md5(norm).as("norm_hash"),
+                length(norm).as("norm_len"))
+        .orderBy("doc_id")
+    },
+
     // Order-sensitive rolling-hash fingerprint (rows-only; FingerprintSpec
     // pins determinism + order sensitivity).
     "t04_fingerprint" -> { (s, dir) =>
@@ -154,6 +165,15 @@ object TextQueries {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "t06_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                          ' +', ' ', 'g'))) AS norm_hash,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                             ' +', ' ', 'g'))) AS norm_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

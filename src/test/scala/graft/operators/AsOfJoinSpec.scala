@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("asOf picks the latest strictly-prior right row per key") {
+    val left = Seq( // (user, t, id)
+      (1L, 100L, 10L), (1L, 200L, 11L), (1L, 50L, 12L),
+      (2L, 100L, 20L)
+    ).toDF("user_id", "t", "id")
+    val right = Seq(
+      (1L, 90L, 91L), (1L, 150L, 92L), (1L, 100L, 93L), // 93 at t=100: not strictly prior to left t=100
+      (3L, 10L, 94L)
+    ).toDF("user_id", "t", "id")
+
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id", Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Long]("asof_id")), Option(r.getAs[java.lang.Long]("asof_time"))))
+      .toMap
+
+    assert(out(10L) === ((Some(91L), Some(90L))))  // t=100 → right at 90 (not the t=100 one)
+    assert(out(11L) === ((Some(92L), Some(150L)))) // t=200 → right at 150
+    assert(out(12L) === ((None, None)))            // t=50 → nothing prior
+    assert(out(20L) === ((None, None)))            // no right rows for user 2
+  }
+
+  test("same-instant right rows resolve to the highest tiebreak, prior instants only") {
+    val left = Seq((1L, 100L, 10L)).toDF("user_id", "t", "id")
+    val right = Seq((1L, 90L, 5L), (1L, 90L, 7L), (1L, 90L, 6L))
+      .toDF("user_id", "t", "id")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id", Seq("id"))
+      .head()
+    assert(out.getAs[Long]("asof_id") === 7L) // max tiebreak wins the tie
+  }
+}
