@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join: salt the hot keys of the large (probe) side and
+  * replicate the matching build-side rows across the salt range.
+  *
+  * AQE's skew-join splitting (on by default, GraftSession) covers
+  * sort-merge joins at runtime; explicit salting remains the tool when
+  * (a) the skew is known ahead of time (a handful of mega-keys), (b) the
+  * join is feeding an aggregation keyed on the same column (AQE can't
+  * split the aggregate), or (c) running pre-3.2 clusters. One pass, no
+  * extra shuffle beyond the join's own: the probe side gains a uniform
+  * random salt column, the build side explodes `saltFactor` copies —
+  * acceptable because build is the small side.
+  *
+  * The salt is derived from a hash of stable row content, not rand():
+  * deterministic under retries/speculative execution (a rand() salt can
+  * duplicate or drop rows when a task is re-run — a real correctness bug
+  * at scale, not a style point).
+  */
+object SkewJoin {
+
+  /** Inner equi-join `large ⋈ small` on `key`, with `large`'s rows spread
+    * over `saltFactor` sub-keys. `saltSource` must be stable per row
+    * (e.g. a row id) — it seeds the deterministic salt. */
+  def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
+                      saltSource: Column, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val l = large.withColumn("__salt", pmod(xxhash64(saltSource), lit(saltFactor)))
+    val s = small
+      .withColumn("__salt_i", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .withColumn("__salt", col("__salt_i").cast("long")).drop("__salt_i")
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Skewed-key frequency probe: the planning helper — find keys whose row
+    * count exceeds `threshold` (these are the salting candidates). */
+  def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n")).filter(col("n") >= threshold)
+}
