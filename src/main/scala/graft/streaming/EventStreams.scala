@@ -61,6 +61,26 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream join: purchases matched to the same user's views within
+    * `within` before the purchase. Both sides watermarked so the join state
+    * is evicted once the time bound passes — bounded state, the only way a
+    * stream-stream join survives at scale. */
+  def viewToPurchase(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+              col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(views,
+      expr(s"""user_id = v_user AND
+              |view_ts <= purchase_ts AND
+              |view_ts >= purchase_ts - INTERVAL $within""".stripMargin))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+  }
+
   /** Wire a streaming source of the events schema from a directory of
     * parquet files (one-file-per-trigger for deterministic replay).
     * Converts the nanosecond `ts` to Spark's microsecond timestamp, same as

@@ -70,6 +70,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views to later purchases, bounded state") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = viewToPurchase(sdf, "1 hour")
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+        (2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.0, "{}"), // joins with 1
+        (3L, ts("2024-01-01 09:20:00"), 7L, "view", 0.0, "{}"),     // within 1h of 2? 70min → no
+        (4L, ts("2024-01-01 10:30:00"), 8L, "purchase", 9.0, "{}")) // other user: no view
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize the join results
+      mem.addData((9L, ts("2024-01-01 13:00:00"), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test")
+        .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id")))
+      assert(rows.toSet === Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("file-source stream over the driver events table reaches a sink") {
     // the file stream source needs a directory of files (at scale: a landing
     // dir receiving new parquet drops); stage the single testdata file
