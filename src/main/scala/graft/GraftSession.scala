@@ -15,6 +15,10 @@ object GraftSession {
   /** Apply engine defaults to an existing builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // nanosecond parquet timestamps read as nanos-long engine-wide (the
+    // events table); graft.io.Tables converts to TimestampType explicitly.
+    // Set here so read behavior never depends on which table loaded first.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

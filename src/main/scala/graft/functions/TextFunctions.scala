@@ -16,8 +16,12 @@ object TextFunctions {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct token set (for Jaccard-style set similarity). */
-  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+  /** Distinct token set (for Jaccard-style set similarity). Same
+    * tokenization as [[tokens]] — the two MUST agree or set-based and
+    * sequence-based similarity see different token streams for the same
+    * document (and repeated whitespace would inject empty-string tokens
+    * shared across unrelated documents, inflating Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** n-word shingles: ["a b c", "b c d", ...]. Empty if fewer than n tokens. */
   def wordShingles(toks: Column, n: Int): Column =

@@ -52,13 +52,11 @@ object Cohort {
     * one row per patient, deterministically (ordered by STATE, ZIP3 — the
     * reference keeps an arbitrary one, `2_data_importing_cleaning.R:145-156`;
     * SURVEY §2.4 A7). Output = `all_pop3c`: one row per patient. */
-  def dedupLocations(demo: DataFrame): DataFrame = {
-    val w = Window.partitionBy("PATIENT_LINKAGE").orderBy(col("STATE"), col("ZIP3"))
-    demo.filter(col("STATE").isNotNull && col("ZIP3").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def dedupLocations(demo: DataFrame): DataFrame =
+    graft.operators.Dedup.keepFirst(
+      demo.filter(col("STATE").isNotNull && col("ZIP3").isNotNull),
+      key = Seq(col("PATIENT_LINKAGE")),
+      order = Seq(col("STATE"), col("ZIP3")))
 
   /** Adults 18+ in the measurement year (`2_data_importing_cleaning.R:185-187`). */
   def adults(cohort: DataFrame, cfg: HtnConfig): DataFrame =

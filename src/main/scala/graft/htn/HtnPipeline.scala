@@ -51,10 +51,15 @@ object HtnPipeline {
     val adults = Cohort.adults(cohort0, cfg)
     val wraKeys = Cohort.wra(cohort0, cfg).select("PATIENT_LINKAGE")
 
+    // each exclusion stage is cut: the QC metric counts below and the
+    // eligible-cohort path both consume them, and without a cut every
+    // count() re-runs the upstream event-table semi-joins
     val exPreg = Exclusions.pregnancy(t, codes, cfg, wraKeys)
-    val afterPreg = Exclusions.exclude(cohort0, exPreg)
-    val afterEsrd = Exclusions.exclude(afterPreg, Exclusions.esrd(t, codes, cfg))
-    val afterCare = Exclusions.exclude(afterEsrd, Exclusions.inCare(t, codes, cfg))
+    val afterPreg = checkpoint(Exclusions.exclude(cohort0, exPreg), "all_pop_ex1")
+    val afterEsrd = checkpoint(
+      Exclusions.exclude(afterPreg, Exclusions.esrd(t, codes, cfg)), "all_pop_ex2")
+    val afterCare = checkpoint(
+      Exclusions.exclude(afterEsrd, Exclusions.inCare(t, codes, cfg)), "all_pop_ex3")
 
     // NOTE reference applies exclusions to the full cohort, then the
     // 18+ filter effectively arrives via the analytic age variable; we keep

@@ -30,9 +30,14 @@ object Stats {
   final case class ExclusionMetrics(
       cohort: Long, wra: Long,
       afterPregnancy: Long, afterEsrd: Long, afterCare: Long) {
-    def pregnancyPctOfWra: Double = 100.0 * (cohort - afterPregnancy) / wra
-    def esrdPctOfCohort: Double = 100.0 * (afterPregnancy - afterEsrd) / cohort
-    def carePctOfCohort: Double = 100.0 * (afterEsrd - afterCare) / cohort
+    // zero denominators (empty cohort / no WRA patients) report 0.0 rather
+    // than Infinity/NaN — those are unrepresentable in JSON and would
+    // corrupt the emitted metrics file
+    private def pct(num: Long, denom: Long): Double =
+      if (denom == 0) 0.0 else 100.0 * num / denom
+    def pregnancyPctOfWra: Double = pct(cohort - afterPregnancy, wra)
+    def esrdPctOfCohort: Double = pct(afterPregnancy - afterEsrd, cohort)
+    def carePctOfCohort: Double = pct(afterEsrd - afterCare, cohort)
   }
 
   /** Dashboard extension: hypertension prevalence by state × sex × race ×

@@ -66,7 +66,9 @@ object Dedup {
     // (SURVEY §2.10): a tight JVM loop computes the same k-min signature
     // in ~2 s, still fully distributed. Repartition first so a
     // single-file input doesn't pin the stage to one task; persist so the
-    // banding pass and verification join read it once.
+    // banding pass and verification join read it once. The cache entry
+    // lives until the session ends (lazy result — can't unpersist here);
+    // ~1 KB/doc, documented as in simhashPairs.
     import spark.implicits._
     val sigs = df
       .repartition(parallelism, col(idCol))
@@ -134,10 +136,29 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, candidates blocked on
-    * 16-bit bands (any pair within Hamming distance 3 shares ≥1 of the 4
-    * bands — pigeonhole), verified by exact Hamming distance. */
+    * `bands` bit-slices of the signature, verified by exact Hamming
+    * distance.
+    *
+    * Recall guarantee (pigeonhole): a pair within Hamming distance
+    * `bands - 1` MUST share at least one unchanged band, so candidate
+    * generation is complete for `maxHamming <= bands - 1` — enforced, not
+    * assumed. More bands → complete recall at larger distances but coarser
+    * (bigger) buckets: bands=4 (16-bit slices) suits the standard
+    * near-dup threshold of 3; pushing maxHamming up requires accepting the
+    * larger candidate sets that come with narrower slices.
+    *
+    * The persisted signature cache lives until the session ends (the
+    * result is lazy, so this method can't unpersist it); repeated calls in
+    * one session accumulate cache entries — small (16 bytes/doc) but
+    * real, documented here deliberately. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000,
+                   bands: Int = 4): DataFrame = {
+    require(bands >= 2 && bands <= 64, s"bands=$bands out of range")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the banding recall guarantee of " +
+        s"bands-1=${bands - 1}; raise bands for complete recall")
+    val width = 64 / bands // last band absorbs the remainder bits
     val sigs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -146,8 +167,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(col("id"), col("sh"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bh", expr("(shiftright(sh, band * 16) & 65535)"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bh", expr(
+        s"""CASE WHEN band = ${bands - 1}
+           |  THEN shiftrightunsigned(sh, band * $width)
+           |  ELSE shiftrightunsigned(sh, band * $width) & ${(1L << width) - 1}
+           |END""".stripMargin))
 
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))

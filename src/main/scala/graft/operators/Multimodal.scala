@@ -48,7 +48,8 @@ object Multimodal {
     * so row-count partitioning skews executors. One column scan (length
     * only — the blob itself isn't shuffled until the repartition moves it). */
   def repartitionBySize(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val totalBytes = df.select(sum(length(col("media")))).head().getLong(0)
+    val totalBytes = Option(df.select(sum(length(col("media")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // sum over zero rows is NULL
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
     df.repartition(parts, col("media_id"))
   }

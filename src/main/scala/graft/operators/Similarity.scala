@@ -86,6 +86,9 @@ object Similarity {
                     corpus: DataFrame, nid: String, nvec: String,
                     k: Int, nPlanes: Int = 8, dim: Int = 64,
                     probeRadius: Int = 1): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      s"probeRadius=$probeRadius unsupported: only 0 (exact bucket) and 1 " +
+        "(all single-bit flips) are implemented")
     graft.plans.FloatDotProduct.register(queries.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val probes: Column => Column = b =>

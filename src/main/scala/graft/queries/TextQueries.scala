@@ -50,9 +50,10 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup candidates (rows-only check + DedupSpec).
+    // SimHash near-dup candidates (rows-only check + DedupSpec). bands=16
+    // gives complete candidate recall up to Hamming distance 15.
     "d04_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10, bands = 16)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
     },
@@ -148,7 +149,8 @@ object TextQueries {
         |ORDER BY content_hash""".stripMargin,
 
     "d02_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS s
+      """WITH t AS (SELECT doc_id, source,
+        |             list_distinct(string_split_regex(trim(text), '\s+')) AS s
         |           FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.s, b.s)) /

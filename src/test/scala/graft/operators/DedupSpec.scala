@@ -66,7 +66,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((0L, 5L)) === 0)
     assert(pairs.contains((0L, 1L))) // one-token change: small distance
