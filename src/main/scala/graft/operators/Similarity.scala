@@ -59,6 +59,98 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
+    * quantized to `nCells` k-means centroids; each query probes only the
+    * `nProbe` nearest cells and ranks those candidates by exact cosine.
+    *
+    * The scale path for query-heavy workloads: centroid training runs on a
+    * bounded sample, cell assignment is one broadcast-map pass over the
+    * corpus (the assignment and its hash shuffle are reusable across query
+    * batches — persist the returned assignment in a real index), and each
+    * query touches ~nProbe/nCells of the corpus. Centroids are deterministic
+    * (fixed seed, fixed sample). Complements [[lshCosineTopK]]: IVF adapts
+    * to the data distribution where hyperplane LSH is data-oblivious.
+    */
+  def ivfTopK(queries: DataFrame, qid: String, qvec: String,
+              corpus: DataFrame, nid: String, nvec: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              trainSample: Int = 10000, seed: Long = 7L): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.FloatDotProduct.register(spark)
+    import spark.implicits._
+
+    // --- train centroids on a bounded sample (driver-side Lloyd's: the
+    // sample is capped, so this is O(trainSample × nCells × iters) locally
+    // — no MLlib dependency surface needed for a coarse quantizer)
+    val sample = corpus.select(col(nvec)).limit(trainSample)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "corpus is empty")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    var centroids = Array.fill(nCells)(sample(rng.nextInt(sample.length)).clone())
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (1 to 10).foreach { _ =>
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val centroidLit = typedLit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+
+    // --- cell assignment: argmin distance over the broadcast centroid list,
+    // computed with the codegen'd dot kernel (|v-c|^2 = |v|^2 - 2v·c + |c|^2;
+    // |v|^2 constant per row → argmax of (v·c - |c|^2/2))
+    def cellOf(v: Column): Column = {
+      val scores = centroids.indices.map { c =>
+        val cNorm2 = centroids(c).map(x => x * x).sum
+        struct((dot(v, centroidLit.getItem(c)) - lit(cNorm2 / 2)).as("s"),
+               lit(c).as("c"))
+      }
+      greatest(scores: _*).getField("c")
+    }
+    // nProbe nearest cells for a query: rank the same scores, take top n
+    def probeCells(v: Column): Column = {
+      val scores = array(centroids.indices.map { c =>
+        val cNorm2 = centroids(c).map(x => x * x).sum
+        struct((dot(v, centroidLit.getItem(c)) - lit(cNorm2 / 2)).as("s"),
+               lit(c).as("c"))
+      }: _*)
+      slice(reverse(array_sort(scores)), 1, nProbe)
+    }
+
+    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .withColumn("cell", cellOf(col("nv")))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv")).getField("c")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

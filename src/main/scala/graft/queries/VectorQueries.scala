@@ -33,6 +33,17 @@ object VectorQueries {
         .orderBy("qid", "rank")
     },
 
+    // IVF (k-means coarse-quantized) ANN — the data-adaptive scale path
+    // (rows-only; recall vs brute force asserted in SimilaritySpec).
+    "v04_ivf_ann" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Vector norms + label stats: sanity surface for the embedding column.
     "v03_norm_stats" -> { (s, dir) =>
       val v = transform(col("embedding"), x => x.cast("double"))

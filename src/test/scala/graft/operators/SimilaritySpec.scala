@@ -46,4 +46,26 @@ class SimilaritySpec extends SparkSpec {
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
   }
+
+  test("IVF ANN: recall beats data-oblivious LSH at comparable probe cost") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // probing 4/16 cells = 25% of the corpus on average; recall must be
+    // well above that fraction (centroids adapt to the data)
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
+  test("IVF is deterministic: same seed → same result set") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    def run() = Similarity.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(run() === run())
+  }
 }
