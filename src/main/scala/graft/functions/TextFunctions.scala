@@ -80,4 +80,31 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** JVM twin of [[simhashExpr]] — same tokenization, same hash function
+    * (Spark's xxhash64, seed 42), bit-identical output; used by the
+    * mapPartitions hot path in Dedup.simhashPairs and asserted equal to
+    * the expression form in TextFunctionsSpec. Returns None for token-less
+    * text. */
+  def simhash64Jvm(text: String): Option[Long] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) None
+    else {
+      val votes = new Array[Long](64)
+      toks.foreach { t =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      var sh = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) sh |= (1L << i); i += 1 }
+      Some(sh)
+    }
+  }
 }

@@ -51,6 +51,13 @@ object HtnMain {
 
     val result = HtnPipeline.run(spark, tables, codes, cfg, Some(outDir))
 
+    // export-parity CSV of the final analytical table (the reference's
+    // `export(analytical_htn, ...csv)` at 4_hypertension_phenotype_main.R:195)
+    graft.io.Sinks.csv(result.analytical, s"$outDir/analytical_htn_csv")
+    // dashboard extension: the prevalence cube as a queryable artifact
+    graft.io.Sinks.parquet(Stats.prevalenceCube(result.analytical),
+      s"$outDir/prevalence_cube")
+
     println("=== hypertension_140 ===")
     Stats.tabyl(result.analytical, "hypertension_140").show(20, truncate = false)
     println("=== hypertension_130 ===")

@@ -159,11 +159,23 @@ object Dedup {
       s"maxHamming=$maxHamming exceeds the banding recall guarantee of " +
         s"bands-1=${bands - 1}; raise bands for complete recall")
     val width = 64 / bands // last band absorbs the remainder bits
+    val spark = df.sparkSession
+    import spark.implicits._
+    // SimHash computed in a JVM kernel for the same reason as the MinHash
+    // signature (see above): the expression form builds a 64-wide vote
+    // vector per token through interpreted lambdas. Same hash function as
+    // TextFunctions.simhashExpr (xxhash64(token, seed=42)) so the two
+    // formulations agree bit-for-bit — asserted in TextFunctionsSpec.
     val sigs = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("id"), simhashExpr("toks").as("sh"))
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          simhash64Jvm(text).map(sh => (id, sh))
+        }
+      }
+      .toDF("id", "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(col("id"), col("sh"),

@@ -42,6 +42,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) === 0.5)
   }
 
+  test("JVM simhash is bit-identical to the expression formulation") {
+    val exprSh = df.select($"id", tokens($"text").as("toks"))
+      .select($"id", simhashExpr("toks").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      assert(simhash64Jvm(r.getString(1)) === Some(exprSh(r.getLong(0))))
+    }
+    assert(simhash64Jvm("   ") === None)
+  }
+
   test("simhash of identical token arrays is identical; hamming64 is 0") {
     val sh = df.select($"id", tokens($"text").as("toks"))
       .select($"id", simhashExpr("toks").as("sh"))
