@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: match point rows to interval rows with
+  * `start <= point < end`, without a key.
+  *
+  * A naive non-equi join compiles to BroadcastNestedLoopJoin — O(n×m)
+  * comparisons and a broadcast of a whole side; it falls over long before
+  * 100 TB. The scale formulation BANDS the domain: every interval is
+  * exploded to the fixed-width buckets it overlaps, every point maps to
+  * exactly one bucket, and the join becomes an equi-join on the bucket id
+  * followed by the exact range predicate. Shuffle cost is
+  * O((n + m·avgSpan/bucketWidth)), and Spark plans a hash/sort-merge join
+  * with AQE handling bucket skew. Pick `bucketWidth` ≈ the typical
+  * interval span so interval replication stays near 1×.
+  */
+object RangeJoin {
+
+  /** @param points      DataFrame with a numeric/long point column
+    * @param intervals   DataFrame with numeric/long start and end columns
+    * @param pointCol    point column name (long-compatible)
+    * @param startCol    interval start (inclusive)
+    * @param endCol      interval end (exclusive)
+    * @param bucketWidth banding width in the domain's units */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val p = points.withColumn("__bucket",
+      (col(pointCol).cast("long") / bucketWidth).cast("long"))
+    val i = intervals
+      .withColumn("__b0", (col(startCol).cast("long") / bucketWidth).cast("long"))
+      // end is exclusive: an interval ending exactly on a bucket boundary
+      // does not reach into that bucket
+      .withColumn("__b1", ((col(endCol).cast("long") - 1) / bucketWidth).cast("long"))
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1")
+    p.join(i, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

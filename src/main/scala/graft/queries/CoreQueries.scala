@@ -301,6 +301,26 @@ object CoreQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Range join: lineitems shipped within 60 days of ANY order's date
+    // (keyless interval containment) — banded to an equi-join on 30-day
+    // buckets (operators.RangeJoin), aggregated per order status.
+    "q24_range_join" -> { (s, dir) =>
+      val day = 86400L
+      val points = t(s, dir, "lineitem")
+        .select(unix_timestamp(col("l_shipdate")).as("ship_s"),
+                col("l_orderkey"))
+      val intervals = t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+                unix_timestamp(col("o_orderdate")).as("start_s"),
+                (unix_timestamp(col("o_orderdate")) + 60 * day).as("end_s"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, intervals, "ship_s", "start_s", "end_s",
+          bucketWidth = 30 * day)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("o_orderstatus")
+    },
+
     // F-regex: extract a field from a JSON-ish string payload.
     "q18_regex_extract" -> { (s, dir) =>
       t(s, dir, "events")
@@ -459,6 +479,14 @@ object CoreQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  count(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+
+    "q24_range_join" ->
+      """SELECT o_orderstatus, count(*) AS n_pairs
+        |FROM orders, lineitem
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q21_asof_join" ->
       """WITH tagged AS (

@@ -51,6 +51,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             print("  duck:\n", d[rows].head(5).to_string())
             print("  spark:\n", s[rows].head(5).to_string())
             n_bad += 1
+    # rows-only queries (no oracle): mirror the driver's weaker check —
+    # output exists and has rows
+    oracle_names = set(oracle)
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if not os.path.isdir(path) or d in oracle_names:
+            continue
+        try:
+            n = len(con.sql(f"SELECT 1 FROM read_parquet('{path}/*.parquet')").df())
+            if n > 0:
+                print(f"ok   {d} ({n} rows, rows-only)")
+                n_ok += 1
+            else:
+                print(f"FAIL {d}: rows-only query returned 0 rows")
+                n_bad += 1
+        except Exception as e:
+            print(f"FAIL {d}: unreadable output: {e}")
+            n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
 
