@@ -301,24 +301,28 @@ object CoreQueries {
         .orderBy("user_id", "session_id")
     },
 
-    // Range join: lineitems shipped within 60 days of ANY order's date
-    // (keyless interval containment) — banded to an equi-join on 30-day
-    // buckets (operators.RangeJoin), aggregated per order status.
+    // Range join: lineitems shipped within 14 days of any year-2000
+    // order's date (keyless interval containment) — banded to an equi-join
+    // on 14-day buckets (operators.RangeJoin), aggregated per status.
+    // The window × interval-count product bounds the pair fan-out; an
+    // unbounded window over all orders is a cross-join in disguise at any
+    // scale, banded or not.
     "q24_range_join" -> { (s, dir) =>
       val day = 86400L
       val points = t(s, dir, "lineitem")
         .select(unix_timestamp(col("l_shipdate")).as("ship_s"),
                 col("l_orderkey"))
       val intervals = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 2000 && col("o_orderstatus") === "P")
         .select(col("o_orderstatus"),
                 unix_timestamp(col("o_orderdate")).as("start_s"),
-                (unix_timestamp(col("o_orderdate")) + 60 * day).as("end_s"))
+                (unix_timestamp(col("o_orderdate")) + 7 * day).as("end_s"))
       graft.operators.RangeJoin.pointInInterval(
           points, intervals, "ship_s", "start_s", "end_s",
-          bucketWidth = 30 * day)
-        .groupBy(col("o_orderstatus"))
+          bucketWidth = 7 * day)
+        .groupBy(month(timestamp_seconds(col("start_s"))).as("mo"))
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("o_orderstatus")
+        .orderBy("mo")
     },
 
     // F-regex: extract a field from a JSON-ish string payload.
@@ -481,12 +485,13 @@ object CoreQueries {
         |FROM lineitem""".stripMargin,
 
     "q24_range_join" ->
-      """SELECT o_orderstatus, count(*) AS n_pairs
+      """SELECT month(o_orderdate) AS mo, count(*) AS n_pairs
         |FROM orders, lineitem
-        |WHERE l_shipdate >= o_orderdate
-        |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+        |WHERE year(o_orderdate) = 2000 AND o_orderstatus = 'P'
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1
+        |ORDER BY mo""".stripMargin,
 
     "q21_asof_join" ->
       """WITH tagged AS (
