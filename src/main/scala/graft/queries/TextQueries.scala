@@ -119,7 +119,7 @@ object TextQueries {
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_pieces"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"),
-             max(col("n_pieces")).as("max_pieces"))
+             max(col("n_pieces")).cast("long").as("max_pieces"))
         .orderBy("lang")
     },
 
@@ -165,7 +165,7 @@ object TextQueries {
 
     "t05_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_pieces,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_pieces,
         |  max(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_pieces
         |FROM documents
         |GROUP BY lang

@@ -41,9 +41,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: cols duck={sorted(duck.columns)} spark={sorted(spark.columns)}")
             n_bad += 1; continue
         d, s = norm(duck), norm(spark)
+        # The driver's hash is type-KIND-sensitive: int-width drift (int32 vs
+        # int64) hash-matched in round 1, but DuckDB HUGEINT (→ float64/object
+        # in pandas) vs Spark LONG did not. Flag kind mismatches only.
+        dt_drift = [c for c in d.columns
+                    if d[c].dtype.kind != s[c].dtype.kind]
         try:
             pd.testing.assert_frame_equal(d, s, check_dtype=False, check_exact=True)
-            print(f"ok   {name} ({len(duck)} rows)"); n_ok += 1
+            if dt_drift:
+                print(f"WARN {name}: values equal but dtypes differ "
+                      f"{[(c, str(d[c].dtype), str(s[c].dtype)) for c in dt_drift]}")
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(duck)} rows)"); n_ok += 1
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch")
             diff = (d != s) & ~(d.isna() & s.isna())
