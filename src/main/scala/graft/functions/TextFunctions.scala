@@ -58,6 +58,47 @@ object TextFunctions {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
       size(sigA)
 
+  /** JVM twin of [[minhashSignature]] over [[wordShingles]] — same
+    * tokenization, same hash chain as the expression form
+    * (`xxhash64(shingle, seedIdx)` = XxHash64 of the shingle string at
+    * seed 42, then of the int seed index chained on that), bit-identical
+    * output; used by the mapPartitions hot path in Dedup.minhashLshPairs
+    * and asserted equal to the expression form in DedupSpec. Hashing the
+    * shingle once and chaining k cheap int-hashes is also why the kernel
+    * beats re-hashing the string k times. Returns None if the text has
+    * fewer than `shingleWidth` tokens. */
+  def minhashSignatureJvm(text: String, k: Int, shingleWidth: Int): Option[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.trim.split("\\s+")
+    val nSh = toks.length - shingleWidth + 1
+    if (nSh <= 0) None
+    else {
+      val sig = Array.fill(k)(Long.MaxValue)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nSh) {
+        sb.setLength(0)
+        var w = 0
+        while (w < shingleWidth) {
+          if (w > 0) sb.append(' ')
+          sb.append(toks(i + w)); w += 1
+        }
+        val base = XxHash64Function.hash(
+          UTF8String.fromString(sb.toString), StringType, 42L)
+        var f = 0
+        while (f < k) {
+          val h = XxHash64Function.hash(f, IntegerType, base)
+          if (h < sig(f)) sig(f) = h
+          f += 1
+        }
+        i += 1
+      }
+      Some(sig)
+    }
+  }
+
   /** 64-bit SimHash of a token-array column (referenced by name): per bit
     * position, each token votes +1/-1 with its hash's bit; the sign of the
     * vote total becomes that bit of the result. Near-identical texts land

@@ -51,7 +51,24 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 128, bands: Int = 8, shingleWidth: Int = 3,
-                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+    minhashLshPairsManaged(df, idCol, textCol, k, bands, shingleWidth,
+      threshold, maxBucket).pairs
+
+  /** A lazy result plus a handle that releases the internal persisted
+    * signature frame. The lazy [[minhashLshPairs]] can't unpersist its
+    * cache itself (the result hasn't run yet when it returns), so in a
+    * long session repeated calls would accumulate ~1 KB/doc cache entries;
+    * callers that run many dedups should consume `pairs` (write/aggregate
+    * it), then call `release()`. Releasing before consuming is safe —
+    * Spark recomputes — just slow. */
+  final case class ManagedPairs(pairs: DataFrame, release: () => Unit)
+
+  /** [[minhashLshPairs]] with an explicit cache-release handle — see
+    * [[ManagedPairs]]. */
+  def minhashLshPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 128, bands: Int = 8, shingleWidth: Int = 3,
+                             threshold: Double = 0.8, maxBucket: Int = 1000): ManagedPairs = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val spark = df.sparkSession
@@ -63,12 +80,12 @@ object Dedup {
     // the shingle array is re-evaluated once per hash function (no
     // loop-invariant hoisting inside lambdas) — measured 350+ s for 5000
     // docs. This is the documented mapPartitions-as-last-resort case
-    // (SURVEY §2.10): a tight JVM loop computes the same k-min signature
-    // in ~2 s, still fully distributed. Repartition first so a
-    // single-file input doesn't pin the stage to one task; persist so the
-    // banding pass and verification join read it once. The cache entry
-    // lives until the session ends (lazy result — can't unpersist here);
-    // ~1 KB/doc, documented as in simhashPairs.
+    // (SURVEY §2.10): a tight JVM loop (TextFunctions.minhashSignatureJvm,
+    // asserted bit-identical to the expression form in DedupSpec) computes
+    // the same k-min signature in ~2 s, still fully distributed.
+    // Repartition first so a single-file input doesn't pin the stage to
+    // one task; persist so the banding pass and verification join read it
+    // once (the caller can release it — see the unpersist note below).
     import spark.implicits._
     val sigs = df
       .repartition(parallelism, col(idCol))
@@ -76,32 +93,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val toks = text.trim.split("\\s+")
-          val nSh = toks.length - shingleWidth + 1
-          if (nSh <= 0) None
-          else {
-            val sig = Array.fill(k)(Long.MaxValue)
-            val sb = new StringBuilder
-            var i = 0
-            while (i < nSh) {
-              sb.setLength(0)
-              var w = 0
-              while (w < shingleWidth) {
-                if (w > 0) sb.append(' ')
-                sb.append(toks(i + w)); w += 1
-              }
-              val sh = sb.toString
-              var f = 0
-              while (f < k) {
-                val h = scala.util.hashing.MurmurHash3.stringHash(sh, f).toLong &
-                  0xffffffffL
-                if (h < sig(f)) sig(f) = h
-                f += 1
-              }
-              i += 1
-            }
-            Some((id, sig.toSeq))
-          }
+          minhashSignatureJvm(text, k, shingleWidth).map(sig => (id, sig.toSeq))
         }
       }
       .toDF("id", "sig")
@@ -127,12 +119,49 @@ object Dedup {
       .distinct()
 
     // Verification: fetch both signatures for the (small) candidate set.
-    pairs
+    val verified = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", minhashEstimate(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    ManagedPairs(verified, () => { sigs.unpersist(); () })
+  }
+
+  /** EXACT near-duplicate pairs at `threshold` shingle-set Jaccard,
+    * accelerated by MinHash-LSH candidate generation — the production
+    * dedup shape: LSH proposes, exact set arithmetic disposes. Emitted
+    * pairs carry the true Jaccard, not an estimate, so the result is
+    * oracle-checkable against a brute-force all-pairs computation.
+    *
+    * Completeness is probabilistic but engineered to vanish: permissive
+    * banding (default 32 bands × 4 rows) misses a pair at j=0.8 with
+    * p=(1−0.8⁴)³² < 5e-8, and the signature-estimate prefilter sits
+    * `estMargin` BELOW the exact threshold (0.6 vs 0.8 ≈ 5.7σ of the
+    * k=128 estimator at the boundary), so it prunes the candidate flood
+    * the permissive curve admits without touching true pairs. Exact
+    * verification then joins only the surviving candidates against the
+    * shingle sets — the heavy per-doc sets never enter a shuffle; the
+    * (small) candidate frame broadcasts against them.
+    */
+  def minhashExactPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
+                        threshold: Double = 0.8, estMargin: Double = 0.2,
+                        maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val cand = minhashLshPairs(df, idCol, textCol, k, bands, shingleWidth,
+      math.max(0.0, threshold - estMargin), maxBucket)
+      .select("id_a", "id_b")
+    val ss = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(wordShingles(tokens(col(textCol)), shingleWidth)).as("ss"))
+    cand
+      .join(ss.select(col("id").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
+      .join(ss.select(col("id").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, candidates blocked on
@@ -147,10 +176,12 @@ object Dedup {
     * near-dup threshold of 3; pushing maxHamming up requires accepting the
     * larger candidate sets that come with narrower slices.
     *
-    * The persisted signature cache lives until the session ends (the
-    * result is lazy, so this method can't unpersist it); repeated calls in
-    * one session accumulate cache entries — small (16 bytes/doc) but
-    * real, documented here deliberately. */
+    * Unlike MinHash (1 KB signatures, kept out of the candidate shuffle),
+    * a SimHash signature is 8 bytes — the size of the id riding next to
+    * it — so it travels inside the bucket rows. That makes the whole
+    * candidate stage ONE groupBy shuffle of (band, bh, id, sh): pairs are
+    * enumerated bucket-side with signatures in hand, no window-count cap
+    * pass, no self-join, no join-back, and no persisted frame to manage. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000,
                    bands: Int = 4): DataFrame = {
@@ -176,7 +207,6 @@ object Dedup {
         }
       }
       .toDF("id", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(col("id"), col("sh"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -186,18 +216,21 @@ object Dedup {
            |  ELSE shiftrightunsigned(sh, band * $width) & ${(1L << width) - 1}
            |END""".stripMargin))
 
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-
-    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+    // Buckets above maxBucket (degenerate near-identical boilerplate) are
+    // dropped rather than allowed to go quadratic — same policy as MinHash.
+    banded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+          |    named_struct('id_a', x.id, 'id_b', y.id,
+          |                 'sh_a', x.sh, 'sh_b', y.sh))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hamming64(col("p.sh_a"), col("p.sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard similarity pairs within a blocking key. The block

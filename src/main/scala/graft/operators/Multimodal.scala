@@ -4,22 +4,27 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media (image/audio/video) as opaque BINARY
-  * columns plus typed metadata, with decode / feature-extraction /
+  * columns plus typed metadata, with decode / feature-extraction / resize /
   * frame-sampling implemented as batched per-partition transforms.
   *
-  * The actual codec is STUBBED (`FakeCodec`) — this container has no
-  * image/audio libraries — but everything Spark-side is real and tested:
-  * the schema contract, the binary column flow, the partition-batched
-  * processing shape (the Scala analog of `mapInPandas`: one iterator per
-  * partition, amortized per-batch setup, bounded memory), and the
-  * size-aware repartitioning that keeps huge blobs from skewing tasks.
+  * Image decode (PNG/JPEG/GIF/BMP) and audio decode (WAV/AIFF) are REAL —
+  * JDK-native codecs via [[ImageCodec]]/[[AudioCodec]], no external
+  * dependency. Only video, which has no in-JDK codec, keeps an explicitly
+  * marked stub (`FakeCodec`). The Spark-side shape is the same for all
+  * three: the schema contract, the binary column flow, the
+  * partition-batched processing (the Scala analog of `mapInPandas`: one
+  * iterator per partition, amortized per-partition codec init, bounded
+  * memory), and the size-aware repartitioning that keeps huge blobs from
+  * skewing tasks.
   *
   * At 100 TB: media rows are orders of magnitude wider than text rows, so
   * every transform here (a) never shuffles the binary payload unless the
   * operation requires it, (b) exposes `repartitionBySize` so downstream
-  * stages get even task sizes, and (c) projects metadata-only outputs
+  * stages get even task sizes, (c) projects metadata-only outputs
   * where the payload isn't needed (column pruning drops the blob read
-  * entirely when `media` is untouched).
+  * entirely when `media` is untouched), and (d) offers a header-parse
+  * tier ([[imageHeaders]]) that answers dimension/format queries without
+  * paying pixel-decode CPU.
   */
 object Multimodal {
 
@@ -35,13 +40,92 @@ object Multimodal {
   implicit val mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val mediaFeatEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
-  /** STUB codec — deterministic stand-in for a real image/audio decoder.
-    * Replace `decodeFrames` with an actual codec call in production; the
-    * signature (bytes → iterator of frame byte-arrays) is the real one. */
+  /** STUB codec — VIDEO ONLY (images and audio decode for real via
+    * [[ImageCodec]]/[[AudioCodec]]; the JDK ships no video codec).
+    * Deterministic stand-in: the signature (bytes → iterator of frame
+    * byte-arrays) is the real one, the frames are 256-byte blocks. */
   object FakeCodec {
     /** "Decode" count: pretend each 256-byte block is one frame. */
     def decodeFrames(media: Array[Byte], every: Int = 4): Iterator[Array[Byte]] =
       media.grouped(256).grouped(every).map(_.head)
+  }
+
+  /** REAL image decode over a binary column: one row per decodable blob
+    * with container format, true pixel dimensions, channel count, and mean
+    * luminance. Per-partition codec init (`ImageIO.setUseCache(false)` —
+    * otherwise every blob round-trips a temp file), malformed blobs are
+    * skipped, never thrown (one corrupt file in 100 TB must not kill a
+    * stage). Input needs (media_id, media). */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val fmt = ImageCodec.parseHeader(bytes).map(_.format).getOrElse("unknown")
+          ImageCodec.decode(bytes).map { img =>
+            (id, fmt, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents,
+              ImageCodec.meanLuma(img))
+          }
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "channels", "mean_luma")
+  }
+
+  /** Header-parse tier: dimensions/format/channels WITHOUT decompression —
+    * a few hundred bytes touched per blob. The 100-TB default for
+    * filter-by-dimensions passes; [[MultimodalSpec]] asserts it agrees
+    * with the full decode on real bytes. */
+  def imageHeaders(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          ImageCodec.parseHeader(bytes).map(h =>
+            (id, h.format, h.width, h.height, h.channels))
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "channels")
+  }
+
+  /** REAL image resize: decode → bilinear resample → re-encode PNG. The
+    * classic thumbnail/normalize-resolution stage of a multimodal training
+    * pipeline. Output payload stays columnar binary; no driver involvement. */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          ImageCodec.decode(bytes).map { img =>
+            (id, ImageCodec.encodePng(ImageCodec.resize(img, w, h)))
+          }
+        }
+      }
+      .toDF("media_id", "thumb")
+  }
+
+  /** REAL audio decode over a binary column: WAV/AIFF container facts plus
+    * PCM RMS level. Same skip-don't-throw policy as images. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          AudioCodec.decode(bytes).map(a =>
+            (id, a.format, a.sampleRate, a.channels, a.nFrames, a.rms))
+        }
+      }
+      .toDF("media_id", "format", "sample_rate", "channels", "n_frames", "rms")
   }
 
   /** Even out task sizes by payload bytes: media blobs are wildly variable,
@@ -98,6 +182,50 @@ object Multimodal {
         case (frame, idx) => (r.media_id, idx, frame)
       }
     }.toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** Deterministic synthetic media table with REAL container payloads:
+    * image rows are genuine PNGs (deterministic gradient pixels, varying
+    * dimensions), audio rows are genuine WAVs (16-bit PCM sine, varying
+    * frequency), video rows are deterministic opaque bytes (stub kind).
+    * Generated distributed (one task per range split), decoded back by the
+    * real-codec operators above. */
+  def syntheticReal(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      (i % 3).toInt match {
+        case 0 =>
+          val w = 64 + (i % 16).toInt
+          val h = 48 + (i % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (x * 255 / w) & 0xff
+              val g = (y * 255 / h) & 0xff
+              val b = ((x + y + i) % 256).toInt & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(i, "image", ImageCodec.encodePng(img), w, h, 0)
+        case 1 =>
+          val rate = 8000
+          val freq = 200.0 + (i % 10) * 50.0
+          val samples = Array.tabulate[Short](800) { t =>
+            (math.sin(2 * math.Pi * freq * t / rate) * 16384).toShort
+          }
+          MediaRow(i, "audio", AudioCodec.encodeWav(samples, rate), 0, 0, rate)
+        case _ =>
+          val rng = new scala.util.Random(i)
+          val bytes = new Array[Byte](4096 + (i % 7).toInt * 512)
+          rng.nextBytes(bytes)
+          MediaRow(i, "video", bytes, 640, 480, 0)
+      }
+    }
   }
 
   /** Deterministic synthetic media table (test/demo source — stands in for

@@ -28,13 +28,18 @@ object RangeJoin {
                       pointCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val p = points.withColumn("__bucket",
-      (col(pointCol).cast("long") / bucketWidth).cast("long"))
+    // Integer `div`, not fractional `/`: the fractional form computes the
+    // quotient in double, which rounds for |x| > 2^53 (epoch nanos) and can
+    // map a point and its interval to different buckets, silently dropping
+    // matches. `div` is exact over the full long domain.
+    def bucketOf(c: Column): Column =
+      call_function("div", c.cast("long"), lit(bucketWidth))
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
     val i = intervals
-      .withColumn("__b0", (col(startCol).cast("long") / bucketWidth).cast("long"))
+      .withColumn("__b0", bucketOf(col(startCol)))
       // end is exclusive: an interval ending exactly on a bucket boundary
       // does not reach into that bucket
-      .withColumn("__b1", ((col(endCol).cast("long") - 1) / bucketWidth).cast("long"))
+      .withColumn("__b1", bucketOf(col(endCol) - 1))
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(col("__b0"), col("__b1"))))
       .drop("__b0", "__b1")

@@ -59,81 +59,99 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Distributed Lloyd's iterations for a coarse k-means quantizer.
+    *
+    * Per iteration: every sample row is assigned to its nearest centroid
+    * with the codegen'd [[cellScores]] argmax (a map-only pass — centroids
+    * are literals, i.e. broadcast), and new centroids come back from ONE
+    * partial-aggregating groupBy over (cell, dim). Only the model (nCells ×
+    * dim means) ever reaches the driver; the sample itself never does, so
+    * the same code trains on 10k rows locally or 10M rows on a cluster.
+    *
+    * Determinism: double sums depend on reduction order, so means are
+    * computed in fixed-point (per-element `round(x·2^20)` summed as longs —
+    * exact, order-independent, ±1e-6 is far below quantizer precision).
+    * Fixed-point range check: |x|·2^20 per element, summed over the sample
+    * → overflows long only past ~8.8e12·Σ|x|, unreachable for unit-scale
+    * embeddings and bounded samples. */
+  private def lloydsCentroids(sample: DataFrame, vecCol: String, nCells: Int,
+                              iters: Int, init: Array[Array[Double]]): Array[Array[Double]] = {
+    val scale = (1L << 20).toDouble
+    var centroids = init
+    for (_ <- 1 to iters) {
+      val stats = sample
+        .withColumn("cell", greatest(cellScores(col(vecCol), centroids): _*).getField("c"))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(round(col("x") * scale).cast("long")).cast("double")
+          / count(lit(1)) / scale).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next // cells that captured no points keep their old center
+    }
+    centroids
+  }
+
+  /** Per-cell nearness scores of vector `v` against literal `centroids`,
+    * as (score, cellId) structs whose argmax is the nearest cell:
+    * |v−c|² = |v|² − 2v·c + |c|², and |v|² is constant per row, so
+    * arg-min distance ≡ arg-max (v·c − |c|²/2) — one codegen'd dot each. */
+  private def cellScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] = {
+    val centroidLit = typedLit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    centroids.indices.map { c =>
+      val cNorm2 = centroids(c).map(x => x * x).sum
+      struct((dot(v, centroidLit.getItem(c)) - lit(cNorm2 / 2)).as("s"),
+             lit(c).as("c"))
+    }
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
     * quantized to `nCells` k-means centroids; each query probes only the
     * `nProbe` nearest cells and ranks those candidates by exact cosine.
     *
-    * The scale path for query-heavy workloads: centroid training runs on a
-    * bounded sample, cell assignment is one broadcast-map pass over the
-    * corpus (the assignment and its hash shuffle are reusable across query
-    * batches — persist the returned assignment in a real index), and each
-    * query touches ~nProbe/nCells of the corpus. Centroids are deterministic
-    * (fixed seed, fixed sample). Complements [[lshCosineTopK]]: IVF adapts
-    * to the data distribution where hyperplane LSH is data-oblivious.
+    * The scale path for query-heavy workloads: centroid training is
+    * distributed ([[lloydsCentroids]] — assignment map-side, means via one
+    * groupBy per iteration; only the nCells×dim model reaches the driver),
+    * cell assignment is one broadcast-map pass over the corpus (the
+    * assignment and its hash shuffle are reusable across query batches —
+    * persist the returned assignment in a real index), and each query
+    * touches ~nProbe/nCells of the corpus. Centroids are deterministic:
+    * the sample is pinned by a total order on the id, initialization
+    * spreads over the sample in xxhash64(id) order, and iteration means
+    * use order-independent fixed-point sums. Complements [[lshCosineTopK]]:
+    * IVF adapts to the data distribution where hyperplane LSH is
+    * data-oblivious.
     */
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,
               corpus: DataFrame, nid: String, nvec: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4,
-              trainSample: Int = 10000, seed: Long = 7L): DataFrame = {
+              trainSample: Int = 10000, iters: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     graft.plans.FloatDotProduct.register(spark)
-    import spark.implicits._
 
-    // --- train centroids on a bounded sample (driver-side Lloyd's: the
-    // sample is capped, so this is O(trainSample × nCells × iters) locally
-    // — no MLlib dependency surface needed for a coarse quantizer)
-    val sample = corpus.select(col(nvec)).limit(trainSample)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "corpus is empty")
-    val dim = sample.head.length
-    val rng = new scala.util.Random(seed)
-    var centroids = Array.fill(nCells)(sample(rng.nextInt(sample.length)).clone())
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    (1 to 10).foreach { _ =>
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Long](nCells)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
-        counts(c) += 1
-        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }.toArray
-    }
-    val centroidLit = typedLit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    // --- bounded, deterministically-pinned training sample (an unordered
+    // limit() would be partition-layout-dependent); persisted because each
+    // Lloyd's iteration re-reads it
+    val sample = corpus
+      .select(col(nid).as("__sid"), col(nvec).cast("array<float>").as("__sv"))
+      .orderBy("__sid").limit(trainSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: nCells sample vectors in xxhash64(id) order — a deterministic
+    // pseudo-random spread (plain head-of-id order could seed all cells
+    // from one dense region)
+    val init = sample.orderBy(xxhash64(col("__sid")), col("__sid")).limit(nCells)
+      .select(col("__sv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.nonEmpty, "corpus is empty")
+    val centroids = lloydsCentroids(sample, "__sv", nCells, iters, init)
+    sample.unpersist()
 
-    // --- cell assignment: argmin distance over the broadcast centroid list,
-    // computed with the codegen'd dot kernel (|v-c|^2 = |v|^2 - 2v·c + |c|^2;
-    // |v|^2 constant per row → argmax of (v·c - |c|^2/2))
-    def cellOf(v: Column): Column = {
-      val scores = centroids.indices.map { c =>
-        val cNorm2 = centroids(c).map(x => x * x).sum
-        struct((dot(v, centroidLit.getItem(c)) - lit(cNorm2 / 2)).as("s"),
-               lit(c).as("c"))
-      }
-      greatest(scores: _*).getField("c")
-    }
+    def cellOf(v: Column): Column =
+      greatest(cellScores(v, centroids): _*).getField("c")
     // nProbe nearest cells for a query: rank the same scores, take top n
-    def probeCells(v: Column): Column = {
-      val scores = array(centroids.indices.map { c =>
-        val cNorm2 = centroids(c).map(x => x * x).sum
-        struct((dot(v, centroidLit.getItem(c)) - lit(cNorm2 / 2)).as("s"),
-               lit(c).as("c"))
-      }: _*)
-      slice(reverse(array_sort(scores)), 1, nProbe)
-    }
+    def probeCells(v: Column): Column =
+      slice(reverse(array_sort(array(cellScores(v, centroids): _*))), 1, nProbe)
 
     val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
       .withColumn("cell", cellOf(col("nv")))

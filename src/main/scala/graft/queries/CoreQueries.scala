@@ -301,9 +301,9 @@ object CoreQueries {
         .orderBy("user_id", "session_id")
     },
 
-    // Range join: lineitems shipped within 14 days of any year-2000
+    // Range join: lineitems shipped within 7 days of any year-2000
     // order's date (keyless interval containment) — banded to an equi-join
-    // on 14-day buckets (operators.RangeJoin), aggregated per status.
+    // on 7-day buckets (operators.RangeJoin), aggregated per status.
     // The window × interval-count product bounds the pair fan-out; an
     // unbounded window over all orders is a cross-join in disguise at any
     // scale, banded or not.

@@ -40,13 +40,18 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // MinHash+LSH near-dup candidates (rows-only check; precision/recall
-    // against d02's exact pairs is asserted in DedupSpec).
+    // MinHash+LSH-accelerated EXACT near-dup join: LSH proposes candidate
+    // pairs, exact shingle-set Jaccard disposes — so the emitted pairs are
+    // a deterministic function of the data (all pairs at true Jaccard
+    // >= 0.8, miss probability < 5e-8 per pair) and carry the true
+    // similarity, fully hash-checkable against DuckDB's brute-force
+    // all-pairs oracle. Estimate-only LSH behavior stays covered by
+    // DedupSpec's recall/precision assertions on minhashLshPairs.
     "d03_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          k = 128, bands = 8, shingleWidth = 3, threshold = 0.8)
+      Dedup.minhashExactPairs(docs(s, dir), "doc_id", "text",
+          k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-                round(col("est_jaccard"), 4).as("est_jaccard"))
+                round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -161,6 +166,28 @@ object TextQueries {
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) /
         |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Brute-force all-pairs 3-shingle Jaccard — the exact semantics that
+    // d03's LSH-accelerated form must reproduce. DuckDB shingles via list
+    // comprehension over 1-based inclusive slices: i in [1, len-2] →
+    // w[i:i+2] is the 3-token window. len(w) >= 3 guards the empty-shingle
+    // case (0/0 is NaN in DuckDB, and NaN >= 0.8 is TRUE in its total
+    // order — without the guard, token-less docs would pair with each
+    // other).
+    "d03_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |     s AS (SELECT doc_id,
+        |             list_distinct([array_to_string(w[i:i+2], ' ')
+        |                            for i in range(1, len(w) - 1)]) AS s
+        |           FROM w WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s)) /
+        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) /
+        |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t05_bpe_tokens" ->

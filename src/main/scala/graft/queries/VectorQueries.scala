@@ -22,7 +22,10 @@ object VectorQueries {
         .orderBy("qid", "rank")
     },
 
-    // LSH-bucketed approximate variant (rows-only; recall vs v01 asserted
+    // LSH-bucketed approximate variant. Fully oracle-checkable even though
+    // it's approximate: the hyperplanes are deterministic constants, so the
+    // oracle SQL embeds them as literals and DuckDB reproduces the exact
+    // bucketing, probing, and ranking (recall vs v01 additionally asserted
     // in SimilaritySpec).
     "v02_lsh_ann" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -57,7 +60,50 @@ object VectorQueries {
     }
   )
 
+  /** DuckDB twin of v02: the hyperplanes are deterministic engine constants
+    * (Similarity.hyperplanes, fixed seed), embedded here as literal DOUBLE
+    * arrays. The Spark side computes dots on float-cast planes with double
+    * accumulation (FloatDotProduct), so each literal is the float-rounded
+    * plane value widened back to double — `x.toFloat.toDouble` printed via
+    * Double.toString round-trips that value exactly. Bucket = sign-pattern
+    * bits; probes = the bucket itself plus every single-bit flip (i = -1
+    * marks the unflipped probe), mirroring lshCosineTopK's probeRadius=1. */
+  private lazy val v02Oracle: String = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val pl = planes.zipWithIndex.map { case (p, i) =>
+      p.map(x => x.toFloat.toDouble.toString).mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |     pl AS (SELECT * FROM (VALUES
+       |        $pl) AS t(pi, p)),
+       |     bkt AS (SELECT e.vec_id,
+       |               CAST(sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+       |                             THEN 1 << pl.pi ELSE 0 END) AS BIGINT) AS bucket
+       |             FROM e CROSS JOIN pl GROUP BY e.vec_id),
+       |     n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |     pr AS (SELECT b.vec_id AS qid,
+       |              CASE WHEN f.i < 0 THEN b.bucket
+       |                   ELSE xor(b.bucket, CAST(1 << f.i AS BIGINT)) END AS probe
+       |            FROM bkt b CROSS JOIN (SELECT unnest(range(-1, 8)) AS i) f
+       |            WHERE b.vec_id < 8),
+       |     cand AS (SELECT DISTINCT pr.qid, c.vec_id AS nid
+       |              FROM pr JOIN bkt c ON c.bucket = pr.probe
+       |              WHERE pr.qid <> c.vec_id),
+       |     p AS (SELECT cand.qid, cand.nid,
+       |             list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+       |           FROM cand JOIN n q ON q.vec_id = cand.qid
+       |                     JOIN n c ON c.vec_id = cand.nid),
+       |     r AS (SELECT qid, nid, sim,
+       |             row_number() OVER (PARTITION BY qid
+       |                                ORDER BY sim DESC, nid) AS rank
+       |           FROM p)
+       |SELECT qid, rank, nid, round(sim, 4) AS sim
+       |FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "v02_lsh_ann" -> v02Oracle,
     // Mirrors cosineTopK arithmetic exactly: double-cast vectors,
     // dot/(sqrt(dot_aa)*sqrt(dot_bb)), ties broken by neighbor id.
     "v01_cosine_topk" ->

@@ -73,6 +73,61 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L))) // unrelated: far apart
   }
 
+  test("minhash JVM kernel is bit-identical to the Catalyst expression form") {
+    val k = 32
+    val expected = docs
+      .select(col("doc_id"),
+        minhashSignature(wordShingles(tokens(col("text")), 3), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val jvm = minhashSignatureJvm(r.getString(1), k, 3)
+      assert(jvm.isDefined)
+      assert(jvm.get.toSeq === expected(r.getLong(0)),
+        s"kernel/expression signature mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("minhashExactPairs emits exactly the brute-force shingle-jaccard pairs") {
+    // brute force: exact 3-shingle jaccard over all pairs
+    val ss = docs.select(col("doc_id").as("id"),
+      array_distinct(wordShingles(tokens(col("text")), 3)).as("s"))
+    val a = ss.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = ss.select(col("id").as("id_b"), col("s").as("s_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+        size(array_union(col("s_a"), col("s_b"))))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashExactPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh === exact) // same pairs AND the true jaccard, not an estimate
+  }
+
+  test("managed minhash releases its signature cache") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val m = Dedup.minhashLshPairsManaged(docs, "doc_id", "text", threshold = 0.5)
+    m.pairs.count() // consume
+    assert(spark.sparkContext.getPersistentRDDs.size > before) // cache is live
+    m.release()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "release() must unpersist the internal signature frame")
+  }
+
+  test("simhash banding is complete: equals brute-force hamming pairs on real docs") {
+    val real = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val sigs = real.collect()
+      .flatMap(r => simhash64Jvm(r.getString(1)).map(sh => r.getLong(0) -> sh))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      "pigeonhole banding must have complete recall at maxHamming <= bands-1")
+  }
+
   test("jaccardPairs respects the blocking column") {
     val blocked = Seq(
       (0L, base, "a"), (1L, base, "b") // identical but different blocks

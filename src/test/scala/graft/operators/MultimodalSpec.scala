@@ -48,6 +48,73 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length <= 256))
   }
 
+  test("real PNG decode: true dimensions, channels, deterministic pixels") {
+    val imgs = syntheticReal(spark, 30).filter(_.kind == "image")
+    val decoded = decodeImages(imgs.toDF()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded.nonEmpty)
+    imgs.collect().foreach { m =>
+      val d = decoded(m.media_id)
+      assert(d.getString(1) === "png")
+      assert(d.getInt(2) === m.width && d.getInt(3) === m.height)
+      assert(d.getInt(4) === 3)
+      // gradient fill: mean luma must sit mid-range, identically per rerun
+      assert(d.getDouble(5) > 64 && d.getDouble(5) < 192, d)
+    }
+    val again = decodeImages(imgs.toDF()).collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(again === decoded.map { case (k, v) => k -> v.getDouble(5) })
+  }
+
+  test("header parse agrees with full decode on real bytes, without decompressing") {
+    val imgs = syntheticReal(spark, 30).filter(_.kind == "image").toDF()
+    val full = decodeImages(imgs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val hdr = imageHeaders(imgs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(hdr === full)
+  }
+
+  test("JPEG header parse reads SOF dimensions from real JPEG bytes") {
+    val img = ImageCodec.resize(
+      new java.awt.image.BufferedImage(33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB),
+      33, 21)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val info = ImageCodec.parseHeader(baos.toByteArray)
+    assert(info.exists(h => h.format == "jpeg" && h.width == 33 && h.height == 21))
+  }
+
+  test("real WAV decode: container facts and PCM RMS of the generated sine") {
+    val wavs = syntheticReal(spark, 30).filter(_.kind == "audio")
+    val decoded = decodeAudio(wavs.toDF()).collect()
+    assert(decoded.length === wavs.count())
+    decoded.foreach { r =>
+      assert(r.getString(1) === "wav")
+      assert(r.getInt(2) === 8000)
+      assert(r.getInt(3) === 1)
+      assert(r.getLong(4) === 800L)
+      // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ≈ 0.3536
+      assert(math.abs(r.getDouble(5) - 0.3536) < 0.01, r)
+    }
+  }
+
+  test("resize produces decodable thumbnails at the target resolution") {
+    val imgs = syntheticReal(spark, 6).filter(_.kind == "image").toDF()
+    val thumbs = resizeImages(imgs, 16, 12)
+    val redecoded = decodeImages(thumbs.withColumnRenamed("thumb", "media")).collect()
+    assert(redecoded.length === imgs.count())
+    redecoded.foreach { r =>
+      assert(r.getInt(2) === 16 && r.getInt(3) === 12)
+    }
+  }
+
+  test("malformed blobs are skipped, not thrown (video bytes through the image path)") {
+    val junk = syntheticReal(spark, 30).filter(_.kind == "video").toDF()
+    assert(decodeImages(junk).count() === 0)
+    assert(imageHeaders(junk).count() === 0)
+    assert(decodeAudio(junk).count() === 0)
+  }
+
   test("repartitionBySize evens out payload bytes per task") {
     val df = repartitionBySize(media.toDF(), targetBytesPerPartition = 32 * 1024)
     assert(df.rdd.getNumPartitions >= 2)
