@@ -39,8 +39,10 @@ object Dedup {
     * The signature/band computation is per-row (no shuffle); candidate
     * generation shuffles on the band hash. `maxBucket` drops degenerate
     * buckets (e.g. boilerplate shingles shared by millions of docs) that
-    * would otherwise go quadratic — standard practice for web-scale dedup,
-    * and logged loudly rather than silently.
+    * would otherwise go quadratic — standard practice for web-scale dedup.
+    * Drops are OBSERVABLE, not silent: the refusing task WARNs and bumps
+    * named accumulators (visible per-stage in the Spark UI — see
+    * [[DedupMetrics]]); callers read the numbers via [[ManagedPairs.drops]].
     *
     * Pick bands to match the threshold: the S-curve's 50% capture point is
     * (1/bands)^(bands/k). Defaults (8 bands × 16 rows) sit at j≈0.77 —
@@ -61,8 +63,16 @@ object Dedup {
     * long session repeated calls would accumulate ~1 KB/doc cache entries;
     * callers that run many dedups should consume `pairs` (write/aggregate
     * it), then call `release()`. Releasing before consuming is safe —
-    * Spark recomputes — just slow. */
-  final case class ManagedPairs(pairs: DataFrame, release: () => Unit)
+    * Spark recomputes — just slow.
+    *
+    * `drops()` reports the over-`maxBucket` buckets discarded so far (zero
+    * until an action on `pairs` has run; cumulative across repeated actions
+    * — the standard accumulator contract, see [[DedupMetrics]]). Non-zero
+    * drops mean recall (and any exactness guarantee) is void for the
+    * documents in those buckets; the refusing executor task WARNs at drop
+    * time and `drops()` WARNs again when it reads a non-zero count. */
+  final case class ManagedPairs(pairs: DataFrame, release: () => Unit,
+                                drops: () => DedupMetrics.DropStats)
 
   /** [[minhashLshPairs]] with an explicit cache-release handle — see
     * [[ManagedPairs]]. */
@@ -101,8 +111,12 @@ object Dedup {
 
     // Candidate generation never shuffles signatures: only (band, bandHash,
     // id) rows move. Pairs are enumerated bucket-side from the sorted member
-    // list; buckets larger than maxBucket (degenerate boilerplate) are
-    // dropped — loudly quadratic work is refused, not silently attempted.
+    // list in a tight JVM loop (the interpreted flatten/transform HOF-expr
+    // formulation this replaces evaluated lambdas per element); buckets
+    // larger than maxBucket (degenerate boilerplate) are dropped — quadratic
+    // work is refused, the refusing task WARNs, and the drop counts ride in
+    // named accumulators (DedupMetrics) — never silent.
+    val drops = DedupMetrics.counter(spark, "minhash", maxBucket)
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
@@ -110,12 +124,24 @@ object Dedup {
     val pairs = banded
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-          |    named_struct('id_a', x, 'id_b', y))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select("ids").as[Seq[Long]]
+      .mapPartitions { buckets =>
+        var warned = false
+        buckets.flatMap { ids =>
+          val n = ids.size
+          if (n > maxBucket) {
+            drops.buckets.add(1L); drops.rows.add(n.toLong)
+            if (!warned) { DedupMetrics.warnDropped("minhash", n, maxBucket); warned = true }
+            Iterator.empty
+          } else if (n < 2) Iterator.empty
+          else {
+            val a = ids.toArray // sorted ascending => id_a < id_b by construction
+            for { i <- a.indices.iterator; j <- (i + 1 until n).iterator }
+              yield (a(i), a(j))
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
       .distinct()
 
     // Verification: fetch both signatures for the (small) candidate set.
@@ -125,7 +151,7 @@ object Dedup {
       .withColumn("est_jaccard", minhashEstimate(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    ManagedPairs(verified, () => { sigs.unpersist(); () })
+    ManagedPairs(verified, () => { sigs.unpersist(); () }, () => drops.stats())
   }
 
   /** EXACT near-duplicate pairs at `threshold` shingle-set Jaccard,
@@ -134,12 +160,16 @@ object Dedup {
     * pairs carry the true Jaccard, not an estimate, so the result is
     * oracle-checkable against a brute-force all-pairs computation.
     *
-    * Completeness is probabilistic but engineered to vanish: permissive
-    * banding (default 32 bands × 4 rows) misses a pair at j=0.8 with
-    * p=(1−0.8⁴)³² < 5e-8, and the signature-estimate prefilter sits
-    * `estMargin` BELOW the exact threshold (0.6 vs 0.8 ≈ 5.7σ of the
-    * k=128 estimator at the boundary), so it prunes the candidate flood
-    * the permissive curve admits without touching true pairs. Exact
+    * Completeness is probabilistic but engineered to vanish — CONDITIONAL
+    * on zero dropped buckets: permissive banding (default 32 bands × 4
+    * rows) misses a pair at j=0.8 with p=(1−0.8⁴)³² < 5e-8, and the
+    * signature-estimate prefilter sits `estMargin` BELOW the exact
+    * threshold (0.6 vs 0.8 ≈ 5.7σ of the k=128 estimator at the boundary),
+    * so it prunes the candidate flood the permissive curve admits without
+    * touching true pairs. A bucket over `maxBucket` voids that bound for
+    * its members; drops are observed and WARNed (see [[DedupMetrics]]) and
+    * readable via [[minhashExactPairsManaged]]'s `drops()` — a zero there
+    * certifies the < 5e-8 miss bound actually held for the run. Exact
     * verification then joins only the surviving candidates against the
     * shingle sets — the heavy per-doc sets never enter a shuffle; the
     * (small) candidate frame broadcasts against them.
@@ -147,14 +177,25 @@ object Dedup {
   def minhashExactPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
                         threshold: Double = 0.8, estMargin: Double = 0.2,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    minhashExactPairsManaged(df, idCol, textCol, k, bands, shingleWidth,
+      threshold, estMargin, maxBucket).pairs
+
+  /** [[minhashExactPairs]] with the cache-release + drop-stats handle.
+    * Consume `pairs`, then `release()` frees the internal signature cache
+    * and `drops()` reports whether the exactness guarantee held (zero
+    * dropped buckets) — see [[ManagedPairs]]. */
+  def minhashExactPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
+                               threshold: Double = 0.8, estMargin: Double = 0.2,
+                               maxBucket: Int = 1000): ManagedPairs = {
     import graft.functions.TextFunctions.{tokens, wordShingles}
-    val cand = minhashLshPairs(df, idCol, textCol, k, bands, shingleWidth,
+    val managed = minhashLshPairsManaged(df, idCol, textCol, k, bands, shingleWidth,
       math.max(0.0, threshold - estMargin), maxBucket)
-      .select("id_a", "id_b")
+    val cand = managed.pairs.select("id_a", "id_b")
     val ss = df.select(col(idCol).cast("long").as("id"),
       array_distinct(wordShingles(tokens(col(textCol)), shingleWidth)).as("ss"))
-    cand
+    val exact = cand
       .join(ss.select(col("id").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
       .join(ss.select(col("id").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -162,6 +203,7 @@ object Dedup {
           size(array_union(col("ss_a"), col("ss_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    ManagedPairs(exact, managed.release, managed.drops)
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, candidates blocked on
@@ -184,7 +226,14 @@ object Dedup {
     * pass, no self-join, no join-back, and no persisted frame to manage. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4): DataFrame =
+    simhashPairsManaged(df, idCol, textCol, maxHamming, maxBucket, bands).pairs
+
+  /** [[simhashPairs]] with the drop-stats handle (no cache to release —
+    * simhash needs no persisted signature frame). */
+  def simhashPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, maxBucket: Int = 1000,
+                          bands: Int = 4): ManagedPairs = {
     require(bands >= 2 && bands <= 64, s"bands=$bands out of range")
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming exceeds the banding recall guarantee of " +
@@ -217,20 +266,37 @@ object Dedup {
            |END""".stripMargin))
 
     // Buckets above maxBucket (degenerate near-identical boilerplate) are
-    // dropped rather than allowed to go quadratic — same policy as MinHash.
-    banded
+    // dropped rather than allowed to go quadratic — same accumulator-and-
+    // WARN reporting as MinHash. Pair enumeration and the exact Hamming
+    // verification both happen bucket-side in the same JVM loop: signatures
+    // are already in hand, so no join-back and no second shuffle.
+    val drops = DedupMetrics.counter(spark, "simhash", maxBucket)
+    val pairs = banded
       .groupBy("band", "bh")
-      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-          |    named_struct('id_a', x.id, 'id_b', y.id,
-          |                 'sh_a', x.sh, 'sh_b', y.sh))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        hamming64(col("p.sh_a"), col("p.sh_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .agg(sort_array(collect_list(struct(col("id").as("_1"), col("sh").as("_2")))).as("ms"))
+      .select("ms").as[Seq[(Long, Long)]]
+      .mapPartitions { buckets =>
+        var warned = false
+        buckets.flatMap { ms =>
+          val n = ms.size
+          if (n > maxBucket) {
+            drops.buckets.add(1L); drops.rows.add(n.toLong)
+            if (!warned) { DedupMetrics.warnDropped("simhash", n, maxBucket); warned = true }
+            Iterator.empty
+          } else if (n < 2) Iterator.empty
+          else {
+            val a = ms.toArray // sorted by (id, sh) => id_a < id_b
+            for {
+              i <- a.indices.iterator
+              j <- (i + 1 until n).iterator
+              h = java.lang.Long.bitCount(a(i)._2 ^ a(j)._2) if h <= maxHamming
+            } yield (a(i)._1, a(j)._1, h)
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+    ManagedPairs(pairs, () => (), () => drops.stats())
   }
 
   /** Exact n-gram Jaccard similarity pairs within a blocking key. The block

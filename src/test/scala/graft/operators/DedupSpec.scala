@@ -97,6 +97,7 @@ class DedupSpec extends SparkSpec {
       .withColumn("j", size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
         size(array_union(col("s_a"), col("s_b"))))
       .filter(col("j") >= 0.5)
+      .select("id_a", "id_b", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Dedup.minhashExactPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -114,6 +115,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash banding is complete: equals brute-force hamming pairs on real docs") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists(),
+      "driver-generated testdata not present on this machine")
     val real = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val sigs = real.collect()
@@ -126,6 +129,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded === brute,
       "pigeonhole banding must have complete recall at maxHamming <= bands-1")
+  }
+
+  test("bucket drops are observable: counter fires on an over-full bucket") {
+    // 8 identical docs: every (band, bandHash) bucket holds all 8 members,
+    // so maxBucket=5 drops every bucket and no pair can be emitted.
+    val boiler = (0L until 8L).map(i => (i, base, "s")).toDF("doc_id", "text", "source")
+    val m = Dedup.minhashLshPairsManaged(boiler, "doc_id", "text",
+      threshold = 0.5, maxBucket = 5)
+    assert(m.drops().isZero, "no action yet => nothing dropped yet")
+    assert(m.pairs.count() === 0L, "all buckets over the cap => no pairs")
+    val d = m.drops()
+    assert(d.buckets > 0L, "the dropped-bucket counter must fire")
+    assert(d.rows >= 8L, "dropped member rows must be reported")
+    m.release()
+    // simhash path reports through the same mechanism
+    val sm = Dedup.simhashPairsManaged(boiler, "doc_id", "text", maxBucket = 5)
+    assert(sm.pairs.count() === 0L)
+    assert(sm.drops().buckets > 0L)
+  }
+
+  test("zero drops certify the exactness guarantee held") {
+    val m = Dedup.minhashExactPairsManaged(docs, "doc_id", "text", threshold = 0.5)
+    assert(m.pairs.count() > 0L)
+    assert(m.drops().isZero,
+      "no bucket on this corpus exceeds the cap — guarantee observed to hold")
+    m.release()
   }
 
   test("jaccardPairs respects the blocking column") {
