@@ -106,27 +106,31 @@ object Similarity {
     }
   }
 
-  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
-    * quantized to `nCells` k-means centroids; each query probes only the
-    * `nProbe` nearest cells and ranks those candidates by exact cosine.
+  /** A built IVF index: the trained coarse quantizer plus the cell-assigned
+    * corpus. Build once ([[ivfBuild]]), probe many times ([[ivfProbe]]) —
+    * training (8 driver round-trips of Lloyd's) and the corpus assignment
+    * pass happen once per index, not once per query batch. `release()`
+    * unpersists the assignment when the index is retired. */
+  final case class IvfIndex(centroids: Array[Array[Double]], nCells: Int,
+                            assigned: DataFrame, release: () => Unit)
+
+  /** Train the coarse quantizer and assign the corpus to cells.
     *
-    * The scale path for query-heavy workloads: centroid training is
-    * distributed ([[lloydsCentroids]] — assignment map-side, means via one
-    * groupBy per iteration; only the nCells×dim model reaches the driver),
-    * cell assignment is one broadcast-map pass over the corpus (the
-    * assignment and its hash shuffle are reusable across query batches —
-    * persist the returned assignment in a real index), and each query
-    * touches ~nProbe/nCells of the corpus. Centroids are deterministic:
-    * the sample is pinned by a total order on the id, initialization
-    * spreads over the sample in xxhash64(id) order, and iteration means
-    * use order-independent fixed-point sums. Complements [[lshCosineTopK]]:
-    * IVF adapts to the data distribution where hyperplane LSH is
-    * data-oblivious.
+    * Centroid training is distributed ([[lloydsCentroids]] — assignment
+    * map-side, means via one groupBy per iteration; only the nCells×dim
+    * model reaches the driver) and deterministic: the sample is pinned by a
+    * total order on the id, initialization spreads over the sample in
+    * Knuth-multiplicative-hash order (`id·2654435761 mod 2³²` — a
+    * deterministic pseudo-random spread that plain head-of-id order lacks,
+    * and closed-form arithmetic the DuckDB oracle reproduces exactly, which
+    * xxhash64 was not), and iteration means use order-independent
+    * fixed-point sums. Cell assignment is one broadcast-map pass over the
+    * corpus; with `persist=true` the assignment (and its shuffle) is
+    * computed once and reused by every subsequent [[ivfProbe]].
     */
-  def ivfTopK(queries: DataFrame, qid: String, qvec: String,
-              corpus: DataFrame, nid: String, nvec: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 4,
-              trainSample: Int = 10000, iters: Int = 8): DataFrame = {
+  def ivfBuild(corpus: DataFrame, nid: String, nvec: String,
+               nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8,
+               persist: Boolean = true): IvfIndex = {
     val spark = corpus.sparkSession
     graft.plans.FloatDotProduct.register(spark)
 
@@ -134,33 +138,43 @@ object Similarity {
     // limit() would be partition-layout-dependent); persisted because each
     // Lloyd's iteration re-reads it
     val sample = corpus
-      .select(col(nid).as("__sid"), col(nvec).cast("array<float>").as("__sv"))
+      .select(col(nid).cast("long").as("__sid"), col(nvec).cast("array<float>").as("__sv"))
       .orderBy("__sid").limit(trainSample)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // init: nCells sample vectors in xxhash64(id) order — a deterministic
-    // pseudo-random spread (plain head-of-id order could seed all cells
-    // from one dense region)
-    val init = sample.orderBy(xxhash64(col("__sid")), col("__sid")).limit(nCells)
+    val init = sample
+      .orderBy(pmod(col("__sid") * lit(2654435761L), lit(4294967296L)), col("__sid"))
+      .limit(nCells)
       .select(col("__sv")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(init.nonEmpty, "corpus is empty")
     val centroids = lloydsCentroids(sample, "__sv", nCells, iters, init)
     sample.unpersist()
 
-    def cellOf(v: Column): Column =
-      greatest(cellScores(v, centroids): _*).getField("c")
-    // nProbe nearest cells for a query: rank the same scores, take top n
-    def probeCells(v: Column): Column =
-      slice(reverse(array_sort(array(cellScores(v, centroids): _*))), 1, nProbe)
+    val assigned = {
+      val a = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+        .withColumn("cell", greatest(cellScores(col("nv"), centroids): _*).getField("c"))
+        .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+      if (persist) a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else a
+    }
+    IvfIndex(centroids, nCells, assigned,
+      () => { if (persist) { assigned.unpersist(); () } })
+  }
 
-    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
-      .withColumn("cell", cellOf(col("nv")))
-      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+  /** Probe a built [[IvfIndex]]: each query ranks only the candidates in
+    * its `nProbe` nearest cells by exact cosine. Pure plan construction —
+    * zero Spark jobs until the caller acts on the result, and never any
+    * re-training (asserted in SimilaritySpec). */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, qid: String, qvec: String,
+               k: Int, nProbe: Int = 4): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    // nProbe nearest cells for a query: rank the per-cell scores, take top n
+    def probeCells(v: Column): Column =
+      slice(reverse(array_sort(array(cellScores(v, index.centroids): _*))), 1, nProbe)
     val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
       .withColumn("cell", explode(probeCells(col("qv")).getField("c")))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    broadcast(q).join(c, Seq("cell"))
+    broadcast(q).join(index.assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
@@ -168,6 +182,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
+    * quantized to `nCells` k-means centroids; each query probes only the
+    * `nProbe` nearest cells and ranks those candidates by exact cosine.
+    *
+    * One-shot convenience over [[ivfBuild]] + [[ivfProbe]] (assignment not
+    * persisted — a single probe reads it once). Query-heavy workloads
+    * should build the index once and probe it per batch; see [[IvfIndex]].
+    * Complements [[lshCosineTopK]]: IVF adapts to the data distribution
+    * where hyperplane LSH is data-oblivious.
+    */
+  def ivfTopK(queries: DataFrame, qid: String, qvec: String,
+              corpus: DataFrame, nid: String, nvec: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              trainSample: Int = 10000, iters: Int = 8): DataFrame =
+    ivfProbe(ivfBuild(corpus, nid, nvec, nCells, trainSample, iters, persist = false),
+      queries, qid, qvec, k, nProbe)
 
   /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {

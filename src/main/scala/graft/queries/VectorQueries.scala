@@ -10,6 +10,15 @@ object VectorQueries {
 
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  // One IVF index per (session, table dir): build is triggered by the first
+  // v04 invocation, every later one is probe-only. Entries live for the
+  // session; the assigned frame is persisted MEMORY_AND_DISK by ivfBuild.
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
+  private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfCache.computeIfAbsent((s, dir),
+      _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact brute-force cosine top-5 for the first 8 vectors as queries.
@@ -36,13 +45,16 @@ object VectorQueries {
         .orderBy("qid", "rank")
     },
 
-    // IVF (k-means coarse-quantized) ANN — the data-adaptive scale path
-    // (rows-only; recall vs brute force asserted in SimilaritySpec).
+    // IVF (k-means coarse-quantized) ANN — the data-adaptive scale path.
+    // The index (training + corpus assignment) is built once per
+    // (session, dir) and probed per call — the build/probe split that a
+    // query-heavy workload needs (recall vs brute force asserted in
+    // SimilaritySpec; full training + probe reproduced by the DuckDB
+    // oracle, see v04Oracle).
     "v04_ivf_ann" -> { (s, dir) =>
-      val e = emb(s, dir)
-      Similarity.ivfTopK(
-          e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          e, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      Similarity.ivfProbe(ivfIndexFor(s, dir),
+          emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
     },
@@ -102,8 +114,98 @@ object VectorQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB twin of v04 — the oracle RE-RUNS the whole IVF pipeline in SQL,
+    * training included: the 8 Lloyd's iterations are unrolled into chained
+    * CTEs (recursive CTEs forbid the aggregation each iteration needs).
+    * Every arithmetic step mirrors the Spark side bit-for-bit:
+    *
+    *  - init order `(sid·2654435761) mod 2³²` is closed-form BIGINT math
+    *    (the reason ivfBuild uses a Knuth multiplicative hash, not xxhash64);
+    *  - cell scores use the float-cast centroid (`val::REAL::DOUBLE` = the
+    *    `.toFloat` in cellScores) for the dot but the unrounded DOUBLE
+    *    centroid for |c|²/2, exactly like cellScores; `list_inner_product`
+    *    accumulates left-to-right like FloatDotProduct;
+    *  - argmax tie-break is (score DESC, cell DESC) — Spark's greatest()
+    *    over (s, c) structs;
+    *  - iteration means are fixed-point: `round(x·2²⁰)::BIGINT` summed
+    *    exactly, then /count/2²⁰ in the same association order; both
+    *    engines round ties away from zero;
+    *  - empty cells keep their previous centroid (COALESCE over LEFT JOIN).
+    */
+  private def v04Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+                        iters: Int = 8, trainSample: Int = 10000,
+                        dim: Int = 64): String = {
+    val iterCtes = (0 until iters).map { i =>
+      s"""centl$i AS (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+         |                     list(val ORDER BY pos) AS cd
+         |              FROM cent$i GROUP BY c),
+         |  score$i AS (SELECT s.sid, l.c,
+         |                list_inner_product(s.v, l.cf)
+         |                  - list_inner_product(l.cd, l.cd) / 2 AS sc
+         |              FROM samp s CROSS JOIN centl$i l),
+         |  asg$i AS (SELECT sid, c AS cell FROM (
+         |              SELECT sid, c, row_number() OVER (PARTITION BY sid
+         |                       ORDER BY sc DESC, c DESC) AS rn FROM score$i)
+         |            WHERE rn = 1),
+         |  mean$i AS (SELECT a.cell AS c, p.pos,
+         |               (CAST(sum(CAST(round(p.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |                  / count(*)) / 1048576.0 AS m
+         |             FROM asg$i a JOIN sampx p ON p.sid = a.sid
+         |             GROUP BY a.cell, p.pos),
+         |  cent${i + 1} AS (SELECT cp.c, cp.pos, COALESCE(m.m, cp.val) AS val
+         |                   FROM cent$i cp LEFT JOIN mean$i m
+         |                     ON m.c = cp.c AND m.pos = cp.pos)""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  samp AS (SELECT vec_id AS sid, v FROM e ORDER BY vec_id LIMIT $trainSample),
+       |  pos AS (SELECT unnest(range($dim)) AS pos),
+       |  sampx AS (SELECT sid, pos, v[pos + 1] AS x FROM samp CROSS JOIN pos),
+       |  init AS (SELECT row_number() OVER (
+       |             ORDER BY (sid * 2654435761) % 4294967296, sid) - 1 AS c, v
+       |           FROM samp ORDER BY (sid * 2654435761) % 4294967296, sid
+       |           LIMIT $nCells),
+       |  cent0 AS (SELECT i.c, p.pos, i.v[p.pos + 1] AS val
+       |            FROM init i CROSS JOIN pos p),
+       |  $iterCtes,
+       |  centl$iters AS (SELECT c,
+       |                    list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+       |                    list(val ORDER BY pos) AS cd
+       |                  FROM cent$iters GROUP BY c),
+       |  cscore AS (SELECT e.vec_id, l.c,
+       |               list_inner_product(e.v, l.cf)
+       |                 - list_inner_product(l.cd, l.cd) / 2 AS sc
+       |             FROM e CROSS JOIN centl$iters l),
+       |  corpus AS (SELECT s.vec_id AS nid, s.cell, e.v AS nv,
+       |               sqrt(list_inner_product(e.v, e.v)) AS nn
+       |             FROM (SELECT vec_id, c AS cell FROM (
+       |                     SELECT vec_id, c, row_number() OVER (
+       |                       PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |                     FROM cscore) WHERE rn = 1) s
+       |             JOIN e ON e.vec_id = s.vec_id),
+       |  probe AS (SELECT vec_id AS qid, c AS cell FROM (
+       |              SELECT vec_id, c, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |              FROM cscore WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |  q AS (SELECT e.vec_id AS qid, e.v AS qv,
+       |          sqrt(list_inner_product(e.v, e.v)) AS qn
+       |        FROM e WHERE e.vec_id < 8),
+       |  cand AS (SELECT DISTINCT p.qid, c.nid
+       |           FROM probe p JOIN corpus c ON c.cell = p.cell
+       |           WHERE p.qid <> c.nid),
+       |  sims AS (SELECT cand.qid, cand.nid,
+       |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
+       |           FROM cand JOIN q ON q.qid = cand.qid
+       |                     JOIN corpus c ON c.nid = cand.nid),
+       |  r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS rank FROM sims)
+       |SELECT qid, rank, nid, round(sim, 4) AS sim
+       |FROM r WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "v02_lsh_ann" -> v02Oracle,
+    "v04_ivf_ann" -> v04Oracle(),
     // Mirrors cosineTopK arithmetic exactly: double-cast vectors,
     // dot/(sqrt(dot_aa)*sqrt(dot_bb)), ties broken by neighbor id.
     "v01_cosine_topk" ->

@@ -61,6 +61,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("ivfProbe is pure plan construction: zero jobs, no re-training") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    idx.assigned.count() // materialize the persisted assignment
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val probe = Similarity.ivfProbe(idx, e.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      Thread.sleep(500) // listener bus is async; let stragglers surface
+      assert(jobs.get() === 0,
+        "constructing a probe plan ran Spark jobs — training leaked into probe")
+      assert(probe.count() > 0)
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      idx.release()
+    }
+  }
+
   test("IVF is deterministic: same seed → same result set") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 5)
