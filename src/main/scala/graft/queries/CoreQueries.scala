@@ -244,13 +244,20 @@ object CoreQueries {
         countDistinct(col("l_returnflag")).as("n_flags"))
     },
 
-    // Sketch/approximate aggregation (rows-only: HLL internals differ per
-    // engine; accuracy asserted in ApproxSpec).
+    // Sketch/approximate aggregation. HLL internals differ per engine, so
+    // the sketch VALUE can't be oracle-matched — instead the query emits
+    // the exact count plus a tolerance verdict on the sketch (rsd = 0.01,
+    // checked at 5% ≈ 5σ — deterministically true unless the sketch is
+    // broken), which DuckDB reproduces exactly. Point accuracy is
+    // additionally asserted in ApproxSpec.
     "q20_approx_distinct" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
              countDistinct(col("o_custkey")).as("exact_custs"))
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("approx") - col("exact_custs")).cast("double") / col("exact_custs")
+            <= 0.05).as("approx_within_5pct"))
         .orderBy("o_orderstatus")
     },
 
@@ -475,6 +482,16 @@ object CoreQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // q20: the exact side is reproduced; the sketch side is verified as a
+    // tolerance verdict (see the query comment) — DuckDB emits the literal
+    // TRUE the Spark flag must equal.
+    "q20_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs,
+        |  true AS approx_within_5pct
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q19_profile" ->
       """SELECT count(*) AS n_rows, count(l_shipdate) AS n_ship_nonnull,

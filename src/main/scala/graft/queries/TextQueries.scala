@@ -10,10 +10,13 @@ import graft.functions.TextFunctions._
   * (exact, MinHash-LSH, SimHash, n-gram Jaccard), token statistics,
   * quality scoring, language-ID, fingerprinting.
   *
-  * SQL-expressible ops carry a DuckDB oracle; the hash-based signatures
-  * (MinHash/SimHash/fingerprint use Spark's xxhash64, which DuckDB does not
-  * implement) are covered by rows-only driver checks plus ScalaTest specs
-  * that verify them against exact similarity on the same data.
+  * Every op here carries a DuckDB oracle. SimHash and the fingerprint are
+  * built on prime-field polynomial token hashes (TextFunctions.tokenHash31/
+  * tokenHash131) precisely so the oracle can recompute them exactly in
+  * SQL — closed-form polynomial sums with literal power tables replace the
+  * engine-private xxhash64 they once used. MinHash keeps xxhash64 (its
+  * d03 surface is verified through the exact-Jaccard join, not the
+  * signature), with estimate behavior covered by DedupSpec.
   */
 object TextQueries {
 
@@ -55,7 +58,9 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup candidates (rows-only check + DedupSpec). The
+    // SimHash near-dup candidates (oracle: DuckDB recomputes the full
+    // signature pipeline — see simhashOracle — and DedupSpec proves the
+    // banded pair set equals brute force, so the oracle brute-forces). The
     // standard near-dup setting: Hamming <= 3 with 16-bit bands — complete
     // recall by pigeonhole AND fine buckets (wider distances need more,
     // narrower bands whose coarse buckets go quadratic; measured 3.3x
@@ -139,14 +144,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Order-sensitive rolling-hash fingerprint (rows-only; FingerprintSpec
-    // pins determinism + order sensitivity).
+    // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
+    // polynomial in DuckDB; determinism + order sensitivity additionally
+    // pinned in TextFunctionsSpec).
     "t04_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
         .orderBy("doc_id")
     }
   )
+
+  /** DuckDB twin of d04 — recomputes the full SimHash pipeline in SQL:
+    * per-token prime-field Horner hashes via closed-form polynomial sums
+    * (char codepoints × a 31^k / 131^k power table built by a recursive
+    * CTE), 64 pairwise-independent bits from the universal double-hash
+    * `parity((h1·r_i + h2·s_i) mod HashP3)` with the engine's
+    * simhashBitMixers constants embedded as a literal table,
+    * token-multiplicity votes, signed-bit reassembly, then brute-force
+    * all-pairs Hamming ≤ 3. DedupSpec proves the Spark banded pair set
+    * equals brute force, so the oracle may brute-force. Bit 63 maps to
+    * BIGINT's sign bit (-2⁶³), reproducing the JVM signed long exactly. */
+  private lazy val d04Oracle: String = {
+    val mixerRows = simhashBitMixers.zipWithIndex
+      .map { case ((r, s), i) => s"($i, $r, $s)" }
+      .mkString(",\n        ")
+    s"""WITH RECURSIVE
+       |  d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+       |  mix AS (SELECT * FROM (VALUES
+       |        $mixerRows) AS m(i, r, s)),
+       |  toks AS (SELECT id, unnest(list_filter(
+       |             string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+       |           FROM d),
+       |  tokc AS (SELECT id, tok, count(*) AS cnt FROM toks GROUP BY id, tok),
+       |  tdist AS (SELECT DISTINCT tok FROM toks),
+       |  ml AS (SELECT max(length(tok)) AS m FROM tdist),
+       |  powt(i, a, b) AS (
+       |    SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |    UNION ALL
+       |    SELECT i + 1, (a * 31) % $HashP1, (b * 131) % $HashP2
+       |    FROM powt WHERE i + 1 < (SELECT m FROM ml)),
+       |  chars AS (SELECT t.tok, p.i AS j, ord(substr(t.tok, p.i + 1, 1)) AS cp
+       |            FROM tdist t JOIN powt p ON p.i < length(t.tok)),
+       |  th AS (SELECT c.tok,
+       |           CAST(sum(c.cp * pw.a) % $HashP1 AS BIGINT) AS h1,
+       |           CAST(sum(c.cp * pw.b) % $HashP2 AS BIGINT) AS h2
+       |         FROM chars c JOIN powt pw ON pw.i = length(c.tok) - 1 - c.j
+       |         GROUP BY c.tok),
+       |  bits AS (SELECT tc.id, m.i,
+       |             sum(CASE WHEN ((th.h1 * m.r + th.h2 * m.s) % $HashP3) % 2 = 1
+       |                      THEN tc.cnt ELSE -tc.cnt END) AS votes
+       |           FROM tokc tc JOIN th ON th.tok = tc.tok
+       |           CROSS JOIN mix m
+       |           GROUP BY tc.id, m.i),
+       |  sig AS (SELECT id,
+       |            CAST(sum(CASE WHEN votes > 0 THEN
+       |                   CASE WHEN i = 63 THEN -9223372036854775808
+       |                        ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+       |                 ELSE 0 END) AS BIGINT) AS sh
+       |          FROM bits GROUP BY id)
+       |SELECT a.id AS doc_a, b.id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.id < b.id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -189,6 +250,45 @@ object TextQueries {
         |WHERE len(list_intersect(a.s, b.s)) /
         |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d04_simhash" -> d04Oracle,
+
+    // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
+    // double polynomial: chars-within-token (h1, as in d04) then
+    // tokens-within-doc, both base 31 mod HashP1, exponent from the token's
+    // position. tokens() keeps empty tokens (h1 = 0), so no empty filter on
+    // the doc-level chain; two zipped unnests give (position, token).
+    "t04_fingerprint" ->
+      s"""WITH RECURSIVE
+        |  d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+        |        FROM documents),
+        |  toks AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS tn,
+        |                  unnest(arr) AS tok
+        |           FROM d),
+        |  tcnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |  tdist AS (SELECT DISTINCT tok FROM toks WHERE tok <> ''),
+        |  mlc AS (SELECT max(length(tok)) AS m FROM tdist),
+        |  mlt AS (SELECT max(n) AS m FROM tcnt),
+        |  powt(i, a) AS (
+        |    SELECT 0, CAST(1 AS BIGINT)
+        |    UNION ALL
+        |    SELECT i + 1, (a * 31) % $HashP1
+        |    FROM powt WHERE i + 1 < (SELECT greatest(c.m, t.m) FROM mlc c, mlt t)),
+        |  chars AS (SELECT t.tok, p.i AS j, ord(substr(t.tok, p.i + 1, 1)) AS cp
+        |            FROM tdist t JOIN powt p ON p.i < length(t.tok)),
+        |  th AS (SELECT c.tok, CAST(sum(c.cp * pw.a) % $HashP1 AS BIGINT) AS h1
+        |         FROM chars c JOIN powt pw ON pw.i = length(c.tok) - 1 - c.j
+        |         GROUP BY c.tok),
+        |  fps AS (SELECT tk.doc_id,
+        |            CAST(sum(CAST(COALESCE(th.h1, 0) AS HUGEINT) * pw.a)
+        |                   % $HashP1 AS BIGINT) AS fp
+        |          FROM toks tk
+        |          LEFT JOIN th ON th.tok = tk.tok
+        |          JOIN tcnt tc ON tc.doc_id = tk.doc_id
+        |          JOIN powt pw ON pw.i = tc.n - tk.tn
+        |          GROUP BY tk.doc_id)
+        |SELECT doc_id, fp FROM fps
+        |ORDER BY doc_id""".stripMargin,
 
     "t05_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
