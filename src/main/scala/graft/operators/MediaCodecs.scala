@@ -47,33 +47,74 @@ object ImageCodec {
       }
       Some(ImageInfo("png", beInt(bytes, 16), beInt(bytes, 20), channels))
     }
-    // JPEG: FF D8, then marker segments; SOFn carries precision h w ncomp
+    // JPEG: FF D8, then marker segments; SOFn carries precision h w ncomp.
+    // The scan stops (None) at SOS (FF DA) or EOI (FF D9): past SOS lies
+    // entropy-coded data that is NOT marker-structured — walking it could
+    // hallucinate dimensions from a spurious FF Cn pair, and skip-don't-
+    // throw means "skip", not "confidently wrong". FF fill bytes before a
+    // marker and the length-less TEM (FF 01) are skipped per spec.
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       var p = 2
-      while (p + 9 < bytes.length) {
+      while (p + 1 < bytes.length) {
         if ((bytes(p) & 0xff) != 0xff) return None
-        val marker = bytes(p + 1) & 0xff
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) p += 2
+        var q = p + 1 // skip FF fill bytes: FF FF ... FF <marker>
+        while (q < bytes.length && (bytes(q) & 0xff) == 0xff) q += 1
+        if (q >= bytes.length) return None
+        val marker = bytes(q) & 0xff
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) p = q + 1 // standalone markers
+        else if (marker == 0xda || marker == 0xd9) return None // SOS/EOI: no SOF seen
         else {
-          val segLen = beShort(bytes, p + 2)
+          if (q + 2 >= bytes.length) return None
+          val segLen = beShort(bytes, q + 1)
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-          if (isSof)
-            return Some(ImageInfo("jpeg", beShort(bytes, p + 7),
-              beShort(bytes, p + 5), bytes(p + 9) & 0xff))
+          if (isSof) {
+            if (q + 8 >= bytes.length) return None
+            return Some(ImageInfo("jpeg", beShort(bytes, q + 6),
+              beShort(bytes, q + 4), bytes(q + 8) & 0xff))
+          }
           if (segLen < 2) return None
-          p += 2 + segLen
+          p = q + 1 + segLen
         }
       }
       None
     }
-    // GIF: 'GIF8xa', logical screen w/h as LE u16
+    // GIF: 'GIF8xa', logical screen w/h as LE u16; channels depend on
+    // whether a Graphics Control Extension declares a transparent index
+    // (ImageIO reports 4 components for transparent GIFs, 3 otherwise —
+    // the header tier must agree with the decode tier).
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
       val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
       val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
-      Some(ImageInfo("gif", w, h, 3))
+      Some(ImageInfo("gif", w, h, if (gifHasTransparency(bytes)) 4 else 3))
     }
     else None
+  }
+
+  /** Walk GIF blocks (after the 13-byte header + optional global color
+    * table) up to the first image descriptor, looking for a Graphics
+    * Control Extension with the transparency flag set. Conservative on
+    * malformed structure: false (opaque). */
+  private def gifHasTransparency(b: Array[Byte]): Boolean = {
+    if (b.length < 13) return false
+    val flags = b(10) & 0xff
+    var p = 13 + (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+    while (p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x21 => // extension block: label, then length-prefixed sub-blocks
+          if (p + 2 >= b.length) return false
+          val label = b(p + 1) & 0xff
+          if (label == 0xf9 && p + 3 < b.length && (b(p + 2) & 0xff) >= 4)
+            return (b(p + 3) & 1) == 1
+          var q = p + 2
+          while (q < b.length && (b(q) & 0xff) != 0) q += 1 + (b(q) & 0xff)
+          p = q + 1
+        case 0x2c => return false // image data reached without a GCE
+        case _ => return false    // trailer (0x3b) or junk: bail opaque
+      }
+    }
+    false
   }
 
   /** Full pixel decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers are
@@ -120,6 +161,63 @@ object ImageCodec {
   }
 }
 
+/** REAL video codec for the one container the JDK can handle end-to-end:
+  * raw MJPEG — a stream of concatenated JPEG images, the actual wire
+  * format of motion-JPEG cameras and many capture pipelines. Frame
+  * splitting is exact: inside JPEG entropy-coded data every 0xFF byte is
+  * either zero-stuffed (FF 00) or a restart marker (FF D0-D7), so a bare
+  * FF D9 can only be the end-of-image marker — scanning for FF D8 ... FF
+  * D9 recovers precise frame boundaries without decoding. Per-frame pixel
+  * decode reuses [[ImageCodec]]. This replaces the former FakeCodec stub:
+  * no code path pretends random bytes are frames anymore. */
+object VideoCodec {
+
+  /** Split an MJPEG stream into its JPEG frame byte ranges. Bytes outside
+    * FFD8...FFD9 spans (padding, garbage) are skipped; a truncated final
+    * frame (no EOI) is dropped — skip-don't-throw, like the other codecs. */
+  def splitFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
+    if (bytes == null) return Iterator.empty
+    new Iterator[Array[Byte]] {
+      private var p = 0
+      private var nextFrame: Array[Byte] = advance()
+      private def advance(): Array[Byte] = {
+        // find FF D8 (start of image)
+        var s = p
+        while (s + 1 < bytes.length &&
+               !((bytes(s) & 0xff) == 0xff && (bytes(s + 1) & 0xff) == 0xd8)) s += 1
+        if (s + 1 >= bytes.length) return null
+        // find the matching FF D9 (end of image)
+        var e = s + 2
+        while (e + 1 < bytes.length &&
+               !((bytes(e) & 0xff) == 0xff && (bytes(e + 1) & 0xff) == 0xd9)) e += 1
+        if (e + 1 >= bytes.length) return null // truncated frame: drop
+        p = e + 2
+        java.util.Arrays.copyOfRange(bytes, s, e + 2)
+      }
+      override def hasNext: Boolean = nextFrame != null
+      override def next(): Array[Byte] = {
+        val f = nextFrame; nextFrame = advance(); f
+      }
+    }
+  }
+
+  /** Every `every`-th frame's raw JPEG bytes (frame sampling without
+    * decode — the cheap tier). */
+  def sampleFrames(bytes: Array[Byte], every: Int): Iterator[Array[Byte]] =
+    splitFrames(bytes).grouped(every).map(_.head)
+
+  /** Decoded pixel frames, sampled every `every`-th (the expensive tier). */
+  def decodeFrames(bytes: Array[Byte], every: Int): Iterator[BufferedImage] =
+    sampleFrames(bytes, every).flatMap(ImageCodec.decode)
+
+  /** Encode frames as an MJPEG stream (concatenated JPEGs). */
+  def encodeMjpeg(frames: Iterator[BufferedImage]): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    frames.foreach(f => javax.imageio.ImageIO.write(f, "jpg", baos))
+    baos.toByteArray
+  }
+}
+
 object AudioCodec {
 
   /** Decoded audio facts + sample stats. `rms` is over 16-bit PCM samples
@@ -129,19 +227,22 @@ object AudioCodec {
 
   /** Full decode of a WAV/AIFF container via javax.sound.sampled: format
     * facts from the header, RMS from the PCM payload. None on
-    * unrecognized/corrupt bytes (skip-don't-throw, as with images). */
+    * unrecognized/corrupt bytes (skip-don't-throw, as with images) AND on
+    * sample encodings other than 16-bit PCM — an unsupported encoding is
+    * skipped like a corrupt blob, never reported as rms = 0 "silence". */
   def decode(bytes: Array[Byte]): Option[AudioInfo] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
-        val fileFormat = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new ByteArrayInputStream(bytes))
-        val data = ais.readAllBytes()
-        var acc = 0.0
-        var n = 0
-        if (fmt.getSampleSizeInBits == 16) {
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val fileFormat = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new ByteArrayInputStream(bytes))
+          val data = ais.readAllBytes()
+          var acc = 0.0
+          var n = 0
           var i = 0
           while (i + 1 < data.length) {
             val s =
@@ -152,10 +253,10 @@ object AudioCodec {
             n += 1
             i += 2
           }
+          Some(AudioInfo(fileFormat.getType.getExtension,
+            fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+            if (n == 0) 0.0 else math.sqrt(acc / n)))
         }
-        Some(AudioInfo(fileFormat.getType.getExtension,
-          fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
-          if (n == 0) 0.0 else math.sqrt(acc / n)))
       } finally ais.close()
     } catch { case _: Exception => None }
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,15 +9,18 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, with decode / feature-extraction / resize /
   * frame-sampling implemented as batched per-partition transforms.
   *
-  * Image decode (PNG/JPEG/GIF/BMP) and audio decode (WAV/AIFF) are REAL —
-  * JDK-native codecs via [[ImageCodec]]/[[AudioCodec]], no external
-  * dependency. Only video, which has no in-JDK codec, keeps an explicitly
-  * marked stub (`FakeCodec`). The Spark-side shape is the same for all
-  * three: the schema contract, the binary column flow, the
-  * partition-batched processing (the Scala analog of `mapInPandas`: one
-  * iterator per partition, amortized per-partition codec init, bounded
-  * memory), and the size-aware repartitioning that keeps huge blobs from
-  * skewing tasks.
+  * ALL THREE modalities decode for real with JDK-native codecs, no
+  * external dependency: images (PNG/JPEG/GIF/BMP) via [[ImageCodec]],
+  * audio (WAV/AIFF) via [[AudioCodec]], video via [[VideoCodec]] — raw
+  * MJPEG, i.e. concatenated JPEG frames, the one video container the JDK
+  * can handle end-to-end (general video codecs like H.264 remain out of
+  * scope: no in-JDK decoder exists, and this library takes real decode
+  * over a pretend one). The Spark-side shape is the same for all three:
+  * the schema contract, the binary column flow, the partition-batched
+  * processing (the Scala analog of `mapInPandas`: one iterator per
+  * partition, amortized per-partition codec init, bounded memory), and
+  * the size-aware repartitioning that keeps huge blobs from skewing
+  * tasks.
   *
   * At 100 TB: media rows are orders of magnitude wider than text rows, so
   * every transform here (a) never shuffles the binary payload unless the
@@ -39,16 +44,6 @@ object Multimodal {
 
   implicit val mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val mediaFeatEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
-
-  /** STUB codec — VIDEO ONLY (images and audio decode for real via
-    * [[ImageCodec]]/[[AudioCodec]]; the JDK ships no video codec).
-    * Deterministic stand-in: the signature (bytes → iterator of frame
-    * byte-arrays) is the real one, the frames are 256-byte blocks. */
-  object FakeCodec {
-    /** "Decode" count: pretend each 256-byte block is one frame. */
-    def decodeFrames(media: Array[Byte], every: Int = 4): Iterator[Array[Byte]] =
-      media.grouped(256).grouped(every).map(_.head)
-  }
 
   /** REAL image decode over a binary column: one row per decodable blob
     * with container format, true pixel dimensions, channel count, and mean
@@ -145,12 +140,13 @@ object Multimodal {
       col("sample_rate"), length(col("media")).as("n_bytes"))
 
   /** Partition-batched feature extraction — the mapInPandas shape: per
-    * partition, one-time "codec init", then stream rows through it.
-    * Per-row state is O(frame), never O(partition). */
+    * partition, one-time codec init, then stream rows through it.
+    * Per-row state is O(frame), never O(partition). `frames_sampled`
+    * counts REAL MJPEG frames (every `frameEvery`-th) for video rows and
+    * is 0 for other kinds — a non-video blob has no frames to sample. */
   def extractFeatures(ds: Dataset[MediaRow], frameEvery: Int = 4): Dataset[MediaFeatures] =
     ds.mapPartitions { rows =>
-      // one-time per-partition setup (a real codec would init here)
-      val codec = FakeCodec
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         val counts = new Array[Long](256)
         var i = 0
@@ -167,28 +163,53 @@ object Multimodal {
           }
           b += 1
         }
-        val frames = codec.decodeFrames(r.media, frameEvery).size
+        val frames =
+          if (r.kind == "video") VideoCodec.sampleFrames(r.media, frameEvery).size
+          else 0
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong,
           mean, entropy, frames)
       }
     }
 
-  /** Frame sampling as a generator: one output row per sampled frame,
-    * payload sliced column-side (no driver involvement). */
+  /** REAL frame sampling as a generator: one output row per sampled MJPEG
+    * frame (raw JPEG bytes, individually decodable by [[ImageCodec]]),
+    * payload sliced executor-side (no driver involvement). Non-video rows
+    * and non-MJPEG bytes contribute nothing — skip-don't-throw. */
   def sampleFrames(ds: Dataset[MediaRow], every: Int = 4): DataFrame = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      FakeCodec.decodeFrames(r.media, every).zipWithIndex.map {
+      if (r.kind != "video") Iterator.empty
+      else VideoCodec.sampleFrames(r.media, every).zipWithIndex.map {
         case (frame, idx) => (r.media_id, idx, frame)
       }
     }.toDF("media_id", "frame_idx", "frame")
   }
 
-  /** Deterministic synthetic media table with REAL container payloads:
-    * image rows are genuine PNGs (deterministic gradient pixels, varying
-    * dimensions), audio rows are genuine WAVs (16-bit PCM sine, varying
-    * frequency), video rows are deterministic opaque bytes (stub kind).
-    * Generated distributed (one task per range split), decoded back by the
+  /** Deterministic gradient test image (shared by the image and video
+    * generators below). */
+  private def gradientImage(w: Int, h: Int, salt: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / w) & 0xff
+        val g = (y * 255 / h) & 0xff
+        val b = ((x + y + salt) % 256).toInt & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic synthetic media table with REAL container payloads for
+    * all three kinds: image rows are genuine PNGs (deterministic gradient
+    * pixels, varying dimensions), audio rows are genuine WAVs (16-bit PCM
+    * sine, varying frequency), video rows are genuine MJPEG streams (8
+    * concatenated JPEG frames of evolving gradients). Generated
+    * distributed (one task per range split), decoded back by the
     * real-codec operators above. */
   def syntheticReal(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -197,21 +218,7 @@ object Multimodal {
         case 0 =>
           val w = 64 + (i % 16).toInt
           val h = 48 + (i % 8).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val r = (x * 255 / w) & 0xff
-              val g = (y * 255 / h) & 0xff
-              val b = ((x + y + i) % 256).toInt & 0xff
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          MediaRow(i, "image", ImageCodec.encodePng(img), w, h, 0)
+          MediaRow(i, "image", ImageCodec.encodePng(gradientImage(w, h, i)), w, h, 0)
         case 1 =>
           val rate = 8000
           val freq = 200.0 + (i % 10) * 50.0
@@ -220,10 +227,10 @@ object Multimodal {
           }
           MediaRow(i, "audio", AudioCodec.encodeWav(samples, rate), 0, 0, rate)
         case _ =>
-          val rng = new scala.util.Random(i)
-          val bytes = new Array[Byte](4096 + (i % 7).toInt * 512)
-          rng.nextBytes(bytes)
-          MediaRow(i, "video", bytes, 640, 480, 0)
+          val (w, h) = (32, 24)
+          val mjpeg = VideoCodec.encodeMjpeg(
+            Iterator.range(0, 8).map(f => gradientImage(w, h, i + f * 31)))
+          MediaRow(i, "video", mjpeg, w, h, 0)
       }
     }
   }

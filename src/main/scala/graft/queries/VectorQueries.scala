@@ -19,6 +19,15 @@ object VectorQueries {
     ivfCache.computeIfAbsent((s, dir),
       _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
 
+  /** Build AND materialize the IVF index for (session, dir) — the explicit
+    * index-construction step a query-heavy deployment runs once before
+    * serving probes. Bench times this separately so the per-query v04
+    * number is probe cost, with build cost reported as its own field. */
+  def prepareIvfIndex(s: SparkSession, dir: String): Unit = {
+    ivfIndexFor(s, dir).assigned.count()
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact brute-force cosine top-5 for the first 8 vectors as queries.

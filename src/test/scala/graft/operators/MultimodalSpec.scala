@@ -40,12 +40,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling emits one row per sampled 256-byte block") {
-    val frames = sampleFrames(media.filter(_.media_id == 0L), every = 4).collect()
-    val nBytes = media.filter(_.media_id == 0L).head().media.length
-    val expected = math.ceil(nBytes / 256.0 / 4).toInt
-    assert(frames.length === expected)
-    assert(frames.forall(_.getAs[Array[Byte]]("frame").length <= 256))
+  test("MJPEG frame sampling emits real, individually-decodable JPEG frames") {
+    val vids = syntheticReal(spark, 9).filter(_.kind == "video")
+    // every 4th of 8 frames -> 2 rows per video
+    val frames = sampleFrames(vids, every = 4).collect()
+    assert(frames.length === vids.count() * 2)
+    frames.foreach { r =>
+      val img = ImageCodec.decode(r.getAs[Array[Byte]]("frame"))
+      assert(img.isDefined, "sampled frame must be a decodable JPEG")
+      assert(img.get.getWidth === 32 && img.get.getHeight === 24)
+    }
+    // non-video rows contribute no frames
+    assert(sampleFrames(syntheticReal(spark, 9).filter(_.kind == "image")).count() === 0)
+  }
+
+  test("MJPEG splitter recovers exact frame boundaries without decoding") {
+    val one = syntheticReal(spark, 9).filter(_.media_id == 2L).head() // video row
+    val parts = VideoCodec.splitFrames(one.media).toSeq
+    assert(parts.length === 8)
+    // each recovered span is a complete JPEG: SOI..EOI
+    parts.foreach { f =>
+      assert((f(0) & 0xff) === 0xff && (f(1) & 0xff) === 0xd8)
+      assert((f(f.length - 2) & 0xff) === 0xff && (f(f.length - 1) & 0xff) === 0xd9)
+    }
+    // splitting is exact: re-concatenation reproduces the stream
+    assert(parts.flatten === one.media.toSeq)
+    // random bytes contain no frames (skip, don't hallucinate)
+    val junk = new Array[Byte](4096)
+    new scala.util.Random(1).nextBytes(junk)
+    assert(VideoCodec.splitFrames(junk).isEmpty)
+    // feature extraction counts real sampled frames for video only
+    val feats = extractFeatures(syntheticReal(spark, 9), frameEvery = 4)
+      .collect().map(f => f.kind -> f.frames_sampled).toMap
+    assert(feats("video") === 2)
+    assert(feats("image") === 0 && feats("audio") === 0)
   }
 
   test("real PNG decode: true dimensions, channels, deterministic pixels") {
@@ -72,6 +100,25 @@ class MultimodalSpec extends SparkSpec {
     val hdr = imageHeaders(imgs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
     assert(hdr === full)
+  }
+
+  test("header/decode agreement holds for JPEG and GIF too (incl. channels)") {
+    import sqlImplicits._
+    def encode(fmt: String): Array[Byte] = {
+      val img = ImageCodec.resize(new java.awt.image.BufferedImage(
+        40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB), 40, 30)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val df = Seq((1L, encode("jpg")), (2L, encode("gif")))
+      .toDF("media_id", "media")
+    val full = decodeImages(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val hdr = imageHeaders(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(hdr === full,
+      "header-tier dims/channels must equal ImageIO's decode for JPEG and GIF")
   }
 
   test("JPEG header parse reads SOF dimensions from real JPEG bytes") {
@@ -108,8 +155,9 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("malformed blobs are skipped, not thrown (video bytes through the image path)") {
-    val junk = syntheticReal(spark, 30).filter(_.kind == "video").toDF()
+  test("malformed blobs are skipped, not thrown (random bytes through every path)") {
+    // `synthetic` payloads are random bytes regardless of kind
+    val junk = synthetic(spark, 30).toDF()
     assert(decodeImages(junk).count() === 0)
     assert(imageHeaders(junk).count() === 0)
     assert(decodeAudio(junk).count() === 0)

@@ -65,4 +65,41 @@ class BpPhenotypeStreamSpec extends SparkSpec {
     assert(rows.last.htn140)
     q.stop()
   }
+
+  test("TTL variant evicts idle state: a reappearing patient starts fresh") {
+    val mem = MemoryStream[BpReading]
+    // TTL must comfortably exceed per-step test latency (batch + poll time),
+    // or state expires between legitimate steps and the count never reaches 2
+    val q = updatesWithTtl(mem.toDS(), idleTtl = "8 seconds")
+      .writeStream.format("memory").queryName("bp_ttl")
+      .outputMode(OutputMode.Update()).start()
+    // NOTE: processAllAvailable() must not be used here. With
+    // ProcessingTimeTimeout, FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+    // is always true, so the engine constructs micro-batches continuously to
+    // check timeouts and never signals noNewData - processAllAvailable would
+    // block forever. Poll the sink instead (the continuous batches also mean
+    // timeouts fire promptly without an external nudge).
+    def rowsFor(pid: String): Seq[PhenotypeUpdate] =
+      spark.table("bp_ttl").as[PhenotypeUpdate].collect().filter(_.patientId == pid).toSeq
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    // two distinct high days -> flagged
+    mem.addData(BpReading("p1", Date.valueOf("2023-03-01"), 150, 95))
+    waitFor("first update")(rowsFor("p1").nonEmpty)
+    mem.addData(BpReading("p1", Date.valueOf("2023-04-01"), 151, 96))
+    waitFor("second distinct day")(rowsFor("p1").lastOption.exists(_.distinctHighDays == 2))
+    // idle past the TTL: the engine's timeout batch removes p1's state
+    // (the handler sees hasTimedOut and emits nothing - eviction becomes
+    // observable when the patient reappears)
+    Thread.sleep(10000)
+    mem.addData(BpReading("p1", Date.valueOf("2023-06-01"), 152, 97))
+    waitFor("post-expiry rebuild") {
+      val s = rowsFor("p1").lastOption
+      s.exists(u => u.distinctHighDays == 1 && !u.htn140)
+    }
+    q.stop()
+  }
 }

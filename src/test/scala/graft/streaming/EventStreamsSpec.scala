@@ -13,6 +13,56 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
   private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("watermark drops late events and evicts closed-window state") {
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = windowedTypeCounts(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    def step(rows: (Timestamp, String, Double)*): Unit = {
+      mem.addData(rows: _*); q.processAllAvailable()
+    }
+    def stateRows: Long =
+      q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    def droppedTotal: Long =
+      q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsDroppedByWatermark).sum
+
+    // two open windows: 3 events in [10:00, 11:00), 1 in [11:00, 12:00);
+    // watermark after this step is 11:05 - 10 min = 10:55 < 11:00, so
+    // nothing is finalized yet (processAllAvailable includes the extra
+    // no-data batch Spark runs when the watermark advances)
+    step((ts("2023-01-01 10:00:00"), "view", 1.0),
+         (ts("2023-01-01 10:10:00"), "view", 1.0),
+         (ts("2023-01-01 10:20:00"), "view", 1.0),
+         (ts("2023-01-01 11:05:00"), "view", 1.0))
+    assert(spark.table("wm_sink").isEmpty) // windows still open: append emits nothing
+    val stateBeforeClose = stateRows
+    assert(stateBeforeClose === 2) // both windows held in state
+    // advance the watermark past both window ends: 12:30 - 10 min = 12:20,
+    // so both windows finalize (emitted once) and their state is evicted
+    step((ts("2023-01-01 12:30:00"), "view", 1.0))
+    val closed = spark.table("wm_sink")
+      .select("window_start", "n").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(closed === Map(ts("2023-01-01 10:00:00") -> 3L,
+                          ts("2023-01-01 11:00:00") -> 1L))
+    assert(stateRows < stateBeforeClose, "closed-window state must be evicted")
+    // a late event behind the watermark is DROPPED, not re-aggregated
+    assert(droppedTotal === 0L)
+    step((ts("2023-01-01 10:05:00"), "view", 1.0))
+    assert(droppedTotal >= 1L, "late event must be counted as dropped by watermark")
+    // the finalized window's rows are unchanged: still one row, still n=3
+    step((ts("2023-01-01 12:31:00"), "view", 1.0))
+    val after = spark.table("wm_sink")
+      .filter(col("window_start") === ts("2023-01-01 10:00:00"))
+      .select("n").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(3L),
+      "the late event must not reopen or double-emit the closed window")
+    q.stop()
+  }
+
   test("windowed counts: batch and streaming agree (API unification)") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"),
