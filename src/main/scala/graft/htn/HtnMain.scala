@@ -18,11 +18,30 @@ import graft.schema.Schemas
   */
 object HtnMain {
 
+  /** Load the 13 codelists from `dir`. Both of the reference's source
+    * shapes are supported, per list:
+    *  - `<name>.xlsx`: single-sheet workbook, codes in the first column
+    *    (`import(...)[[1]]` — `2_data_importing_cleaning.R:208-268`);
+    *  - `<name>.csv`: header `concept_id` (the test/driver shape).
+    * The HTN dx/rx lists additionally accept the reference's combined
+    * multi-sheet workbook `code_lists.xlsx` with `dx_code` / `rx_code`
+    * columns flattened across sheets (`purrr::flatten(import_list(...))` —
+    * `4_hypertension_phenotype_main.R:50-54`); it wins over per-name files
+    * when present, matching the reference's main script. */
   def loadCodelists(spark: SparkSession, dir: String): Codelists = {
-    def list(name: String): Seq[Long] =
-      spark.read.option("header", "true").schema(Schemas.codelist)
+    def list(name: String): Seq[Long] = {
+      val xlsx = new java.io.File(s"$dir/$name.xlsx")
+      if (xlsx.isFile) graft.io.Xlsx.firstColumn(xlsx.getPath).map(graft.io.Xlsx.toCode)
+      else spark.read.option("header", "true").schema(Schemas.codelist)
         .csv(s"$dir/$name.csv")
         .collect().map(_.getLong(0)).toSeq
+    }
+    val combined = {
+      val f = new java.io.File(s"$dir/code_lists.xlsx")
+      if (f.isFile) graft.io.Xlsx.flattenColumns(f.getPath) else Map.empty[String, Seq[String]]
+    }
+    def htnList(col: String, fallback: String): Seq[Long] =
+      combined.get(col).map(_.map(graft.io.Xlsx.toCode)).getOrElse(list(fallback))
     Codelists(
       pregCondition = list("preg_condition"), pregMeasurement = list("preg_measurement"),
       pregObservation = list("preg_observation"), pregProcedure = list("preg_procedure"),
@@ -32,7 +51,7 @@ object HtnMain {
       palliativeProcedure = list("palliative_procedure"),
       hospiceObservation = list("hospice_observation"),
       hospiceProcedure = list("hospice_procedure"),
-      htnDx = list("htn_dx"), htnRx = list("htn_rx"))
+      htnDx = htnList("dx_code", "htn_dx"), htnRx = htnList("rx_code", "htn_rx"))
   }
 
   def main(args: Array[String]): Unit = {
