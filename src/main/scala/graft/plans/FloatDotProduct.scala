@@ -111,5 +111,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"), FloatDotProduct.info,
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("sig_match_count"), SigMatchCount.info,
+      (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
   }
 }
