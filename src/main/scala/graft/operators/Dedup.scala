@@ -324,6 +324,31 @@ object Dedup {
     ManagedPairs(pairs, () => (), () => drops.stats())
   }
 
+  /** Embedding-space near-duplicate pairs, blocked by an IVF coarse
+    * quantizer: all pairs assigned to the same k-means cell whose exact
+    * cosine reaches `threshold`. The classic scale shape for embedding
+    * dedup — the data-adaptive cells play the role the blocking key plays
+    * in [[jaccardPairs]], bounding the quadratic enumeration to within-cell
+    * (nCells is the work dial), and the exact cosine (codegen'd
+    * `float_dot`) disposes. Recall = P(pair shares a cell): near-identical
+    * vectors quantize together essentially always; the looser the pair,
+    * the more it depends on cell coarseness (asserted in DedupSpec on
+    * clustered vectors). Deterministic end to end — the DuckDB oracle
+    * replays the training and the blocking exactly (see v05 in
+    * VectorQueries). */
+  def embeddingNearDupPairs(index: Similarity.IvfIndex, threshold: Double): DataFrame = {
+    val a = index.assigned.select(col("cell"), col("nid").as("id_a"),
+      col("nv").as("va"), col("nn").as("na"))
+    val b = index.assigned.select(col("cell"), col("nid").as("id_b"),
+      col("nv").as("vb"), col("nn").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs within a blocking key. The block
     * key bounds the join fan-out (at scale: a cheap cluster id — source,
     * domain, length bucket, or an LSH band from above). */

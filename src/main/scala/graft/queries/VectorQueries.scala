@@ -68,6 +68,19 @@ object VectorQueries {
         .orderBy("qid", "rank")
     },
 
+    // Embedding-space near-dup DEDUP pairs, blocked by the same session
+    // IVF index v04 probes: within-cell pairs at exact cosine >= the
+    // threshold. The threshold is corpus-calibrated - the synthetic
+    // embeddings are near-orthogonal random vectors (max pairwise cosine
+    // ~0.5), so 0.3 selects the genuine similarity tail; on a real
+    // embedding corpus the same operator runs at 0.9+. Oracle replays
+    // training + blocking + verification exactly (v05Oracle).
+    "v05_embedding_dedup" -> { (s, dir) =>
+      graft.operators.Dedup.embeddingNearDupPairs(ivfIndexFor(s, dir), V05Threshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Vector norms + label stats: sanity surface for the embedding column.
     "v03_norm_stats" -> { (s, dir) =>
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -123,10 +136,11 @@ object VectorQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
-  /** DuckDB twin of v04 — the oracle RE-RUNS the whole IVF pipeline in SQL,
-    * training included: the 8 Lloyd's iterations are unrolled into chained
-    * CTEs (recursive CTEs forbid the aggregation each iteration needs).
-    * Every arithmetic step mirrors the Spark side bit-for-bit:
+  /** Shared oracle prefix for v04/v05 — RE-RUNS the whole IVF training in
+    * SQL: the 8 Lloyd's iterations are unrolled into chained CTEs
+    * (recursive CTEs forbid the aggregation each iteration needs), ending
+    * in `corpus` (every vector with its final cell, float-widened values,
+    * and norm). Every arithmetic step mirrors the Spark side bit-for-bit:
     *
     *  - init order `(sid·2654435761) mod 2³²` is closed-form BIGINT math
     *    (the reason ivfBuild uses a Knuth multiplicative hash, not xxhash64);
@@ -141,9 +155,8 @@ object VectorQueries {
     *    engines round ties away from zero;
     *  - empty cells keep their previous centroid (COALESCE over LEFT JOIN).
     */
-  private def v04Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
-                        iters: Int = 8, trainSample: Int = 10000,
-                        dim: Int = 64): String = {
+  private def ivfTrainingCtes(nCells: Int, iters: Int, trainSample: Int,
+                              dim: Int): String = {
     val iterCtes = (0 until iters).map { i =>
       s"""centl$i AS (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
          |                     list(val ORDER BY pos) AS cd
@@ -190,7 +203,13 @@ object VectorQueries {
        |                     SELECT vec_id, c, row_number() OVER (
        |                       PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
        |                     FROM cscore) WHERE rn = 1) s
-       |             JOIN e ON e.vec_id = s.vec_id),
+       |             JOIN e ON e.vec_id = s.vec_id)""".stripMargin
+  }
+
+  private def v04Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+                        iters: Int = 8, trainSample: Int = 10000,
+                        dim: Int = 64): String =
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)},
        |  probe AS (SELECT vec_id AS qid, c AS cell FROM (
        |              SELECT vec_id, c, row_number() OVER (
        |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
@@ -210,11 +229,26 @@ object VectorQueries {
        |SELECT qid, rank, nid, round(sim, 4) AS sim
        |FROM r WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
-  }
+
+  /** DuckDB twin of v05 — same training replay as v04, then the IVF-cell-
+    * blocked exact dedup tail: within-cell pairs at exact cosine ≥ the
+    * threshold, mirroring Dedup.embeddingNearDupPairs arithmetic
+    * (float-widened vectors, float_dot-ordered accumulation, round 4). */
+  private def v05Oracle(threshold: Double, nCells: Int = 16, iters: Int = 8,
+                        trainSample: Int = 10000, dim: Int = 64): String =
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)}
+       |SELECT a.nid AS id_a, b.nid AS id_b,
+       |  round(list_inner_product(a.nv, b.nv) / (a.nn * b.nn), 4) AS cosine
+       |FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.nid < b.nid
+       |WHERE list_inner_product(a.nv, b.nv) / (a.nn * b.nn) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val V05Threshold = 0.3
 
   val oracle: Map[String, String] = Map(
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
+    "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     // Mirrors cosineTopK arithmetic exactly: double-cast vectors,
     // dot/(sqrt(dot_aa)*sqrt(dot_bb)), ties broken by neighbor id.
     "v01_cosine_topk" ->

@@ -157,6 +157,30 @@ class DedupSpec extends SparkSpec {
     m.release()
   }
 
+  test("embedding near-dup pairs: clustered vectors pair, cross-cluster don't") {
+    // three tight clusters: base direction + tiny deterministic jitter
+    val dim = 8
+    val vecs = (0 until 12).map { i =>
+      val cluster = i % 3
+      val v = Array.fill(dim)(0.01f * ((i * 7 + 3) % 5))
+      v(cluster) = 1.0f // dominant axis per cluster
+      v(dim - 1) = 0.02f * i // jitter that keeps vectors distinct
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(vecs, "vec_id", "embedding",
+      nCells = 3, trainSample = 12, iters = 4)
+    val pairs = Dedup.embeddingNearDupPairs(idx, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    idx.release()
+    // same-cluster pairs are near-parallel (cos ~0.99+): all found
+    val sameCluster = for {
+      a <- 0L until 12L; b <- (a + 1) until 12L if a % 3 == b % 3
+    } yield (a, b)
+    sameCluster.foreach(p => assert(pairs.contains(p), s"missing near-dup $p"))
+    // cross-cluster vectors are near-orthogonal: never paired
+    assert(pairs.forall { case (a, b) => a % 3 == b % 3 })
+  }
+
   test("jaccardPairs respects the blocking column") {
     val blocked = Seq(
       (0L, base, "a"), (1L, base, "b") // identical but different blocks
