@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Splits}
 import graft.functions.TextFunctions._
 
 /** LLM-data-pipeline text surface over the `documents` table: dedup
@@ -142,6 +142,33 @@ object TextQueries {
         .select(col("doc_id"), md5(norm).as("norm_hash"),
                 length(norm).as("norm_len"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split (80/10/10) keyed on doc_id,
+    // summarized per split. The scale-correct alternative to randomSplit:
+    // stable per key, layout-independent, map-only, oracle-exact. For
+    // leakage control pass a group key (source, domain) instead of the row
+    // id - spec-covered in SplitsSpec.
+    "t07_train_split" -> { (s, dir) =>
+      docs(s, dir)
+        .select(Splits.assign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy("split")
+    },
+
+    // Sequence packing: docs packed into ~2048-token bins per language
+    // (the pretraining pack step), bins summarized. Window per lang -
+    // the partition key is the parallelism unit, never a global sort.
+    "t08_seq_pack" -> { (s, dir) =>
+      val nt = size(split(col("text"), " "))
+      Splits.packByBudget(docs(s, dir).select(col("lang"), col("doc_id"), nt.as("nt")),
+          col("lang"), col("doc_id"), col("nt"), budget = 2048L)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt").cast("long")).as("n_tokens"))
+        .orderBy("lang", "bin")
     },
 
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
@@ -289,6 +316,33 @@ object TextQueries {
         |          GROUP BY tk.doc_id)
         |SELECT doc_id, fp FROM fps
         |ORDER BY doc_id""".stripMargin,
+
+    // t07: same multiplicative-hash ring carve as Splits.assign, with the
+    // cumulative-weight boundaries as literals.
+    "t07_train_split" -> {
+      val Seq(c1, c2, _) = Splits.cutsFor(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH s AS (SELECT CASE
+         |             WHEN (doc_id * 2654435761) % 4294967296 < $c1 THEN 'train'
+         |             WHEN (doc_id * 2654435761) % 4294967296 < $c2 THEN 'val'
+         |             ELSE 'test' END AS split,
+         |           len(string_split(text, ' ')) AS nt
+         |           FROM documents)
+         |SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    "t08_seq_pack" ->
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS nt
+        |           FROM documents),
+        |     c AS (SELECT lang, nt,
+        |             COALESCE(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |           FROM t)
+        |SELECT lang, CAST(floor(cb / 2048.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY lang, bin
+        |ORDER BY lang, bin""".stripMargin,
 
     "t05_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,

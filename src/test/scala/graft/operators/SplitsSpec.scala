@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SplitsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("assign: stable per key, layout-independent, fractions near weights") {
+    val df = spark.range(10000).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = df.select($"id", Splits.assign($"id", w).as("split"))
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.02, counts)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.02, counts)
+    // layout independence: a different partitioning gives identical assignment
+    val b = df.repartition(17).select($"id", Splits.assign($"id", w).as("split"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("assign on a group key keeps groups intact (leakage control)") {
+    val docs = spark.range(1000)
+      .select($"id", (($"id" % 50)).as("source_id"))
+    val split = docs.select($"source_id",
+      Splits.assign($"source_id", Seq("train" -> 0.9, "test" -> 0.1)).as("split"))
+    // every source maps to exactly one split
+    val perSource = split.groupBy("source_id")
+      .agg(countDistinct("split").as("n")).collect()
+    assert(perSource.forall(_.getLong(1) === 1L))
+  }
+
+  test("packByBudget: greedy sequential bins, bounded overflow, per-part windows") {
+    val rows = Seq(
+      // part a: sizes 900, 900, 900, 900 with budget 2000 ->
+      // cum_before 0, 900, 1800, 2700 -> bins 0, 0, 0, 1
+      ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 900L),
+      // part b independent: starts again at bin 0
+      ("b", 1L, 2500L), ("b", 2L, 100L)
+    ).toDF("part", "ord", "sz")
+    val packed = Splits.packByBudget(rows, $"part", $"ord", $"sz", budget = 2000L)
+      .select("part", "ord", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packed(("a", 1L)) === 0L && packed(("a", 2L)) === 0L)
+    assert(packed(("a", 3L)) === 0L, "crossing row starts in its prefix bin")
+    assert(packed(("a", 4L)) === 1L)
+    assert(packed(("b", 1L)) === 0L, "each part packs from bin 0")
+    assert(packed(("b", 2L)) === 1L, "oversized first row fills bin 0 alone")
+  }
+}
