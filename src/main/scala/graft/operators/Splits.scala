@@ -44,6 +44,42 @@ object Splits {
   def cutsFor(weights: Seq[(String, Double)]): Seq[Long] =
     weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * 4294967296L).toLong)
 
+  /** Cross-split contamination check (decontamination): for every doc in
+    * `targetSplit`, how many of its distinct word n-grams also appear
+    * anywhere in `sourceSplit` — the exact inverted-index overlap used to
+    * decontaminate eval sets against training corpora. No pairwise join:
+    * the source's DISTINCT grams form the inverted index (one hash shuffle
+    * on the gram), the target's grams probe it, hits aggregate per target
+    * doc. Shingles come from the same JVM kernel the dedup family uses
+    * (TextFunctions.shingleSetJvm), so gram semantics match d02/d03
+    * exactly. Emits every target doc (zero-contamination rows included):
+    * (id, n_grams, n_contaminated, frac). Docs with fewer than `n` tokens
+    * have no grams and are excluded, as in the dedup operators. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    splitCol: Column, sourceSplit: String, targetSplit: String,
+                    n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), splitCol.as("split"),
+        col(textCol).as("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, sp, text) =>
+        graft.functions.TextFunctions.shingleSetJvm(text, n)
+          .iterator.flatMap(_.iterator.map(g => (id, sp, g)))
+      })
+      .toDF("id", "split", "g")
+    val index = grams.filter(col("split") === sourceSplit)
+      .select("g").distinct().withColumn("__hit", lit(1))
+    grams.filter(col("split") === targetSplit)
+      .join(index, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .withColumn("frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+  }
+
   /** Sequence packing: assign each row to a fixed-budget bin by the
     * cumulative size of the rows before it (within `part`, ordered by
     * `order`) — the standard pretraining "pack documents into ~budget-token

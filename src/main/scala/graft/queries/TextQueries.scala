@@ -171,6 +171,19 @@ object TextQueries {
         .orderBy("lang", "bin")
     },
 
+    // Decontamination: per test-split doc, how much of its 3-gram set also
+    // appears in the train split (inverted-index overlap, the GPT-3/Pile
+    // eval-decontamination shape - no pairwise join anywhere).
+    "t09_contamination" -> { (s, dir) =>
+      Splits.contamination(docs(s, dir), "doc_id", "text",
+          Splits.assign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+          sourceSplit = "train", targetSplit = "test", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_contaminated"), col("frac"))
+        .orderBy("doc_id")
+    },
+
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
     // polynomial in DuckDB; determinism + order sensitivity additionally
     // pinned in TextFunctionsSpec).
@@ -330,6 +343,33 @@ object TextQueries {
          |           FROM documents)
          |SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
          |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    // t09: same split carve as t07 + d03-style list-comprehension shingles;
+    // the train grams form the inverted index, test grams LEFT JOIN it.
+    "t09_contamination" -> {
+      val Seq(c1, c2, _) = Splits.cutsFor(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH s AS (SELECT doc_id,
+         |             CASE WHEN (doc_id * 2654435761) % 4294967296 < $c1 THEN 'train'
+         |                  WHEN (doc_id * 2654435761) % 4294967296 < $c2 THEN 'val'
+         |                  ELSE 'test' END AS split,
+         |             string_split_regex(trim(text), '\\s+') AS w
+         |           FROM documents),
+         |     g AS (SELECT doc_id, split,
+         |             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+         |                                   for i in range(1, len(w) - 1)])) AS g
+         |           FROM s WHERE len(w) >= 3),
+         |     idx AS (SELECT DISTINCT g FROM g WHERE split = 'train')
+         |SELECT t.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(CAST(sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |          / count(*), 4) AS frac
+         |FROM g t LEFT JOIN idx ON idx.g = t.g
+         |WHERE t.split = 'test'
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     "t08_seq_pack" ->

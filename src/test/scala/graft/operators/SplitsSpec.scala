@@ -30,6 +30,25 @@ class SplitsSpec extends SparkSpec {
     assert(perSource.forall(_.getLong(1) === 1L))
   }
 
+  test("contamination: inverted-index gram overlap, zero rows included") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),          // train
+      (1L, "epsilon zeta eta theta"),          // train
+      (2L, "alpha beta gamma something else"), // test: shares "alpha beta gamma"
+      (3L, "totally unrelated words here now") // test: zero contamination
+    ).toDF("doc_id", "text")
+    val split = when($"doc_id" < 2, "train").otherwise("test")
+    val res = Splits.contamination(docs, "doc_id", "text", split,
+        sourceSplit = "train", targetSplit = "test", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 2: grams {a b g, b g s, g s e} -> 1 of 3 contaminated
+    assert(res(2L) === ((3L, 1L, 0.3333)))
+    // doc 3 appears with zero contamination (not dropped)
+    assert(res(3L)._2 === 0L)
+    assert(res.size === 2)
+  }
+
   test("packByBudget: greedy sequential bins, bounded overflow, per-part windows") {
     val rows = Seq(
       // part a: sizes 900, 900, 900, 900 with budget 2000 ->
