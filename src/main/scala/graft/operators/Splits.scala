@@ -44,6 +44,28 @@ object Splits {
   def cutsFor(weights: Seq[(String, Double)]): Seq[Long] =
     weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * 4294967296L).toLong)
 
+  /** Deterministic per-group downsampling: keep a row iff its key's hash
+    * falls below the group's rate boundary on the 2³² ring — the
+    * reproducible replacement for `DataFrameStatFunctions.sampleBy`
+    * (Bernoulli per row: different rows survive on every run/layout).
+    * The standard "rebalance the language/source mix" step of a corpus
+    * pipeline: map-only, stable per key, and the kept set of a lower rate
+    * is a SUBSET of a higher rate's (nested samples — rate changes don't
+    * reshuffle survivors). `rates` maps group value → keep fraction;
+    * unlisted groups keep `defaultRate`. */
+  def sampleByGroup(df: DataFrame, key: Column, group: Column,
+                    rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
+    val ring = 4294967296L
+    val bucket = pmod(key.cast("long") * lit(2654435761L), lit(ring))
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, r)) =>
+        val c = (r * ring).toLong
+        Some(acc.fold(when(group === g, c))(_.when(group === g, c)))
+    }.fold(lit((defaultRate * ring).toLong))(_.otherwise((defaultRate * ring).toLong))
+    df.filter(bucket < cut)
+  }
+
   /** Cross-split contamination check (decontamination): for every doc in
     * `targetSplit`, how many of its distinct word n-grams also appear
     * anywhere in `sourceSplit` — the exact inverted-index overlap used to

@@ -184,6 +184,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic stratified downsampling: rebalance the language mix
+    // (en halved, zh lightly trimmed) with the hash-ring sampler - stable
+    // per doc, layout-independent, nested across rate changes; the
+    // reproducible replacement for sampleBy.
+    "t10_lang_sample" -> { (s, dir) =>
+      Splits.sampleByGroup(docs(s, dir), col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.8))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("lang")
+    },
+
+    // Gopher-style repetition filter: most-common-token fraction per doc
+    // (two partial-aggregating shuffles, no per-doc loops).
+    "t11_repetition" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"), size(toks).as("nt"))
+        .groupBy(col("doc_id"), col("nt"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("nt"))
+        .agg(max(col("c")).as("top"))
+        .select(col("doc_id"),
+          round(col("top").cast("double") / col("nt"), 4).as("top_token_frac"),
+          (col("top").cast("double") / col("nt") > 0.05).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
     // polynomial in DuckDB; determinism + order sensitivity additionally
     // pinned in TextFunctionsSpec).
@@ -371,6 +400,29 @@ object TextQueries {
          |GROUP BY t.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    // t10: hash-ring sampler boundaries as literals (same ring as t07).
+    "t10_lang_sample" -> {
+      val ring = 4294967296L
+      val en = (0.5 * ring).toLong
+      val zh = (0.8 * ring).toLong
+      s"""WITH k AS (SELECT lang, text FROM documents
+         |           WHERE (doc_id * 2654435761) % $ring <
+         |             CASE lang WHEN 'en' THEN $en WHEN 'zh' THEN $zh
+         |                       ELSE $ring END)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "t11_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |                  len(string_split(text, ' ')) AS nt FROM documents),
+        |     c AS (SELECT doc_id, nt, count(*) AS c FROM t GROUP BY doc_id, nt, tok),
+        |     m AS (SELECT doc_id, nt, max(c) AS top FROM c GROUP BY doc_id, nt)
+        |SELECT doc_id, round(CAST(top AS DOUBLE) / nt, 4) AS top_token_frac,
+        |  CAST(top AS DOUBLE) / nt > 0.05 AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "t08_seq_pack" ->
       """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS nt

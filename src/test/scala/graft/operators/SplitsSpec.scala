@@ -30,6 +30,23 @@ class SplitsSpec extends SparkSpec {
     assert(perSource.forall(_.getLong(1) === 1L))
   }
 
+  test("sampleByGroup: deterministic, rate-accurate, nested across rates") {
+    val df = spark.range(10000)
+      .select($"id", (($"id" % 3).cast("string")).as("g"))
+    val half = Splits.sampleByGroup(df, $"id", $"g", Map("0" -> 0.5))
+    val counts = half.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("0") / 3334.0 - 0.5) < 0.05, counts)
+    assert(counts("1") > 3300 && counts("2") > 3300) // default rate 1.0
+    // determinism: rerun keeps the identical rows
+    val again = Splits.sampleByGroup(df, $"id", $"g", Map("0" -> 0.5))
+    assert(half.except(again).isEmpty && again.except(half).isEmpty)
+    // nesting: the 0.25 sample is a subset of the 0.5 sample
+    val quarter = Splits.sampleByGroup(df, $"id", $"g", Map("0" -> 0.25))
+    assert(quarter.except(half).isEmpty)
+    assert(quarter.count() < half.count())
+  }
+
   test("contamination: inverted-index gram overlap, zero rows included") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),          // train
