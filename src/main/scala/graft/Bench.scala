@@ -72,6 +72,7 @@ object Bench {
       s""""index_build_sec":$idxSec,"machine_cpus":$machineCpus,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""load_warning":$loaded,"sf":"$sfDir"}""")
+    queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
     spark.stop()
   }
 }

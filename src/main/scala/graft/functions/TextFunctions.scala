@@ -205,16 +205,17 @@ object TextFunctions {
       s"""aggregate(
          |  sequence(0, 63),
          |  named_struct('votes',
-         |    aggregate($toksCol, array_repeat(0L, 64),
-         |      (acc, t) -> zip_with(acc,
+         |    aggregate(
+         |      transform($toksCol, t -> named_struct(
+         |        'h1', aggregate(filter(split(t, ''), c -> c != ''), 0L,
+         |                (a, c) -> pmod(a * 31 + ascii(c), ${HashP1}L)),
+         |        'h2', aggregate(filter(split(t, ''), c -> c != ''), 0L,
+         |                (a, c) -> pmod(a * 131 + ascii(c), ${HashP2}L)))),
+         |      array_repeat(0L, 64),
+         |      (acc, h) -> zip_with(acc,
          |        transform(sequence(0, 63),
-         |          i -> IF(pmod(
-         |                 aggregate(filter(split(t, ''), c -> c != ''), 0L,
-         |                   (a, c) -> pmod(a * 31 + ascii(c), ${HashP1}L))
-         |                 * element_at($rArr, i + 1)
-         |                 + aggregate(filter(split(t, ''), c -> c != ''), 0L,
-         |                     (a, c) -> pmod(a * 131 + ascii(c), ${HashP2}L))
-         |                 * element_at($sArr, i + 1),
+         |          i -> IF(pmod(h.h1 * element_at($rArr, i + 1)
+         |                       + h.h2 * element_at($sArr, i + 1),
          |                 ${HashP3}L) % 2 = 1, 1L, -1L)),
          |        (a, b) -> a + b)),
          |    'h', 0L),

@@ -46,13 +46,17 @@ object Xlsx {
       val relTarget = elems(rels.getDocumentElement, "Relationship")
         .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
       elems(wb.getDocumentElement, "sheet").map { s =>
+        val name = s.getAttribute("name")
         val rid = {
           val ns = s.getAttributeNS(
             "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id")
           if (ns.nonEmpty) ns else s.getAttribute("r:id")
         }
-        val target = relTarget(rid).stripPrefix("/xl/").stripPrefix("./")
-        readSheet(s.getAttribute("name"), parse(zip, s"xl/$target"), shared)
+        val target = relTarget.getOrElse(rid, throw new IllegalArgumentException(
+            s"xlsx '$path': sheet '$name' references relationship '$rid' " +
+              "missing from xl/_rels/workbook.xml.rels — workbook is malformed"))
+          .stripPrefix("/xl/").stripPrefix("./")
+        readSheet(name, parse(zip, s"xl/$target"), shared)
       }
     } finally zip.close()
   }
@@ -75,13 +79,24 @@ object Xlsx {
   def toCode(s: String): Long = new java.math.BigDecimal(s.trim).longValueExact()
 
   private def readSheet(name: String, doc: Document, shared: IndexedSeq[String]): Sheet = {
-    // cells as (row, col, text); A1-style refs give true sparse positions
+    // cells as (row, col, text); A1-style refs give true sparse positions.
+    // Both the row and cell "r" attributes are OPTIONAL per OOXML (some
+    // writers omit them; position is then implied sequentially), so fall
+    // back to running counters when absent.
+    var rowCounter = 0
     val cells = elems(doc.getDocumentElement, "row").flatMap { row =>
+      val rAttr = row.getAttribute("r")
+      rowCounter = if (rAttr.nonEmpty) rAttr.toInt else rowCounter + 1
+      val rowIdx = rowCounter
+      var colCounter = -1
       elems(row, "c").flatMap { c =>
         val ref = c.getAttribute("r") // e.g. "BC12"
-        val (colLetters, rowDigits) = ref.span(ch => ch.isLetter)
-        val col = colLetters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
-        val rowIdx = rowDigits.toInt
+        val colLetters = ref.takeWhile(_.isLetter)
+        colCounter =
+          if (colLetters.nonEmpty)
+            colLetters.foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
+          else colCounter + 1
+        val col = colCounter
         val text = c.getAttribute("t") match {
           case "s" => elems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt))
           case "inlineStr" => Some(elems(c, "t").map(_.getTextContent).mkString)

@@ -268,9 +268,10 @@ object Dedup {
     import spark.implicits._
     // SimHash computed in a JVM kernel for the same reason as the MinHash
     // signature (see above): the expression form builds a 64-wide vote
-    // vector per token through interpreted lambdas. Same hash function as
-    // TextFunctions.simhashExpr (xxhash64(token, seed=42)) so the two
-    // formulations agree bit-for-bit — asserted in TextFunctionsSpec.
+    // vector per token through interpreted lambdas. Same hash as
+    // TextFunctions.simhashExpr (prime-field tokenHash31/tokenHash131 +
+    // the simhashBitMixers double-hash bits) so the two formulations
+    // agree bit-for-bit — asserted in TextFunctionsSpec.
     val sigs = df
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long"), col(textCol))

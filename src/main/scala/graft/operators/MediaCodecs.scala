@@ -164,35 +164,87 @@ object ImageCodec {
 /** REAL video codec for the one container the JDK can handle end-to-end:
   * raw MJPEG — a stream of concatenated JPEG images, the actual wire
   * format of motion-JPEG cameras and many capture pipelines. Frame
-  * splitting is exact: inside JPEG entropy-coded data every 0xFF byte is
-  * either zero-stuffed (FF 00) or a restart marker (FF D0-D7), so a bare
-  * FF D9 can only be the end-of-image marker — scanning for FF D8 ... FF
-  * D9 recovers precise frame boundaries without decoding. Per-frame pixel
-  * decode reuses [[ImageCodec]]. This replaces the former FakeCodec stub:
-  * no code path pretends random bytes are frames anymore. */
+  * splitting is exact AND structure-aware: marker segments are skipped by
+  * their declared lengths (an EXIF APP1 thumbnail is itself a complete
+  * JPEG containing FF D9, so a naive byte scan would cut frames at the
+  * thumbnail), and only inside entropy-coded scan data — where every 0xFF
+  * is zero-stuffed or a restart marker — does a bare FF D9 mean
+  * end-of-image. Progressive JPEGs (multiple SOS scans) are handled: a
+  * non-restart marker inside scan data resumes segment parsing. Per-frame
+  * pixel decode reuses [[ImageCodec]]. This replaces the former FakeCodec
+  * stub: no code path pretends random bytes are frames anymore. */
 object VideoCodec {
 
+  /** End offset (exclusive) of the JPEG starting at `s` (bytes(s..s+1) =
+    * FF D8), or -1 if truncated/malformed. Walks marker segments by
+    * declared length; inside scan data, skips stuffed FF 00 and restart
+    * markers until the next true marker. */
+  private def frameEnd(b: Array[Byte], s: Int): Int = {
+    var p = s + 2
+    var inScan = false
+    while (p < b.length) {
+      if (!inScan) {
+        // expect a marker, tolerating FF fill bytes
+        if ((b(p) & 0xff) != 0xff) return -1
+        var q = p + 1
+        while (q < b.length && (b(q) & 0xff) == 0xff) q += 1
+        if (q >= b.length) return -1
+        val marker = b(q) & 0xff
+        if (marker == 0xd9) return q + 1 // EOI
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) p = q + 1
+        else if (marker == 0xda) { // SOS header, then entropy-coded data
+          if (q + 2 >= b.length) return -1
+          val segLen = ((b(q + 1) & 0xff) << 8) | (b(q + 2) & 0xff)
+          if (segLen < 2) return -1
+          p = q + 1 + segLen
+          inScan = true
+        } else {
+          if (q + 2 >= b.length) return -1
+          val segLen = ((b(q + 1) & 0xff) << 8) | (b(q + 2) & 0xff)
+          if (segLen < 2) return -1
+          p = q + 1 + segLen
+        }
+      } else {
+        // entropy-coded data: FF 00 is stuffing, FF D0-D7 are restarts;
+        // any other FF-marker ends the scan (EOI, or the next segment of
+        // a progressive JPEG)
+        if ((b(p) & 0xff) != 0xff) p += 1
+        else if (p + 1 >= b.length) return -1
+        else {
+          val m = b(p + 1) & 0xff
+          if (m == 0xff) p += 1 // fill byte: re-examine from the second FF
+          else if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2
+          else if (m == 0xd9) return p + 2 // EOI
+          else inScan = false // progressive: next marker segment
+        }
+      }
+    }
+    -1
+  }
+
   /** Split an MJPEG stream into its JPEG frame byte ranges. Bytes outside
-    * FFD8...FFD9 spans (padding, garbage) are skipped; a truncated final
-    * frame (no EOI) is dropped — skip-don't-throw, like the other codecs. */
+    * frames (padding, garbage) are skipped; a truncated or structurally
+    * broken frame is dropped — skip-don't-throw, like the other codecs. */
   def splitFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
     if (bytes == null) return Iterator.empty
     new Iterator[Array[Byte]] {
       private var p = 0
       private var nextFrame: Array[Byte] = advance()
       private def advance(): Array[Byte] = {
-        // find FF D8 (start of image)
-        var s = p
-        while (s + 1 < bytes.length &&
-               !((bytes(s) & 0xff) == 0xff && (bytes(s + 1) & 0xff) == 0xd8)) s += 1
-        if (s + 1 >= bytes.length) return null
-        // find the matching FF D9 (end of image)
-        var e = s + 2
-        while (e + 1 < bytes.length &&
-               !((bytes(e) & 0xff) == 0xff && (bytes(e + 1) & 0xff) == 0xd9)) e += 1
-        if (e + 1 >= bytes.length) return null // truncated frame: drop
-        p = e + 2
-        java.util.Arrays.copyOfRange(bytes, s, e + 2)
+        while (true) {
+          // find FF D8 (start of image)
+          var s = p
+          while (s + 1 < bytes.length &&
+                 !((bytes(s) & 0xff) == 0xff && (bytes(s + 1) & 0xff) == 0xd8)) s += 1
+          if (s + 1 >= bytes.length) return null
+          val e = frameEnd(bytes, s)
+          if (e < 0) { p = s + 2 } // broken frame: resume search past its SOI
+          else {
+            p = e
+            return java.util.Arrays.copyOfRange(bytes, s, e)
+          }
+        }
+        null // unreachable
       }
       override def hasNext: Boolean = nextFrame != null
       override def next(): Array[Byte] = {

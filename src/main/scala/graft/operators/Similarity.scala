@@ -120,11 +120,12 @@ object Similarity {
     * map-side, means via one groupBy per iteration; only the nCells×dim
     * model reaches the driver) and deterministic: the sample is pinned by a
     * total order on the id, initialization spreads over the sample in
-    * Knuth-multiplicative-hash order (`id·2654435761 mod 2³²` — a
-    * deterministic pseudo-random spread that plain head-of-id order lacks,
-    * and closed-form arithmetic the DuckDB oracle reproduces exactly, which
-    * xxhash64 was not), and iteration means use order-independent
-    * fixed-point sums. Cell assignment is one broadcast-map pass over the
+    * multiplicative-hash order (`Splits.ringHash` — a deterministic
+    * pseudo-random spread that plain head-of-id order lacks, overflow-proof
+    * for any long id, and closed-form arithmetic the DuckDB oracle
+    * reproduces exactly, which xxhash64 was not; ids must be numeric —
+    * hash string ids to longs upstream), and iteration means use
+    * order-independent fixed-point sums. Cell assignment is one broadcast-map pass over the
     * corpus; with `persist=true` the assignment (and its shuffle) is
     * computed once and reused by every subsequent [[ivfProbe]].
     */
@@ -142,7 +143,7 @@ object Similarity {
       .orderBy("__sid").limit(trainSample)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val init = sample
-      .orderBy(pmod(col("__sid") * lit(2654435761L), lit(4294967296L)), col("__sid"))
+      .orderBy(Splits.ringHash(col("__sid")), col("__sid"))
       .limit(nCells)
       .select(col("__sv")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

@@ -15,23 +15,33 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
+  /** The hash ring all deterministic split/sample operators (and the IVF
+    * initializer) share: a 2³¹ ring with a golden-ratio multiplier below
+    * 2³¹, so `(key mod Ring) · Mult < 2⁶²` — no overflow for ANY long key
+    * even under ANSI arithmetic, and closed-form BIGINT math in the DuckDB
+    * oracle. Keys must be non-negative integers; hash a string key first
+    * (e.g. `TextFunctions.tokenHash31(col)` keeps the oracle exact, or
+    * `xxhash64` when oracle replay isn't needed). */
+  val HashRing = 2147483648L // 2^31
+  val HashMult = 1327217885L // odd, ≈ φ⁻¹·2³¹ (Fibonacci hashing)
+
+  /** `((key mod Ring) · Mult) mod Ring` — overflow-proof for all longs. */
+  def ringHash(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(HashRing)) * lit(HashMult), lit(HashRing))
+
   /** Deterministic split assignment by multiplicative hash of `key` over
-    * the 2³² ring: cumulative weight boundaries carve the ring, and a row
-    * lands in the segment its hash falls into. Same key → same split,
-    * always — pass a GROUP key (source, url domain, author) instead of the
-    * row id to keep groups intact across splits (leakage control).
-    *
-    * Map-only (no shuffle, no state); the hash is the same Knuth
-    * multiplicative scheme the IVF initializer uses, closed-form in SQL
-    * for the oracle. */
+    * the [[HashRing]]: cumulative weight boundaries carve the ring, and a
+    * row lands in the segment its hash falls into. Same key → same split,
+    * always — pass a GROUP key (source, url domain, author — hashed to a
+    * long first, see [[HashRing]]) instead of the row id to keep groups
+    * intact across splits (leakage control). Map-only: no shuffle, no
+    * state. */
   def assign(key: Column, weights: Seq[(String, Double)]): Column = {
     require(weights.size >= 2, "need at least two splits")
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"weights must sum to 1, got ${weights.map(_._2).sum}")
-    val ring = 4294967296L // 2^32
-    val bucket = pmod(key.cast("long") * lit(2654435761L), lit(ring))
-    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(c => (c * ring).toLong)
+    val bucket = ringHash(key)
+    val cuts = cutsFor(weights)
     // when(bucket < cut1, name1).when(bucket < cut2, name2)...otherwise(last)
     val chain = weights.dropRight(1).zip(cuts).foldLeft(Option.empty[Column]) {
       case (acc, ((name, _), cut)) =>
@@ -42,7 +52,7 @@ object Splits {
 
   /** The split boundaries [[assign]] uses, for embedding in oracle SQL. */
   def cutsFor(weights: Seq[(String, Double)]): Seq[Long] =
-    weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * 4294967296L).toLong)
+    weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * HashRing).toLong)
 
   /** Deterministic per-group downsampling: keep a row iff its key's hash
     * falls below the group's rate boundary on the 2³² ring — the
@@ -56,13 +66,12 @@ object Splits {
   def sampleByGroup(df: DataFrame, key: Column, group: Column,
                     rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
-    val ring = 4294967296L
-    val bucket = pmod(key.cast("long") * lit(2654435761L), lit(ring))
+    val bucket = ringHash(key)
     val cut = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
       case (acc, (g, r)) =>
-        val c = (r * ring).toLong
+        val c = (r * HashRing).toLong
         Some(acc.fold(when(group === g, c))(_.when(group === g, c)))
-    }.fold(lit((defaultRate * ring).toLong))(_.otherwise((defaultRate * ring).toLong))
+    }.fold(lit((defaultRate * HashRing).toLong))(_.otherwise((defaultRate * HashRing).toLong))
     df.filter(bucket < cut)
   }
 
@@ -82,22 +91,30 @@ object Splits {
                     n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // One shingle pass, one shuffle: rows outside the two relevant splits
+    // are dropped BEFORE the kernel, and the inverted index and the target
+    // probe come out of a single groupBy on the gram (per gram: did the
+    // source have it; which target docs carry it) — no second scan, no
+    // join, nothing recomputed.
     val grams = df
       .select(col(idCol).cast("long").as("id"), splitCol.as("split"),
         col(textCol).as("text"))
+      .filter(col("split").isin(sourceSplit, targetSplit))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, sp, text) =>
         graft.functions.TextFunctions.shingleSetJvm(text, n)
           .iterator.flatMap(_.iterator.map(g => (id, sp, g)))
       })
       .toDF("id", "split", "g")
-    val index = grams.filter(col("split") === sourceSplit)
-      .select("g").distinct().withColumn("__hit", lit(1))
-    grams.filter(col("split") === targetSplit)
-      .join(index, Seq("g"), "left")
+    grams
+      .groupBy("g")
+      .agg(
+        max(when(col("split") === sourceSplit, 1).otherwise(0)).as("in_src"),
+        collect_list(when(col("split") === targetSplit, col("id"))).as("tids"))
+      .select(explode(col("tids")).as("id"), col("in_src"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+        sum(col("in_src")).cast("long").as("n_contaminated"))
       .withColumn("frac",
         round(col("n_contaminated").cast("double") / col("n_grams"), 4))
   }

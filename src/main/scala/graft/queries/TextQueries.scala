@@ -364,9 +364,10 @@ object TextQueries {
     "t07_train_split" -> {
       val Seq(c1, c2, _) = Splits.cutsFor(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val h = s"((doc_id % ${Splits.HashRing}) * ${Splits.HashMult}) % ${Splits.HashRing}"
       s"""WITH s AS (SELECT CASE
-         |             WHEN (doc_id * 2654435761) % 4294967296 < $c1 THEN 'train'
-         |             WHEN (doc_id * 2654435761) % 4294967296 < $c2 THEN 'val'
+         |             WHEN $h < $c1 THEN 'train'
+         |             WHEN $h < $c2 THEN 'val'
          |             ELSE 'test' END AS split,
          |           len(string_split(text, ' ')) AS nt
          |           FROM documents)
@@ -379,9 +380,10 @@ object TextQueries {
     "t09_contamination" -> {
       val Seq(c1, c2, _) = Splits.cutsFor(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val h = s"((doc_id % ${Splits.HashRing}) * ${Splits.HashMult}) % ${Splits.HashRing}"
       s"""WITH s AS (SELECT doc_id,
-         |             CASE WHEN (doc_id * 2654435761) % 4294967296 < $c1 THEN 'train'
-         |                  WHEN (doc_id * 2654435761) % 4294967296 < $c2 THEN 'val'
+         |             CASE WHEN $h < $c1 THEN 'train'
+         |                  WHEN $h < $c2 THEN 'val'
          |                  ELSE 'test' END AS split,
          |             string_split_regex(trim(text), '\\s+') AS w
          |           FROM documents),
@@ -403,13 +405,13 @@ object TextQueries {
 
     // t10: hash-ring sampler boundaries as literals (same ring as t07).
     "t10_lang_sample" -> {
-      val ring = 4294967296L
-      val en = (0.5 * ring).toLong
-      val zh = (0.8 * ring).toLong
+      val en = (0.5 * Splits.HashRing).toLong
+      val zh = (0.8 * Splits.HashRing).toLong
+      val h = s"((doc_id % ${Splits.HashRing}) * ${Splits.HashMult}) % ${Splits.HashRing}"
       s"""WITH k AS (SELECT lang, text FROM documents
-         |           WHERE (doc_id * 2654435761) % $ring <
+         |           WHERE $h <
          |             CASE lang WHEN 'en' THEN $en WHEN 'zh' THEN $zh
-         |                       ELSE $ring END)
+         |                       ELSE ${Splits.HashRing} END)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin

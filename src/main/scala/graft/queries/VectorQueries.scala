@@ -11,13 +11,28 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   // One IVF index per (session, table dir): build is triggered by the first
-  // v04 invocation, every later one is probe-only. Entries live for the
-  // session; the assigned frame is persisted MEMORY_AND_DISK by ivfBuild.
+  // v04/v05 invocation, every later one is probe-only. Entries live until
+  // released — call releaseIvfIndexes(session) when retiring a session in a
+  // long-lived JVM, or the map strongly retains the stopped session and its
+  // MEMORY_AND_DISK-persisted assignment frame.
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
   private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
     ivfCache.computeIfAbsent((s, dir),
       _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
+
+  /** Drop (and unpersist) every cached index of `s` — session teardown
+    * hygiene for JVMs that run many sessions. */
+  def releaseIvfIndexes(s: SparkSession): Unit = {
+    val it = ivfCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release() catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+  }
 
   /** Build AND materialize the IVF index for (session, dir) — the explicit
     * index-construction step a query-heavy deployment runs once before
@@ -142,8 +157,9 @@ object VectorQueries {
     * in `corpus` (every vector with its final cell, float-widened values,
     * and norm). Every arithmetic step mirrors the Spark side bit-for-bit:
     *
-    *  - init order `(sid·2654435761) mod 2³²` is closed-form BIGINT math
-    *    (the reason ivfBuild uses a Knuth multiplicative hash, not xxhash64);
+    *  - init order is `Splits.ringHash` — `((sid mod 2³¹)·mult) mod 2³¹`,
+    *    closed-form overflow-proof BIGINT math (the reason ivfBuild uses a
+    *    multiplicative hash, not xxhash64);
     *  - cell scores use the float-cast centroid (`val::REAL::DOUBLE` = the
     *    `.toFloat` in cellScores) for the dot but the unrounded DOUBLE
     *    centroid for |c|²/2, exactly like cellScores; `list_inner_product`
@@ -182,9 +198,14 @@ object VectorQueries {
        |  samp AS (SELECT vec_id AS sid, v FROM e ORDER BY vec_id LIMIT $trainSample),
        |  pos AS (SELECT unnest(range($dim)) AS pos),
        |  sampx AS (SELECT sid, pos, v[pos + 1] AS x FROM samp CROSS JOIN pos),
-       |  init AS (SELECT row_number() OVER (
-       |             ORDER BY (sid * 2654435761) % 4294967296, sid) - 1 AS c, v
-       |           FROM samp ORDER BY (sid * 2654435761) % 4294967296, sid
+       |  init AS (SELECT row_number() OVER (ORDER BY
+       |             ((sid % ${graft.operators.Splits.HashRing}) *
+       |              ${graft.operators.Splits.HashMult})
+       |               % ${graft.operators.Splits.HashRing}, sid) - 1 AS c, v
+       |           FROM samp ORDER BY
+       |             ((sid % ${graft.operators.Splits.HashRing}) *
+       |              ${graft.operators.Splits.HashMult})
+       |               % ${graft.operators.Splits.HashRing}, sid
        |           LIMIT $nCells),
        |  cent0 AS (SELECT i.c, p.pos, i.v[p.pos + 1] AS val
        |            FROM init i CROSS JOIN pos p),

@@ -90,6 +90,19 @@ class XlsxSpec extends SparkSpec {
     assert(s.column("a") === Seq("7"), "the row-2 gap must not shift column a")
   }
 
+  test("cells and rows without r attributes fall back to sequential positions") {
+    val p = tmp("no_refs.xlsx")
+    writeXlsx(p, Seq("s" ->
+      """<row><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row>
+        |<row><c><v>5</v></c><c><v>6</v></c></row>
+        |<row><c><v>7</v></c><c><v>8</v></c></row>""".stripMargin),
+      Seq("<si><t>a</t></si>", "<si><t>b</t></si>"))
+    val s = Xlsx.read(p).head
+    assert(s.header === Seq("a", "b"))
+    assert(s.column("a") === Seq("5", "7"))
+    assert(s.column("b") === Seq("6", "8"))
+  }
+
   test("loadCodelists: xlsx beats csv per list; combined workbook feeds dx/rx") {
     val dir = java.nio.file.Files.createTempDirectory("codelists").toString
     val names = Seq("preg_condition", "preg_measurement", "preg_observation",

@@ -76,6 +76,27 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("image") === 0 && feats("audio") === 0)
   }
 
+  test("MJPEG splitter is segment-aware: APP1 payload with FFD9 doesn't cut the frame") {
+    val img = ImageCodec.resize(new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB), 16, 12)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jpeg = baos.toByteArray
+    // inject an EXIF-style APP1 right after SOI whose payload contains a
+    // complete-JPEG-looking FF D8 ... FF D9 (the embedded-thumbnail case)
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0,
+      0xFF.toByte, 0xD8.toByte, 0x42, 0xFF.toByte, 0xD9.toByte, 0x07)
+    val segLen = payload.length + 2
+    val withApp1 = jpeg.take(2) ++
+      Array(0xFF.toByte, 0xE1.toByte,
+        ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++
+      payload ++ jpeg.drop(2)
+    val frames = VideoCodec.splitFrames(withApp1 ++ withApp1).toSeq
+    assert(frames.length === 2, "thumbnail EOI must not terminate the frame")
+    assert(frames.forall(_.length === withApp1.length))
+    assert(frames.forall(f => ImageCodec.decode(f).isDefined))
+  }
+
   test("real PNG decode: true dimensions, channels, deterministic pixels") {
     val imgs = syntheticReal(spark, 30).filter(_.kind == "image")
     val decoded = decodeImages(imgs.toDF()).collect()

@@ -19,6 +19,15 @@ class SplitsSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("assign survives full-range 64-bit keys (no ANSI overflow)") {
+    val big = Seq(Long.MaxValue, Long.MaxValue - 1, 4000000000L, 1234567890123L)
+      .toDF("id")
+    val out = big
+      .select(Splits.assign($"id", Seq("a" -> 0.5, "b" -> 0.5)).as("s"))
+      .collect()
+    assert(out.forall(r => Set("a", "b").contains(r.getString(0))))
+  }
+
   test("assign on a group key keeps groups intact (leakage control)") {
     val docs = spark.range(1000)
       .select($"id", (($"id" % 50)).as("source_id"))
