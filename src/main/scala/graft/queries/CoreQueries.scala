@@ -339,6 +339,60 @@ object CoreQueries {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), exactSum(col("value"), 2).as("sum_value"))
         .orderBy("k")
+    },
+
+    // W-range: rolling 7-day supply volume per supplier — a time-RANGE
+    // window frame (not ROWS), the shape Spark's rangeBetween exists for.
+    // Daily pre-aggregation first: the window then slides over one row per
+    // (supplier, day) instead of every lineitem — at 100 TB that's the
+    // difference between a window over ~10^9 rows and ~10^6. Integer
+    // day-index ordering keeps the frame arithmetic exact; all rolled
+    // quantities are integral, so no exactSum machinery is needed.
+    "q25_rolling_window" -> { (s, dir) =>
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_day"))
+        .agg(sum(col("l_quantity")).cast("long").as("day_qty"),
+             count(lit(1)).as("n_items"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_n"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("day_n", datediff(col("ship_day"), to_date(lit("1970-01-01"))))
+        .select(col("l_suppkey"), col("ship_day"), col("day_qty"), col("n_items"),
+          sum(col("day_qty")).over(w).as("qty_7d"),
+          count(lit(1)).over(w).as("days_7d"))
+        .orderBy("l_suppkey", "ship_day")
+    },
+
+    // A-pivot: crosstab with an explicit (bounded) pivot domain — the
+    // explicit value list keeps the plan a single pass (no distinct-scan
+    // to discover columns, which at scale is a full extra job).
+    "q26_pivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")).cast("long"))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("qty_f"),
+          coalesce(col("O"), lit(0L)).as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // A-quantile: EXACT percentiles per group (Spark `percentile`, the
+    // sort-based exact aggregate — `approx_percentile` is the sketch
+    // alternative when a one-pass 100-TB answer is allowed; q20 covers
+    // that trade). p ∈ {.25,.5,.75} on integral values: every interpolated
+    // result is an exact dyadic rational, so the hash compare is safe.
+    "q27_quantiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -559,6 +613,46 @@ object CoreQueries {
          |  count(*) AS n, ${sqlExactSum("value", 2)} AS sum_value
          |FROM events
          |GROUP BY 1
-         |ORDER BY k""".stripMargin
+         |ORDER BY k""".stripMargin,
+
+    // q25: DuckDB's RANGE frame over a DATE key with an INTERVAL bound is
+    // the same closed [day-6, day] window as Spark's integer-day
+    // rangeBetween(-6, 0).
+    "q25_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+        |    CAST(sum(l_quantity) AS BIGINT) AS day_qty,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_day, day_qty, n_items,
+        |  CAST(sum(day_qty) OVER w AS BIGINT) AS qty_7d,
+        |  count(*) OVER w AS days_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_day
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, ship_day""".stripMargin,
+
+    "q26_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(COALESCE(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0) AS BIGINT) AS qty_f,
+        |  CAST(COALESCE(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0) AS BIGINT) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // q27: quantile_cont is the same R-7 linear interpolation as Spark's
+    // exact `percentile`; at p = k/4 on integral data every result is a
+    // dyadic rational, hence bit-exact across engines.
+    "q27_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  min(l_quantity) AS qmin,
+        |  max(l_quantity) AS qmax,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

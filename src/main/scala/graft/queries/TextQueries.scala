@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{Dedup, Splits}
+import graft.operators.{Components, Dedup, Splits}
 import graft.functions.TextFunctions._
 
 /** LLM-data-pipeline text surface over the `documents` table: dedup
@@ -69,6 +69,21 @@ object TextQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Dup-cluster resolution: the step AFTER pair generation — connected
+    // components (alternating large-star/small-star, see Components) over
+    // the exact near-dup pairs of d03, giving every doc its cluster's min
+    // id and a keep/drop verdict. Deterministic end to end, so the oracle
+    // recomputes the same clusters with a recursive-CTE label walk over the
+    // brute-force pair set.
+    "d05_dup_clusters" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashExactPairs(d, "doc_id", "text",
+        k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+      Components.dupClusters(d, "doc_id", pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster"), col("is_canonical"))
+        .orderBy("doc_id")
     },
 
     // Token statistics per document.
@@ -213,6 +228,66 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // PII scrubbing: pattern-class redaction (email, IPv4, digit-run) with
+    // per-record match counts, over the two digit-bearing text sources in
+    // the testdata (customer identifiers + event JSON payloads). Counts are
+    // measured on the RAW text (an IP's digits also count as digit-runs —
+    // the audit counts answer "what did each pattern see", not "what did
+    // the cascade leave"). Pure codegen'd regexp_replace/extract_all —
+    // per-row, shuffle-free, embarrassingly parallel at any scale. The
+    // pattern classes are RE2-compatible (no backrefs/lookaround) so the
+    // DuckDB oracle runs the identical regexes.
+    "t12_pii_redact" -> { (s, dir) =>
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val num = "\\d+"
+      val cust = Tables.load(s, dir, "customer")
+        .select(lit("customer").as("src_table"),
+          col("c_custkey").cast("long").as("rec_id"), col("c_name").as("raw"))
+      val ev = Tables.load(s, dir, "events")
+        .select(lit("event").as("src_table"),
+          col("event_id").cast("long").as("rec_id"), col("props").as("raw"))
+      cust.unionByName(ev)
+        .select(col("src_table"), col("rec_id"),
+          size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("raw"), lit(ip), lit(0))).as("n_ip"),
+          size(regexp_extract_all(col("raw"), lit(num), lit(0))).as("n_num"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "<EMAIL>"), ip, "<IP>"), num, "<NUM>").as("redacted"))
+        .orderBy("src_table", "rec_id")
+    },
+
+    // Cross-document span dedup (the CCNet/C4 line-dedup shape, on
+    // deterministic 10-token segments since this corpus has no newlines):
+    // any segment appearing in more than one distinct document is
+    // boilerplate and is removed from ALL of them; survivors are re-joined
+    // in original order. Two shuffles — a segment-frequency groupBy and the
+    // per-doc reassembly — with the frequency join keyed on the segment
+    // text (at 100 TB: key on a 128-bit segment hash instead so the
+    // shuffle carries 16 bytes, not the span).
+    "t13_segment_dedup" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
+      val segs = d
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0),
+            ceil(size(col("w")) / lit(10.0)).cast("int") - 1)).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("w"), col("i") * 10 + 1, lit(10)), " ").as("seg"))
+      val freq = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("nd"))
+      val rebuilt = segs.join(freq.filter(col("nd") <= 1), Seq("seg"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("i"), col("seg")))).as("ss"))
+        .select(col("doc_id"),
+          md5(array_join(transform(col("ss"), x => x.getField("seg")), " ")).as("kept_hash"),
+          size(col("ss")).as("n_kept"))
+      d.select(col("doc_id"), ceil(size(col("w")) / lit(10.0)).cast("long").as("n_segs"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+        .orderBy("doc_id")
+    },
+
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
     // polynomial in DuckDB; determinism + order sensitivity additionally
     // pinned in TextFunctionsSpec).
@@ -321,6 +396,82 @@ object TextQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d04_simhash" -> d04Oracle,
+
+    // d05: d03's brute-force pair set (same shingle CTEs), then connected
+    // components as a recursive label walk — walk(id, lbl) holds every
+    // (node, node-that-reaches-it) pair over the symmetrized edges; the
+    // component id is the min reachable label. UNION (not UNION ALL)
+    // dedups, so the recursion terminates at the transitive closure.
+    "d05_dup_clusters" ->
+      """WITH RECURSIVE
+        |  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents),
+        |  s AS (SELECT doc_id,
+        |          list_distinct([array_to_string(w[i:i+2], ' ')
+        |                         for i in range(1, len(w) - 1)]) AS s
+        |        FROM w WHERE len(w) >= 3),
+        |  p AS (SELECT CAST(a.doc_id AS BIGINT) AS ia,
+        |               CAST(b.doc_id AS BIGINT) AS ib
+        |        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |        WHERE len(list_intersect(a.s, b.s)) /
+        |              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+        |  e AS (SELECT ia AS src, ib AS dst FROM p
+        |        UNION SELECT ib, ia FROM p),
+        |  walk(id, lbl) AS (
+        |    SELECT src, src FROM e
+        |    UNION
+        |    SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id),
+        |  cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
+        |  COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) = CAST(d.doc_id AS BIGINT)
+        |    AS is_canonical
+        |FROM documents d LEFT JOIN cc ON cc.id = CAST(d.doc_id AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // t12: identical RE2-safe regexes, 'g' for replace-all (Spark's
+    // default), counts on the raw text on both sides.
+    "t12_pii_redact" ->
+      """WITH u AS (
+        |  SELECT 'customer' AS src_table, CAST(c_custkey AS BIGINT) AS rec_id,
+        |         c_name AS raw
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'event', CAST(event_id AS BIGINT), props FROM events)
+        |SELECT src_table, rec_id,
+        |  len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(raw, '\d+')) AS n_num,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d+', '<NUM>', 'g') AS redacted
+        |FROM u
+        |ORDER BY src_table, rec_id""".stripMargin,
+
+    // t13: same 10-token segmentation via unnest(range), frequency filter,
+    // ordered string_agg reassembly; md5('') is the all-dropped sentinel on
+    // both sides.
+    "t13_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  si AS (SELECT doc_id, w,
+        |           unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+        |         FROM d),
+        |  segs AS (SELECT doc_id, i,
+        |             array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
+        |           FROM si),
+        |  freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+        |  kept AS (SELECT s.doc_id, s.i, s.seg
+        |           FROM segs s JOIN freq f ON f.seg = s.seg AND f.nd <= 1),
+        |  reb AS (SELECT doc_id, md5(string_agg(seg, ' ' ORDER BY i)) AS kept_hash,
+        |                 count(*) AS n_kept
+        |          FROM kept GROUP BY doc_id),
+        |  tot AS (SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_segs FROM d)
+        |SELECT t.doc_id, t.n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.kept_hash, md5('')) AS kept_hash
+        |FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  /** Reference union-find, the ground truth the distributed algorithm must
+    * reproduce: every node labeled with its component's minimum id. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain graph collapses to one component rooted at the min") {
+    val edges = (1L until 8L).map(i => (i, i + 1))
+    assert(run(edges) === (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("two components, arbitrary edge orientation, self-loops ignored") {
+    val edges = Seq((5L, 2L), (2L, 9L), (7L, 7L), (30L, 10L), (10L, 40L))
+    assert(run(edges) === Map(2L -> 2L, 5L -> 2L, 9L -> 2L,
+      10L -> 10L, 30L -> 10L, 40L -> 10L))
+  }
+
+  test("empty edge set yields empty result") {
+    val empty = Seq.empty[(Long, Long)]
+    assert(run(empty) === Map.empty[Long, Long])
+  }
+
+  test("matches brute-force union-find on seeded random graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) === bruteComponents(edges), s"seed=$seed")
+    }
+  }
+
+  test("dupClusters assigns singletons to themselves and marks canonicals") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Components.dupClusters(nodes, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true),
+      (4L, 2L, false), (5L, 2L, false)))
+  }
+
+  test("star-shaped component with a late-arriving smaller root") {
+    // hub 50 connected to many leaves, then a bridge to node 1: the whole
+    // star must relabel to 1 (exercises multiple alternating rounds).
+    val star = (51L to 70L).map(v => (50L, v))
+    val edges = star :+ (70L, 1L)
+    val got = run(edges)
+    assert(got.values.toSet === Set(1L))
+    assert(got.keySet === (51L to 70L).toSet + 50L + 1L)
+  }
+}
