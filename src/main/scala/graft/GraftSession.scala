@@ -15,6 +15,10 @@ object GraftSession {
   /** Apply engine defaults to an existing builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // Engine extensions: native expressions (float_dot, sig_match_count,
+    // set_jaccard) + optimizer rewrites (FuseSetJaccard). The same line a
+    // cluster deployment passes via --conf.
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     // nanosecond parquet timestamps read as nanos-long engine-wide (the
     // events table); graft.io.Tables converts to TimestampType explicitly.
     // Set here so read behavior never depends on which table loaded first.

@@ -207,7 +207,10 @@ object Dedup {
     // Shingle sets in the same JVM-kernel family as the signatures: the
     // expression form (array_distinct over interpreted transform/slice/
     // concat_ws HOFs) measured ~40 s on 5 000 long documents vs ~2 s here.
-    // Persisted because BOTH join sides read it; released with the handle.
+    // Sets are sorted ONCE per document (binary UTF-8 order) so the exact
+    // Jaccard below is the codegen'd set_jaccard merge scan — no per-pair
+    // hash sets, no intermediate intersect/union arrays. Persisted because
+    // BOTH join sides read it; released with the handle.
     val ss = df
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long"), col(textCol))
@@ -215,17 +218,16 @@ object Dedup {
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
           graft.functions.TextFunctions.shingleSetJvm(text, shingleWidth)
-            .map(s => (id, s.toSeq))
+            .map(s => (id, graft.plans.SetJaccard.sortedUtf8(s).toSeq))
         }
       }
       .toDF("id", "ss")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.plans.SetJaccard.register(spark)
     val exact = cand
       .join(ss.select(col("id").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
       .join(ss.select(col("id").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
-          size(array_union(col("ss_a"), col("ss_b"))))
+      .withColumn("jaccard", call_function("set_jaccard", col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     ManagedPairs(exact, () => { managed.release(); ss.unpersist(); () }, managed.drops)

@@ -104,14 +104,18 @@ object FloatDotProduct {
   }
 }
 
-/** Production registration path: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
-  * Injects the engine's native expressions into every session of the
-  * cluster (SparkSessionExtensions — the supported extension point). */
+/** Production registration path: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (set by default in GraftSession.tune). Injects the engine's native
+  * expressions AND its optimizer rewrites into every session of the cluster
+  * (SparkSessionExtensions — the supported extension point). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"), FloatDotProduct.info,
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("sig_match_count"), SigMatchCount.info,
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("set_jaccard"), SetJaccard.info,
+      (children: Seq[Expression]) => new SetJaccard(children(0), children(1))))
+    ext.injectOptimizerRule(_ => FuseSetJaccard)
   }
 }
