@@ -377,6 +377,23 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // F-json: schema-projected semi-structured parsing (from_json), the
+    // typed alternative to q18's regex extraction. At scale the schema
+    // projection matters: only the requested fields are parsed, and the
+    // parse is codegen'd — no per-row UDF, no full JSON DOM.
+    "q28_json" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy("k")
+    },
+
     // A-quantile: EXACT percentiles per group (Spark `percentile`, the
     // sort-based exact aggregate — `approx_percentile` is the sketch
     // alternative when a one-pass 100-TB answer is allowed; q20 covers
@@ -639,6 +656,13 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q28_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n, min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin,
 
     // q27: quantile_cont is the same R-7 linear interpolation as Spark's
     // exact `percentile`; at p = k/4 on integral data every result is a

@@ -81,6 +81,22 @@ object EventStreams {
       .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
   }
 
+  /** Streaming EXACT dedup — the ingest-time twin of the batch
+    * `Dedup.exactByContent` step: duplicate deliveries of the same key
+    * (at-least-once sources redeliver) are suppressed with state that is
+    * EVICTED once the key's event time falls behind the watermark, so state
+    * stays bounded by the watermark horizon instead of growing with the
+    * key space — the only dedup shape that survives an unbounded stream.
+    * Spark's dropDuplicatesWithinWatermark keeps first-seen-wins semantics
+    * within the horizon (duplicates separated by more than the delay may
+    * both pass — the documented at-least-once → approximately-exactly-once
+    * trade; exact global dedup remains a batch job, d01). */
+  def dedupedEvents(events: DataFrame, delay: String = "10 minutes",
+                    keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Wire a streaming source of the events schema from a directory of
     * parquet files (one-file-per-trigger for deterministic replay).
     * Converts the nanosecond `ts` to Spark's microsecond timestamp, same as

@@ -142,6 +142,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses redeliveries, evicts state by watermark") {
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = dedupedEvents(mem.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("dd_sink")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long =
+      q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    try {
+      mem.addData((1L, ts("2023-01-01 10:00:00"), "view"),
+                  (1L, ts("2023-01-01 10:00:30"), "view"), // redelivery in horizon
+                  (2L, ts("2023-01-01 10:01:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("dd_sink").count() === 2) // first-seen-wins
+      assert(stateRows === 2)
+      // advance event time 2h: watermark passes both keys, state evicted
+      mem.addData((3L, ts("2023-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      assert(stateRows === 1) // only key 3 remains tracked
+      // the documented trade: a duplicate arriving AFTER its key's state
+      // was evicted is re-admitted (exact global dedup stays a batch job)
+      mem.addData((1L, ts("2023-01-01 12:01:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.table("dd_sink")
+        .filter(col("event_id") === 1L).count() === 2)
+    } finally q.stop()
+  }
+
   test("file-source stream over the driver events table reaches a sink") {
     // the file stream source needs a directory of files (at scale: a landing
     // dir receiving new parquet drops); stage the single testdata file
