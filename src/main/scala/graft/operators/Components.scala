@@ -31,13 +31,12 @@ import org.apache.spark.sql.functions._
   * Scale notes: `localCheckpoint` truncates the growing lineage each round
   * (iterative-DataFrame trap — without it the plan doubles per iteration and
   * the driver ooms on plan size long before data size matters). Convergence
-  * is detected by an exact edge-set comparison: count + order-independent
-  * xxhash64 checksum first (two cheap aggregates on data already clustered by
-  * the round's shuffle), then — only when the cheap test says "stable" — a
-  * definitive anti-join emptiness check, so a checksum collision can never
-  * declare early convergence (`requireExact` covers the paranoid path;
-  * default on, measured negligible at convergence because the sets are equal
-  * and AQE broadcasts the empty diff).
+  * is detected by an exact edge-set comparison: a count + order-independent
+  * xxhash64 checksum (ONE cheap aggregate per round — the previous round's
+  * checksum is carried, not recomputed), then — only when the checksums
+  * match — a definitive anti-join emptiness check, so a checksum collision
+  * can never declare early convergence (measured negligible at convergence
+  * because the sets are equal and AQE broadcasts the empty diff).
   */
 object Components {
 
@@ -47,7 +46,13 @@ object Components {
     * id in the component. Nodes absent from `edges` (singletons) are absent
     * from the result — callers left-join and coalesce (see d05).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    connectedComponentsWithStats(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds taken to
+    * reach the confirmed fixed point (for scale probes / monitoring). */
+  def connectedComponentsWithStats(edges: DataFrame,
+                                   maxIter: Int = 64): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val Seq(src, dst) = edges.columns.take(2).toSeq.map(col)
 
@@ -60,19 +65,23 @@ object Components {
 
     var iter = 0
     var converged = false
+    var eSig = sig(e) // carried across rounds: one checksum job per round
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = sameEdgeSet(e, next)
+      val nextSig = sig(next)
+      converged = eSig == nextSig && confirmedEqual(e, next)
       e = next
+      eSig = nextSig
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 
     // Star forest: every edge (a, b) has a = component min, b a member.
     // The roots themselves are members of their own cluster.
-    e.select(col("b").as("id"), col("a").as("cluster"))
+    val labels = e.select(col("b").as("id"), col("a").as("cluster"))
       .union(e.select(col("a").as("id"), col("a").as("cluster")).distinct())
       .distinct()
+    (labels, iter)
   }
 
   /** Per-node neighborhood minimum m = min(Γ(u) ∪ {u}); strictly larger
@@ -103,21 +112,20 @@ object Components {
       .distinct()
   }
 
-  /** Exact edge-set equality: O(1)-row checksum aggregates decide the common
-    * "not yet stable" case; a definitive symmetric anti-join confirms
-    * stability so checksum collisions cannot terminate the loop early. */
-  private def sameEdgeSet(x: DataFrame, y: DataFrame): Boolean = {
-    def sig(d: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: order-independent AND overflow-free under ANSI
-      // (a LongType sum of 2^63-scale hashes throws ArithmeticException).
-      val r = d.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    sig(x) == sig(y) &&
-      x.join(y, Seq("a", "b"), "left_anti").isEmpty &&
-      y.join(x, Seq("a", "b"), "left_anti").isEmpty
+  /** O(1)-row edge-set checksum (count + order-independent hash), ONE job.
+    * bit_xor, not sum: order-independent AND overflow-free under ANSI
+    * (a LongType sum of 2^63-scale hashes throws ArithmeticException). */
+  private def sig(d: DataFrame): (Long, Long) = {
+    val r = d.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
   }
+
+  /** Definitive equality confirm, run only when the checksums already
+    * matched — a checksum collision can never declare early convergence. */
+  private def confirmedEqual(x: DataFrame, y: DataFrame): Boolean =
+    x.join(y, Seq("a", "b"), "left_anti").isEmpty &&
+      y.join(x, Seq("a", "b"), "left_anti").isEmpty
 
   /** Dup-cluster resolution over a node frame: every node gets its component
     * min as `cluster` (its own id when it is a singleton or the canonical

@@ -32,9 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    so the per-pair cost is the pure zero-allocation merge. Unsorted
   *    input yields undefined counts — that is the documented contract.
   *  - `assumeSorted = false` (what [[FuseSetJaccard]] rewrites to): the
-  *    kernel copies + sorts both sides per row first — still cheaper than
-  *    hash-set intersect + union materialization, and safe for arbitrary
-  *    input.
+  *    kernel hash-probes both sides per row (two sets, one pass each) —
+  *    the same set-building work the intersect/union chain does, minus
+  *    its two materialized result arrays — safe for arbitrary input.
   *
   * Empty union (both arrays empty): ANSI raises the division-by-zero the
   * unfused `Divide` would raise; non-ANSI/TRY yields NULL.
@@ -123,39 +123,27 @@ object SetJaccardKernel {
     if (uni == 0L) -1.0 else inter.toDouble / uni
   }
 
-  private val nullsLast = new java.util.Comparator[UTF8String] {
-    override def compare(x: UTF8String, y: UTF8String): Int =
-      if (x == null && y == null) 0
-      else if (x == null) 1
-      else if (y == null) -1
-      else x.compareTo(y)
-  }
-
-  private def toSorted(a: ArrayData): Array[UTF8String] = {
-    val n = a.numElements()
-    val out = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) { out(i) = if (a.isNullAt(i)) null else a.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(out, nullsLast)
-    out
-  }
-
-  /** Jaccard of two UNSORTED arrays (sorts copies first); -1.0 = empty union. */
+  /** Jaccard of two UNSORTED arrays; -1.0 = empty union. Hash-based (two
+    * probe sets, single pass per side, null = a distinct element — the
+    * array_intersect/array_union null semantics): no sort, and unlike the
+    * declarative intersect/union chain, no result arrays materialized. */
   def unsorted(a: ArrayData, b: ArrayData): Double = {
-    val x = toSorted(a); val y = toSorted(b)
-    def eq(p: UTF8String, q: UTF8String): Boolean =
-      (p == null && q == null) || (p != null && q != null && p == q)
-    var i = 0; var j = 0; var inter = 0L; var uni = 0L
-    while (i < x.length || j < y.length) {
-      val c =
-        if (i >= x.length) 1
-        else if (j >= y.length) -1
-        else nullsLast.compare(x(i), y(j))
-      if (c <= 0) { val v = x(i); while (i < x.length && eq(x(i), v)) i += 1
-                    if (c == 0) { inter += 1; val w = y(j); while (j < y.length && eq(y(j), w)) j += 1 } }
-      else { val w = y(j); while (j < y.length && eq(y(j), w)) j += 1 }
-      uni += 1
+    val na = a.numElements(); val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) {
+      setA.add(if (a.isNullAt(i)) null else a.getUTF8String(i))
+      i += 1
     }
+    val setB = new java.util.HashSet[UTF8String](nb * 2)
+    var inter = 0L
+    var j = 0
+    while (j < nb) {
+      val e = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      if (setB.add(e) && setA.contains(e)) inter += 1
+      j += 1
+    }
+    val uni = setA.size.toLong + setB.size.toLong - inter
     if (uni == 0L) -1.0 else inter.toDouble / uni
   }
 }
@@ -215,7 +203,11 @@ object FuseSetJaccard extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString("spark.graft.fuseSetJaccard", "true") != "true") plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case d @ Divide(l, r, mode) =>
       (stripToDouble(l), stripToDouble(r)) match {
         case (Size(ArrayIntersect(a1, b1), false), Size(ArrayUnion(a2, b2), false))
