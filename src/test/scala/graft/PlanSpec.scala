@@ -58,4 +58,34 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate nodes (partial + final) around one exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("t12 PII redaction is map-only: its single exchange is the final sort") {
+    val p = plan(graft.queries.TextQueries.queries("t12_pii_redact")(spark, sf))
+    // exactly one Exchange node, and the only partitioning in the plan is
+    // the final sort's range partitioning (details section lists arguments)
+    val exchanges = p.linesIterator.filter(_.matches(".*\\(\\d+\\) Exchange.*")).toSeq
+    assert(exchanges.size == 1, exchanges.mkString("\n"))
+    assert(p.contains("rangepartitioning") && !p.contains("hashpartitioning"), p.take(800))
+  }
+
+  test("q25 rolling window pre-aggregates daily before the RANGE frame") {
+    val p = plan(CoreQueries.queries("q25_rolling_window")(spark, sf))
+    // partial+final daily aggregate feeds the Window node (never raw rows)
+    val idxAgg = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    val idxWin = p.linesIterator.indexWhere(_.contains(") Window"))
+    assert(idxAgg >= 0 && idxWin >= 0, p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
+
+  test("t13 segment-frequency and reassembly joins broadcast at this scale") {
+    val p = plan(graft.queries.TextQueries.queries("t13_segment_dedup")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("q28 JSON projection keeps the scan to event_id + props only") {
+    val p = plan(CoreQueries.queries("q28_json")(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("props") && !readSchema.contains("event_type"),
+      readSchema)
+  }
 }
