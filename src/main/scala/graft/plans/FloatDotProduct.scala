@@ -117,5 +117,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("set_jaccard"), SetJaccard.info,
       (children: Seq[Expression]) => new SetJaccard(children(0), children(1))))
     ext.injectOptimizerRule(_ => FuseSetJaccard)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -394,6 +394,21 @@ object CoreQueries {
         .orderBy("k")
     },
 
+    // O-topk: per-group top-k through the CUSTOM whole-operator plan
+    // (TopKPerKey logical node → TopKStrategy → bounded-heap exec, injected
+    // via spark.sql.extensions). O(n log k) with no per-group sort — the
+    // window row_number formulation this replaces sorts every group in
+    // full. Total order (price, orderkey, linenumber) pins k-boundary ties.
+    "q29_topk_per_key" -> { (s, dir) =>
+      graft.plans.TopK.perKey(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_returnflag"),
+        Seq("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true),
+        k = 3)
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
     // A-quantile: EXACT percentiles per group (Spark `percentile`, the
     // sort-based exact aggregate — `approx_percentile` is the sketch
     // alternative when a one-pass 100-TB answer is allowed; q20 covers
@@ -663,6 +678,16 @@ object CoreQueries {
         |FROM events
         |GROUP BY 1
         |ORDER BY k""".stripMargin,
+
+    "q29_topk_per_key" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
 
     // q27: quantile_cont is the same R-7 linear interpolation as Spark's
     // exact `percentile`; at p = k/4 on integral data every result is a

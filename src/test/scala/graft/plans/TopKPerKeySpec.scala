@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TopKPerKeySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("matches the window row_number formulation exactly (total order)") {
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(5000)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextInt(100000).toLong))
+      .toDF("key", "score", "id")
+    for (k <- Seq(1, 3, 10)) {
+      val native = TopK.perKey(data, Seq("key"),
+        Seq("score" -> false, "id" -> true), k)
+      val window = TopK.perKeyWindow(data, Seq("key"),
+        Seq("score" -> false, "id" -> true), k)
+      assert(canon(native) === canon(window), s"k=$k")
+    }
+  }
+
+  test("keys with fewer than k rows keep all rows") {
+    val data = Seq((1L, 5), (1L, 3), (2L, 9)).toDF("key", "score")
+    val got = canon(TopK.perKey(data, Seq("key"), Seq("score" -> false), 10))
+    assert(got === canon(data))
+  }
+
+  test("plans through TopKPerKeyExec with a single hash shuffle on the key") {
+    val data = spark.range(1000)
+      .select((col("id") % 7).as("key"), col("id").as("score"))
+    val df = TopK.perKey(data, Seq("key"), Seq("score" -> false), 5)
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix when printing
+    assert(p.contains("TopKPerKey"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(800))
+    assert(!p.toLowerCase.contains("window"), "must not fall back to a window sort")
+    assert(df.count() === 35)
+  }
+
+  test("composes downstream: aggregate over the top-k result is correct") {
+    val data = Seq((1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"),
+                   (2L, 5, "d"), (2L, 50, "e"))
+      .toDF("key", "score", "tag")
+    val top2Sum = TopK.perKey(data, Seq("key"), Seq("score" -> false), 2)
+      .groupBy("key").agg(sum(col("score")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top2Sum === Map(1L -> 50L, 2L -> 55L))
+  }
+}
