@@ -17,11 +17,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * every key group in full — at 100 TB that is a total sort of the fact
   * table just to discard all but k rows per key. This operator keeps one
   * k-bounded binary heap per key per partition: O(n log k) compares, O(k ×
-  * distinct-keys) memory, no sort, and — because [[TopKPerKeyExec]] declares
-  * `requiredChildDistribution = ClusteredDistribution(key)` — exactly the
-  * one hash shuffle the aggregation would have needed anyway. (A map-side
-  * pre-heap before the shuffle is the next refinement; the current shape
-  * already avoids the sort, which dominates.)
+  * distinct-keys) memory, no sort, and — because the final
+  * [[TopKPerKeyExec]] declares `requiredChildDistribution =
+  * ClusteredDistribution(key)` — exactly the one hash shuffle the
+  * aggregation would have needed anyway. [[TopKStrategy]] additionally
+  * plants a PARTIAL exec below the exchange (top-k of per-partition top-k
+  * = global top-k, the partial-aggregation identity), so the shuffle
+  * carries at most k × distinct-keys rows per input partition instead of
+  * the whole fact table — at 100 TB the shuffle, not the compare count, is
+  * the bill.
   *
   * DETERMINISM: callers must supply a TOTAL order (tie columns included) or
   * ties at the k-boundary are partition-order dependent — same contract as
@@ -37,11 +41,18 @@ final case class TopKPerKey(k: Int, key: Seq[Expression], order: Seq[SortOrder],
 }
 
 final case class TopKPerKeyExec(k: Int, key: Seq[Expression], order: Seq[SortOrder],
-                                child: SparkPlan) extends UnaryExecNode {
+                                child: SparkPlan, partial: Boolean = false)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // the partial pass runs on whatever partitioning the child has (its
+  // output is a superset of the per-key winners); only the final pass
+  // needs key-clustering
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(key) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(key) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -82,7 +93,11 @@ final case class TopKPerKeyExec(k: Int, key: Seq[Expression], order: Seq[SortOrd
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, key, order, child) =>
-      TopKPerKeyExec(k, key, order, planLater(child)) :: Nil
+      // partial below the exchange, final above — the exchange (inserted by
+      // EnsureRequirements for the final's distribution) then moves at most
+      // k rows per key per input partition
+      TopKPerKeyExec(k, key, order,
+        TopKPerKeyExec(k, key, order, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -34,8 +34,11 @@ class TopKPerKeySpec extends SparkSpec {
       .select((col("id") % 7).as("key"), col("id").as("score"))
     val df = TopK.perKey(data, Seq("key"), Seq("score" -> false), 5)
     val p = df.queryExecution.executedPlan.toString
-    // SparkPlan.nodeName strips the Exec suffix when printing
-    assert(p.contains("TopKPerKey"), p.take(600))
+    // partial pass below the single hash exchange, final pass above it
+    assert(p.contains("TopKPerKeyPartial"), p.take(600))
+    assert(p.linesIterator.indexWhere(_.contains("TopKPerKeyPartial")) >
+      p.linesIterator.indexWhere(l => l.contains("TopKPerKey") && !l.contains("Partial")),
+      p.take(800))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(800))
     assert(!p.toLowerCase.contains("window"), "must not fall back to a window sort")
     assert(df.count() === 35)
