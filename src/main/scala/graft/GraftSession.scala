@@ -16,8 +16,12 @@ object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     // Engine extensions: native expressions (float_dot, sig_match_count,
-    // set_jaccard) + optimizer rewrites (FuseSetJaccard). The same line a
-    // cluster deployment passes via --conf.
+    // set_jaccard), optimizer rewrites (FuseSetJaccard) and the TopKPerKey
+    // planner strategy. The same line a cluster deployment passes via
+    // --conf. NOTE: this SETS the key — a caller combining graft with its
+    // own extensions should config() a comma-separated list AFTER tune()
+    // (spark.sql.extensions accepts several classes; last builder write
+    // wins).
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     // nanosecond parquet timestamps read as nanos-long engine-wide (the
     // events table); graft.io.Tables converts to TimestampType explicitly.

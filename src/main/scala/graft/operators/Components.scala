@@ -70,6 +70,11 @@ object Components {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nextSig = sig(next)
       converged = eSig == nextSig && confirmedEqual(e, next)
+      // next is materialized (eager localCheckpoint) and the convergence
+      // check has read both frames: the previous round's checkpoint blocks
+      // can be released NOW instead of waiting for GC-driven cleanup —
+      // otherwise a long run holds O(rounds × |E|) storage.
+      e.unpersist()
       e = next
       eSig = nextSig
       iter += 1
@@ -79,8 +84,8 @@ object Components {
     // Star forest: every edge (a, b) has a = component min, b a member.
     // The roots themselves are members of their own cluster.
     val labels = e.select(col("b").as("id"), col("a").as("cluster"))
-      .union(e.select(col("a").as("id"), col("a").as("cluster")).distinct())
-      .distinct()
+      .union(e.select(col("a").as("id"), col("a").as("cluster")))
+      .distinct() // one dedup of the whole union; roots need no inner pass
     (labels, iter)
   }
 

@@ -165,13 +165,20 @@ object SetJaccard {
     }
   }
 
-  /** JVM-side sort in exactly the expression's element order (binary UTF-8,
-    * the same order `array_sort` uses for strings) — for kernels that build
-    * per-document sets once and compare them per-pair many times. */
+  /** JVM-side sort in exactly the expression's element order (binary UTF-8
+    * ascending, nulls LAST — the same order `array_sort` uses for strings)
+    * — for kernels that build per-document sets once and compare them
+    * per-pair many times. Null-safe, matching the merge kernel's contract. */
   def sortedUtf8(a: Array[String]): Array[String] = {
-    implicit val ord: Ordering[UTF8String] = Ordering.comparatorToOrdering(
-      java.util.Comparator.naturalOrder[UTF8String]())
-    a.map(UTF8String.fromString).sorted.map(_.toString)
+    val u = a.map(UTF8String.fromString) // fromString(null) == null
+    java.util.Arrays.sort(u, new java.util.Comparator[UTF8String] {
+      override def compare(x: UTF8String, y: UTF8String): Int =
+        if (x == null && y == null) 0
+        else if (x == null) 1
+        else if (y == null) -1
+        else x.compareTo(y)
+    })
+    u.map(s => if (s == null) null else s.toString)
   }
 }
 

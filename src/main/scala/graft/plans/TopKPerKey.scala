@@ -108,17 +108,38 @@ object TopKStrategy extends SparkStrategy {
 object TopK {
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
              k: Int): DataFrame = {
+    val spark = df.sparkSession
+    // Defensive registration, mirroring SetJaccard.register: if the session
+    // was created without GraftExtensions (pre-existing session, missing
+    // --conf), plant the strategy via the experimental hook so planning
+    // cannot fail with "no plan for TopKPerKey". Idempotent.
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
-    val keyExprs = keys.map(attr)
+    // Normalize float/double keys (-0.0 == 0.0, canonical NaN) exactly as
+    // Spark does for join/window/agg keys — otherwise the heap grouping and
+    // the hash shuffle would treat 0.0 and -0.0 as distinct keys and break
+    // parity with the window formulation. (NormalizeFloatingNumbers.
+    // normalize is private[sql]; same construction, top-level types only.)
+    val keyExprs: Seq[Expression] = keys.map(attr).map { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          KnownFloatingPointNormalized(
+            org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a))
+        case _ => a
+      }
+    }
     val sortOrders = orderBy.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
-    GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKey(k, keyExprs, sortOrders, analyzed))
+    GraftSqlBridge.ofRows(spark, TopKPerKey(k, keyExprs, sortOrders, analyzed))
   }
 
   /** Convenience: the declarative window formulation of the same result —

@@ -261,11 +261,14 @@ object TextQueries {
     // deterministic 10-token segments since this corpus has no newlines):
     // any segment appearing in more than one distinct document is
     // boilerplate and is removed from ALL of them; survivors are re-joined
-    // in original order. Two shuffles — a segment-frequency groupBy and the
-    // per-doc reassembly — with the frequency join keyed on the segment
-    // text (at 100 TB: key on a 128-bit segment hash instead so the
-    // shuffle carries 16 bytes, not the span).
+    // in original order. The distinct-doc frequency is computed with two
+    // window passes over the SAME segment rows (first-in-doc flag, then a
+    // per-segment sum) — a self-join formulation would re-run the whole
+    // segmentation (scan + explode + slice) a second time, doubling the
+    // heaviest map work at 100 TB. (Scale note: shuffle on a 128-bit
+    // segment hash instead of the span text to move 16 bytes per row.)
     "t13_segment_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
       val segs = d
         .select(col("doc_id"), col("w"),
@@ -273,8 +276,12 @@ object TextQueries {
             ceil(size(col("w")) / lit(10.0)).cast("int") - 1)).as("i"))
         .select(col("doc_id"), col("i"),
           array_join(slice(col("w"), col("i") * 10 + 1, lit(10)), " ").as("seg"))
-      val freq = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("nd"))
-      val rebuilt = segs.join(freq.filter(col("nd") <= 1), Seq("seg"))
+      val wDocSeg = Window.partitionBy(col("seg"), col("doc_id")).orderBy(col("i"))
+      val wSeg = Window.partitionBy(col("seg"))
+      val rebuilt = segs
+        .withColumn("fst", when(row_number().over(wDocSeg) === 1, 1L).otherwise(0L))
+        .withColumn("nd", sum(col("fst")).over(wSeg))
+        .filter(col("nd") <= 1)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("i"), col("seg")))).as("ss"))
         .select(col("doc_id"),

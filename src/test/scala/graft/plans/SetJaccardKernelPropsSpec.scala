@@ -51,15 +51,13 @@ class SetJaccardKernelPropsSpec extends AnyFunSuite {
     })
   }
 
-  test("sortedUtf8 output satisfies the sorted-merge contract") {
+  test("sortedUtf8 output satisfies the sorted-merge contract (nulls included)") {
     check("sortedUtf8", Prop.forAll(arr, arr) { (a0, b0) =>
-      val a = a0.flatten; val b = b0.flatten // helper is for null-free kernels
-      val sa = new GenericArrayData(
-        SetJaccard.sortedUtf8(a.toArray).map(UTF8String.fromString).toArray[Any])
-      val sb = new GenericArrayData(
-        SetJaccard.sortedUtf8(b.toArray).map(UTF8String.fromString).toArray[Any])
-      val ref = reference(a.map(Some(_)), b.map(Some(_)))
-      SetJaccardKernel.sortedMerge(sa, sb) == ref
+      def prep(xs: List[Option[String]]): GenericArrayData =
+        new GenericArrayData(SetJaccard.sortedUtf8(xs.map(_.orNull).toArray)
+          .map(s => if (s == null) null else UTF8String.fromString(s))
+          .toArray[Any])
+      SetJaccardKernel.sortedMerge(prep(a0), prep(b0)) == reference(a0, b0)
     })
   }
 }

@@ -44,6 +44,15 @@ class TopKPerKeySpec extends SparkSpec {
     assert(df.count() === 35)
   }
 
+  test("double keys normalize: -0.0 and 0.0 are ONE key, like the window form") {
+    val data = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("key", "score")
+    val native = canon(TopK.perKey(data, Seq("key"), Seq("score" -> false), 2))
+    val window = canon(TopK.perKeyWindow(data, Seq("key"), Seq("score" -> false), 2))
+    assert(native === window)
+    assert(native.count(_.last.asInstanceOf[Long] != 4L) === 2) // top-2 of the zero key
+  }
+
   test("composes downstream: aggregate over the top-k result is correct") {
     val data = Seq((1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"),
                    (2L, 5, "d"), (2L, 50, "e"))
