@@ -394,6 +394,21 @@ object CoreQueries {
         .orderBy("k")
     },
 
+    // A-gsets: explicit GROUPING SETS (the general form behind q11's
+    // rollup / q22's cube) with grouping_id disambiguating strata — one
+    // Expand + one aggregate, not one job per stratum. Ordering by gid
+    // first keeps the total order free of engine-specific NULL placement.
+    "q30_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          grouping_id().as("gid"), count(lit(1)).as("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    },
+
     // O-topk: per-group top-k through the CUSTOM whole-operator plan
     // (TopKPerKey logical node → TopKStrategy → bounded-heap exec, injected
     // via spark.sql.extensions). O(n log k) with no per-group sort — the
@@ -678,6 +693,15 @@ object CoreQueries {
         |FROM events
         |GROUP BY 1
         |ORDER BY k""".stripMargin,
+
+    "q30_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q29_topk_per_key" ->
       """WITH r AS (
