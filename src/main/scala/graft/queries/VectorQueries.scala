@@ -106,6 +106,39 @@ object VectorQueries {
              round(min(col("nrm")), 4).as("min_norm"),
              round(max(col("nrm")), 4).as("max_norm"))
         .orderBy("label")
+    },
+
+    // int8 scalar quantization — the embedding-compression step of a
+    // training-data pipeline: per-dimension [min,max] codebook over the
+    // corpus (a 64-row broadcast), q = round((x-mn)·255/(mx-mn)), plus a
+    // reconstruction-error audit. Output avoids every float-reduction
+    // trap: the codes are integers (md5 over the dim-ordered code string,
+    // exact integer sum) and the error is a MAX (order-independent) of
+    // per-element doubles whose arithmetic both engines evaluate
+    // identically — no double summation anywhere.
+    "v06_quantize" -> { (s, dir) =>
+      val ex = emb(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val stats = ex.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val q = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(round((col("x") - col("mn")) * 255 / (col("mx") - col("mn")))
+          .cast("long"))
+      val err = when(col("mx") === col("mn"), lit(0.0))
+        .otherwise(abs(col("x") -
+          (col("mn") + col("q") * (col("mx") - col("mn")) / 255)))
+      ex.join(broadcast(stats), "dim")
+        .withColumn("q", q)
+        .withColumn("err", err)
+        .groupBy("vec_id", "label")
+        .agg(
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct(col("dim"), col("q")))),
+            p => p.getField("q").cast("string")))).as("q_hash"),
+          sum(col("q")).as("q_sum"),
+          max(col("err")).as("max_abs_err"))
+        .orderBy("vec_id")
     }
   )
 
@@ -295,6 +328,36 @@ object VectorQueries {
         |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
         |FROM e
         |GROUP BY label
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // v06: identical arithmetic (and parenthesization) to the Spark side —
+    // round() is half-away-from-zero for the non-negative scaled values in
+    // both engines, codes are BIGINT, and the only float reductions are an
+    // order-independent max and an exact integer sum.
+    "v06_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |  ex AS (SELECT vec_id, label, v,
+        |           unnest(range(1, len(v) + 1)) AS dim1 FROM e),
+        |  px AS (SELECT vec_id, label, dim1 - 1 AS dim, v[dim1] AS x FROM ex),
+        |  st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM px GROUP BY dim),
+        |  qq AS (SELECT p.vec_id, p.label, p.dim,
+        |           CASE WHEN s.mx = s.mn THEN 0
+        |                ELSE CAST(round((p.x - s.mn) * 255 / (s.mx - s.mn)) AS BIGINT)
+        |           END AS q,
+        |           CASE WHEN s.mx = s.mn THEN 0.0
+        |                ELSE abs(p.x - (s.mn +
+        |                  CAST(round((p.x - s.mn) * 255 / (s.mx - s.mn)) AS BIGINT)
+        |                    * (s.mx - s.mn) / 255))
+        |           END AS err
+        |         FROM px p JOIN st s ON s.dim = p.dim)
+        |SELECT vec_id, label,
+        |  md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY dim)) AS q_hash,
+        |  CAST(sum(q) AS BIGINT) AS q_sum,
+        |  max(err) AS max_abs_err
+        |FROM qq
+        |GROUP BY vec_id, label
+        |ORDER BY vec_id""".stripMargin
   )
 }
