@@ -394,6 +394,43 @@ object CoreQueries {
         .orderBy("k")
     },
 
+    // SQL-subquery: correlated SCALAR subquery through the SQL entry point
+    // (EP1) — Catalyst decorrelates it into an aggregate + join; there is
+    // no per-row re-execution (the RDBMS trap). Deviation of each
+    // customer's balance from their nation's average.
+    "q31_correlated" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      // the correlated average uses the exactSum fixed-point discipline so
+      // neither engine's parallel double-summation order can drift a digit
+      s.sql(
+        """SELECT c_custkey, c_nationkey,
+          |  round(c_acctbal -
+          |        (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0
+          |                  / count(*)
+          |         FROM customer c2
+          |         WHERE c2.c_nationkey = customer.c_nationkey), 2) AS bal_dev
+          |FROM customer
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // W-offset: lag/lead — days since each customer's previous order and
+    // the order-value delta. The offset-window family (distinct from
+    // ranking q09, share q10, range-frame q25).
+    "q32_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_day"),
+          datediff(to_date(col("o_orderdate")),
+            lag(to_date(col("o_orderdate")), 1).over(w)).cast("long")
+            .as("days_since_prev"),
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+            .as("price_delta"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    },
+
     // A-gsets: explicit GROUPING SETS (the general form behind q11's
     // rollup / q22's cube) with grouping_id disambiguating strata — one
     // Expand + one aggregate, not one job per stratum. Ordering by gid
@@ -702,6 +739,27 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // q31: the Spark side runs this exact text through its SQL entry point.
+    "q31_correlated" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round(c_acctbal -
+        |        (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0
+        |                  / count(*)
+        |         FROM customer c2
+        |         WHERE c2.c_nationkey = customer.c_nationkey), 2) AS bal_dev
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q32_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+        |  date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |            CAST(o_orderdate AS DATE)) AS days_since_prev,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS price_delta,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin,
 
     "q29_topk_per_key" ->
       """WITH r AS (
