@@ -295,6 +295,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Vocabulary induction, step one of BPE training: corpus-wide counts
+    // of adjacent token pairs, top-20 merge candidates with a pinned total
+    // order (count DESC, then pair text — ties must not depend on shuffle
+    // order). One explode + one partial-aggregating shuffle; the classic
+    // map-side-combine shape, linear at any corpus size.
+    "t14_bigram_vocab" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(posexplode(toks).as(Seq("i", "t1")), col("text"))
+        // 0-based get() of the successor: null past the end (ANSI-safe,
+        // unlike element_at which errors out of bounds), then dropped
+        .withColumn("t2", get(split(col("text"), " "), col("i") + 1))
+        .filter(col("t2").isNotNull)
+        .select(concat_ws(" ", col("t1"), col("t2")).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
     // polynomial in DuckDB; determinism + order sensitivity additionally
     // pinned in TextFunctionsSpec).
@@ -479,6 +499,16 @@ object TextQueries {
         |  COALESCE(r.kept_hash, md5('')) AS kept_hash
         |FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "t14_bigram_vocab" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |  ix AS (SELECT w, unnest(range(1, len(w))) AS i FROM d),
+        |  p AS (SELECT w[i] || ' ' || w[i+1] AS pair FROM ix)
+        |SELECT pair, count(*) AS n
+        |FROM p
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin,
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then
