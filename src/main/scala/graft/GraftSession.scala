@@ -12,17 +12,34 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The `spark.sql.extensions` entry this engine needs on every session:
+    * native expressions (float_dot, sig_match_count, set_jaccard), optimizer
+    * rewrites (FuseSetJaccard) and the TopKPerKey planner strategy. The same
+    * value a cluster deployment passes via --conf. */
+  val ExtensionsClass = "graft.plans.GraftExtensions"
+
+  /** APPEND our extensions to whatever the caller already configured —
+    * `spark.sql.extensions` is a comma-separated list, and a plain
+    * `config()` would overwrite earlier builder writes / --conf values
+    * (last write wins). Sources checked: the builder's own option map
+    * (public `options()`), then system properties (spark-submit --conf). */
+  private def mergedExtensions(b: SparkSession.Builder): String = {
+    val existing: Option[String] =
+      org.apache.spark.sql.GraftSqlBridge
+        .builderOption(b, "spark.sql.extensions")
+        .orElse(sys.props.get("spark.sql.extensions"))
+    existing match {
+      case Some(list) if list.split(",").map(_.trim).contains(ExtensionsClass) =>
+        list
+      case Some(list) if list.trim.nonEmpty => s"$list,$ExtensionsClass"
+      case _ => ExtensionsClass
+    }
+  }
+
   /** Apply engine defaults to an existing builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
-    // Engine extensions: native expressions (float_dot, sig_match_count,
-    // set_jaccard), optimizer rewrites (FuseSetJaccard) and the TopKPerKey
-    // planner strategy. The same line a cluster deployment passes via
-    // --conf. NOTE: this SETS the key — a caller combining graft with its
-    // own extensions should config() a comma-separated list AFTER tune()
-    // (spark.sql.extensions accepts several classes; last builder write
-    // wins).
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.extensions", mergedExtensions(b))
     // nanosecond parquet timestamps read as nanos-long engine-wide (the
     // events table); graft.io.Tables converts to TimestampType explicitly.
     // Set here so read behavior never depends on which table loaded first.

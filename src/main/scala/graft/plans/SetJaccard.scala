@@ -36,12 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the same set-building work the intersect/union chain does, minus
   *    its two materialized result arrays — safe for arbitrary input.
   *
-  * Empty union (both arrays empty): ANSI raises the division-by-zero the
-  * unfused `Divide` would raise; non-ANSI/TRY yields NULL.
+  * Empty union (both arrays empty): ANSI raises the SAME error the unfused
+  * `Divide` would raise — `SparkArithmeticException` with error class
+  * DIVIDE_BY_ZERO, query context and the try_divide hint, via
+  * [[SupportQueryContext]] exactly like `DivModLike` — so [[FuseSetJaccard]]
+  * never changes the user-visible failure. Non-ANSI/TRY yields NULL.
   */
 case class SetJaccard(left: Expression, right: Expression,
                       assumeSorted: Boolean, failOnError: Boolean)
-    extends BinaryExpression {
+    extends BinaryExpression with SupportQueryContext {
 
   def this(left: Expression, right: Expression) =
     this(left, right, assumeSorted = true, failOnError = SQLConf.get.ansiEnabled)
@@ -60,13 +63,18 @@ case class SetJaccard(left: Expression, right: Expression,
   override def prettyName: String = "set_jaccard"
   override def nullable: Boolean = true
 
+  override def initQueryContext(): Option[org.apache.spark.QueryContext] =
+    if (failOnError) Some(origin.context) else None
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val v = if (assumeSorted) SetJaccardKernel.sortedMerge(a, b)
             else SetJaccardKernel.unsorted(a, b)
     if (v < 0.0) {
-      if (failOnError) throw new ArithmeticException("Division by zero")
-      else null
+      if (failOnError) {
+        throw org.apache.spark.sql.GraftSqlBridge
+          .divideByZeroError(getContextOrNull())
+      } else null
     } else v
   }
 
@@ -75,8 +83,11 @@ case class SetJaccard(left: Expression, right: Expression,
       val m = if (assumeSorted) "sortedMerge" else "unsorted"
       val v = ctx.freshName("jac")
       val onEmpty =
-        if (failOnError) """throw new ArithmeticException("Division by zero");"""
-        else s"${ev.isNull} = true;"
+        if (failOnError) {
+          val errCtx = getContextOrNullCode(ctx, failOnError)
+          "throw org.apache.spark.sql.errors.QueryExecutionErrors" +
+            s".divideByZeroError($errCtx);"
+        } else s"${ev.isNull} = true;"
       s"""
          |double $v = graft.plans.SetJaccardKernel.$m($x, $y);
          |if ($v < 0.0) {

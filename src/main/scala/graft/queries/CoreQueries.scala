@@ -381,11 +381,17 @@ object CoreQueries {
     // typed alternative to q18's regex extraction. At scale the schema
     // projection matters: only the requested fields are parsed, and the
     // parse is codegen'd — no per-row UDF, no full JSON DOM.
+    // The field is extracted as its RAW STRING on both engines (round-4
+    // advice): from_json with `k INT` would NULL a string-typed "12" where
+    // the oracle's json_extract_string+CAST yields 12 — parity would be
+    // fixture-dependent. String extraction (from_json `k STRING` here,
+    // json_extract_string in DuckDB) is engine-independent for every
+    // payload, including string-typed and missing k.
     "q28_json" -> { (s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
           from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
             .getField("k").as("k"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"),
@@ -725,11 +731,11 @@ object CoreQueries {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q28_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      """SELECT json_extract_string(props, '$.k') AS k,
         |  count(*) AS n, min(event_id) AS first_event, max(event_id) AS last_event
         |FROM events
         |GROUP BY 1
-        |ORDER BY k""".stripMargin,
+        |ORDER BY k NULLS FIRST""".stripMargin,
 
     "q30_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

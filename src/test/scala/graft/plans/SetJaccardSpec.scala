@@ -47,15 +47,45 @@ class SetJaccardSpec extends SparkSpec {
     val r = Seq((Seq("a"), Option.empty[Seq[String]])).toDF("a", "b")
       .select(call_function("set_jaccard", $"a", $"b")).head()
     assert(r.isNullAt(0))
-    // both-empty → |union| = 0 → same failure the unfused ANSI Divide gives
+    // both-empty → |union| = 0 → the SAME error class the unfused ANSI
+    // Divide raises (SparkArithmeticException / DIVIDE_BY_ZERO), not a bare
+    // java.lang.ArithmeticException — FuseSetJaccard must not change the
+    // user-visible failure (round-4 advice)
     val ex = intercept[Exception] {
       Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
         .select(call_function("set_jaccard", $"a", $"b")).collect()
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(ex).exists(_.isInstanceOf[ArithmeticException]),
-      s"expected ArithmeticException in cause chain, got $ex")
+    val arith = causes(ex).collectFirst {
+      case e: ArithmeticException with org.apache.spark.SparkThrowable => e
+    }
+    assert(arith.isDefined,
+      s"expected SparkThrowable ArithmeticException in cause chain, got $ex")
+    assert(arith.get.getCondition === "DIVIDE_BY_ZERO", arith.get.toString)
+  }
+
+  test("fused empty-union error is indistinguishable from the unfused one") {
+    val empty = spark.range(1)
+      .select(array_remove(array(lit("x")), "x").as("a"),
+              array_remove(array(lit("y")), "y").as("b"))
+    def condition(body: => Unit): String = {
+      val ex = intercept[Exception](body)
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      causes(ex).collectFirst {
+        case e: ArithmeticException with org.apache.spark.SparkThrowable =>
+          e.getCondition
+      }.getOrElse(s"no SparkThrowable ArithmeticException: $ex")
+    }
+    val fused = condition(
+      empty.select(declarative($"a", $"b").as("j")).collect())
+    val unfused = condition(
+      empty.withColumn("one", lit(1.0))
+        .select((col("one") / size(array_remove(array(lit("z")), "z"))).as("j"))
+        .collect())
+    assert(fused === unfused)
+    assert(fused === "DIVIDE_BY_ZERO")
   }
 
   test("sortedUtf8 agrees with array_sort element order") {

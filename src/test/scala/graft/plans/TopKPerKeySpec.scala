@@ -53,6 +53,46 @@ class TopKPerKeySpec extends SparkSpec {
     assert(native.count(_.last.asInstanceOf[Long] != 4L) === 2) // top-2 of the zero key
   }
 
+  test("partial pass flushes under a tiny memory bound without changing results") {
+    // force a flush every ~7 retained rows AND (separately) every ~2 KiB —
+    // the partial pass emits segment winners repeatedly; the final pass must
+    // still produce exactly the window formulation's answer (round-4 advice:
+    // the heap map must not grow with distinct-key cardinality)
+    val rnd = new scala.util.Random(23)
+    // near-unique keys: the degenerate case for a per-key heap map
+    val data = Seq.fill(4000)(
+      (rnd.nextInt(3000).toLong, rnd.nextInt(500), rnd.nextInt(100000).toLong))
+      .toDF("key", "score", "id")
+    for ((conf, v) <- Seq("spark.graft.topk.partialFlushRows" -> "7",
+                          "spark.graft.topk.partialFlushBytes" -> "4096")) {
+      spark.conf.set("spark.graft.topk.partialFlushRows",
+        if (conf.endsWith("Rows")) v else Long.MaxValue.toString)
+      spark.conf.set("spark.graft.topk.partialFlushBytes",
+        if (conf.endsWith("Bytes")) v else Long.MaxValue.toString)
+      try {
+        val native = canon(TopK.perKey(data, Seq("key"),
+          Seq("score" -> false, "id" -> true), 3))
+        val window = canon(TopK.perKeyWindow(data, Seq("key"),
+          Seq("score" -> false, "id" -> true), 3))
+        assert(native === window, s"under $conf=$v")
+      } finally {
+        spark.conf.unset("spark.graft.topk.partialFlushRows")
+        spark.conf.unset("spark.graft.topk.partialFlushBytes")
+      }
+    }
+  }
+
+  test("final pass streams sorted groups: O(k) memory, output key-ordered") {
+    val data = spark.range(10000)
+      .select((col("id") % 50).as("key"), (col("id") * 37 % 1000).as("score"))
+    val df = TopK.perKey(data, Seq("key"), Seq("score" -> false), 4)
+    val p = df.queryExecution.executedPlan.toString
+    // the final exec requires (key ++ order) sorting: a spill-capable Sort
+    // sits above the exchange, over the ≤ k×keys partial survivors only
+    assert(p.contains("Sort "), p.take(900))
+    assert(df.count() === 200)
+  }
+
   test("composes downstream: aggregate over the top-k result is correct") {
     val data = Seq((1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"),
                    (2L, 5, "d"), (2L, 50, "e"))
