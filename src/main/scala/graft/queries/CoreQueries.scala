@@ -406,15 +406,24 @@ object CoreQueries {
     // customer's balance from their nation's average.
     "q31_correlated" -> { (s, dir) =>
       Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
-      // the correlated average uses the exactSum fixed-point discipline so
-      // neither engine's parallel double-summation order can drift a digit
+      // the whole deviation is ONE exact integer numerator (cents ×
+      // group count — both engines sum the same integers) over ONE double
+      // division: no trailing round() whose half-boundary ties the two
+      // engines break differently (a real sf0.001 customer landed on one).
+      // Spark only decorrelates outer references in WHERE/HAVING, so the
+      // group aggregates are three scalar subqueries (MergeScalarSubqueries
+      // fuses them into one) and the outer row's arithmetic stays outside.
       s.sql(
         """SELECT c_custkey, c_nationkey,
-          |  round(c_acctbal -
-          |        (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0
-          |                  / count(*)
-          |         FROM customer c2
-          |         WHERE c2.c_nationkey = customer.c_nationkey), 2) AS bal_dev
+          |  (CAST(round(c_acctbal * 100) AS BIGINT)
+          |     * (SELECT count(*) FROM customer c2
+          |        WHERE c2.c_nationkey = customer.c_nationkey)
+          |   - (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+          |      FROM customer c2
+          |      WHERE c2.c_nationkey = customer.c_nationkey))
+          |  / CAST(100 * (SELECT count(*) FROM customer c2
+          |                WHERE c2.c_nationkey = customer.c_nationkey) AS DOUBLE)
+          |  AS bal_dev
           |FROM customer
           |ORDER BY c_custkey""".stripMargin)
     },
@@ -435,6 +444,41 @@ object CoreQueries {
             .as("price_delta"),
           lead(col("o_orderkey"), 1).over(w).as("next_order"))
         .orderBy("o_custkey", "order_day", "o_orderkey")
+    },
+
+    // U-unpivot: wide→long reshaping (melt) — the inverse of q26's pivot.
+    // Spark's unpivot is a zero-shuffle Expand (each input row fans out to
+    // one row per measure in the same task); the one exchange here is the
+    // measure-keyed aggregate that follows. Measures share the exactSum
+    // fixed-point discipline so the per-measure totals hash-match a
+    // sequential oracle under any partitioning.
+    "q33_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), exactSum(col("val"), 4).as("total"))
+        .orderBy("measure")
+    },
+
+    // W-distribution: ntile / percent_rank / cume_dist — the distribution
+    // window family (vs ranking q09, share q10, frame q25, offset q32).
+    // The window order is TOTAL (acctbal, custkey) so tile boundaries and
+    // rank fractions are engine-independent; both fractions are a single
+    // IEEE division of the same integers, hence bit-identical across
+    // engines with no rounding step.
+    "q34_distribution" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
     },
 
     // A-gsets: explicit GROUPING SETS (the general form behind q11's
@@ -746,14 +790,35 @@ object CoreQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
+    "q33_unpivot" ->
+      s"""SELECT measure, count(*) AS n,
+        |  ${sqlExactSum("val", 4)} AS total
+        |FROM lineitem UNPIVOT (val FOR measure IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY measure
+        |ORDER BY measure""".stripMargin,
+
+    "q34_distribution" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     // q31: the Spark side runs this exact text through its SQL entry point.
     "q31_correlated" ->
       """SELECT c_custkey, c_nationkey,
-        |  round(c_acctbal -
-        |        (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0
-        |                  / count(*)
-        |         FROM customer c2
-        |         WHERE c2.c_nationkey = customer.c_nationkey), 2) AS bal_dev
+        |  (CAST(round(c_acctbal * 100) AS BIGINT)
+        |     * (SELECT count(*) FROM customer c2
+        |        WHERE c2.c_nationkey = customer.c_nationkey)
+        |   - (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+        |      FROM customer c2
+        |      WHERE c2.c_nationkey = customer.c_nationkey))
+        |  / CAST(100 * (SELECT count(*) FROM customer c2
+        |                WHERE c2.c_nationkey = customer.c_nationkey) AS DOUBLE)
+        |  AS bal_dev
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
 

@@ -322,8 +322,76 @@ object TextQueries {
       docs(s, dir)
         .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // Count-min sketch heavy hitters: the fixed-memory alternative to a
+    // full token groupBy at 100 TB. The sketch is d×w = 4×1024 counters —
+    // built DISTRIBUTIVELY (bucket counts are sums, so the map-side
+    // partial aggregate IS the sketch merge; counters mergeable across
+    // any partitioning) — and the query reports, for the exact top-20
+    // tokens, the exact count next to the sketch estimate (est ≥ exact
+    // always; the overestimate is the CMS collision error ε ≈ e/w). The
+    // d row-hashes are universal-family mixes of the two prime-field
+    // token hashes, so the DuckDB oracle replays the ENTIRE sketch in
+    // closed-form SQL and hash-matches the estimates bit for bit.
+    "t15_cms_heavy" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      val withBuckets = counts
+        .withColumn("h1", tokenHash31(col("tok")))
+        .withColumn("h2", tokenHash131(col("tok")))
+        .select(col("tok"), col("exact_n"),
+          posexplode(array(cmsMixers.map { case (r, sMix) =>
+            pmod(col("h1") * r + col("h2") * sMix, lit(HashP3)) % cmsWidth
+          }: _*)).as(Seq("i", "bucket")))
+      val sketch = withBuckets.groupBy("i", "bucket")
+        .agg(sum(col("exact_n")).as("bn"))
+      val top = counts.orderBy(col("exact_n").desc, col("tok")).limit(20)
+      withBuckets.join(broadcast(top.select("tok")), "tok")
+        .join(broadcast(sketch), Seq("i", "bucket"))
+        .groupBy("tok", "exact_n")
+        .agg(min(col("bn")).as("est_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+
+    // TF-IDF top terms per document (keyword extraction), with the idf
+    // kept RATIONAL — rarity = tf·N/df as one IEEE division of exact
+    // integers — so no libm log whose last ulp could differ between
+    // engines. Two token-keyed aggregates + one token-keyed join (all
+    // co-partitioned on tok), then the custom TopKPerKey operator picks
+    // each document's top-3 terms without sorting any doc's full term
+    // list. N reaches the plan as a broadcast 1-row aggregate, not a
+    // driver-side collect.
+    "t16_tfidf" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          ((col("tf") * col("n_docs")).cast("double") / col("df")).as("rarity"))
+      graft.plans.TopK.perKey(scored,
+          Seq("doc_id"), Seq("rarity" -> false, "tok" -> true), 3)
+        .orderBy(col("doc_id"), col("rarity").desc, col("tok"))
     }
   )
+
+  /** Count-min sketch geometry: d=4 pairwise-independent row hashes over
+    * w=1024 buckets (ε ≈ e/w ≈ 0.27% of total mass, δ ≈ e⁻⁴). Row hashes
+    * are universal mixes `((h1·r + h2·s) mod HashP3) mod w` of the two
+    * prime-field token hashes — same family as the SimHash bit mixers,
+    * deterministic seed, embedded as literals in the t15 oracle. */
+  private[graft] val cmsWidth = 1024
+  private[graft] val cmsMixers: IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(515L)
+    IndexedSeq.fill(4)(
+      ((1 + rng.nextInt(Int.MaxValue - 1)).toLong,
+       (1 + rng.nextInt(Int.MaxValue - 1)).toLong))
+  }
 
   /** DuckDB twin of d04 — recomputes the full SimHash pipeline in SQL:
     * per-token prime-field Horner hashes via closed-form polynomial sums
@@ -380,7 +448,68 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB twin of t15 — replays the whole count-min sketch in SQL: the
+    * same token counts, the same two closed-form polynomial token hashes
+    * (the d04Oracle power-table construction), the engine's cmsMixers as a
+    * literal table, bucket sums as the sketch, min-over-rows as the
+    * estimate. Hash-exact because every stage is integer arithmetic in a
+    * prime field. */
+  private lazy val t15Oracle: String = {
+    val mixerRows = cmsMixers.zipWithIndex
+      .map { case ((r, s), i) => s"($i, $r, $s)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |  mix AS (SELECT * FROM (VALUES $mixerRows) AS m(i, r, s)),
+       |  toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |           FROM documents),
+       |  tokc AS (SELECT tok, count(*) AS exact_n FROM toks
+       |           WHERE tok <> '' GROUP BY tok),
+       |  ml AS (SELECT max(length(tok)) AS m FROM tokc),
+       |  powt(i, a, b) AS (
+       |    SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |    UNION ALL
+       |    SELECT i + 1, (a * 31) % $HashP1, (b * 131) % $HashP2
+       |    FROM powt WHERE i + 1 < (SELECT m FROM ml)),
+       |  chars AS (SELECT t.tok, p.i AS j, ord(substr(t.tok, p.i + 1, 1)) AS cp
+       |            FROM tokc t JOIN powt p ON p.i < length(t.tok)),
+       |  th AS (SELECT c.tok,
+       |           CAST(sum(c.cp * pw.a) % $HashP1 AS BIGINT) AS h1,
+       |           CAST(sum(c.cp * pw.b) % $HashP2 AS BIGINT) AS h2
+       |         FROM chars c JOIN powt pw ON pw.i = length(c.tok) - 1 - c.j
+       |         GROUP BY c.tok),
+       |  tb AS (SELECT tc.tok, tc.exact_n, m.i,
+       |           ((th.h1 * m.r + th.h2 * m.s) % $HashP3) % $cmsWidth AS bucket
+       |         FROM tokc tc JOIN th ON th.tok = tc.tok CROSS JOIN mix m),
+       |  sketch AS (SELECT i, bucket, sum(exact_n) AS bn
+       |             FROM tb GROUP BY i, bucket),
+       |  top AS (SELECT tok, exact_n FROM tokc
+       |          ORDER BY exact_n DESC, tok LIMIT 20)
+       |SELECT t.tok, t.exact_n, CAST(min(s.bn) AS BIGINT) AS est_n
+       |FROM top t
+       |JOIN tb ON tb.tok = t.tok
+       |JOIN sketch s ON s.i = tb.i AND s.bucket = tb.bucket
+       |GROUP BY t.tok, t.exact_n
+       |ORDER BY t.exact_n DESC, t.tok""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t15_cms_heavy" -> t15Oracle,
+
+    "t16_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |         WHERE tok <> '' GROUP BY doc_id, tok),
+        |  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |  n AS (SELECT count(*) AS n_docs FROM documents),
+        |  s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |          CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS rarity
+        |        FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |  r AS (SELECT *, row_number() OVER
+        |          (PARTITION BY doc_id ORDER BY rarity DESC, tok) AS rn
+        |        FROM s)
+        |SELECT doc_id, tok, tf, df, rarity FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rarity DESC, tok""".stripMargin,
+
     "d01_exact_dedup" ->
       """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
         |  min(doc_id) AS rep_doc, count(*) AS n_dups
