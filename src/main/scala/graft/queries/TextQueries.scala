@@ -359,19 +359,23 @@ object TextQueries {
     // TF-IDF top terms per document (keyword extraction), with the idf
     // kept RATIONAL — rarity = tf·N/df as one IEEE division of exact
     // integers — so no libm log whose last ulp could differ between
-    // engines. Two token-keyed aggregates + one token-keyed join (all
-    // co-partitioned on tok), then the custom TopKPerKey operator picks
-    // each document's top-3 terms without sorting any doc's full term
-    // list. N reaches the plan as a broadcast 1-row aggregate, not a
-    // driver-side collect.
+    // engines. ONE tokenize pass: df is a count-over-window on the tf
+    // aggregate (a join back to a tok-keyed aggregate would re-scan and
+    // re-tokenize the corpus — column pruning makes the two tf subtrees
+    // non-reusable), then the custom TopKPerKey operator picks each
+    // document's top-3 terms without sorting any doc's full term list.
+    // N reaches the plan as a broadcast 1-row aggregate, not a driver-side
+    // collect.
     "t16_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = d.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"), col("tf"), col("df"),
           ((col("tf") * col("n_docs")).cast("double") / col("df")).as("rarity"))
       graft.plans.TopK.perKey(scored,
