@@ -16,16 +16,33 @@ object Bench {
 
     // Self-defense against contaminated measurements (round-2 lesson: a
     // bench taken on a machine still running other workloads reported a
-    // phantom 2.8x regression). Record load before/after in the JSON and
-    // warn loudly when the machine is already busy at start.
+    // phantom 2.8x regression; the round-3 and round-4 driver benches were
+    // likewise taken while the build session's workload was still
+    // draining). Passive fields were not enough — now the bench actively
+    // WAITS (bounded) for the 1-min load to decay below the threshold
+    // before timing, and records how long it waited. If the machine never
+    // quiets down within the budget, the run proceeds with load_warning
+    // set, as before.
     val machineCpus = Runtime.getRuntime.availableProcessors()
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toLong
+    val waitStart = System.nanoTime()
+    var waitedSec = 0L
+    while (loadavg1() > loadThreshold &&
+           (System.nanoTime() - waitStart) / 1e9 < waitBudgetSec) {
+      System.err.println(
+        f"[bench] 1-min load ${loadavg1()}%.2f > $loadThreshold%.1f - waiting " +
+          s"for the machine to go idle (${waitedSec}s of ${waitBudgetSec}s budget)")
+      Thread.sleep(15000L)
+      waitedSec = ((System.nanoTime() - waitStart) / 1e9).toLong
+    }
     val loadBefore = loadavg1()
-    val loaded = loadBefore > 2.0
+    val loaded = loadBefore > loadThreshold
     if (loaded) {
       System.err.println(
-        f"[bench] WARNING: 1-min load average is $loadBefore%.2f (> 2.0) on " +
-          s"$machineCpus CPUs before the run - timings on a busy machine " +
-          "are not comparable across rounds; re-run on an idle box.")
+        f"[bench] WARNING: 1-min load average is $loadBefore%.2f (> $loadThreshold%.1f) on " +
+          s"$machineCpus CPUs after waiting ${waitedSec}s - timings on a busy " +
+          "machine are not comparable across rounds; re-run on an idle box.")
     }
 
     val spark = GraftSession.tune(
@@ -71,7 +88,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""index_build_sec":$idxSec,"machine_cpus":$machineCpus,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
-      s""""load_warning":$loaded,"sf":"$sfDir"}""")
+      s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,"sf":"$sfDir"}""")
     queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
     spark.stop()
   }
