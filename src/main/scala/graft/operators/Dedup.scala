@@ -371,4 +371,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Cross-document SPAN dedup profile — the exact-substring-dedup shape of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), at token-window granularity: every length-`w` token window
+    * that occurs in ≥ 2 distinct documents is a duplicated span, and a
+    * document's duplication level is the fraction of its token POSITIONS
+    * covered by at least one such window (overlapping windows don't double
+    * count — coverage is a position-set union, not a window count).
+    *
+    * Emits one row per document: (id, n_tokens, n_dup_windows,
+    * n_cov_tokens, cov_frac) — the per-doc signal a pipeline thresholds on
+    * to drop or trim duplicated documents. Documents shorter than `w`
+    * have no windows and report zero duplication.
+    *
+    * Scale shape: window enumeration is map-side (one array transform per
+    * row — ~n_tokens small rows out per doc); the duplicate-window
+    * index is ONE hash shuffle on the window text (the same inverted-index
+    * discipline as [[graft.operators.Splits.contamination]] — no pairwise
+    * join anywhere); coverage is a distinct + count per doc over hit
+    * windows only, which on real corpora is a small fraction of all
+    * windows. The hit frame feeds two aggregates (window count + coverage)
+    * and is tiny relative to the corpus, so recomputing its lineage twice
+    * is cheaper than a persist barrier at 100 TB; callers chasing the last
+    * few percent can persist it upstream.
+    *
+    * At 100 TB the window text itself never needs to shuffle: swap the
+    * `gram` string for a 64-bit hash (xxhash64) and the index shrinks ~8×
+    * with a ~n²·2⁻⁶⁴ false-merge risk. The string form is kept here so the
+    * DuckDB oracle replays the operator exactly. */
+  def spanDedupProfile(df: DataFrame, idCol: String, textCol: String,
+                       w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+    // (id, w0, gram) for every length-w window; docs shorter than w emit
+    // nothing (sequence(0, size-w) would count DOWN for size < w).
+    val wins = base
+      .filter(size(col("tk")) >= w)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - w),
+        i => struct(i.as("w0"),
+          concat_ws(" ", slice(col("tk"), i + lit(1), lit(w))).as("gram")))).as("wn"))
+      .select(col("id"), col("wn.w0").as("w0"), col("wn.gram").as("gram"))
+    val dup = wins.groupBy("gram")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val hit = wins.join(dup, "gram")
+    val dw = hit.groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    val cov = hit
+      .select(col("id"), explode(sequence(col("w0"), col("w0") + (w - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_cov_tokens"))
+    base.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(dw, Seq("id"), "left")
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"),
+        round(coalesce(col("n_cov_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("cov_frac"))
+  }
 }

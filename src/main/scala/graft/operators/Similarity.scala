@@ -201,6 +201,94 @@ object Similarity {
     ivfProbe(ivfBuild(corpus, nid, nvec, nCells, trainSample, iters, persist = false),
       queries, qid, qvec, k, nProbe)
 
+  /** A built product-quantization index: per-subspace codebooks plus the
+    * code-compressed corpus. `codebooks(m)(c)` is subspace `m`'s centroid
+    * `c` (subDim doubles); `encoded` carries ONLY (nid, code_0..code_{m-1})
+    * — m·⌈log₂k⌉ bits of payload per vector instead of dim floats, the
+    * memory shape that lets a 100-TB corpus's scan side fit a cluster's
+    * RAM. Build once ([[pqBuild]]), probe many times ([[pqTopK]]);
+    * `release()` unpersists the encoding when the index is retired. */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]],
+                           m: Int, k: Int, subDim: Int,
+                           encoded: DataFrame, release: () => Unit)
+
+  /** Train per-subspace codebooks and encode the corpus (product
+    * quantization, Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the vector is split into `m`
+    * contiguous subspaces of dim/m dims, each quantized independently by
+    * its own k-means codebook — k^m effective cells from m·k trained
+    * centroids.
+    *
+    * Training reuses the IVF discipline per subspace ([[lloydsCentroids]]
+    * on the sliced sample — distributed, deterministic: sample pinned by
+    * id order, init spread in `Splits.ringHash` order, fixed-point means),
+    * so the DuckDB oracle replays all m trainings exactly (v08). Encoding
+    * is one map-only pass: per subspace an argmax over k codegen'd dots
+    * with the codebook as a literal (broadcast), no shuffle. */
+  def pqBuild(corpus: DataFrame, nid: String, nvec: String, dim: Int,
+              m: Int = 4, k: Int = 8, iters: Int = 4,
+              trainSample: Int = 10000, persist: Boolean = true): PqIndex = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m even subspaces")
+    graft.plans.FloatDotProduct.register(corpus.sparkSession)
+    val subDim = dim / m
+    val sample = corpus
+      .select(col(nid).cast("long").as("__sid"), col(nvec).cast("array<float>").as("__sv"))
+      .orderBy("__sid").limit(trainSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = Array.tabulate(m) { ms =>
+      val sliced = sample.select(col("__sid"),
+        slice(col("__sv"), ms * subDim + 1, subDim).as("__sv"))
+      val init = sliced
+        .orderBy(Splits.ringHash(col("__sid")), col("__sid"))
+        .limit(k)
+        .select(col("__sv")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(init.nonEmpty, "corpus is empty")
+      lloydsCentroids(sliced, "__sv", k, iters, init)
+    }
+    sample.unpersist()
+    val encoded = {
+      val withCodes = (0 until m).foldLeft(
+        corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))) {
+        (a, ms) =>
+          a.withColumn(s"code_$ms",
+            greatest(cellScores(slice(col("nv"), ms * subDim + 1, subDim),
+              codebooks(ms)): _*).getField("c"))
+      }.drop("nv")
+      if (persist) withCodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withCodes
+    }
+    PqIndex(codebooks, m, k, subDim, encoded,
+      () => { if (persist) { encoded.unpersist(); () } })
+  }
+
+  /** PQ asymmetric-distance top-k: a candidate's score against query `q`
+    * is Σ_m q_m · c_{m,code_m} — the ADC approximation of the dot product
+    * (the query stays full-precision; only the corpus is quantized). Pure
+    * plan construction over the prebuilt index, like [[ivfProbe]]: the
+    * corpus side touches only the integer codes, never the original
+    * vectors — at scale the scan reads m small ints per row and the
+    * codebook dots are literals in codegen. Exact re-ranking of the ADC
+    * top-k against the raw vectors is the standard refinement when recall
+    * at rank matters; it composes as [[cosineTopK]] over the ADC
+    * survivors. */
+  def pqTopK(index: PqIndex, queries: DataFrame, qid: String, qvec: String,
+             k: Int): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+    val adc = (0 until index.m).map { ms =>
+      val cb = typedLit(index.codebooks(ms).map(_.map(_.toFloat).toSeq).toSeq)
+      dot(slice(col("qv"), ms * index.subDim + 1, index.subDim),
+        element_at(cb, col(s"code_$ms") + 1))
+    }.reduceLeft(_ + _) // fixed left-to-right subspace order, oracle-identical
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    broadcast(q).join(index.encoded, col("qid") =!= col("nid"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

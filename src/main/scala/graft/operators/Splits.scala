@@ -75,6 +75,33 @@ object Splits {
     df.filter(bucket < cut)
   }
 
+  /** Keep-decision for [[sampleByWeight]]: true iff `key`'s ring hash
+    * falls below `weightNum/weightDen` of the ring. The comparison is
+    * EXACT integer arithmetic — `hash · den < min(num, den) · Ring` —
+    * so there is no per-row float boundary an oracle could disagree on:
+    * hash < 2³¹ and den ≤ 2³¹ keep both products under 2⁶². Weights ≥ 1
+    * clamp to keep-always; negative weights drop the row. */
+  def keepByWeight(key: Column, weightNum: Column, weightDen: Long): Column = {
+    require(weightDen > 0 && weightDen <= Int.MaxValue.toLong + 1,
+      s"weightDen must be in (0, 2^31], got $weightDen")
+    ringHash(key) * weightDen <
+      greatest(least(weightNum.cast("long"), lit(weightDen)), lit(0L)) * HashRing
+  }
+
+  /** Deterministic per-row WEIGHTED sampling (importance resampling): keep
+    * each row with probability `weightNum/weightDen`, decided by the row
+    * key's multiplicative hash — the quality-weighted downsampling step of
+    * a corpus pipeline ("keep high-quality documents with higher
+    * probability"), reproducible across runs, cluster layouts, and by the
+    * DuckDB oracle, unlike rand()-based filtering. `weightNum` is a
+    * per-row integer column (a quality score, a length cap, a vote
+    * count); the effective keep rate is min(max(num,0),den)/den. Map-only:
+    * no shuffle, no state, and nested like [[sampleByGroup]] — raising a
+    * row's weight never evicts it. */
+  def sampleByWeight(df: DataFrame, key: Column, weightNum: Column,
+                     weightDen: Long): DataFrame =
+    df.filter(keepByWeight(key, weightNum, weightDen))
+
   /** Cross-split contamination check (decontamination): for every doc in
     * `targetSplit`, how many of its distinct word n-grams also appear
     * anywhere in `sourceSplit` — the exact inverted-index overlap used to

@@ -481,6 +481,37 @@ object CoreQueries {
         .orderBy("c_custkey")
     },
 
+    // Semi-structured array column surface: build a per-order array in a
+    // pinned order (sort_array over (linenumber, qty) structs — collect_list
+    // alone is shuffle-order-dependent), then the higher-order-function
+    // family over it: transform / filter / aggregate(fold) / exists, plus
+    // an md5 over the rendered array that pins the exact content and order.
+    // Quantities are integral in the data; the long cast keeps every HOF
+    // result exact integer arithmetic on both engines. Scale shape: one
+    // hash shuffle on the group key; arrays are bounded by order size
+    // (≤ 7 lines in TPC-H), so rows stay narrow. HOFs evaluate as
+    // interpreted lambdas (excluded from whole-stage codegen) — fine here
+    // because the per-row work is O(order lines); a corpus-scale hot loop
+    // would go through a JVM kernel instead (SURVEY §2.10 ladder).
+    "q35_array_hof" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("qty"))))
+          .as("ps"))
+        .select(col("l_orderkey"),
+          transform(col("ps"), p => p.getField("qty")).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).cast("long").as("n_items"),
+          size(filter(col("qs"), x => x > 25)).cast("long").as("n_big"),
+          aggregate(col("qs"), lit(0L), (a, x) => a + x).as("total_qty"),
+          array_max(col("qs")).as("max_qty"),
+          exists(col("qs"), x => x % 10 === 0).as("any_round"),
+          md5(concat_ws(",", transform(col("qs"), _.cast("string")))).as("qs_hash"))
+        .orderBy("l_orderkey")
+    },
+
     // A-gsets: explicit GROUPING SETS (the general form behind q11's
     // rollup / q22's cube) with grouping_id disambiguating strata — one
     // Expand + one aggregate, not one job per stratum. Ordering by gid
@@ -806,6 +837,29 @@ object CoreQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // q35: DuckDB's list lambdas mirror Spark's HOFs 1:1; the BIGINT cast
+    // before list-build keeps every element integral so fold/sum/render
+    // are exact on both engines. list_sum on a BIGINT list widens to
+    // HUGEINT → cast back (the round-1 q23/t05 lesson). ORDER BY pins
+    // (linenumber, qty) — the testdata has duplicate linenumbers within an
+    // order, and a linenumber-only sort leaves the tie to engine whim
+    // (sort_array on the struct already pins both on the Spark side).
+    "q35_array_hof" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |    list(CAST(l_quantity AS BIGINT)
+        |         ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS BIGINT) AS n_items,
+        |  CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+        |  CAST(list_sum(qs) AS BIGINT) AS total_qty,
+        |  list_max(qs) AS max_qty,
+        |  len(list_filter(qs, x -> x % 10 = 0)) > 0 AS any_round,
+        |  md5(array_to_string(qs, ',')) AS qs_hash
+        |FROM a
+        |ORDER BY l_orderkey""".stripMargin,
 
     // q31: the Spark side runs this exact text through its SQL entry point.
     "q31_correlated" ->

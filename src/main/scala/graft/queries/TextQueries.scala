@@ -381,6 +381,36 @@ object TextQueries {
       graft.plans.TopK.perKey(scored,
           Seq("doc_id"), Seq("rarity" -> false, "tok" -> true), 3)
         .orderBy(col("doc_id"), col("rarity").desc, col("tok"))
+    },
+
+    // Quality-weighted deterministic sampling (importance resampling):
+    // keep probability proportional to a quality proxy — here
+    // min(n_chars, 2000)/2000, i.e. longer docs survive more often, capped
+    // at keep-always — decided by the doc_id's hash ring position. The
+    // keep decision is an exact integer compare (Splits.keepByWeight), so
+    // the sampled SET is identical across runs, layouts, and engines.
+    // Map-only + one summarizing aggregate.
+    "t17_weighted_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+      d.withColumn("keep",
+          Splits.keepByWeight(col("doc_id"), col("n_chars"), 2000L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy("lang")
+    },
+
+    // Cross-document SPAN dedup (Lee et al. exact-substring-dedup shape at
+    // token-window granularity): per doc, how many of its 8-token windows
+    // are duplicated across documents and what fraction of its token
+    // positions those duplicated spans cover (position-set union — the
+    // trim/drop signal, overlap never double-counts). Inverted-index
+    // discipline: one hash shuffle on the window, no pairwise join.
+    "t18_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedupProfile(docs(s, dir), "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -814,6 +844,52 @@ object TextQueries {
         |       ELSE 'unk' END AS lang_guess,
         |  en_hits, es_hits, de_hits
         |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    // t17: the keep decision is the exact integer compare from
+    // Splits.keepByWeight with the ring constants inlined — no float
+    // boundary to disagree on.
+    "t17_weighted_sample" -> {
+      val h = s"((doc_id % ${Splits.HashRing}) * ${Splits.HashMult}) % ${Splits.HashRing}"
+      s"""WITH k AS (SELECT lang, n_chars,
+         |             ($h) * 2000 <
+         |               greatest(least(n_chars, 2000), 0) * ${Splits.HashRing} AS keep
+         |           FROM documents)
+         |SELECT lang, count(*) AS n_in,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // t18: replays spanDedupProfile exactly — same split-on-single-space +
+    // drop-empties tokenization as the engine, struct-comprehension window
+    // enumeration, count(DISTINCT doc) >= 2 duplicate test, and the
+    // position-set union via unnest(range(w0, w0+8)) + DISTINCT.
+    "t18_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |     w AS (SELECT doc_id,
+        |             unnest([{'w0': i - 1,
+        |                      'gram': array_to_string(tk[i:i+7], ' ')}
+        |                     for i in range(1, len(tk) - 6)],
+        |                    recursive := true)
+        |           FROM d WHERE len(tk) >= 8),
+        |     dup AS (SELECT gram FROM w GROUP BY gram
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     hit AS (SELECT w.doc_id, w.w0 FROM w JOIN dup USING (gram)),
+        |     dw AS (SELECT doc_id, count(*) AS n_dup_windows
+        |            FROM hit GROUP BY doc_id),
+        |     cov AS (SELECT doc_id, count(*) AS n_cov_tokens FROM (
+        |               SELECT DISTINCT doc_id, unnest(range(w0, w0 + 8)) AS p
+        |               FROM hit)
+        |             GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+        |  COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(cov.n_cov_tokens, 0) AS n_cov_tokens,
+        |  round(COALESCE(cov.n_cov_tokens, 0) / CAST(len(d.tk) AS DOUBLE), 4)
+        |    AS cov_frac
+        |FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
 }

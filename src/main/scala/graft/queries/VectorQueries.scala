@@ -21,6 +21,15 @@ object VectorQueries {
     ivfCache.computeIfAbsent((s, dir),
       _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
 
+  // PQ index cache, same lifecycle as the IVF cache above: built by the
+  // first v08 invocation per (session, dir), probe-only afterwards.
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqIndex]()
+  private def pqIndexFor(s: SparkSession, dir: String): Similarity.PqIndex =
+    pqCache.computeIfAbsent((s, dir),
+      _ => Similarity.pqBuild(emb(s, dir), "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iters = 4))
+
   /** Drop (and unpersist) every cached index of `s` — session teardown
     * hygiene for JVMs that run many sessions. */
   def releaseIvfIndexes(s: SparkSession): Unit = {
@@ -32,14 +41,24 @@ object VectorQueries {
         it.remove()
       }
     }
+    val pt = pqCache.entrySet().iterator()
+    while (pt.hasNext) {
+      val e = pt.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release() catch { case _: Exception => () }
+        pt.remove()
+      }
+    }
   }
 
-  /** Build AND materialize the IVF index for (session, dir) — the explicit
-    * index-construction step a query-heavy deployment runs once before
-    * serving probes. Bench times this separately so the per-query v04
-    * number is probe cost, with build cost reported as its own field. */
+  /** Build AND materialize the vector indexes for (session, dir) — the
+    * explicit index-construction step a query-heavy deployment runs once
+    * before serving probes. Bench times this separately so the per-query
+    * v04/v08 numbers are probe cost, with build cost reported as its own
+    * field. */
   def prepareIvfIndex(s: SparkSession, dir: String): Unit = {
     ivfIndexFor(s, dir).assigned.count()
+    pqIndexFor(s, dir).encoded.count()
     ()
   }
 
@@ -106,6 +125,35 @@ object VectorQueries {
              round(min(col("nrm")), 4).as("min_norm"),
              round(max(col("nrm")), 4).as("max_norm"))
         .orderBy("label")
+    },
+
+    // K-means document clustering profile — the corpus-structure surface of
+    // the same IVF partition v04 probes and v05 blocks on (cluster/topic
+    // balancing step of a training-data pipeline: per-cluster volumes drive
+    // mixture reweighting). Probe-only against the session index: no
+    // training in the query path; per-cluster stats are order-independent
+    // aggregates (count / min / max), so no float-reduction trap.
+    "v07_cluster_profile" -> { (s, dir) =>
+      ivfIndexFor(s, dir).assigned
+        .groupBy(col("cell").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("nid")).as("rep_id"),
+          round(min(col("nn")), 4).as("min_norm"),
+          round(max(col("nn")), 4).as("max_norm"))
+        .orderBy("cluster")
+    },
+
+    // Product-quantization ADC top-k — the memory-bound scale path of the
+    // ANN family (v01 exact, v02 data-oblivious LSH, v04 IVF): the corpus
+    // scan side carries 4 small integer codes per vector instead of 64
+    // floats; queries score candidates against 4×8 trained sub-centroids
+    // (literals in codegen). Probe-only against the session index; all
+    // four subspace trainings replay exactly in the oracle.
+    "v08_pq_adc" -> { (s, dir) =>
+      Similarity.pqTopK(pqIndexFor(s, dir),
+          emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("adc"), 4).as("adc"))
+        .orderBy("qid", "rank")
     },
 
     // int8 scalar quantization — the embedding-compression step of a
@@ -204,61 +252,72 @@ object VectorQueries {
     *    engines round ties away from zero;
     *  - empty cells keep their previous centroid (COALESCE over LEFT JOIN).
     */
-  private def ivfTrainingCtes(nCells: Int, iters: Int, trainSample: Int,
-                              dim: Int): String = {
+  /** One complete k-means training + corpus-assignment CTE chain over the
+    * vector expression `vx` ("v" for the IVF full vector; "v[lo:hi]" for a
+    * PQ subspace slice), every CTE name prefixed with `px` so several
+    * chains coexist in one WITH clause (v08 runs four). Requires an
+    * upstream `e(vec_id, v)` CTE; emits `${px}corpus` = (nid, cell, nv,
+    * nn) and leaves `${px}centl$iters` (the trained codebook as ordered
+    * lists) visible for ADC lookups. */
+  private def kmeansCtes(px: String, vx: String, nCells: Int, iters: Int,
+                         trainSample: Int, dim: Int): String = {
     val iterCtes = (0 until iters).map { i =>
-      s"""centl$i AS (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+      s"""${px}centl$i AS (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
          |                     list(val ORDER BY pos) AS cd
-         |              FROM cent$i GROUP BY c),
-         |  score$i AS (SELECT s.sid, l.c,
+         |              FROM ${px}cent$i GROUP BY c),
+         |  ${px}score$i AS (SELECT s.sid, l.c,
          |                list_inner_product(s.v, l.cf)
          |                  - list_inner_product(l.cd, l.cd) / 2 AS sc
-         |              FROM samp s CROSS JOIN centl$i l),
-         |  asg$i AS (SELECT sid, c AS cell FROM (
+         |              FROM ${px}samp s CROSS JOIN ${px}centl$i l),
+         |  ${px}asg$i AS (SELECT sid, c AS cell FROM (
          |              SELECT sid, c, row_number() OVER (PARTITION BY sid
-         |                       ORDER BY sc DESC, c DESC) AS rn FROM score$i)
+         |                       ORDER BY sc DESC, c DESC) AS rn FROM ${px}score$i)
          |            WHERE rn = 1),
-         |  mean$i AS (SELECT a.cell AS c, p.pos,
+         |  ${px}mean$i AS (SELECT a.cell AS c, p.pos,
          |               (CAST(sum(CAST(round(p.x * 1048576.0) AS BIGINT)) AS DOUBLE)
          |                  / count(*)) / 1048576.0 AS m
-         |             FROM asg$i a JOIN sampx p ON p.sid = a.sid
+         |             FROM ${px}asg$i a JOIN ${px}sampx p ON p.sid = a.sid
          |             GROUP BY a.cell, p.pos),
-         |  cent${i + 1} AS (SELECT cp.c, cp.pos, COALESCE(m.m, cp.val) AS val
-         |                   FROM cent$i cp LEFT JOIN mean$i m
+         |  ${px}cent${i + 1} AS (SELECT cp.c, cp.pos, COALESCE(m.m, cp.val) AS val
+         |                   FROM ${px}cent$i cp LEFT JOIN ${px}mean$i m
          |                     ON m.c = cp.c AND m.pos = cp.pos)""".stripMargin
     }.mkString(",\n  ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |  samp AS (SELECT vec_id AS sid, v FROM e ORDER BY vec_id LIMIT $trainSample),
-       |  pos AS (SELECT unnest(range($dim)) AS pos),
-       |  sampx AS (SELECT sid, pos, v[pos + 1] AS x FROM samp CROSS JOIN pos),
-       |  init AS (SELECT row_number() OVER (ORDER BY
+    s"""${px}samp AS (SELECT vec_id AS sid, $vx AS v FROM e ORDER BY vec_id LIMIT $trainSample),
+       |  ${px}pos AS (SELECT unnest(range($dim)) AS pos),
+       |  ${px}sampx AS (SELECT sid, pos, v[pos + 1] AS x FROM ${px}samp CROSS JOIN ${px}pos),
+       |  ${px}init AS (SELECT row_number() OVER (ORDER BY
        |             ((sid % ${graft.operators.Splits.HashRing}) *
        |              ${graft.operators.Splits.HashMult})
        |               % ${graft.operators.Splits.HashRing}, sid) - 1 AS c, v
-       |           FROM samp ORDER BY
+       |           FROM ${px}samp ORDER BY
        |             ((sid % ${graft.operators.Splits.HashRing}) *
        |              ${graft.operators.Splits.HashMult})
        |               % ${graft.operators.Splits.HashRing}, sid
        |           LIMIT $nCells),
-       |  cent0 AS (SELECT i.c, p.pos, i.v[p.pos + 1] AS val
-       |            FROM init i CROSS JOIN pos p),
+       |  ${px}cent0 AS (SELECT i.c, p.pos, i.v[p.pos + 1] AS val
+       |            FROM ${px}init i CROSS JOIN ${px}pos p),
        |  $iterCtes,
-       |  centl$iters AS (SELECT c,
+       |  ${px}centl$iters AS (SELECT c,
        |                    list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
        |                    list(val ORDER BY pos) AS cd
-       |                  FROM cent$iters GROUP BY c),
-       |  cscore AS (SELECT e.vec_id, l.c,
-       |               list_inner_product(e.v, l.cf)
+       |                  FROM ${px}cent$iters GROUP BY c),
+       |  ${px}cscore AS (SELECT e.vec_id, l.c,
+       |               list_inner_product(e.$vx, l.cf)
        |                 - list_inner_product(l.cd, l.cd) / 2 AS sc
-       |             FROM e CROSS JOIN centl$iters l),
-       |  corpus AS (SELECT s.vec_id AS nid, s.cell, e.v AS nv,
+       |             FROM e CROSS JOIN ${px}centl$iters l),
+       |  ${px}corpus AS (SELECT s.vec_id AS nid, s.cell, e.v AS nv,
        |               sqrt(list_inner_product(e.v, e.v)) AS nn
        |             FROM (SELECT vec_id, c AS cell FROM (
        |                     SELECT vec_id, c, row_number() OVER (
        |                       PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
-       |                     FROM cscore) WHERE rn = 1) s
+       |                     FROM ${px}cscore) WHERE rn = 1) s
        |             JOIN e ON e.vec_id = s.vec_id)""".stripMargin
   }
+
+  private def ivfTrainingCtes(nCells: Int, iters: Int, trainSample: Int,
+                              dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  ${kmeansCtes("", "v", nCells, iters, trainSample, dim)}""".stripMargin
 
   private def v04Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
                         iters: Int = 8, trainSample: Int = 10000,
@@ -299,10 +358,65 @@ object VectorQueries {
 
   private val V05Threshold = 0.3
 
+  /** DuckDB twin of v08 — replays all four subspace k-means trainings
+    * (same arithmetic contract as v04's, see [[kmeansCtes]]), encodes the
+    * corpus per subspace, then scores ADC = Σ_m q_m·c_{m,code_m} with the
+    * same left-to-right subspace addition order as pqTopK's reduceLeft. */
+  private def v08Oracle(m: Int = 4, k: Int = 8, iters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64,
+                        topK: Int = 5): String = {
+    val subDim = dim / m
+    val blocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, iters,
+        trainSample, subDim)
+    }.mkString(",\n  ")
+    val codeCols = (0 until m).map(ms => s"m$ms.cell AS c$ms").mkString(", ")
+    val codeJoin = (1 until m)
+      .map(ms => s"JOIN m${ms}corpus m$ms ON m$ms.nid = m0.nid")
+      .mkString("\n            ")
+    val cbJoins = (0 until m)
+      .map(ms => s"JOIN m${ms}centl$iters b$ms ON b$ms.c = codes.c$ms")
+      .mkString("\n           ")
+    val adcSum = (0 until m).map { ms =>
+      val lo = ms * subDim
+      s"list_inner_product(q.v[${lo + 1}:${lo + subDim}], b$ms.cf)"
+    }.mkString("\n             + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  $blocks,
+       |  codes AS (SELECT m0.nid, $codeCols
+       |            FROM m0corpus m0
+       |            $codeJoin),
+       |  q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 8),
+       |  sims AS (SELECT q.qid, codes.nid,
+       |             $adcSum AS adc
+       |           FROM q JOIN codes ON codes.nid <> q.qid
+       |           $cbJoins),
+       |  r AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
+       |          ORDER BY adc DESC, nid) AS rank FROM sims)
+       |SELECT qid, rank, nid, round(adc, 4) AS adc
+       |FROM r WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB twin of v07 — same training replay as v04, then the per-cell
+    * profile over the assigned corpus. */
+  private def v07Oracle(nCells: Int = 16, iters: Int = 8,
+                        trainSample: Int = 10000, dim: Int = 64): String =
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)}
+       |SELECT CAST(cell AS BIGINT) AS cluster, count(*) AS n_members,
+       |  min(nid) AS rep_id,
+       |  round(min(nn), 4) AS min_norm, round(max(nn), 4) AS max_norm
+       |FROM corpus
+       |GROUP BY cell
+       |ORDER BY cluster""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
+    "v07_cluster_profile" -> v07Oracle(),
+    "v08_pq_adc" -> v08Oracle(),
     // Mirrors cosineTopK arithmetic exactly: double-cast vectors,
     // dot/(sqrt(dot_aa)*sqrt(dot_bb)), ties broken by neighbor id.
     "v01_cosine_topk" ->

@@ -81,6 +81,18 @@ object EventStreams {
       .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
   }
 
+  /** Stream-STATIC enrichment join: every micro-batch left-joins the
+    * static dimension table — the standard "attach user/account/catalog
+    * attributes at ingest" step. Stateless (no watermark, no join state:
+    * the static side is not a stream), and the static plan is re-resolved
+    * per micro-batch, so a dimension refresh lands on the next trigger
+    * without restarting the query. Broadcast keeps it shuffle-free on the
+    * stream side — the right shape for a small dimension; a huge dimension
+    * would instead be pre-bucketed on the key (ScaleTechniquesSpec). */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+                     key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming EXACT dedup — the ingest-time twin of the batch
     * `Dedup.exactByContent` step: duplicate deliveries of the same key
     * (at-least-once sources redeliver) are suppressed with state that is

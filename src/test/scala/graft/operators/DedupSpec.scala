@@ -188,4 +188,39 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", "source", 0.0).collect()
     assert(pairs.isEmpty)
   }
+
+  test("spanDedupProfile: coverage is a position-set union; short docs report zero") {
+    // tokens 0..19 shared between docs 0 and 1 (20 tokens -> 13 windows at
+    // w=8, covering all 20 positions of doc 0); doc 1 carries the shared
+    // span then 10 unique tokens; doc 2 is unrelated; doc 3 is shorter
+    // than the window and must still appear with zeros.
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared),
+      (1L, shared + " " + (0 until 10).map(i => s"u$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"z$i").mkString(" ")),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupProfile(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 0: every window duplicated, full coverage
+    assert(out(0L) === ((20L, 13L, 20L, 1.0)))
+    // doc 1: 13 shared windows cover positions 0..19 of its 30 tokens —
+    // overlapping windows never double-count (20, not 13*8)
+    assert(out(1L) === ((30L, 13L, 20L, 0.6667)))
+    // doc 2: no duplication; doc 3: too short for any window
+    assert(out(2L) === ((30L, 0L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("spanDedupProfile: within-doc repeats alone are not cross-doc duplication") {
+    val rep = ((0 until 10).map(i => s"r$i") ++ (0 until 10).map(i => s"r$i"))
+      .mkString(" ") // the same 10 tokens twice in ONE doc
+    val docs = Seq((0L, rep), (1L, (0 until 12).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedupProfile(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) === 0L, "count(DISTINCT doc) >= 2 ignores same-doc repeats")
+  }
 }

@@ -92,4 +92,62 @@ class SimilaritySpec extends SparkSpec {
       k = 3, nCells = 8, nProbe = 2).collect().map(_.toSeq).toSet
     assert(run() === run())
   }
+
+  test("PQ: deterministic build, in-range codes, ADC ranks clusters correctly") {
+    // three tight clusters on separate axes in 8 dims; m=2 subspaces of 4
+    val vecs = (0 until 12).map { i =>
+      val v = Array.fill(8)(0.001f * ((i * 13) % 7))
+      v(i % 3) = 1.0f
+      v(4 + i % 3) = 1.0f // second subspace separates the clusters too
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.pqBuild(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 4, trainSample = 12)
+    val idx2 = Similarity.pqBuild(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 4, trainSample = 12)
+    try {
+      // deterministic: identical codebooks and identical corpus codes
+      assert(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        idx2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val codes = idx.encoded.orderBy("nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(codes === idx2.encoded.orderBy("nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))))
+      codes.foreach { case (_, c0, c1) =>
+        assert(c0 >= 0 && c0 < 4 && c1 >= 0 && c1 < 4, s"code out of range ($c0,$c1)")
+      }
+      // ADC ranking: each query's top-3 are exactly its same-cluster peers
+      val top = Similarity.pqTopK(idx, vecs.filter($"vec_id" < 3),
+          "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      top.foreach { case (q, n) =>
+        assert(q % 3 == n % 3, s"ADC ranked cross-cluster $n above $q's peers")
+      }
+      assert(top.length === 9)
+    } finally { idx.release(); idx2.release() }
+  }
+
+  test("pqTopK is pure plan construction: zero jobs at probe time") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.pqBuild(e, "vec_id", "embedding", dim = 64)
+    idx.encoded.count() // materialize the persisted encoding
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val probe = Similarity.pqTopK(idx, e.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 3)
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        "constructing a PQ probe plan ran Spark jobs — training leaked into probe")
+      assert(probe.count() > 0)
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      idx.release()
+    }
+  }
 }

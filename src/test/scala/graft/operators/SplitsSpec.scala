@@ -92,4 +92,27 @@ class SplitsSpec extends SparkSpec {
     assert(packed(("b", 1L)) === 0L, "each part packs from bin 0")
     assert(packed(("b", 2L)) === 1L, "oversized first row fills bin 0 alone")
   }
+
+  test("sampleByWeight: rate tracks the weight, nested, clamped, deterministic") {
+    val df = spark.range(20000).toDF("id")
+    // weight 1/2: expect ~50% kept; the kept set of weight 1/4 must be a
+    // subset of weight 1/2's (same hash, lower cut — nested samples)
+    val half = Splits.sampleByWeight(df, $"id", lit(500L), 1000L)
+    val quarter = Splits.sampleByWeight(df, $"id", lit(250L), 1000L)
+    val nHalf = half.count()
+    assert(math.abs(nHalf / 20000.0 - 0.5) < 0.02, s"kept $nHalf of 20000")
+    assert(quarter.except(half).isEmpty, "lower weight keeps a subset")
+    // weights >= den clamp to keep-always; negative weights drop the row
+    assert(Splits.sampleByWeight(df, $"id", lit(5000L), 1000L).count() === 20000L)
+    assert(Splits.sampleByWeight(df, $"id", lit(-3L), 1000L).count() === 0L)
+    // layout independence
+    val again = Splits.sampleByWeight(df.repartition(13), $"id", lit(500L), 1000L)
+    assert(again.except(half).isEmpty && half.except(again).isEmpty)
+    // per-row weights: a row's own column drives its keep probability
+    val weighted = Splits.sampleByWeight(
+      df.withColumn("wn", when($"id" < 10000, 0L).otherwise(1000L)),
+      $"id", $"wn", 1000L)
+    assert(weighted.filter($"id" < 10000).count() === 0L)
+    assert(weighted.filter($"id" >= 10000).count() === 10000L)
+  }
 }

@@ -90,6 +90,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join attaches dimension rows per micro-batch") {
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = enrichedEvents(sdf, dim)
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"),
+                  (2L, ts("2024-01-01 00:06:00"), 99L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // second micro-batch re-joins the same static side
+      mem.addData((3L, ts("2024-01-01 00:07:00"), 11L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_sink").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2))))
+      assert(rows.toSeq === Seq(
+        (1L, Some("gold")),   // matched
+        (2L, None),           // left join keeps the unmatched event
+        (3L, Some("basic")))) // later batch joins too
+      // stateless: no streaming state operator involved in the join
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("session windows split on the gap") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:00:00"), 10L, "click", 1.0, "{}"),
