@@ -39,6 +39,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotHof(dbl(a), dbl(b)) / (norm(a) * norm(b))
 
+  /** Per-query top-k of `scored` (qid, nid, score, …) by (score DESC, nid
+    * ASC), through the bounded-heap [[graft.plans.TopK]] operator instead
+    * of a row_number window: the window formulation SORTS every query's
+    * full candidate set (the whole corpus for the exact ranker), where the
+    * heap does O(n log k) compares and its partial pass below the exchange
+    * caps the shuffle at k rows per (input partition × query). The rank
+    * column is then a window over only the ≤ k×queries survivors. The
+    * (score, nid) order is total per qid — nid is unique per query — so
+    * the result is exactly the window formulation's (TopKPerKeySpec pins
+    * the operator-level parity; v01/v02/v04/v08 stay hash-exact). */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("qid"), Seq(scoreCol -> false, "nid" -> true), k)
+    val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("nid"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col("nid"), col(scoreCol))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries   (qid, qv) — small enough to broadcast
@@ -51,12 +69,10 @@ object Similarity {
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
       .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    broadcast(q).join(c, col("qid") =!= col("nid"))
-      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    rankTopK(
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      "sim", k)
   }
 
   /** Distributed Lloyd's iterations for a coarse k-means quantizer.
@@ -174,14 +190,12 @@ object Similarity {
     val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
       .withColumn("cell", explode(probeCells(col("qv")).getField("c")))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    broadcast(q).join(index.assigned, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
-      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    rankTopK(
+      broadcast(q).join(index.assigned, Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .dropDuplicates("qid", "nid")
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      "sim", k)
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
@@ -281,12 +295,10 @@ object Similarity {
       dot(slice(col("qv"), ms * index.subDim + 1, index.subDim),
         element_at(cb, col(s"code_$ms") + 1))
     }.reduceLeft(_ + _) // fixed left-to-right subspace order, oracle-identical
-    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
-    broadcast(q).join(index.encoded, col("qid") =!= col("nid"))
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+    rankTopK(
+      broadcast(q).join(index.encoded, col("qid") =!= col("nid"))
+        .withColumn("adc", adc),
+      "adc", k)
   }
 
   /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
@@ -330,13 +342,11 @@ object Similarity {
     val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
       .withColumn("bucket", lshBucket(col("nv"), planes))
       .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    broadcast(q).join(c, Seq("bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid") // a neighbor can match several probes
-      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    rankTopK(
+      broadcast(q).join(c, Seq("bucket"))
+        .filter(col("qid") =!= col("nid"))
+        .dropDuplicates("qid", "nid") // a neighbor can match several probes
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      "sim", k)
   }
 }
