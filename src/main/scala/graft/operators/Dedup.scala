@@ -78,7 +78,22 @@ object Dedup {
     * [[ManagedPairs]]. */
   def minhashLshPairsManaged(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 128, bands: Int = 8, shingleWidth: Int = 3,
-                             threshold: Double = 0.8, maxBucket: Int = 1000): ManagedPairs = {
+                             threshold: Double = 0.8, maxBucket: Int = 1000): ManagedPairs =
+    lshPairsImpl(df, idCol, textCol, flagCol = None, k, bands, shingleWidth,
+      threshold, maxBucket)
+
+  /** Shared LSH candidate + estimate machinery. `flagCol` (boolean) marks
+    * "new" rows for the incremental shape: when present, only pairs with
+    * at least one flagged member are enumerated — corpus×corpus pairs are
+    * skipped INSIDE the bucket loop (and corpus-only buckets before it),
+    * so re-ingesting a small batch against a huge corpus never re-pays
+    * the corpus's own quadratic bucket work. With no flag every row
+    * counts as new and this is exactly the self-dedup of
+    * [[minhashLshPairs]]. */
+  private def lshPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                           flagCol: Option[String], k: Int, bands: Int,
+                           shingleWidth: Int, threshold: Double,
+                           maxBucket: Int): ManagedPairs = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val spark = df.sparkSession
@@ -97,16 +112,17 @@ object Dedup {
     // one task; persist so the banding pass and verification join read it
     // once (the caller can release it — see the unpersist note below).
     import spark.implicits._
+    val flag = flagCol.map(f => col(f).cast("boolean")).getOrElse(lit(true))
     val sigs = df
       .repartition(parallelism, col(idCol))
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+      .select(col(idCol).cast("long"), col(textCol), flag)
+      .as[(Long, String, Boolean)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text) =>
-          minhashSignatureJvm(text, k, shingleWidth).map(sig => (id, sig.toSeq))
+        rows.flatMap { case (id, text, nf) =>
+          minhashSignatureJvm(text, k, shingleWidth).map(sig => (id, sig.toSeq, nf))
         }
       }
-      .toDF("id", "sig")
+      .toDF("id", "sig", "nf")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidate generation never shuffles signatures: only (band, bandHash,
@@ -118,26 +134,33 @@ object Dedup {
     // named accumulators (DedupMetrics) — never silent.
     val drops = DedupMetrics.counter(spark, "minhash", maxBucket)
     val banded = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
+      .select(col("id"), col("nf"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("nf"), col("band"),
         xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("bh"))
     val pairs = banded
       .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select("ids").as[Seq[Long]]
+      .agg(sort_array(collect_list(struct(col("id"), col("nf")))).as("ms"))
+      .select("ms").as[Seq[(Long, Boolean)]]
       .mapPartitions { buckets =>
         var warned = false
-        buckets.flatMap { ids =>
-          val n = ids.size
+        buckets.flatMap { ms =>
+          val n = ms.size
           if (n > maxBucket) {
             drops.buckets.add(1L); drops.rows.add(n.toLong)
             if (!warned) { DedupMetrics.warnDropped("minhash", n, maxBucket); warned = true }
             Iterator.empty
-          } else if (n < 2) Iterator.empty
+          } else if (n < 2 || !ms.exists(_._2)) Iterator.empty // corpus-only: no work
           else {
-            val a = ids.toArray // sorted ascending => id_a < id_b by construction
-            for { i <- a.indices.iterator; j <- (i + 1 until n).iterator }
-              yield (a(i), a(j))
+            // sorted by id (struct order = (id, nf), ids unique)
+            //   => id_a < id_b by construction
+            val ids = new Array[Long](n)
+            val nfs = new Array[Boolean](n)
+            var x = 0
+            ms.foreach { m => ids(x) = m._1; nfs(x) = m._2; x += 1 }
+            for { i <- ids.indices.iterator; j <- (i + 1 until n).iterator
+                  if nfs(i) || nfs(j) } // never corpus x corpus
+              yield (ids(i), ids(j))
           }
         }
       }
@@ -198,10 +221,54 @@ object Dedup {
   def minhashExactPairsManaged(df: DataFrame, idCol: String, textCol: String,
                                k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
                                threshold: Double = 0.8, estMargin: Double = 0.2,
-                               maxBucket: Int = 1000): ManagedPairs = {
+                               maxBucket: Int = 1000): ManagedPairs =
+    exactPairsImpl(df, idCol, textCol, flagCol = None, k, bands, shingleWidth,
+      threshold, estMargin, maxBucket)
+
+  /** Incremental dedup — EXACT near-dup pairs for a NEW batch against an
+    * existing CORPUS (the daily-ingest shape): emits batch×corpus and
+    * batch×batch pairs at true shingle-set Jaccard ≥ `threshold`, and
+    * NEVER corpus×corpus — the corpus's own duplicate structure was
+    * already resolved when it was ingested, and re-enumerating it would
+    * make every batch pay the full corpus's quadratic bucket work. The
+    * corpus side still computes signatures/shingle sets (one linear pass;
+    * at scale these are precomputed columns persisted with the corpus —
+    * compute them once via this operator's first run and store
+    * alongside). Same exactness contract as [[minhashExactPairs]],
+    * conditional on zero dropped buckets.
+    *
+    * Ids must be unique ACROSS both frames (they share one id space in
+    * the emitted pairs). A batch doc with an id colliding with a corpus
+    * doc would silently merge — keep a single id authority upstream. */
+  def incrementalExactPairs(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 128, bands: Int = 32, shingleWidth: Int = 3,
+                            threshold: Double = 0.8, estMargin: Double = 0.2,
+                            maxBucket: Int = 1000): DataFrame =
+    incrementalExactPairsManaged(batch, corpus, idCol, textCol, k, bands,
+      shingleWidth, threshold, estMargin, maxBucket).pairs
+
+  /** [[incrementalExactPairs]] with the cache-release + drop-stats handle. */
+  def incrementalExactPairsManaged(batch: DataFrame, corpus: DataFrame,
+                                   idCol: String, textCol: String,
+                                   k: Int = 128, bands: Int = 32,
+                                   shingleWidth: Int = 3, threshold: Double = 0.8,
+                                   estMargin: Double = 0.2,
+                                   maxBucket: Int = 1000): ManagedPairs = {
+    val tagged = batch.select(col(idCol), col(textCol)).withColumn("__nf", lit(true))
+      .unionByName(
+        corpus.select(col(idCol), col(textCol)).withColumn("__nf", lit(false)))
+    exactPairsImpl(tagged, idCol, textCol, flagCol = Some("__nf"), k, bands,
+      shingleWidth, threshold, estMargin, maxBucket)
+  }
+
+  private def exactPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                             flagCol: Option[String], k: Int, bands: Int,
+                             shingleWidth: Int, threshold: Double,
+                             estMargin: Double, maxBucket: Int): ManagedPairs = {
     val spark = df.sparkSession
     import spark.implicits._
-    val managed = minhashLshPairsManaged(df, idCol, textCol, k, bands, shingleWidth,
+    val managed = lshPairsImpl(df, idCol, textCol, flagCol, k, bands, shingleWidth,
       math.max(0.0, threshold - estMargin), maxBucket)
     val cand = managed.pairs.select("id_a", "id_b")
     // Shingle sets in the same JVM-kernel family as the signatures: the

@@ -58,6 +58,21 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: odd
+    // doc_ids arrive as the new batch, even doc_ids are the standing
+    // corpus; emit exact near-dup pairs touching the batch (batch×corpus
+    // and batch×batch), never corpus×corpus — the corpus's own duplicate
+    // structure is settled and must not be re-paid per batch.
+    "d06_incremental_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalExactPairs(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash near-dup candidates (oracle: DuckDB recomputes the full
     // signature pipeline — see simhashOracle — and DedupSpec proves the
     // banded pair set equals brute force, so the oracle brute-forces). The
@@ -582,6 +597,24 @@ object TextQueries {
         |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) /
+        |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d06: d03's brute-force all-pairs, restricted to pairs touching the
+    // odd-id batch (corpus×corpus excluded — the operator's contract).
+    "d06_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |     s AS (SELECT doc_id,
+        |             list_distinct([array_to_string(w[i:i+2], ' ')
+        |                            for i in range(1, len(w) - 1)]) AS s
+        |           FROM w WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s)) /
+        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        |  AND len(list_intersect(a.s, b.s)) /
         |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -189,6 +189,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("incrementalExactPairs: batch pairs only, corpus never re-paired") {
+    // corpus: docs 0 and 2 are near-identical (a settled corpus duplicate);
+    // batch: 1 duplicates corpus doc 0; 3 and 5 duplicate each other;
+    // 7 is unique. Expect (0,1) or (1,0)->(0,1), (3,5); NEVER (0,2).
+    val t0 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val t1 = (0 until 40).map(i => if (i == 39) "x" else s"w$i").mkString(" ")
+    val u = (0 until 40).map(i => s"u$i").mkString(" ")
+    val u2 = (0 until 40).map(i => if (i == 39) "y" else s"u$i").mkString(" ")
+    val corpus = Seq((0L, t0), (2L, t0), (4L, (0 until 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, t1), (3L, u), (5L, u2), (7L, (0 until 40).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Dedup.incrementalExactPairsManaged(batch, corpus, "doc_id", "text",
+      threshold = 0.8)
+    val pairs = m.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    m.release()
+    assert(pairs.contains((0L, 1L)), s"batch dup of corpus doc missing: $pairs")
+    assert(pairs.contains((3L, 5L)), s"batch-batch dup missing: $pairs")
+    assert(!pairs.contains((0L, 2L)), s"corpus pair re-emitted: $pairs")
+    assert(pairs.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 },
+      s"every pair must touch the batch: $pairs")
+  }
+
+  test("incrementalExactPairs equals self-dedup minus corpus-internal pairs") {
+    val d = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val all = Dedup.minhashExactPairsManaged(d, "doc_id", "text", threshold = 0.8)
+    val expect = all.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }.toSet
+    all.release()
+    val inc = Dedup.incrementalExactPairsManaged(
+      d.filter($"doc_id" % 2 === 1), d.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", threshold = 0.8)
+    val got = inc.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    inc.release()
+    assert(got === expect)
+  }
+
   test("spanDedupProfile: coverage is a position-set union; short docs report zero") {
     // tokens 0..19 shared between docs 0 and 1 (20 tokens -> 13 windows at
     // w=8, covering all 20 positions of doc 0); doc 1 carries the shared
