@@ -261,6 +261,32 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Quantile SKETCH (approx_percentile / Greenwald-Khanna) beside q27's
+    // exact sort-based percentile — the one-pass answer a 100-TB scan
+    // allows, with the q20 verdict pattern making the approximation
+    // oracle-checkable: the exact quantiles hash-compare directly (p ∈
+    // {1/2, 7/8} — DYADIC fractions on integral data, so the R-7
+    // interpolation is exact on both engines; 0.99 would gamble the last
+    // ulp) and the sketch must land within the tolerance or the verdict
+    // column flips and the hash check fails. accuracy=10000 bounds rank
+    // error at n/10000.
+    "q36_approx_quantiles" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          expr("percentile(l_quantity, 0.875)").as("exact_p875"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.875, 10000)").as("ap875"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_p50"), col("exact_p875"), col("n"),
+          (abs(col("ap50") - col("exact_p50")) / col("exact_p50") <= 0.05)
+            .as("p50_within_5pct"),
+          (abs(col("ap875") - col("exact_p875")) / col("exact_p875") <= 0.05)
+            .as("p875_within_5pct"))
+        .orderBy("l_returnflag")
+    },
+
     // As-of join: each purchase enriched with the latest strictly-prior
     // view by the same user (union + running-max window: one shuffle,
     // no range explosion — operators.AsOfJoin).
@@ -711,6 +737,20 @@ object CoreQueries {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // q36: exact quantiles hash-compare (dyadic, same R-7 interpolation);
+    // the sketch side is asserted through the verdict booleans — a sketch
+    // outside tolerance flips them and fails the hash, like q20.
+    "q36_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_p50,
+        |  quantile_cont(l_quantity, 0.875) AS exact_p875,
+        |  count(*) AS n,
+        |  true AS p50_within_5pct,
+        |  true AS p875_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q19_profile" ->
       """SELECT count(*) AS n_rows, count(l_shipdate) AS n_ship_nonnull,
