@@ -146,21 +146,31 @@ object Dedup {
         var warned = false
         buckets.flatMap { ms =>
           val n = ms.size
-          if (n > maxBucket) {
+          // corpus-only buckets are skipped BEFORE the maxBucket check: an
+          // over-full bucket with no batch member loses no batch-touching
+          // pair, so counting it as a drop would spuriously void the
+          // exactness certificate for an incremental run.
+          if (n < 2 || !ms.exists(_._2)) Iterator.empty
+          else if (n > maxBucket) {
             drops.buckets.add(1L); drops.rows.add(n.toLong)
             if (!warned) { DedupMetrics.warnDropped("minhash", n, maxBucket); warned = true }
             Iterator.empty
-          } else if (n < 2 || !ms.exists(_._2)) Iterator.empty // corpus-only: no work
-          else {
+          } else {
             // sorted by id (struct order = (id, nf), ids unique)
-            //   => id_a < id_b by construction
+            //   => ids ascending, so (min,max) index order = id order
             val ids = new Array[Long](n)
             val nfs = new Array[Boolean](n)
             var x = 0
             ms.foreach { m => ids(x) = m._1; nfs(x) = m._2; x += 1 }
-            for { i <- ids.indices.iterator; j <- (i + 1 until n).iterator
-                  if nfs(i) || nfs(j) } // never corpus x corpus
-              yield (ids(i), ids(j))
+            // Enumerate from the FLAGGED side only — O(flagged·n), not
+            // O(n²): a bucket of 1 batch doc and 999 corpus docs iterates
+            // 999 partners, not 499k (i,j) combinations. A corpus partner
+            // is paired by its (sole) flagged peer; a flagged partner only
+            // from the lower index, so nothing is emitted twice.
+            val flagged = ids.indices.filter(nfs)
+            for { bi <- flagged.iterator; j <- ids.indices.iterator
+                  if j != bi && (!nfs(j) || j > bi) }
+              yield if (bi < j) (ids(bi), ids(j)) else (ids(j), ids(bi))
           }
         }
       }
@@ -497,7 +507,10 @@ object Dedup {
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"),
-        round(coalesce(col("n_cov_tokens"), lit(0L)).cast("double") /
-          col("n_tokens"), 4).as("cov_frac"))
+        // zero-token docs (empty/whitespace text) report 0.0, not the
+        // NULL (Spark) / NaN (DuckDB) a bare 0/0 division would produce
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_cov_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 4)).as("cov_frac"))
   }
 }

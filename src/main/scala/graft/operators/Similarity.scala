@@ -249,17 +249,26 @@ object Similarity {
       .select(col(nid).cast("long").as("__sid"), col(nvec).cast("array<float>").as("__sv"))
       .orderBy("__sid").limit(trainSample)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codebooks = Array.tabulate(m) { ms =>
-      val sliced = sample.select(col("__sid"),
-        slice(col("__sv"), ms * subDim + 1, subDim).as("__sv"))
-      val init = sliced
-        .orderBy(Splits.ringHash(col("__sid")), col("__sid"))
-        .limit(k)
-        .select(col("__sv")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      require(init.nonEmpty, "corpus is empty")
-      lloydsCentroids(sliced, "__sv", k, iters, init)
-    }
+    // The m subspace trainings are independent — run them CONCURRENTLY
+    // (concurrent actions over the shared persisted sample are safe and
+    // the scheduler interleaves their jobs), so build latency is one
+    // training, not m sequential ones. Results are deterministic either
+    // way: each subspace's Lloyd's chain touches only its own slice.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).toList.map { ms => Future {
+        val sliced = sample.select(col("__sid"),
+          slice(col("__sv"), ms * subDim + 1, subDim).as("__sv"))
+        val init = sliced
+          .orderBy(Splits.ringHash(col("__sid")), col("__sid"))
+          .limit(k)
+          .select(col("__sv")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        require(init.nonEmpty, "corpus is empty")
+        lloydsCentroids(sliced, "__sv", k, iters, init)
+      }}),
+      scala.concurrent.duration.Duration.Inf).toArray
     sample.unpersist()
     val encoded = {
       val withCodes = (0 until m).foldLeft(

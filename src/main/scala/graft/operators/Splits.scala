@@ -80,12 +80,15 @@ object Splits {
     * EXACT integer arithmetic — `hash · den < min(num, den) · Ring` —
     * so there is no per-row float boundary an oracle could disagree on:
     * hash < 2³¹ and den ≤ 2³¹ keep both products under 2⁶². Weights ≥ 1
-    * clamp to keep-always; negative weights drop the row. */
+    * clamp to keep-always; negative AND NULL weights drop the row (a
+    * missing quality signal must not default to keep-always, which is
+    * what Spark's null-skipping least() would silently do). */
   def keepByWeight(key: Column, weightNum: Column, weightDen: Long): Column = {
     require(weightDen > 0 && weightDen <= Int.MaxValue.toLong + 1,
       s"weightDen must be in (0, 2^31], got $weightDen")
     ringHash(key) * weightDen <
-      greatest(least(weightNum.cast("long"), lit(weightDen)), lit(0L)) * HashRing
+      greatest(least(coalesce(weightNum.cast("long"), lit(0L)), lit(weightDen)),
+        lit(0L)) * HashRing
   }
 
   /** Deterministic per-row WEIGHTED sampling (importance resampling): keep

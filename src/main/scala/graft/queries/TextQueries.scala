@@ -920,8 +920,9 @@ object TextQueries {
         |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
         |  COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
         |  COALESCE(cov.n_cov_tokens, 0) AS n_cov_tokens,
-        |  round(COALESCE(cov.n_cov_tokens, 0) / CAST(len(d.tk) AS DOUBLE), 4)
-        |    AS cov_frac
+        |  CASE WHEN len(d.tk) = 0 THEN 0.0
+        |       ELSE round(COALESCE(cov.n_cov_tokens, 0)
+        |                  / CAST(len(d.tk) AS DOUBLE), 4) END AS cov_frac
         |FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )

@@ -84,9 +84,12 @@ object EventStreams {
   /** Stream-STATIC enrichment join: every micro-batch left-joins the
     * static dimension table — the standard "attach user/account/catalog
     * attributes at ingest" step. Stateless (no watermark, no join state:
-    * the static side is not a stream), and the static plan is re-resolved
-    * per micro-batch, so a dimension refresh lands on the next trigger
-    * without restarting the query. Broadcast keeps it shuffle-free on the
+    * the static side is not a stream). The static side re-EXECUTES per
+    * micro-batch, but a file-backed DataFrame pins its file listing at
+    * frame creation — an overwritten directory is NOT picked up (deleted
+    * files throw). Use a catalog table (re-resolved per batch) or
+    * foreachBatch with a fresh read for refreshable dimensions; for a
+    * fixed snapshot this is exactly right. Broadcast keeps it shuffle-free on the
     * stream side — the right shape for a small dimension; a huge dimension
     * would instead be pre-bucketed on the key (ScaleTechniquesSpec). */
   def enrichedEvents(events: DataFrame, dim: DataFrame,

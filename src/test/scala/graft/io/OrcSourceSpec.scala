@@ -33,8 +33,11 @@ class OrcSourceSpec extends SparkSpec {
     // predicate pushdown + column pruning reach the ORC scan
     val q = back.filter(col("k") === 3).select("id", "k")
     val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains("PushedFilters") && scan.contains("k"),
-      s"no pushed filter in ORC scan:\n$scan")
+    // assert on the pushed filter CONTENT — the "PushedFilters:" label
+    // prints even when the list is empty, so a label check is vacuous
+    assert("PushedFilters: \\[[^\\]]*(EqualTo|IsNotNull)\\(k".r
+             .findFirstIn(scan).isDefined,
+      s"filter on k not pushed into the ORC scan:\n$scan")
     assert(!scan.contains("name"), s"untouched column not pruned from ORC scan:\n$scan")
     assert(q.count() === 143L) // 1000/7 -> ids 3,10,...,997
   }

@@ -212,6 +212,23 @@ class DedupSpec extends SparkSpec {
       s"every pair must touch the batch: $pairs")
   }
 
+  test("incremental: over-full corpus-only bucket is no work and no drop") {
+    // 8 identical CORPUS docs flood every bucket past maxBucket=5, but the
+    // one batch doc shares nothing with them: the corpus-only buckets are
+    // skipped BEFORE the cap check, so the drop counter must stay zero —
+    // a fired counter would spuriously void the batch's exactness
+    // certificate for pairs that were never at risk.
+    val corpus = (0L until 8L).map(i => (i, base)).toDF("doc_id", "text")
+    val batch = Seq((100L, (0 until 40).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Dedup.incrementalExactPairsManaged(batch, corpus, "doc_id", "text",
+      threshold = 0.5, maxBucket = 5)
+    assert(m.pairs.count() === 0L)
+    assert(m.drops().isZero,
+      "corpus-only buckets must not count as drops for an incremental run")
+    m.release()
+  }
+
   test("incrementalExactPairs equals self-dedup minus corpus-internal pairs") {
     val d = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val all = Dedup.minhashExactPairsManaged(d, "doc_id", "text", threshold = 0.8)

@@ -114,5 +114,14 @@ class SplitsSpec extends SparkSpec {
       $"id", $"wn", 1000L)
     assert(weighted.filter($"id" < 10000).count() === 0L)
     assert(weighted.filter($"id" >= 10000).count() === 10000L)
+    // NULL weight = missing quality signal = DROP, never keep-always
+    // (Spark's least() skips nulls, which would otherwise keep them all)
+    val withNulls = Splits.sampleByWeight(
+      df.withColumn("wn", when($"id" < 10000, lit(null).cast("long"))
+        .otherwise(1000L)),
+      $"id", $"wn", 1000L)
+    assert(withNulls.filter($"id" < 10000).count() === 0L,
+      "null weights must drop the row")
+    assert(withNulls.filter($"id" >= 10000).count() === 10000L)
   }
 }
