@@ -449,6 +449,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs, blocked like
+    * [[jaccardPairs]]: C(A,B) = |A∩B| / min(|A|,|B|) over token SETS —
+    * the asymmetric measure that catches subset/quote duplication
+    * (a short doc fully contained in a long one scores 1.0 here while
+    * its Jaccard |A∩B|/|A∪B| can be arbitrarily low). The pair survives
+    * when the SMALLER side is ≥ `threshold` contained in the other, the
+    * standard "is this document mostly a copy of part of that one"
+    * question of quote/boilerplate dedup.
+    *
+    * Same scale shape as [[jaccardPairs]]: quadratic only within a block
+    * (documented verification tool / small-block filter — the LSH family
+    * is the corpus-scale candidate generator), one shuffle on the block
+    * key, exact integer set arithmetic with a single division at the end.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, threshold: Double): DataFrame = {
+    val t = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        tokenSet(col(textCol)).as("s"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          least(size(col("s_a")), size(col("s_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Cross-document SPAN dedup profile — the exact-substring-dedup shape of
     * Lee et al., "Deduplicating Training Data Makes Language Models Better"
     * (ACL 2022), at token-window granularity: every length-`w` token window

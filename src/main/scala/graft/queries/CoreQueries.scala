@@ -584,6 +584,64 @@ object CoreQueries {
           max(col("l_quantity")).as("qmax"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // A-histogram: fixed-width numeric binning (the width_bucket shape).
+    // Bucket index is floor of an exactly-rounded IEEE division by a
+    // literal width — bit-identical bucketing on any engine — then one
+    // hash aggregate. Min/max ride through un-rounded: they are exact
+    // input doubles, so the hash compare is safe without a rounding
+    // convention. Scale shape: map-side bucketing, one shuffle on the
+    // bucket key, ~O(distinct buckets) output rows.
+    "q37_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"),
+                col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("o_totalprice"), 2).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("bucket")
+    },
+
+    // W-islands: gaps-and-islands — per-customer purchase streaks, where
+    // consecutive orders ≤ 30 days apart collapse into one island (lag
+    // break flag + running sum, the classic two-window formulation; q23's
+    // sessionize is the event-time cousin — this one runs on DATE
+    // arithmetic and emits island summaries with streak lengths).
+    // Total order (date, orderkey) pins same-day orders on both engines.
+    "q38_gaps_islands" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                to_date(col("o_orderdate")).as("d"))
+        .withColumn("brk",
+          when(lag(col("d"), 1).over(w).isNull ||
+               datediff(col("d"), lag(col("d"), 1).over(w)) > 30, 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("d")).as("start_d"), max(col("d")).as("end_d"))
+        .orderBy("o_custkey", "island")
+    },
+
+    // A-listagg: ordered string aggregation (LISTAGG / string_agg). Spark
+    // has no order-guaranteeing string_agg aggregate, so the engine form
+    // is the composition that IS deterministic under parallel merge:
+    // collect_list → sort_array → array_join (order pinned by the sort,
+    // not by shuffle arrival). Unique names make the sort a total order.
+    "q39_listagg" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+               .as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy("r_name")
     }
   )
 
@@ -949,6 +1007,43 @@ object CoreQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q37_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  ${sqlExactSum("o_totalprice", 2)} AS sum_price,
+         |  min(o_totalprice) AS min_price,
+         |  max(o_totalprice) AS max_price
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
+
+    "q38_gaps_islands" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders),
+        |f AS (SELECT o_custkey, o_orderkey, d,
+        |        CASE WHEN lag(d) OVER w IS NULL
+        |               OR date_diff('day', lag(d) OVER w, d) > 30 THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+        |i AS (SELECT o_custkey, d,
+        |        CAST(sum(brk) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS island
+        |      FROM f)
+        |SELECT o_custkey, island, count(*) AS n_orders,
+        |  min(d) AS start_d, max(d) AS end_d
+        |FROM i
+        |GROUP BY o_custkey, island
+        |ORDER BY o_custkey, island""".stripMargin,
+
+    "q39_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin
   )
 }

@@ -73,6 +73,18 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Overlap-coefficient (containment) near-dup pairs — the asymmetric
+    // companion to d02: |A∩B| / min(|A|,|B|) catches subset/quote
+    // duplication that Jaccard under-scores when document lengths differ.
+    // Same block discipline as d02 (within-source), exact integer set
+    // arithmetic, single terminal division.
+    "d07_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", "source", 0.95)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                round(col("containment"), 4).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash near-dup candidates (oracle: DuckDB recomputes the full
     // signature pipeline — see simhashOracle — and DedupSpec proves the
     // banded pair set equals brute force, so the oracle brute-forces). The
@@ -425,6 +437,32 @@ object TextQueries {
     "t18_span_dedup" -> { (s, dir) =>
       Dedup.spanDedupProfile(docs(s, dir), "doc_id", "text", w = 8)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Composite pretraining quality filter (the C4/Gopher rule-pipeline
+    // shape): named per-document rules, an accumulated reason list in
+    // fixed rule order, and the keep verdict. Every predicate is integer
+    // arithmetic (cross-multiplied rather than divided) so both engines
+    // decide boundary documents identically. Map-only — the one exchange
+    // is the output sort.
+    "t20_quality_filter" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).as("nt"),
+          size(array_distinct(toks)).as("nd"),
+          length(col("text")).as("ch"),
+          arrays_overlap(toks, array(enStop.map(lit): _*)).as("has_stop"))
+        .select(col("doc_id"), col("nt"),
+          array_compact(array(
+            when(col("nt") < 20, lit("too_short")),
+            when(col("nd") * 3 < col("nt"), lit("low_ttr")),
+            when(!col("has_stop"), lit("no_stopword")),
+            when(col("ch") * 10 > col("nt") * 55, lit("long_tokens"))))
+            .as("rs"))
+        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+          concat_ws(",", col("rs")).as("reasons"),
+          (size(col("rs")) === 0).as("keep"))
         .orderBy("doc_id")
     }
   )
@@ -924,6 +962,38 @@ object TextQueries {
         |       ELSE round(COALESCE(cov.n_cov_tokens, 0)
         |                  / CAST(len(d.tk) AS DOUBLE), 4) END AS cov_frac
         |FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // d07: same token-set discipline as d02, overlap-coefficient measure.
+    "d07_containment" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             list_distinct(string_split_regex(trim(text), '\s+')) AS s
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s)) /
+        |        CAST(least(len(a.s), len(b.s)) AS DOUBLE), 4) AS containment
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) /
+        |      CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // t20: rule predicates in the same fixed order; concat_ws skips the
+    // NULL branches on both engines, so the reason string is identical.
+    "t20_quality_filter" -> {
+      val stopTest = enStop.map(w => s"list_contains(w, '$w')").mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         |             length(text) AS ch
+         |           FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  concat_ws(',',
+         |    CASE WHEN len(w) < 20 THEN 'too_short' END,
+         |    CASE WHEN len(list_distinct(w)) * 3 < len(w) THEN 'low_ttr' END,
+         |    CASE WHEN NOT ($stopTest) THEN 'no_stopword' END,
+         |    CASE WHEN ch * 10 > len(w) * 55 THEN 'long_tokens' END) AS reasons,
+         |  (len(w) >= 20 AND len(list_distinct(w)) * 3 >= len(w)
+         |     AND ($stopTest) AND ch * 10 <= len(w) * 55) AS keep
+         |FROM t
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of q37/q38/q39, t20 and d07 that the hash-exact
+  * oracle cannot express: bucket containment, island gap structure,
+  * rule/verdict consistency, brute-force pair parity. (Exactness vs
+  * DuckDB is covered by the Verify/check gate.) */
+class RelationalQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q37: buckets partition the table and bound their members") {
+    val out = CoreQueries.queries("q37_histogram")(spark, sf)
+      .select("bucket", "n", "min_price", "max_price").collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(out.map(_.getLong(1)).sum === total)
+    out.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo <= hi)
+      assert(math.floor(lo / 25000.0).toLong === b, s"min of bucket $b strays")
+      assert(math.floor(hi / 25000.0).toLong === b, s"max of bucket $b strays")
+    }
+  }
+
+  test("q38: islands are ≤30-day-step runs separated by >30-day gaps") {
+    val out = CoreQueries.queries("q38_gaps_islands")(spark, sf)
+      .select("o_custkey", "island", "n_orders", "start_d", "end_d").collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(out.map(_.getLong(2)).sum === total) // every order is in an island
+    out.groupBy(_.getLong(0)).values.foreach { is =>
+      val sorted = is.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq,
+        "islands numbered consecutively from 1 per customer")
+      sorted.foreach(r =>
+        assert(!r.getDate(3).after(r.getDate(4)), "start_d <= end_d"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapDays = (b.getDate(3).toLocalDate.toEpochDay
+            - a.getDate(4).toLocalDate.toEpochDay)
+          assert(gapDays > 30, s"adjacent islands closer than the gap: $gapDays")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q39: nation lists are sorted, counts match, regions complete") {
+    val out = CoreQueries.queries("q39_listagg")(spark, sf).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val names = r.getString(1).split(",").toSeq
+      assert(names === names.sorted, "listagg order is the sort order")
+      assert(names.length.toLong === r.getLong(2))
+    }
+    assert(out.map(_.getLong(2)).sum === 25L) // all nations accounted for
+  }
+
+  test("t20: verdict consistent with reasons; rules fire where they should") {
+    val out = TextQueries.queries("t20_quality_filter")(spark, sf)
+      .select("doc_id", "n_tokens", "reasons", "keep").collect()
+    val ruleOrder = Seq("too_short", "low_ttr", "no_stopword", "long_tokens")
+    out.foreach { r =>
+      val reasons =
+        if (r.getString(2).isEmpty) Seq.empty else r.getString(2).split(",").toSeq
+      assert(r.getBoolean(3) === reasons.isEmpty, "keep ⇔ no reasons")
+      assert(reasons.forall(ruleOrder.contains), s"unknown rule in $reasons")
+      assert(reasons === ruleOrder.filter(reasons.contains),
+        "reasons appear in fixed rule order")
+      // cross-check the one rule reconstructible from the emitted columns
+      assert(reasons.contains("too_short") === (r.getLong(1) < 20))
+    }
+    // the filter must discriminate on this corpus — some kept, some dropped
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
+  }
+
+  test("d07: pairs equal the brute-force overlap coefficient at ≥0.95") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+    val expected = (for {
+      (ia, srcA, sa) <- docs
+      (ib, srcB, sb) <- docs
+      if srcA == srcB && ia < ib
+      c = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.95
+    } yield (ia, ib)).toSet
+    val got = TextQueries.queries("d07_containment")(spark, sf)
+      .select("doc_a", "doc_b", "containment").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    got.foreach(r => assert(r.getDouble(2) >= 0.95))
+    assert(expected.nonEmpty, "threshold must select something on this corpus")
+  }
+}
