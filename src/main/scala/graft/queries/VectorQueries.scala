@@ -115,6 +115,31 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ANN recall audit — the eval harness every approximate index needs:
+    // per query, |IVF top-k ∩ exact top-k| / k. Both sides are
+    // deterministic (v01's and v04's own guarantees), so recall is
+    // EXACTLY oracle-checkable — integer intersection counts and one
+    // terminal division, no tolerance verdicts needed. At 100 TB this
+    // runs on a sampled query set; the exact side is the only brute-force
+    // leg and is explicitly the audit's cost.
+    "v09_recall_audit" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.cosineTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfProbe(ivfIndexFor(s, dir), q, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("qid"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+        .orderBy("qid")
+    },
+
     // Vector norms + label stats: sanity surface for the embedding column.
     "v03_norm_stats" -> { (s, dir) =>
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -343,6 +368,48 @@ object VectorQueries {
        |FROM r WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB twin of v09 — v04's training/probe replay for the IVF leg, the
+    * v01 brute-force formulation (over the same `corpus` CTE) for the
+    * exact leg, then the per-query intersection count. Rank ties on both
+    * legs break by (sim DESC, nid) exactly as the engine's rankTopK. */
+  private def v09Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+                        iters: Int = 8, trainSample: Int = 10000,
+                        dim: Int = 64): String =
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)},
+       |  probe AS (SELECT vec_id AS qid, c AS cell FROM (
+       |              SELECT vec_id, c, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |              FROM cscore WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |  q AS (SELECT e.vec_id AS qid, e.v AS qv,
+       |          sqrt(list_inner_product(e.v, e.v)) AS qn
+       |        FROM e WHERE e.vec_id < 8),
+       |  cand AS (SELECT DISTINCT p.qid, c.nid
+       |           FROM probe p JOIN corpus c ON c.cell = p.cell
+       |           WHERE p.qid <> c.nid),
+       |  sims AS (SELECT cand.qid, cand.nid,
+       |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
+       |           FROM cand JOIN q ON q.qid = cand.qid
+       |                     JOIN corpus c ON c.nid = cand.nid),
+       |  ivf AS (SELECT qid, nid FROM (
+       |            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |              ORDER BY sim DESC, nid) AS rank FROM sims)
+       |          WHERE rank <= $k),
+       |  ex AS (SELECT qid, nid FROM (
+       |           SELECT q.qid, c.nid,
+       |             row_number() OVER (PARTITION BY q.qid
+       |               ORDER BY list_inner_product(q.qv, c.nv) / (q.qn * c.nn)
+       |                 DESC, c.nid) AS rank
+       |           FROM q JOIN corpus c ON c.nid <> q.qid)
+       |         WHERE rank <= $k)
+       |SELECT ex.qid, count(*) AS k,
+       |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  round(CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |               AS DOUBLE) / count(*), 4) AS recall
+       |FROM ex LEFT JOIN ivf i ON i.qid = ex.qid AND i.nid = ex.nid
+       |GROUP BY ex.qid
+       |ORDER BY ex.qid""".stripMargin
+
   /** DuckDB twin of v05 — same training replay as v04, then the IVF-cell-
     * blocked exact dedup tail: within-cell pairs at exact cosine ≥ the
     * threshold, mirroring Dedup.embeddingNearDupPairs arithmetic
@@ -414,6 +481,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
+    "v09_recall_audit" -> v09Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),

@@ -150,4 +150,25 @@ class SimilaritySpec extends SparkSpec {
       idx.release()
     }
   }
+
+  test("v09 recall audit equals the v01∩v04 intersection it claims to count") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.queries.VectorQueries
+    def pairs(q: String) = VectorQueries.queries(q)(spark, sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("v01_cosine_topk")
+    val ivf = pairs("v04_ivf_ann")
+    val audit = VectorQueries.queries("v09_recall_audit")(spark, sf)
+      .select("qid", "k", "n_hits", "recall").collect()
+    assert(audit.length === 8)
+    audit.foreach { r =>
+      val qid = r.getLong(0)
+      val expectHits = exact.filter(_._1 == qid)
+        .intersect(ivf.filter(_._1 == qid)).size.toLong
+      assert(r.getLong(1) === 5L)
+      assert(r.getLong(2) === expectHits, s"n_hits wrong for qid $qid")
+      assert(r.getDouble(3) === math.rint(expectHits / 5.0 * 1e4) / 1e4)
+    }
+  }
 }
