@@ -149,6 +149,74 @@ object Splits {
         round(col("n_contaminated").cast("double") / col("n_grams"), 4))
   }
 
+  /** Bloom-filter decontamination AUDIT — the sketch-accelerated cousin of
+    * [[contamination]], in the production direction: the BENCHMARK split's
+    * distinct n-grams build one Bloom filter (Spark's own
+    * `BloomFilterAggregate`, surfaced via [[graft.plans.BloomMembership]]),
+    * and every CORPUS doc's grams probe it map-side. At 100 TB this is the
+    * shape that wins: the benchmark side is small and aggregates to a
+    * `numBits/8`-byte filter with NO distinct shuffle (Bloom insertion is
+    * idempotent and the OR-merge commutative, so partial aggregation
+    * dedups for free), and the corpus side needs no join at all — each
+    * executor probes a plan-embedded constant.
+    *
+    * This method also carries the exact inverted-index leg (same single
+    * gram-shuffle as [[contamination]]) so callers can AUDIT the sketch:
+    * emits per corpus doc `(id, n_grams, n_true_hits, n_bloom_hits)`.
+    * Bloom guarantees no false negatives — `n_bloom_hits >= n_true_hits`
+    * always — and the configured geometry (`numBits` / `estimatedItems`)
+    * puts the per-gram false-positive rate low enough that
+    * `n_bloom_hits = n_true_hits` in practice; SplitsSpec measures it.
+    * Production pipelines drop the exact leg and threshold on
+    * `n_bloom_hits` alone. */
+  def bloomContamination(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: Column, benchSplit: String,
+                         corpusSplit: String, n: Int = 3,
+                         estimatedItems: Long = 400000L,
+                         numBits: Long = 1L << 22): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.plans.BloomMembership.register(spark)
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), splitCol.as("split"),
+        col(textCol).as("text"))
+      .filter(col("split").isin(benchSplit, corpusSplit))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, sp, text) =>
+        graft.functions.TextFunctions.shingleSetJvm(text, n)
+          .iterator.flatMap(_.iterator.map(g => (id, sp, g)))
+      })
+      .toDF("id", "split", "g")
+    // Build: one partial-aggregating pass over the bench grams; only the
+    // filter bytes reach the driver (the broadcast-small-side discipline).
+    val bloomBytes = Option(
+      grams.filter(col("split") === benchSplit)
+        .agg(call_function("bloom_agg", xxhash64(col("g")),
+          lit(estimatedItems), lit(numBits)).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+    // An empty bench split yields a NULL filter: semantically an empty
+    // set, so every probe answers false rather than null-poisoning sums.
+    val bloomHit = bloomBytes match {
+      case Some(bytes) =>
+        call_function("bloom_might_contain", lit(bytes), xxhash64(col("g")))
+          .cast("int")
+      case None => lit(0)
+    }
+    grams
+      .groupBy("g")
+      .agg(
+        max(when(col("split") === benchSplit, 1).otherwise(0)).as("in_bench"),
+        collect_list(when(col("split") === corpusSplit, col("id"))).as("cids"))
+      // Probe once per DISTINCT gram, after the dedup the gram groupBy
+      // already paid for, then fan hits out to the docs carrying the gram.
+      .withColumn("bloom_hit", bloomHit)
+      .select(explode(col("cids")).as("id"), col("in_bench"), col("bloom_hit"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("in_bench")).cast("long").as("n_true_hits"),
+        sum(col("bloom_hit")).cast("long").as("n_bloom_hits"))
+  }
+
   /** Sequence packing: assign each row to a fixed-budget bin by the
     * cumulative size of the rows before it (within `part`, ordered by
     * `order`) — the standard pretraining "pack documents into ~budget-token

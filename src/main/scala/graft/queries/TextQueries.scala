@@ -440,6 +440,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter decontamination audit — t09's sketch-accelerated cousin
+    // in the production direction: test-split grams build ONE Bloom filter
+    // (Spark's own BloomFilterAggregate, no UDF), train docs probe it
+    // map-side. The emitted columns are the exactly-checkable ones:
+    // true-hit counts from the audit's inverted-index leg, and
+    // `bloom_caught` — the no-false-negative guarantee exercised THROUGH
+    // the sketch (a broken filter would flip it and fail the hash).
+    // Per-gram false positives are measured in SplitsSpec; at the
+    // configured geometry (2²² bits for ≲100k grams) they are ~0.
+    "t19_bloom_contamination" -> { (s, dir) =>
+      Splits.bloomContamination(docs(s, dir), "doc_id", "text",
+          Splits.assign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+          benchSplit = "test", corpusSplit = "train", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_true_hits"),
+          (col("n_true_hits") > 0).as("truly_contaminated"),
+          ((col("n_bloom_hits") > 0) && (col("n_true_hits") > 0))
+            .as("bloom_caught"))
+        .orderBy("doc_id")
+    },
+
     // Composite pretraining quality filter (the C4/Gopher rule-pipeline
     // shape): named per-document rules, an accumulated reason list in
     // fixed rule order, and the keep verdict. Every predicate is integer
@@ -976,6 +997,38 @@ object TextQueries {
         |WHERE len(list_intersect(a.s, b.s)) /
         |      CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // t19: the exact leg is t09's inverted index with the roles swapped
+    // (test grams index, train docs probe); bloom_caught is provably
+    // equal to truly_contaminated (Bloom admits no false negatives), so
+    // the oracle states the guarantee the engine must reproduce.
+    "t19_bloom_contamination" -> {
+      val Seq(c1, c2, _) = Splits.cutsFor(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val h = s"((doc_id % ${Splits.HashRing}) * ${Splits.HashMult}) % ${Splits.HashRing}"
+      s"""WITH s AS (SELECT doc_id,
+         |             CASE WHEN $h < $c1 THEN 'train'
+         |                  WHEN $h < $c2 THEN 'val'
+         |                  ELSE 'test' END AS split,
+         |             string_split_regex(trim(text), '\\s+') AS w
+         |           FROM documents),
+         |     g AS (SELECT doc_id, split,
+         |             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+         |                                   for i in range(1, len(w) - 1)])) AS g
+         |           FROM s WHERE len(w) >= 3),
+         |     idx AS (SELECT DISTINCT g FROM g WHERE split = 'test')
+         |SELECT t.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true_hits,
+         |  (sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END) > 0)
+         |    AS truly_contaminated,
+         |  (sum(CASE WHEN idx.g IS NOT NULL THEN 1 ELSE 0 END) > 0)
+         |    AS bloom_caught
+         |FROM g t LEFT JOIN idx ON idx.g = t.g
+         |WHERE t.split = 'train'
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // t20: rule predicates in the same fixed order; concat_ws skips the
     // NULL branches on both engines, so the reason string is identical.

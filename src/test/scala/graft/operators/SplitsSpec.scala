@@ -124,4 +124,45 @@ class SplitsSpec extends SparkSpec {
       "null weights must drop the row")
     assert(withNulls.filter($"id" >= 10000).count() === 10000L)
   }
+
+  test("bloomContamination: no false negatives, measured FP ~0, agrees with exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Splits.assign(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val out = Splits.bloomContamination(docs, "doc_id", "text", split,
+      benchSplit = "test", corpusSplit = "train", n = 3)
+      .select("id", "n_grams", "n_true_hits", "n_bloom_hits").collect()
+    assert(out.nonEmpty)
+    // Bloom's one guarantee: every true hit is flagged.
+    out.foreach(r => assert(r.getLong(3) >= r.getLong(2),
+      s"false negative on doc ${r.getLong(0)}"))
+    // Measured per-gram FP rate at the configured geometry: ~0. The bound
+    // here is loose (1%) so the test pins the ORDER of magnitude without
+    // becoming a coin flip if the corpus grows.
+    val fp = out.map(r => r.getLong(3) - r.getLong(2)).sum.toDouble
+    val clean = out.map(r => r.getLong(1) - r.getLong(2)).sum.toDouble
+    assert(clean > 0)
+    assert(fp / clean <= 0.01, s"per-gram FP rate ${fp / clean} above 1%")
+    // The exact leg must agree with the standalone exact operator run in
+    // the same direction (bench indexes, corpus probes).
+    val exact = Splits.contamination(docs, "doc_id", "text", split,
+      sourceSplit = "test", targetSplit = "train", n = 3)
+      .select("id", "n_contaminated").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(exact(r.getLong(0)) === r.getLong(2),
+      s"exact-leg divergence on doc ${r.getLong(0)}"))
+  }
+
+  test("bloomContamination: empty bench split probes all-false, not null") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // a split label no row carries → zero bench grams → NULL aggregate
+    val out = Splits.bloomContamination(docs, "doc_id", "text",
+      lit("train"), benchSplit = "nonexistent", corpusSplit = "train", n = 3)
+      .select("n_true_hits", "n_bloom_hits").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) === 0L)
+      assert(r.getLong(1) === 0L, "empty bloom must answer false, not null")
+    }
+  }
 }
