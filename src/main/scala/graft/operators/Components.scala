@@ -144,4 +144,30 @@ object Components {
         coalesce(col("cluster"), col("id")).as("cluster"))
       .withColumn("is_canonical", col("id") === col("cluster"))
   }
+
+  /** The keep-list decision a dedup pipeline actually ships: per duplicate
+    * cluster, keep the HIGHEST-QUALITY copy (quality DESC, id ASC — a
+    * total order, so the survivor is engine-independent), not the
+    * min-id copy [[dupClusters]] defaults to. Returns one row per node:
+    * `(id, cluster, canonical_id, keep)`; downstream the corpus is
+    * `filter(keep)` and every dropped doc knows its replacement.
+    *
+    * Scale shape: clustering as [[dupClusters]]; the per-cluster argmax
+    * runs through the bounded-heap TopKPerKey operator (k = 1 — no
+    * per-cluster sort, shuffle carries one candidate row per cluster per
+    * input partition), and the winners broadcast back onto the membership
+    * frame when small. */
+  def keepList(nodes: DataFrame, idCol: String, qualityCol: String,
+               pairs: DataFrame): DataFrame = {
+    val clustered = dupClusters(nodes, idCol, pairs)
+      .join(nodes.select(col(idCol).cast("long").as("id"),
+        col(qualityCol).as("q")), Seq("id"))
+    val canon = graft.plans.TopK.perKey(
+        clustered.select(col("cluster"), col("id"), col("q")),
+        Seq("cluster"), Seq("q" -> false, "id" -> true), k = 1)
+      .select(col("cluster"), col("id").as("canonical_id"))
+    clustered.join(canon, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
 }

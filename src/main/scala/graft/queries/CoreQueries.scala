@@ -629,6 +629,38 @@ object CoreQueries {
         .orderBy("o_custkey", "island")
     },
 
+    // A-sketch-rollup: the MERGEABLE-sketch pattern that makes 100-TB
+    // distinct counting feasible — per-(status, year) HLL sketches
+    // (Datasketches HllSketch via Spark's hll_sketch_agg), rolled up per
+    // status with hll_union_agg, beside the single-level sketch and the
+    // exact count. At scale the per-shard sketches are computed once at
+    // ingest and every later rollup is a cheap union — no re-scan of raw
+    // data. The two estimate paths legitimately differ a few per mille
+    // (sparse→dense promotion happens at different points), so the
+    // oracle-checkable claims are the q20-style verdicts: each path
+    // within 5% of exact, and the paths within 2% of each other —
+    // deterministic booleans on this data (measured ≤1.3% / ≤0.7%).
+    "q40_hll_rollup" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val merged = o
+        .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+      o.groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_d"),
+          countDistinct(col("o_custkey")).as("exact_custs"))
+        .join(merged, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("est_d") - col("exact_custs")).cast("double")
+            / col("exact_custs") <= 0.05).as("direct_within_5pct"),
+          (abs(col("est_m") - col("exact_custs")).cast("double")
+            / col("exact_custs") <= 0.05).as("merged_within_5pct"),
+          (abs(col("est_m") - col("est_d")).cast("double")
+            / col("exact_custs") <= 0.02).as("paths_agree_2pct"))
+        .orderBy("o_orderstatus")
+    },
+
     // A-listagg: ordered string aggregation (LISTAGG / string_agg). Spark
     // has no order-guaranteeing string_agg aggregate, so the engine form
     // is the composition that IS deterministic under parallel merge:
@@ -1037,6 +1069,15 @@ object CoreQueries {
         |FROM i
         |GROUP BY o_custkey, island
         |ORDER BY o_custkey, island""".stripMargin,
+
+    "q40_hll_rollup" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs,
+        |  true AS direct_within_5pct,
+        |  true AS merged_within_5pct,
+        |  true AS paths_agree_2pct
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q39_listagg" ->
       """SELECT r_name,

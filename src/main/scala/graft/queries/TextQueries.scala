@@ -73,6 +73,22 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Keep-list generation — the decision d05's clusters exist to feed:
+    // per duplicate cluster keep the highest-QUALITY copy (n_chars here;
+    // any score column works), total order (quality DESC, id ASC) so the
+    // survivor is engine-independent. The per-cluster argmax runs through
+    // the bounded-heap TopKPerKey operator (k=1).
+    "d08_keep_list" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashExactPairs(d, "doc_id", "text",
+        k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+      Components.keepList(d, "doc_id", "n_chars",
+          pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster"),
+          col("canonical_id"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // Overlap-coefficient (containment) near-dup pairs — the asymmetric
     // companion to d02: |A∩B| / min(|A|,|B|) catches subset/quote
     // duplication that Jaccard under-scores when document lengths differ.
@@ -411,6 +427,40 @@ object TextQueries {
       graft.plans.TopK.perKey(scored,
           Seq("doc_id"), Seq("rarity" -> false, "tok" -> true), 3)
         .orderBy(col("doc_id"), col("rarity").desc, col("tok"))
+    },
+
+    // Token-rarity scoring — a log-free surprisal proxy: rank the corpus
+    // vocabulary by global frequency (rank 1 = most common; total order
+    // (count DESC, token) so ranks are engine-independent), then score
+    // each document by the exact mean and max rank of its token
+    // INSTANCES. Rare-vocabulary documents surface with high mean rank —
+    // the unigram-LM filter shape without libm::log (whose last-ulp
+    // divergence across engines would break hash parity; integer rank
+    // sums + ONE terminal division are exact). Scale shape: instance
+    // counts and the rank join both shuffle on the token; the global
+    // rank window sorts only the VOCABULARY (post-aggregate, ≪ corpus,
+    // single partition — acceptable because |V| grows sublinearly; a
+    // 100-TB run with a giant vocab would range-partition the rank via
+    // zipWithIndex-style two-pass instead).
+    "t21_token_rarity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val inst = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocabRank = inst.groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+        .select("tok", "rank")
+      inst.join(vocabRank, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("rank")).as("rank_sum"),
+          max(col("rank")).as("max_rank"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("rank_sum").cast("double") / col("n_tokens"), 4)
+            .as("mean_rank"),
+          col("max_rank"))
+        .orderBy("doc_id")
     },
 
     // Quality-weighted deterministic sampling (importance resampling):
@@ -988,6 +1038,42 @@ object TextQueries {
         |FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // d08: d05's recursive-CTE cluster walk + the quality argmax
+    // (n_chars DESC, id ASC) per cluster.
+    "d08_keep_list" ->
+      """WITH RECURSIVE
+        |  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents),
+        |  s AS (SELECT doc_id,
+        |          list_distinct([array_to_string(w[i:i+2], ' ')
+        |                         for i in range(1, len(w) - 1)]) AS s
+        |        FROM w WHERE len(w) >= 3),
+        |  p AS (SELECT CAST(a.doc_id AS BIGINT) AS ia,
+        |               CAST(b.doc_id AS BIGINT) AS ib
+        |        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |        WHERE len(list_intersect(a.s, b.s)) /
+        |              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+        |  e AS (SELECT ia AS src, ib AS dst FROM p
+        |        UNION SELECT ib, ia FROM p),
+        |  walk(id, lbl) AS (
+        |    SELECT src, src FROM e
+        |    UNION
+        |    SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id),
+        |  cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+        |  cl AS (SELECT CAST(d.doc_id AS BIGINT) AS id,
+        |           COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
+        |           d.n_chars
+        |         FROM documents d
+        |         LEFT JOIN cc ON cc.id = CAST(d.doc_id AS BIGINT)),
+        |  can AS (SELECT cluster, id AS canonical_id FROM (
+        |            SELECT cluster, id, row_number() OVER (
+        |              PARTITION BY cluster ORDER BY n_chars DESC, id) AS rn
+        |            FROM cl) WHERE rn = 1)
+        |SELECT cl.id AS doc_id, cl.cluster, can.canonical_id,
+        |  cl.id = can.canonical_id AS keep
+        |FROM cl JOIN can ON can.cluster = cl.cluster
+        |ORDER BY doc_id""".stripMargin,
+
     // d07: same token-set discipline as d02, overlap-coefficient measure.
     "d07_containment" ->
       """WITH t AS (SELECT doc_id, source,
@@ -1000,6 +1086,23 @@ object TextQueries {
         |WHERE len(list_intersect(a.s, b.s)) /
         |      CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // t21: rank ties pinned by (count DESC, token); HUGEINT sums cast back.
+    "t21_token_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |  i AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |  v AS (SELECT tok, count(*) AS n FROM i GROUP BY tok),
+        |  r AS (SELECT tok,
+        |          CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        |            AS rank
+        |        FROM v)
+        |SELECT i.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(r.rank) AS DOUBLE) / count(*), 4) AS mean_rank,
+        |  max(r.rank) AS max_rank
+        |FROM i JOIN r ON r.tok = i.tok
+        |GROUP BY i.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // t19: the exact leg is t09's inverted index with the roles swapped
     // (test grams index, train docs probe); bloom_caught is provably

@@ -88,4 +88,33 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("props") && !readSchema.contains("event_type"),
       readSchema)
   }
+
+  test("q37 histogram: map-side bucketing, partial+final aggregate, pruned scan") {
+    val p = plan(CoreQueries.queries("q37_histogram")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("o_totalprice") && !readSchema.contains("o_orderdate"),
+      readSchema)
+  }
+
+  test("t20 quality filter is map-only: its single exchange is the final sort") {
+    val p = plan(graft.queries.TextQueries.queries("t20_quality_filter")(spark, sf))
+    val exchanges = p.linesIterator.filter(_.matches(".*\\(\\d+\\) Exchange.*")).toSeq
+    assert(exchanges.size == 1, exchanges.mkString("\n"))
+    assert(p.contains("rangepartitioning") && !p.contains("hashpartitioning"),
+      p.take(800))
+  }
+
+  test("q38 islands: both windows and the aggregate share ONE hash exchange") {
+    val p = plan(CoreQueries.queries("q38_gaps_islands")(spark, sf))
+    // lag-window, running-sum-window and the island aggregate all key on
+    // o_custkey (+ prefixes): ONE hashpartitioning exchange feeds all
+    // three (the partial+final aggregate pair runs without re-shuffling
+    // because custkey-partitioning already satisfies the group keys);
+    // the only other exchange is the final sort's range partitioning
+    val exchanges = p.linesIterator
+      .filter(_.matches(".*\\(\\d+\\) Exchange.*")).toSeq
+    assert(exchanges.size == 2, exchanges.mkString("\n"))
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p.take(800))
+  }
 }

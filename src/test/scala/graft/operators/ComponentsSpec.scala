@@ -69,4 +69,35 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
     assert(got.keySet === (51L to 70L).toSet + 50L + 1L)
   }
+
+  test("keepList: one survivor per cluster, chosen by (quality DESC, id ASC)") {
+    import spark.implicits._
+    // two clusters {1,2,3} and {10,11}, singletons 20, 21
+    val nodes = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // tie on quality 9 → id 2 wins
+      (10L, 1L), (11L, 7L),
+      (20L, 4L), (21L, 0L)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Components.keepList(nodes, "doc_id", "quality", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size === 7)
+    // cluster {1,2,3}: min-id cluster label 1, canonical = 2 (quality tie,
+    // smaller id); only 2 keeps
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._1 === 1L); assert(out(id)._2 === 2L)
+      assert(out(id)._3 === (id == 2L))
+    }
+    // cluster {10,11}: canonical 11 (higher quality)
+    Seq(10L, 11L).foreach { id =>
+      assert(out(id)._1 === 10L); assert(out(id)._2 === 11L)
+      assert(out(id)._3 === (id == 11L))
+    }
+    // singletons keep themselves
+    Seq(20L, 21L).foreach { id =>
+      assert(out(id) === ((id, id, true)))
+    }
+  }
 }
