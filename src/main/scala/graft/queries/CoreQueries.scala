@@ -661,6 +661,59 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     },
 
+    // J-skew: the explicit skew-salting join made driver-visible — events
+    // (large, potentially hot user keys) join customers (small) through
+    // SkewJoin.saltedInnerJoin: the probe side takes a DETERMINISTIC salt
+    // (hash of the stable event_id — retry/speculation-safe, unlike
+    // rand()), the build side replicates saltFactor copies, and the
+    // result must be EXACTLY the unsalted join's — which is what the
+    // oracle checks. Revenue rolled up per segment on top (the
+    // (b)-case of the operator's scaladoc: the aggregate keys on the
+    // salted column, where AQE's runtime splitting can't help).
+    "q41_skew_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumnRenamed("c_custkey", "user_id")
+      graft.operators.SkewJoin.saltedInnerJoin(e, c, "user_id",
+          col("event_id"), saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_purchases"),
+          exactSum(col("value"), 4).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // W-gapfill: time-series regularization — per-user daily totals on a
+    // COMPLETE day grid (sequence-explode between the user's first and
+    // last active day), gaps forward-filled with the last observed value
+    // (last(ignoreNulls) over an unbounded-preceding frame; leading gaps
+    // can't exist since the grid starts at the first observation). The
+    // resample/fill shape every downstream window model needs. Daily sums
+    // go through exactSum so the carried values are engine-exact. Scale
+    // shape: the grid explode is bounded by span-days × users and happens
+    // AFTER the daily pre-aggregate; both windows and the grid join key
+    // on user_id — one hash exchange family, no cross join.
+    "q42_gap_fill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .filter(col("user_id") < 20 && col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(exactSum(col("value"), 4).as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("value_filled"),
+          col("day_value").isNull.as("was_gap"))
+        .orderBy("user_id", "d")
+    },
+
     // A-listagg: ordered string aggregation (LISTAGG / string_agg). Spark
     // has no order-guaranteeing string_agg aggregate, so the engine form
     // is the composition that IS deterministic under parallel merge:
@@ -1069,6 +1122,35 @@ object CoreQueries {
         |FROM i
         |GROUP BY o_custkey, island
         |ORDER BY o_custkey, island""".stripMargin,
+
+    // q42: generate_series grid + IGNORE NULLS forward-fill window.
+    "q42_gap_fill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d,
+         |    ${sqlExactSum("value", 4)} AS day_value
+         |  FROM events
+         |  WHERE user_id < 20 AND event_type = 'purchase'
+         |  GROUP BY user_id, CAST(ts AS DATE)),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(min(d), max(d),
+         |                                         INTERVAL 1 DAY))::DATE AS d
+         |  FROM daily GROUP BY user_id)
+         |SELECT g.user_id, g.d,
+         |  last_value(daily.day_value IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+         |  daily.day_value IS NULL AS was_gap
+         |FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+         |ORDER BY g.user_id, g.d""".stripMargin,
+
+    // q41: the oracle is the UNSALTED join — salting must be invisible.
+    "q41_skew_join" ->
+      s"""SELECT c.c_mktsegment, count(*) AS n_purchases,
+         |  ${sqlExactSum("e.value", 4)} AS revenue
+         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+         |WHERE e.event_type = 'purchase'
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin,
 
     "q40_hll_rollup" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs,

@@ -74,6 +74,28 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
   }
 
+  test("q42: complete daily grid, gaps carry the last observed value") {
+    val out = CoreQueries.queries("q42_gap_fill")(spark, sf)
+      .select("user_id", "d", "value_filled", "was_gap").collect()
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val days = rs.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      // grid completeness: consecutive days from first to last, no holes
+      assert(days.last.toEpochDay - days.head.toEpochDay + 1 === days.length,
+        s"grid has holes for user ${rs.head.getLong(0)}")
+      assert(days.distinct.length === days.length)
+      // forward fill: on a gap day the value equals the previous day's
+      val byDay = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      byDay.sliding(2).foreach {
+        case Array(prev, cur) if cur.getBoolean(3) =>
+          assert(cur.getDouble(2) === prev.getDouble(2),
+            s"gap day not carrying previous value for user ${cur.getLong(0)}")
+        case _ => ()
+      }
+      // the first grid day is an observation by construction
+      assert(!byDay.head.getBoolean(3), "grid must start at an observation")
+    }
+  }
+
   test("d07: pairs equal the brute-force overlap coefficient at ≥0.95") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("source"),
