@@ -177,23 +177,27 @@ object Splits {
     val spark = df.sparkSession
     import spark.implicits._
     graft.plans.BloomMembership.register(spark)
-    val grams = df
-      .select(col(idCol).cast("long").as("id"), splitCol.as("split"),
-        col(textCol).as("text"))
-      .filter(col("split").isin(benchSplit, corpusSplit))
+    def shingled(rows: DataFrame): DataFrame = rows
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, sp, text) =>
         graft.functions.TextFunctions.shingleSetJvm(text, n)
           .iterator.flatMap(_.iterator.map(g => (id, sp, g)))
       })
       .toDF("id", "split", "g")
-    // Build: one partial-aggregating pass over the bench grams; only the
-    // filter bytes reach the driver (the broadcast-small-side discipline).
+    val tagged = df
+      .select(col(idCol).cast("long").as("id"), splitCol.as("split"),
+        col(textCol).as("text"))
+    // Build: shingle ONLY the bench split (the split filter sits below the
+    // opaque shingle kernel, where Catalyst can still push it into the
+    // scan) and fold straight into the filter — only the numBits/8 filter
+    // bytes reach the driver (the broadcast-small-side discipline).
     val bloomBytes = Option(
-      grams.filter(col("split") === benchSplit)
+      shingled(tagged.filter(col("split") === benchSplit))
         .agg(call_function("bloom_agg", xxhash64(col("g")),
           lit(estimatedItems), lit(numBits)).as("bf"))
         .head.getAs[Array[Byte]]("bf"))
+    val grams =
+      shingled(tagged.filter(col("split").isin(benchSplit, corpusSplit)))
     // An empty bench split yields a NULL filter: semantically an empty
     // set, so every probe answers false rather than null-poisoning sums.
     val bloomHit = bloomBytes match {

@@ -22,9 +22,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomMembership {
 
-  private val aggInfo =
+  private[plans] val aggInfo =
     new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg")
-  private val probeInfo =
+  private[plans] val probeInfo =
     new ExpressionInfo(classOf[BloomFilterMightContain].getName,
       "bloom_might_contain")
 

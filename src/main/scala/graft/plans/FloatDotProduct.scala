@@ -117,15 +117,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("set_jaccard"), SetJaccard.info,
       (children: Seq[Expression]) => new SetJaccard(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        "bloom_agg"),
-      BloomMembership.aggBuilder))
+      BloomMembership.aggInfo, BloomMembership.aggBuilder))
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "bloom_might_contain"),
-      BloomMembership.probeBuilder))
+      BloomMembership.probeInfo, BloomMembership.probeBuilder))
     ext.injectOptimizerRule(_ => FuseSetJaccard)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -714,6 +714,24 @@ object CoreQueries {
         .orderBy("user_id", "d")
     },
 
+    // A-retention: cohort/retention analysis — users grouped by first-
+    // activity week (the cohort), counted per whole-week offset since.
+    // Two aggregates and a broadcastable first-activity join; week
+    // arithmetic is integer (epoch-day div 7) so cohort boundaries are
+    // engine-exact, with no tz/locale week-of-year semantics in play.
+    "q43_retention" -> { (s, dir) =>
+      val acts = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            / 7).cast("long").as("wk"))
+      val firstWk = acts.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      acts.join(firstWk, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+
     // A-listagg: ordered string aggregation (LISTAGG / string_agg). Spark
     // has no order-guaranteeing string_agg aggregate, so the engine form
     // is the composition that IS deterministic under parallel merge:
@@ -1122,6 +1140,19 @@ object CoreQueries {
         |FROM i
         |GROUP BY o_custkey, island
         |ORDER BY o_custkey, island""".stripMargin,
+
+    // q43: integer epoch-week arithmetic on both sides (// is floor div).
+    "q43_retention" ->
+      """WITH a AS (SELECT user_id,
+        |             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+        |               AS BIGINT) AS wk
+        |           FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT f.cohort_wk, a.wk - f.cohort_wk AS wk_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f ON f.user_id = a.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // q42: generate_series grid + IGNORE NULLS forward-fill window.
     "q42_gap_fill" ->

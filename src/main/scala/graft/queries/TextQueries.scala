@@ -1138,9 +1138,12 @@ object TextQueries {
 
     // t20: rule predicates in the same fixed order; concat_ws skips the
     // NULL branches on both engines, so the reason string is identical.
+    // Tokenizer pairing: Spark split(text, " ") ⇔ string_split(text, ' ')
+    // (the t01 convention — regex-split here would diverge on any
+    // irregular whitespace).
     "t20_quality_filter" -> {
       val stopTest = enStop.map(w => s"list_contains(w, '$w')").mkString(" OR ")
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
          |             length(text) AS ch
          |           FROM documents)
          |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,

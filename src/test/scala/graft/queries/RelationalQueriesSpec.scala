@@ -74,6 +74,26 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
   }
 
+  test("q43: cohort offsets are non-negative; offset 0 counts every cohort member") {
+    val out = CoreQueries.queries("q43_retention")(spark, sf)
+      .select("cohort_wk", "wk_offset", "n_active").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) >= 0L, "activity before first week"))
+    // offset 0 must count exactly the users whose first week IS the cohort
+    // (events via Tables.load — ts is nanosecond parquet)
+    val firstWeeks = graft.io.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+          .cast("long").as("wk"))
+      .groupBy("user_id").agg(min(col("wk")).as("w0"))
+      .collect().map(r => r.getLong(1)).groupBy(identity).view.mapValues(_.length)
+    out.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) === firstWeeks(r.getLong(0)).toLong,
+        s"cohort ${r.getLong(0)} offset-0 count wrong")
+    }
+  }
+
   test("q42: complete daily grid, gaps carry the last observed value") {
     val out = CoreQueries.queries("q42_gap_fill")(spark, sf)
       .select("user_id", "d", "value_filled", "was_gap").collect()
@@ -97,11 +117,15 @@ class RelationalQueriesSpec extends SparkSpec {
   }
 
   test("d07: pairs equal the brute-force overlap coefficient at ≥0.95") {
+    // same tokenizer as the operator's TextFunctions.tokenSet
+    // (trim + regex whitespace split + distinct) — a brute force computed
+    // with a DIFFERENT tokenizer would validate nothing on irregular
+    // whitespace
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("source"),
-        array_distinct(split(col("text"), " ")).as("s"))
+      .select(col("doc_id"), col("source"), col("text"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").toSet))
     val expected = (for {
       (ia, srcA, sa) <- docs
       (ib, srcB, sb) <- docs
