@@ -74,6 +74,9 @@ object Bench {
     try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] IVF index build failed: $e") }
+    try queries.TextQueries.prepareClusterIndex(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cluster index build failed: $e") }
     val idxSec = (System.nanoTime() - tIdx) / 1e9
 
     val results = SparkEntry.queries.map { case (name, fn) =>

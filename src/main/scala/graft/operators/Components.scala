@@ -136,14 +136,22 @@ object Components {
     * min as `cluster` (its own id when it is a singleton or the canonical
     * representative) and `is_canonical` marks the survivor — the keep-list
     * a dedup pipeline feeds downstream. */
-  def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
+  def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    dupClustersFromLabels(nodes, idCol, connectedComponents(pairs))
+
+  /** [[dupClusters]] over a PRECOMPUTED label frame (`(id, cluster)` from
+    * [[connectedComponents]]) — the build/probe split for cluster
+    * consumers: resolve components once per corpus version, then every
+    * downstream decision (cluster table, keep-list, cluster stats) is a
+    * cheap join against the same labels instead of a fresh iterative
+    * convergence. */
+  def dupClustersFromLabels(nodes: DataFrame, idCol: String,
+                            labels: DataFrame): DataFrame =
     nodes.select(col(idCol).cast("long").as("id"))
-      .join(cc, Seq("id"), "left")
+      .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster"), col("id")).as("cluster"))
       .withColumn("is_canonical", col("id") === col("cluster"))
-  }
 
   /** The keep-list decision a dedup pipeline actually ships: per duplicate
     * cluster, keep the HIGHEST-QUALITY copy (quality DESC, id ASC — a
@@ -158,8 +166,14 @@ object Components {
     * input partition), and the winners broadcast back onto the membership
     * frame when small. */
   def keepList(nodes: DataFrame, idCol: String, qualityCol: String,
-               pairs: DataFrame): DataFrame = {
-    val clustered = dupClusters(nodes, idCol, pairs)
+               pairs: DataFrame): DataFrame =
+    keepListFromLabels(nodes, idCol, qualityCol, connectedComponents(pairs))
+
+  /** [[keepList]] over a precomputed label frame — see
+    * [[dupClustersFromLabels]]. */
+  def keepListFromLabels(nodes: DataFrame, idCol: String, qualityCol: String,
+                         labels: DataFrame): DataFrame = {
+    val clustered = dupClustersFromLabels(nodes, idCol, labels)
       .join(nodes.select(col(idCol).cast("long").as("id"),
         col(qualityCol).as("q")), Seq("id"))
     val canon = graft.plans.TopK.perKey(

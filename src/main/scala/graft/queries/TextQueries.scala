@@ -22,6 +22,39 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  // One resolved cluster-label frame per (session, table dir) — the
+  // cluster-index analog of VectorQueries' IVF/PQ caches: connected
+  // components converge ONCE per corpus version (the iterative build,
+  // jobs run eagerly inside connectedComponents) and both cluster
+  // consumers (d05 cluster table, d08 keep-list) probe the same labels.
+  // Entries live until released (releaseClusterLabels) — the map strongly
+  // retains the session and the labels' final localCheckpoint otherwise.
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def dupClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ccCache.computeIfAbsent((s, dir), _ => {
+      val d = docs(s, dir)
+      Components.connectedComponents(
+        Dedup.minhashExactPairs(d, "doc_id", "text",
+          k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+          .select("id_a", "id_b"))
+    })
+
+  /** Drop cached cluster labels of `s` — session-teardown hygiene, same
+    * lifecycle as [[VectorQueries.releaseIvfIndexes]]. */
+  def releaseClusterLabels(s: SparkSession): Unit = {
+    val it = ccCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq s) it.remove()
+  }
+
+  /** Build AND materialize the cluster index for (session, dir) — the
+    * explicit once-per-corpus-version step; Bench times it with the other
+    * index builds so d05/d08 report probe cost. */
+  def prepareClusterIndex(s: SparkSession, dir: String): Unit = {
+    dupClusterLabels(s, dir).count()
+    ()
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -79,11 +112,8 @@ object TextQueries {
     // survivor is engine-independent. The per-cluster argmax runs through
     // the bounded-heap TopKPerKey operator (k=1).
     "d08_keep_list" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val pairs = Dedup.minhashExactPairs(d, "doc_id", "text",
-        k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
-      Components.keepList(d, "doc_id", "n_chars",
-          pairs.select("id_a", "id_b"))
+      Components.keepListFromLabels(docs(s, dir), "doc_id", "n_chars",
+          dupClusterLabels(s, dir))
         .select(col("id").as("doc_id"), col("cluster"),
           col("canonical_id"), col("keep"))
         .orderBy("doc_id")
@@ -121,10 +151,8 @@ object TextQueries {
     // recomputes the same clusters with a recursive-CTE label walk over the
     // brute-force pair set.
     "d05_dup_clusters" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val pairs = Dedup.minhashExactPairs(d, "doc_id", "text",
-        k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
-      Components.dupClusters(d, "doc_id", pairs.select("id_a", "id_b"))
+      Components.dupClustersFromLabels(docs(s, dir), "doc_id",
+          dupClusterLabels(s, dir))
         .select(col("id").as("doc_id"), col("cluster"), col("is_canonical"))
         .orderBy("doc_id")
     },
