@@ -287,30 +287,30 @@ object VectorQueries {
   private def kmeansCtes(px: String, vx: String, nCells: Int, iters: Int,
                          trainSample: Int, dim: Int): String = {
     val iterCtes = (0 until iters).map { i =>
-      s"""${px}centl$i AS (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
+      s"""${px}centl$i AS MATERIALIZED (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
          |                     list(val ORDER BY pos) AS cd
          |              FROM ${px}cent$i GROUP BY c),
-         |  ${px}score$i AS (SELECT s.sid, l.c,
+         |  ${px}score$i AS MATERIALIZED (SELECT s.sid, l.c,
          |                list_inner_product(s.v, l.cf)
          |                  - list_inner_product(l.cd, l.cd) / 2 AS sc
          |              FROM ${px}samp s CROSS JOIN ${px}centl$i l),
-         |  ${px}asg$i AS (SELECT sid, c AS cell FROM (
+         |  ${px}asg$i AS MATERIALIZED (SELECT sid, c AS cell FROM (
          |              SELECT sid, c, row_number() OVER (PARTITION BY sid
          |                       ORDER BY sc DESC, c DESC) AS rn FROM ${px}score$i)
          |            WHERE rn = 1),
-         |  ${px}mean$i AS (SELECT a.cell AS c, p.pos,
+         |  ${px}mean$i AS MATERIALIZED (SELECT a.cell AS c, p.pos,
          |               (CAST(sum(CAST(round(p.x * 1048576.0) AS BIGINT)) AS DOUBLE)
          |                  / count(*)) / 1048576.0 AS m
          |             FROM ${px}asg$i a JOIN ${px}sampx p ON p.sid = a.sid
          |             GROUP BY a.cell, p.pos),
-         |  ${px}cent${i + 1} AS (SELECT cp.c, cp.pos, COALESCE(m.m, cp.val) AS val
+         |  ${px}cent${i + 1} AS MATERIALIZED (SELECT cp.c, cp.pos, COALESCE(m.m, cp.val) AS val
          |                   FROM ${px}cent$i cp LEFT JOIN ${px}mean$i m
          |                     ON m.c = cp.c AND m.pos = cp.pos)""".stripMargin
     }.mkString(",\n  ")
-    s"""${px}samp AS (SELECT vec_id AS sid, $vx AS v FROM e ORDER BY vec_id LIMIT $trainSample),
-       |  ${px}pos AS (SELECT unnest(range($dim)) AS pos),
-       |  ${px}sampx AS (SELECT sid, pos, v[pos + 1] AS x FROM ${px}samp CROSS JOIN ${px}pos),
-       |  ${px}init AS (SELECT row_number() OVER (ORDER BY
+    s"""${px}samp AS MATERIALIZED (SELECT vec_id AS sid, $vx AS v FROM e ORDER BY vec_id LIMIT $trainSample),
+       |  ${px}pos AS MATERIALIZED (SELECT unnest(range($dim)) AS pos),
+       |  ${px}sampx AS MATERIALIZED (SELECT sid, pos, v[pos + 1] AS x FROM ${px}samp CROSS JOIN ${px}pos),
+       |  ${px}init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY
        |             ((sid % ${graft.operators.Splits.HashRing}) *
        |              ${graft.operators.Splits.HashMult})
        |               % ${graft.operators.Splits.HashRing}, sid) - 1 AS c, v
@@ -319,18 +319,18 @@ object VectorQueries {
        |              ${graft.operators.Splits.HashMult})
        |               % ${graft.operators.Splits.HashRing}, sid
        |           LIMIT $nCells),
-       |  ${px}cent0 AS (SELECT i.c, p.pos, i.v[p.pos + 1] AS val
+       |  ${px}cent0 AS MATERIALIZED (SELECT i.c, p.pos, i.v[p.pos + 1] AS val
        |            FROM ${px}init i CROSS JOIN ${px}pos p),
        |  $iterCtes,
-       |  ${px}centl$iters AS (SELECT c,
+       |  ${px}centl$iters AS MATERIALIZED (SELECT c,
        |                    list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
        |                    list(val ORDER BY pos) AS cd
        |                  FROM ${px}cent$iters GROUP BY c),
-       |  ${px}cscore AS (SELECT e.vec_id, l.c,
+       |  ${px}cscore AS MATERIALIZED (SELECT e.vec_id, l.c,
        |               list_inner_product(e.$vx, l.cf)
        |                 - list_inner_product(l.cd, l.cd) / 2 AS sc
        |             FROM e CROSS JOIN ${px}centl$iters l),
-       |  ${px}corpus AS (SELECT s.vec_id AS nid, s.cell, e.v AS nv,
+       |  ${px}corpus AS MATERIALIZED (SELECT s.vec_id AS nid, s.cell, e.v AS nv,
        |               sqrt(list_inner_product(e.v, e.v)) AS nn
        |             FROM (SELECT vec_id, c AS cell FROM (
        |                     SELECT vec_id, c, row_number() OVER (
