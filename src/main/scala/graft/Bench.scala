@@ -93,6 +93,7 @@ object Bench {
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,"sf":"$sfDir"}""")
     queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
+    queries.TextQueries.releaseClusterLabels(spark)
     spark.stop()
   }
 }
