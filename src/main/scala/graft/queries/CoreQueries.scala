@@ -745,6 +745,86 @@ object CoreQueries {
                .as("nations"),
              count(lit(1)).as("n"))
         .orderBy("r_name")
+    },
+
+    // A-funnel: ordered multi-step event funnel (signup → view → click →
+    // purchase), each step's timestamp strictly after the previous step's.
+    // Chained-min formulation: step N is one groupBy over the step-N events
+    // semi-joined to step N-1 survivors — per-step frames shrink to
+    // ≤ n_users rows immediately, every later join is user-key hash joins
+    // between already-aggregated (small) frames. All time arithmetic in
+    // epoch-micros BIGINT so both engines compare identical integers.
+    "q44_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      def step(prev: DataFrame, prevT: String, typ: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select("user_id", prevT), "user_id")
+          .filter(col("ts_us") > col(prevT))
+          .groupBy("user_id").agg(min(col("ts_us")).as(out))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val s2 = step(s1, "t1", "view", "t2")
+      val s3 = step(s2, "t2", "click", "t3")
+      val s4 = step(s3, "t3", "purchase", "t4")
+      val counts = Seq("1_signup" -> s1, "2_view" -> s2,
+          "3_click" -> s3, "4_purchase" -> s4)
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("step"), col("n_users"))
+        }
+        .reduce(_ unionByName _)
+      counts
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("entry_n"))))
+        .select(col("step"), col("n_users"),
+          round(col("n_users").cast("double") / col("entry_n"), 4).as("pct_of_entry"))
+        .orderBy("step")
+    },
+
+    // A-sweepline: max concurrent half-open intervals [ts, ts+30min) per
+    // event type — the classic +1/-1 edge union with a running sum.
+    // Coincident edges are merged by a pre-aggregation on (type, t) before
+    // the window, which (a) makes the window order total (one row per t) so
+    // the running sum is engine-deterministic, and (b) nets an interval
+    // ending exactly when another starts to zero — the correct close-open
+    // semantics. One shuffle for the merge; the window reuses its
+    // partitioning.
+    "q45_concurrency" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val edges = e.select(col("event_type"), col("ts_us").as("t"),
+          lit(1L).as("delta"))
+        .unionByName(e.select(col("event_type"),
+          (col("ts_us") + lit(1800000000L)).as("t"), lit(-1L).as("delta")))
+      val w = Window.partitionBy("event_type").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      edges.groupBy("event_type", "t").agg(sum(col("delta")).as("d"))
+        .withColumn("running", sum(col("d")).over(w))
+        .groupBy("event_type")
+        .agg(max(col("running")).as("max_concurrent"),
+          count(lit(1)).as("n_edges"))
+        .orderBy("event_type")
+    },
+
+    // A-scd2: slowly-changing-dimension (type 2) build from a change log.
+    // Purchases per user, value bucketed into a tier; a row opens a new
+    // validity interval iff its tier differs from the previous row's
+    // (lag), and the interval closes at the next change (lead), NULL while
+    // current. Window order is total (ts_us, event_id); both windows and
+    // the change filter share ONE hash exchange on user_id.
+    "q46_scd2" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val changes = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), floor(col("value") / 25).cast("long").as("tier"))
+        .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      changes
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+        .select(col("user_id"), col("tier"), col("ts_us").as("valid_from_us"),
+          col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "tier")
     }
   )
 
@@ -1198,6 +1278,62 @@ object CoreQueries {
         |  count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
-        |ORDER BY r_name""".stripMargin
+        |ORDER BY r_name""".stripMargin,
+
+    "q44_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |                  event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(ts_us) AS t4 FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY e.user_id),
+        |n AS (SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+        |      UNION ALL SELECT '2_view', count(*) FROM s2
+        |      UNION ALL SELECT '3_click', count(*) FROM s3
+        |      UNION ALL SELECT '4_purchase', count(*) FROM s4)
+        |SELECT step, n_users,
+        |  round(CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1), 4)
+        |    AS pct_of_entry
+        |FROM n
+        |ORDER BY step""".stripMargin,
+
+    "q45_concurrency" ->
+      """WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |           FROM events),
+        |edges AS (SELECT event_type, ts_us AS t, 1 AS delta FROM e
+        |          UNION ALL
+        |          SELECT event_type, ts_us + 1800000000, -1 FROM e),
+        |m AS (SELECT event_type, t, CAST(sum(delta) AS BIGINT) AS d
+        |      FROM edges GROUP BY event_type, t),
+        |r AS (SELECT event_type, t,
+        |        sum(d) OVER (PARTITION BY event_type ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM m)
+        |SELECT event_type, CAST(max(running) AS BIGINT) AS max_concurrent,
+        |  count(*) AS n_edges
+        |FROM r
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q46_scd2" ->
+      """WITH p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |                  event_id, CAST(floor(value / 25) AS BIGINT) AS tier
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, event_id, tier,
+        |        lag(tier) OVER (PARTITION BY user_id
+        |                        ORDER BY ts_us, event_id) AS prev_tier
+        |      FROM p),
+        |ch AS (SELECT user_id, ts_us, event_id, tier FROM c
+        |       WHERE prev_tier IS NULL OR tier <> prev_tier)
+        |SELECT user_id, tier, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM ch
+        |ORDER BY user_id, valid_from_us, tier""".stripMargin
   )
 }

@@ -139,4 +139,51 @@ class RelationalQueriesSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(2) >= 0.95))
     assert(expected.nonEmpty, "threshold must select something on this corpus")
   }
+
+  test("q44: funnel counts are monotone non-increasing, entry pct is 1.0") {
+    val out = CoreQueries.queries("q44_funnel")(spark, sf)
+      .select("step", "n_users", "pct_of_entry").collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("1_signup", "2_view", "3_click", "4_purchase"))
+    val ns = out.map(_.getLong(1)).toSeq
+    assert(ns === ns.sorted.reverse, s"funnel must narrow: $ns")
+    assert(out.head.getDouble(2) === 1.0)
+    assert(ns.head > 0 && ns.last > 0, "corpus should populate every step")
+  }
+
+  test("q45: max concurrency matches a brute-force sweep per type") {
+    import graft.io.Tables
+    val evs = Tables.load(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).map { case (ty, rows) =>
+      // sweep: merged-net deltas per instant (close-open [t, t+30min))
+      val deltas = rows.flatMap(r => Seq((r._2, 1), (r._2 + 1800000000L, -1)))
+        .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).sum)
+      ty -> deltas.scanLeft(0)(_ + _).max
+    }
+    val got = CoreQueries.queries("q45_concurrency")(spark, sf)
+      .select("event_type", "max_concurrent").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got === expected)
+    assert(got.values.forall(_ >= 1))
+  }
+
+  test("q46: SCD-2 intervals chain per user and adjacent tiers differ") {
+    val out = CoreQueries.queries("q46_scd2")(spark, sf)
+      .select("user_id", "tier", "valid_from_us", "valid_to_us").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) === b.getLong(2),
+            "interval must close exactly where the next opens")
+          assert(a.getLong(1) !== b.getLong(1), "adjacent tiers must differ")
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(3), "current version stays open-ended")
+      assert(sorted.init.forall(!_.isNullAt(3)))
+    }
+  }
 }
