@@ -75,6 +75,24 @@ object Similarity {
       "sim", k)
   }
 
+  /** Exact top-k by MAXIMUM INNER PRODUCT (un-normalized dot) — the
+    * retrieval semantics of learned two-tower / recommendation scorers,
+    * where a vector's magnitude is part of its score. Ranking differs from
+    * [[cosineTopK]] whenever corpus norms vary; same scale shape: the
+    * query side broadcasts, the corpus streams map-side through the
+    * codegen'd dot kernel, and the bounded heap caps the shuffle at k rows
+    * per (partition × query). */
+  def mipsTopK(queries: DataFrame, qid: String, qvec: String,
+               corpus: DataFrame, nid: String, nvec: String, k: Int): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+    rankTopK(
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("ip", dot(col("qv"), col("nv"))),
+      "ip", k)
+  }
+
   /** Distributed Lloyd's iterations for a coarse k-means quantizer.
     *
     * Per iteration: every sample row is assigned to its nearest centroid

@@ -585,6 +585,34 @@ object TextQueries {
           concat_ws(",", col("rs")).as("reasons"),
           (size(col("rs")) === 0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-resampled source mix (α = 0.5): per-source quotas
+    // proportional to √count — the standard "flatten the domain/language
+    // distribution" step of multilingual corpus assembly — filled by each
+    // source's docs in deterministic hash-ring order (a reproducible
+    // shuffle, not rand()). All allocation arithmetic is integral:
+    // weights are fixed-point √n (exact: sqrt is correctly rounded IEEE,
+    // the 1e6 scale and HALF_UP round are shared with the oracle), the
+    // quota is an integer `div`, and the ranked join is a broadcast of the
+    // ≤|sources| quota table. One shuffle (the per-source window).
+    "t22_source_quota" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 200L
+      val d = docs(s, dir)
+      val w = d.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+        .withColumn("w", round(sqrt(col("n_in")) * 1e6, 0).cast("long"))
+      val quota = w.crossJoin(broadcast(w.agg(sum(col("w")).as("tw"))))
+        .select(col("source"), col("n_in"),
+          call_function("div", lit(budget) * col("w"), col("tw")).as("quota"))
+      val ranked = d.select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(Splits.ringHash(col("doc_id")), col("doc_id"))))
+      ranked.join(broadcast(quota), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rk"), col("quota"), col("n_in"))
+        .orderBy("source", "rk")
     }
   )
 
@@ -1203,6 +1231,25 @@ object TextQueries {
          |     AND ($stopTest) AND ch * 10 <= len(w) * 55) AS keep
          |FROM t
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Replays the fixed-point √n weights, the integer quota division, and
+    // the ring-hash ranking with the engine's exact constants.
+    "t22_source_quota" ->
+      s"""WITH n AS (SELECT source, count(*) AS n_in FROM documents
+         |           GROUP BY source),
+         |w AS (SELECT source, n_in,
+         |        CAST(round(sqrt(n_in) * 1000000) AS BIGINT) AS w FROM n),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |q AS (SELECT source, n_in, (200 * w) // tw AS quota FROM w, t),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ((doc_id % ${Splits.HashRing}) * ${Splits.HashMult})
+         |                     % ${Splits.HashRing}, doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.source, r.doc_id, r.rk, q.quota, q.n_in
+         |FROM r JOIN q USING (source)
+         |WHERE rk <= quota
+         |ORDER BY source, rk""".stripMargin
   )
 }

@@ -212,6 +212,19 @@ object VectorQueries {
           sum(col("q")).as("q_sum"),
           max(col("err")).as("max_abs_err"))
         .orderBy("vec_id")
+    },
+
+    // Exact maximum-inner-product top-5 — the two-tower/recommender
+    // retrieval semantics, where magnitude matters: ranking legitimately
+    // differs from v01's cosine whenever corpus norms vary. Same engine
+    // shape as v01 (broadcast queries, codegen'd dot, bounded-heap top-k).
+    "v10_mips" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.mipsTopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("ip"), 4).as("ip"))
+        .orderBy("qid", "rank")
     }
   )
 
@@ -485,6 +498,21 @@ object VectorQueries {
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),
+    // Mirrors mipsTopK: v01's brute force without the norm division.
+    "v10_mips" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |     p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |             list_inner_product(q.v, c.v) AS ip
+        |           FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |           WHERE q.vec_id < 8),
+        |     r AS (SELECT qid, nid, ip,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY ip DESC, nid) AS rank
+        |           FROM p)
+        |SELECT qid, rank, nid, round(ip, 4) AS ip
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
     // Mirrors cosineTopK arithmetic exactly: double-cast vectors,
     // dot/(sqrt(dot_aa)*sqrt(dot_bb)), ties broken by neighbor id.
     "v01_cosine_topk" ->

@@ -25,6 +25,46 @@ class SimilaritySpec extends SparkSpec {
     assert(res.last.getDouble(3) === -1.0)
   }
 
+  test("mipsTopK: magnitude participates in the ranking, unlike cosine") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),  // most cosine-similar to q
+      (2L, Array(3f, -1f, 0f, 0f)),     // larger dot despite worse angle
+      (3L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val mips = Similarity.mipsTopK(q, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(mips.map(_.getLong(2)).toSeq === Seq(2L, 1L, 3L),
+      "MIPS must rank the long vector first")
+    assert(mips.head.getDouble(3) === 3.0)
+    val cos = Similarity.cosineTopK(q, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(cos.head.getLong(2) === 1L, "cosine must rank the parallel vector first")
+  }
+
+  test("v10 equals an in-JVM brute-force inner-product ranking") {
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = rows.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      rows.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          // same accumulation order/width as float_dot: double acc over floats
+          var acc = 0.0; var i = 0
+          while (i < qv.length) { acc += qv(i).toDouble * nv(i).toDouble; i += 1 }
+          (qid, nid, acc)
+        }
+        .sortBy { case (_, nid, ip) => (-ip, nid) }
+        .take(5).zipWithIndex
+        .map { case ((q, n, ip), i) => (q, i + 1, n, math.rint(ip * 1e4) / 1e4) }
+    }.toSet
+    val got = graft.queries.VectorQueries.queries("v10_mips")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
+
   test("LSH ANN achieves useful recall vs brute force on real embeddings") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 20)

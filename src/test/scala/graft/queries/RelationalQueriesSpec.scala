@@ -140,6 +140,33 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(expected.nonEmpty, "threshold must select something on this corpus")
   }
 
+  test("t22: quotas follow √n within rounding, sample fills each quota") {
+    val out = TextQueries.queries("t22_source_quota")(spark, sf)
+      .select("source", "doc_id", "rk", "quota", "n_in").collect()
+    val bySource = out.groupBy(_.getString(0))
+    val quotas = bySource.view.mapValues(_.head.getLong(3)).toMap
+    assert(quotas.values.sum <= 200L, "floor quotas never exceed the budget")
+    assert(quotas.values.sum >= 180L, "floor loss is bounded by #sources")
+    bySource.foreach { case (src, rows) =>
+      val (quota, nIn) = (rows.head.getLong(3), rows.head.getLong(4))
+      assert(rows.length.toLong === math.min(quota, nIn),
+        s"$src must fill its quota (or exhaust the source)")
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length).toSeq,
+        s"$src ranks must be 1..kept with no holes")
+    }
+    // temperature flattening: quota shares sit between uniform and raw n
+    val nTot = bySource.values.map(_.head.getLong(4)).sum.toDouble
+    val k = bySource.size.toDouble
+    bySource.foreach { case (src, rows) =>
+      val rawShare = rows.head.getLong(4) / nTot
+      val qShare = rows.head.getLong(3) / 200.0
+      val lo = math.min(rawShare, 1 / k) * 0.8
+      val hi = math.max(rawShare, 1 / k) * 1.2
+      assert(qShare >= lo && qShare <= hi,
+        s"$src: √n share $qShare outside [$lo, $hi]")
+    }
+  }
+
   test("q44: funnel counts are monotone non-increasing, entry pct is 1.0") {
     val out = CoreQueries.queries("q44_funnel")(spark, sf)
       .select("step", "n_users", "pct_of_entry").collect()
