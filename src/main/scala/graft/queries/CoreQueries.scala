@@ -825,6 +825,77 @@ object CoreQueries {
         .select(col("user_id"), col("tier"), col("ts_us").as("valid_from_us"),
           col("valid_to_us"))
         .orderBy("user_id", "valid_from_us", "tier")
+    },
+
+    // A-mode/median: the two order-statistics aggregates Spark lacks as
+    // deterministic built-ins, formulated so ties cannot diverge between
+    // engines: mode = highest count, smallest value among tied counts;
+    // median = the value at position (n+1) div 2 of the value-sorted group
+    // (lower median — an order statistic of the multiset, so row-level tie
+    // order is irrelevant). Both are one window over one groupBy; the mode
+    // aggregate pre-shrinks to |group × distinct-status| rows before its
+    // window.
+    "q47_mode_median" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val mode = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(col("cnt").desc, col("o_orderstatus"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("cnt").as("mode_n"))
+      val wp = Window.partitionBy("o_orderpriority")
+      val median = o.select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(wp.orderBy(col("o_totalprice"))))
+        .withColumn("n", count(lit(1)).over(wp))
+        .filter(col("rn") === call_function("div", col("n") + 1, lit(2L)))
+        .select(col("o_orderpriority"), col("n").as("n_orders"),
+          col("o_totalprice").as("median_price"))
+      mode.join(median, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_orders"), col("mode_status"),
+          col("mode_n"), col("median_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // W-first-seen: first-occurrence flags and a cumulative distinct-type
+    // count per user — the "new vs returning behavior" window pattern.
+    // is_first comes from a (user, type) window, the running distinct
+    // count is then just a running sum of the flag over the (user) window;
+    // both orders are total via the event_id tie-break.
+    "q48_first_seen" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      val wt = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("is_first", row_number().over(wt) === 1)
+        .withColumn("n_types_seen",
+          sum(col("is_first").cast("long")).over(wu))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("is_first"), col("n_types_seen"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // Entity resolution (record linkage): candidate pairs within a
+    // blocking key (nation), pruned by a cheap length filter before the
+    // quadratic edit-distance kernel — the classic blocked-linkage
+    // discipline (never all-pairs; the block size bounds the quadratic
+    // term, exactly like d02's n-gram blocks). Emits confirmed near-matches
+    // at Levenshtein ≤ 1.
+    "d09_record_linkage" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      val a = c.toDF("id_a", "nk", "name_a")
+      val b = c.toDF("id_b", "nk_b", "name_b")
+      a.join(b, col("nk") === col("nk_b") && col("id_a") < col("id_b"))
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 1)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .select(col("nk").as("nation"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("nation", "id_a", "id_b")
     }
   )
 
@@ -1334,6 +1405,51 @@ object CoreQueries {
         |  lead(ts_us) OVER (PARTITION BY user_id
         |                    ORDER BY ts_us, event_id) AS valid_to_us
         |FROM ch
-        |ORDER BY user_id, valid_from_us, tier""".stripMargin
+        |ORDER BY user_id, valid_from_us, tier""".stripMargin,
+
+    "q47_mode_median" ->
+      """WITH m AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |           FROM orders GROUP BY o_orderpriority, o_orderstatus),
+        |md AS (SELECT o_orderpriority, o_orderstatus AS mode_status,
+        |         cnt AS mode_n,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY cnt DESC, o_orderstatus) AS rn
+        |       FROM m),
+        |r AS (SELECT o_orderpriority, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice) AS rn,
+        |        count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM orders)
+        |SELECT d.o_orderpriority, r.n AS n_orders, d.mode_status, d.mode_n,
+        |  r.o_totalprice AS median_price
+        |FROM md d JOIN r ON d.o_orderpriority = r.o_orderpriority
+        |               AND r.rn = (r.n + 1) // 2
+        |WHERE d.rn = 1
+        |ORDER BY d.o_orderpriority""".stripMargin,
+
+    "q48_first_seen" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |                  event_id, event_type
+        |           FROM events),
+        |f AS (SELECT user_id, ts_us, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts_us, event_id) = 1 AS is_first
+        |      FROM e)
+        |SELECT user_id, ts_us, event_id, event_type, is_first,
+        |  CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS n_types_seen
+        |FROM f
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "d09_record_linkage" ->
+      """SELECT a.c_nationkey AS nation, a.c_custkey AS id_a,
+        |  b.c_custkey AS id_b, levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY nation, id_a, id_b""".stripMargin
   )
 }

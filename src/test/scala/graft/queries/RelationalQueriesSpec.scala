@@ -167,6 +167,61 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q47: mode is the max-count status, median splits each group in half") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice").collect()
+    val out = CoreQueries.queries("q47_mode_median")(spark, sf).collect()
+    assert(out.length === orders.map(_.getString(0)).distinct.length)
+    out.foreach { r =>
+      val grp = orders.filter(_.getString(0) == r.getString(0))
+      val byStatus = grp.groupBy(_.getString(1)).view.mapValues(_.length)
+      assert(byStatus(r.getString(2)) === byStatus.values.max, "mode count is max")
+      assert(r.getString(2) === byStatus.filter(_._2 == byStatus.values.max)
+        .keys.min, "tie broken to smallest status")
+      assert(r.getLong(3).toInt === byStatus.values.max)
+      val prices = grp.map(_.getDouble(2)).sorted
+      assert(r.getDouble(4) === prices((grp.length + 1) / 2 - 1), "lower median")
+      assert(r.getLong(1).toInt === grp.length)
+    }
+  }
+
+  test("q48: is_first marks exactly one row per (user, type); count runs") {
+    val out = CoreQueries.queries("q48_first_seen")(spark, sf)
+      .select("user_id", "event_type", "is_first", "n_types_seen").collect()
+    out.groupBy(r => (r.getLong(0), r.getString(1))).values.foreach { rows =>
+      assert(rows.count(_.getBoolean(2)) === 1, "exactly one first per pair")
+    }
+    // rows arrive in the query's total order: per user the cumulative count
+    // is non-decreasing and ends at the user's distinct type count
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val seen = rows.map(_.getLong(3))
+      assert(seen.zip(seen.tail).forall { case (a, b) => b >= a })
+      assert(seen.last === rows.map(_.getString(1)).distinct.length.toLong)
+    }
+  }
+
+  test("d09: linkage pairs equal brute force; blocking loses nothing ≤1") {
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, na, sa) <- custs; (ib, nb, sb) <- custs
+      if na == nb && ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    val got = CoreQueries.queries("d09_record_linkage")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "corpus must contain near-matches")
+  }
+
   test("q44: funnel counts are monotone non-increasing, entry pct is 1.0") {
     val out = CoreQueries.queries("q44_funnel")(spark, sf)
       .select("step", "n_users", "pct_of_entry").collect()
