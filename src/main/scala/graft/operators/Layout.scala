@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: the write-side half of scan pruning.
+  *
+  * At 100 TB the scan cost of a query is decided before it runs, by how
+  * the table was laid out: a table range-sorted on one key prunes on that
+  * key only, while a Z-ORDERED table (interleaved bits of two keys) gives
+  * every file a small bounding box in BOTH dimensions, so min/max row-group
+  * stats prune two-dimensional predicates (the Delta/Iceberg OPTIMIZE
+  * ZORDER discipline). And a table written as thousands of tiny files pays
+  * per-file open/footer/listing cost on every scan — COMPACTION to
+  * target-sized files is routine table maintenance, not an optimization.
+  */
+object Layout {
+
+  /** Morton (Z-order) value of two non-negative keys, `bits` bits each,
+    * interleaved x-low: closed-form shift/mask arithmetic — a plain
+    * codegen'd map expression, no UDF. Keys are masked to `bits` (callers
+    * hash or offset keys that can exceed the range; 21+21 bits keeps the
+    * result well under 2⁶³). */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** SQL twin of [[zValue]] for oracle replay: the identical shift/mask
+    * sum, rendered as one expression over column expressions `x` and `y`. */
+  def zValueSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(((($x) >> $i) & 1) << ${2 * i})",
+        s"(((($y) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** Sort `df` by the Z-value of two dimension columns — range partition +
+    * in-partition sort, so each output partition (→ file, when written)
+    * covers a contiguous Z range = a small bounding box in both dims. */
+  def zorderBy(df: DataFrame, x: Column, y: Column, bits: Int = 21): DataFrame =
+    df.orderBy(zValue(x, y, bits))
+
+  /** Compact a parquet directory to ~`targetFileBytes` files: list actual
+    * bytes (driver-side FS metadata only — never the data), round-robin
+    * repartition to the file count that hits the target, rewrite, swap.
+    * Round-robin (not coalesce) so output files are EVEN — coalesce glues
+    * neighbors and preserves skew. Swap via rename keeps the window where
+    * `path` is missing to milliseconds; readers mid-scan hold open handles
+    * (posix) or retry (object stores version the prefix).
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hadoopPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._precompact")
+    if (!fs.rename(hadoopPath, bak)) sys.error(s"compact: cannot stage $path")
+    if (!fs.rename(tmp, hadoopPath)) { // roll back, never leave path missing
+      fs.rename(bak, hadoopPath)
+      sys.error(s"compact: cannot swap in compacted $path")
+    }
+    fs.delete(bak, true)
+    (parts.length, nOut)
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
+import graft.operators.Layout
 
 /** Relational operator inventory (SURVEY.md §2) expressed over the driver
   * testdata tables, each paired with ANSI SQL the DuckDB oracle runs on the
@@ -896,6 +897,27 @@ object CoreQueries {
         .filter(col("dist") <= 1)
         .select(col("nk").as("nation"), col("id_a"), col("id_b"), col("dist"))
         .orderBy("nation", "id_a", "id_b")
+    },
+
+    // Layout audit: Z-order (Morton) bucketing of orders on
+    // (customer, order-day) — the write-side layout that makes BOTH
+    // dimensions pruneable from file min/max stats. The query reports each
+    // Z-bucket's bounding box; that per-bucket boxes are narrow in both
+    // dims (vs a sort on either single key, where the other dim spans the
+    // whole table) is exactly the property OPTIMIZE ZORDER buys. The
+    // Z-value is a closed-form shift/mask sum — map-only, codegen'd,
+    // replayed bit-for-bit by the oracle.
+    "q49_zorder_layout" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      d.withColumn("z", Layout.zValue(col("o_custkey"), col("day")))
+        .withColumn("bucket", call_function("div", col("z"), lit(1L << 20)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy("bucket")
     }
   )
 
@@ -1450,6 +1472,21 @@ object CoreQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY nation, id_a, id_b""".stripMargin
+        |ORDER BY nation, id_a, id_b""".stripMargin,
+
+    "q49_zorder_layout" ->
+      s"""WITH d AS (SELECT o_custkey,
+         |             CAST(datediff('day', DATE '1970-01-01',
+         |                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         |           FROM orders),
+         |z AS (SELECT o_custkey, day,
+         |        ${Layout.zValueSql("o_custkey", "day")} AS z
+         |      FROM d)
+         |SELECT z // 1048576 AS bucket, count(*) AS n,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         |  min(day) AS min_day, max(day) AS max_day
+         |FROM z
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
   )
 }
