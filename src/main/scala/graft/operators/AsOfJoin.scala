@@ -32,11 +32,29 @@ object AsOfJoin {
     * @param strict     true → right row must be strictly earlier in
     *                   (time, tiebreak) order; false → allow same row order
     *                   position (still earlier rows only, frame excludes self)
+    * @param direction  "backward" (default): latest right row at-or-before;
+    *                   "forward": EARLIEST right row at-or-after (same
+    *                   single-shuffle shape — the window frame flips to
+    *                   FOLLOWING and the running max becomes a running min,
+    *                   ties resolving to the LOWEST tiebreak)
+    * @param tolerance  max |leftTime − rightTime| (in the time column's own
+    *                   units) for a match to count; farther matches emit
+    *                   NULL payload, exactly like an unmatched row. The
+    *                   bound is applied AFTER the running pick — for the
+    *                   backward/forward nearest row, in-tolerance-but-not-
+    *                   nearest rows never resurface (pandas merge_asof
+    *                   semantics).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, rightTiebreak: String,
-           payload: Seq[String], strict: Boolean = true): DataFrame = {
+           payload: Seq[String], strict: Boolean = true,
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "payload columns required")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    val forward = direction == "forward"
     val keyCols = keys.map(col)
 
     val l = left.withColumn("__t", col(leftTime))
@@ -46,9 +64,10 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__tb", col(rightTiebreak).cast("long"))
 
-    // single tagged stream; right rows sort before left rows at the same
-    // instant iff non-strict matching should see them
-    val sideOrder = if (strict) col("__side") else -col("__side")
+    // single tagged stream; same-instant right rows land inside the frame
+    // (preceding for backward, following for forward) iff non-strict
+    // matching should see them
+    val sideOrder = if (strict ^ forward) col("__side") else -col("__side")
     val common = (keys ++ Seq("__t", "__side", "__tb")).distinct
     val lCols = l.columns.toSeq
     val rPayload = payload
@@ -60,16 +79,25 @@ object AsOfJoin {
           lCols.filterNot(common.contains).map(c => lit(null).cast(l.schema(c).dataType).as(c)) ++
           rPayload.map(c => col(c).as(s"__p_$c"))): _*))
 
-    val w = Window.partitionBy(keyCols: _*)
+    val wBase = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t"), sideOrder, col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w =
+      if (forward) wBase.rowsBetween(1, Window.unboundedFollowing)
+      else wBase.rowsBetween(Window.unboundedPreceding, -1)
 
-    // running "latest right row": max over (time, tiebreak, payload...) of
-    // right rows only — null for left rows, and max skips nulls
+    // running "nearest right row": max (backward) / min (forward) over
+    // (time, tiebreak, payload...) of right rows only — null for left
+    // rows, and max/min skip nulls
     val rightStruct = when(col("__side") === 1,
       struct((Seq(col("__t"), col("__tb")) ++ rPayload.map(c => col(s"__p_$c"))): _*))
+    val pick = if (forward) min(rightStruct) else max(rightStruct)
+    val withinTol = tolerance.map { tol =>
+      if (forward) col("__r.__t") <= col("__t") + tol
+      else col("__r.__t") >= col("__t") - tol
+    }.getOrElse(lit(true))
     val joined = tagged
-      .withColumn("__last_r", max(rightStruct).over(w))
+      .withColumn("__r", pick.over(w))
+      .withColumn("__last_r", when(col("__r").isNotNull && withinTol, col("__r")))
       .filter(col("__side") === 0)
 
     val out = joined.select(

@@ -918,6 +918,59 @@ object CoreQueries {
           min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
           min(col("day")).as("min_day"), max(col("day")).as("max_day"))
         .orderBy("bucket")
+    },
+
+    // A-winsorize: robust statistics via rank-based P5/P95 winsorization.
+    // The bounds are ORDER STATISTICS (value at an integer position of the
+    // value-sorted group), not interpolated percentiles — positions are
+    // pure integer arithmetic, so both engines pick the same element and
+    // the clipped mean is hash-exact through the fixed-point sum. Bounds
+    // per group are 5 rows → broadcast back onto the fact table.
+    "q50_winsorize" -> { (s, dir) =>
+      val wp = Window.partitionBy("o_orderpriority")
+      val r = t(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(wp.orderBy(col("o_totalprice"))))
+        .withColumn("n", count(lit(1)).over(wp))
+      val lo = r.filter(col("rn") ===
+          call_function("div", col("n") * 5, lit(100L)) + 1)
+        .select(col("o_orderpriority"), col("o_totalprice").as("lo"))
+      val hi = r.filter(col("rn") ===
+          greatest(call_function("div", col("n") * 95, lit(100L)), lit(1L)))
+        .select(col("o_orderpriority"), col("o_totalprice").as("hi"))
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+        .join(broadcast(lo), "o_orderpriority")
+        .join(broadcast(hi), "o_orderpriority")
+        .withColumn("clip", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_totalprice") < col("lo")).cast("long")).as("n_lo"),
+          sum((col("o_totalprice") > col("hi")).cast("long")).as("n_hi"),
+          max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+          round(exactSum(col("clip"), 2) / count(lit(1)), 4).as("winsor_mean"))
+        .orderBy("o_orderpriority")
+    },
+
+    // J-asof-forward: the forward as-of join with a tolerance bound —
+    // "first purchase within an hour after each view", the conversion-
+    // attribution shape. Same single-shuffle tagged-union window as q21's
+    // backward as-of (see AsOfJoin); the tolerance nulls far matches
+    // AFTER the nearest-pick, per pandas merge_asof semantics.
+    "q51_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts_us", "event_id")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("buy_id"),
+          col("value"))
+      graft.operators.AsOfJoin.asOf(views, buys, Seq("user_id"),
+          "ts_us", "ts_us", "buy_id", payload = Seq("buy_id", "value"),
+          strict = true, direction = "forward", tolerance = Some(3600000000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_buy_id"), col("asof_value"), col("asof_time"),
+          (col("asof_time") - col("ts_us")).as("gap_us"))
+        .orderBy("user_id", "ts_us", "event_id")
     }
   )
 
@@ -1487,6 +1540,50 @@ object CoreQueries {
          |  min(day) AS min_day, max(day) AS max_day
          |FROM z
          |GROUP BY bucket
-         |ORDER BY bucket""".stripMargin
+         |ORDER BY bucket""".stripMargin,
+
+    "q50_winsorize" ->
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
+         |        row_number() OVER (PARTITION BY o_orderpriority
+         |                           ORDER BY o_totalprice) AS rn,
+         |        count(*) OVER (PARTITION BY o_orderpriority) AS n
+         |      FROM orders),
+         |lo AS (SELECT o_orderpriority, o_totalprice AS lo FROM r
+         |       WHERE rn = (n * 5) // 100 + 1),
+         |hi AS (SELECT o_orderpriority, o_totalprice AS hi FROM r
+         |       WHERE rn = greatest((n * 95) // 100, 1)),
+         |c AS (SELECT o.o_orderpriority, o.o_totalprice, lo.lo, hi.hi,
+         |        least(greatest(o.o_totalprice, lo.lo), hi.hi) AS clip
+         |      FROM orders o JOIN lo USING (o_orderpriority)
+         |                    JOIN hi USING (o_orderpriority))
+         |SELECT o_orderpriority, count(*) AS n,
+         |  CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lo,
+         |  CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hi,
+         |  max(lo) AS p05, max(hi) AS p95,
+         |  round((${sqlExactSum("clip", 2)}) / count(*), 4) AS winsor_mean
+         |FROM c
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q51_asof_forward" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |                  event_id, event_type, value
+        |           FROM events),
+        |v AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'view'),
+        |b AS (SELECT user_id, ts_us AS b_ts, event_id AS buy_id, value
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT v.user_id, v.event_id, b.b_ts, b.buy_id, b.value,
+        |        row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |                           ORDER BY b.b_ts, b.buy_id) AS rn
+        |      FROM v JOIN b ON b.user_id = v.user_id
+        |        AND b.b_ts > v.ts_us AND b.b_ts <= v.ts_us + 3600000000)
+        |SELECT v.user_id, v.event_id, v.ts_us,
+        |  c.buy_id AS asof_buy_id, c.value AS asof_value, c.b_ts AS asof_time,
+        |  c.b_ts - v.ts_us AS gap_us
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |                  AND c.event_id = v.event_id AND c.rn = 1
+        |ORDER BY v.user_id, v.ts_us, v.event_id""".stripMargin
   )
 }

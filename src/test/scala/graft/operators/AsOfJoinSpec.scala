@@ -34,4 +34,46 @@ class AsOfJoinSpec extends SparkSpec {
       .head()
     assert(out.getAs[Long]("asof_id") === 7L) // max tiebreak wins the tie
   }
+
+  test("forward direction picks the earliest strictly-later right row") {
+    val left = Seq((1L, 100L, 10L), (1L, 300L, 11L), (2L, 50L, 20L))
+      .toDF("user_id", "t", "id")
+    val right = Seq(
+      (1L, 100L, 90L), // same instant: excluded under strict
+      (1L, 150L, 91L), (1L, 250L, 92L),
+      (2L, 40L, 93L)   // earlier only: no forward match
+    ).toDF("user_id", "t", "id")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id",
+        Seq("id"), direction = "forward")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Long]("asof_id")), Option(r.getAs[java.lang.Long]("asof_time"))))
+      .toMap
+    assert(out(10L) === ((Some(91L), Some(150L)))) // nearest later, not same-t
+    assert(out(11L) === ((None, None)))            // nothing after 300
+    assert(out(20L) === ((None, None)))
+  }
+
+  test("forward ties resolve to the LOWEST tiebreak; non-strict sees same instant") {
+    val left = Seq((1L, 100L, 10L)).toDF("user_id", "t", "id")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 5L), (1L, 100L, 6L))
+      .toDF("user_id", "t", "id")
+    val nonStrict = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id",
+      Seq("id"), strict = false, direction = "forward").head()
+    assert(nonStrict.getAs[Long]("asof_id") === 5L)
+    val strict = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id",
+      Seq("id"), strict = true, direction = "forward").head()
+    assert(strict.isNullAt(strict.fieldIndex("asof_id")))
+  }
+
+  test("tolerance nulls matches beyond the bound, keeps those within it") {
+    val left = Seq((1L, 100L, 10L), (1L, 500L, 11L)).toDF("user_id", "t", "id")
+    val right = Seq((1L, 80L, 90L), (1L, 300L, 91L)).toDF("user_id", "t", "id")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id",
+        Seq("id"), tolerance = Some(50L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("asof_id"))).toMap
+    assert(out(10L) === Some(90L)) // gap 20 ≤ 50
+    // latest prior is 300 (gap 200 > 50) → NULL, though right rows exist
+    assert(out(11L) === None)
+  }
 }
