@@ -29,9 +29,11 @@ object AsOfJoin {
     * @param rightTime  event-time column on `right`
     * @param rightTiebreak column on `right` ordering same-instant rows
     * @param payload    right columns to attach (emitted as `asof_<name>`)
-    * @param strict     true → right row must be strictly earlier in
-    *                   (time, tiebreak) order; false → allow same row order
-    *                   position (still earlier rows only, frame excludes self)
+    * @param strict     true → the matched right row must be strictly on the
+    *                   match side of the left row's (time, tiebreak) order
+    *                   position (earlier for backward, later for forward) —
+    *                   same-instant right rows never match; false → same-
+    *                   instant right rows are eligible in both directions
     * @param direction  "backward" (default): latest right row at-or-before;
     *                   "forward": EARLIEST right row at-or-after (same
     *                   single-shuffle shape — the window frame flips to

@@ -74,7 +74,7 @@ object Components {
       // check has read both frames: the previous round's checkpoint blocks
       // can be released NOW instead of waiting for GC-driven cleanup —
       // otherwise a long run holds O(rounds × |E|) storage.
-      e.unpersist()
+      releaseCheckpoint(e)
       e = next
       eSig = nextSig
       iter += 1
@@ -88,6 +88,21 @@ object Components {
       .distinct() // one dedup of the whole union; roots need no inner pass
     (labels, iter)
   }
+
+  /** Free the storage blocks of a `localCheckpoint()`ed frame NOW.
+    *
+    * `Dataset.unpersist` only reaches CacheManager-registered plans (those
+    * from `.persist()`/`.cache()`); a localCheckpoint's MEMORY_AND_DISK
+    * blocks hang off the internal RDD inside the plan's `LogicalRDD` leaf,
+    * which otherwise only GC + ContextCleaner reclaim — "release" through
+    * `unpersist()` silently frees nothing. Works on the checkpointed frame
+    * itself AND on any frame whose plan still references one (pass the
+    * pre-checkpoint handle to free an upstream checkpoint a fresh one has
+    * replaced). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** Per-node neighborhood minimum m = min(Γ(u) ∪ {u}); strictly larger
     * neighbors re-attach to m. Every canonical edge (a,b), a < b, is seen

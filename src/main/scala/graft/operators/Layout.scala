@@ -56,16 +56,24 @@ object Layout {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0)
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path) // normalizes trailing '/'
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(hadoopPath)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // A hive-partitioned table has NO top-level part files — rewriting it
+    // flat would silently destroy the very pruning layout this module is
+    // for. Compact each leaf partition directory instead.
+    require(parts.nonEmpty,
+      s"compact: no part files directly under $path — for a partitioned " +
+        "table, compact each leaf partition directory")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    // siblings via Path suffix (never string concat: a trailing slash in
+    // `path` would nest the staging dirs inside the table)
+    val tmp = hadoopPath.suffix("._compacting")
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "._precompact")
+    val bak = hadoopPath.suffix("._precompact")
     if (!fs.rename(hadoopPath, bak)) sys.error(s"compact: cannot stage $path")
     if (!fs.rename(tmp, hadoopPath)) { // roll back, never leave path missing
       fs.rename(bak, hadoopPath)

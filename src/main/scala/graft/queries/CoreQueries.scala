@@ -1427,14 +1427,14 @@ object CoreQueries {
         |ORDER BY r_name""".stripMargin,
 
     "q44_funnel" ->
-      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      """WITH e AS MATERIALIZED (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |                  event_type
         |           FROM events),
-        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |s1 AS MATERIALIZED (SELECT user_id, min(ts_us) AS t1 FROM e
         |       WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |s2 AS MATERIALIZED (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
         |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |s3 AS MATERIALIZED (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE event_type = 'click' AND ts_us > t2 GROUP BY e.user_id),
         |s4 AS (SELECT e.user_id, min(ts_us) AS t4 FROM e JOIN s3 USING (user_id)
         |       WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY e.user_id),
@@ -1449,7 +1449,7 @@ object CoreQueries {
         |ORDER BY step""".stripMargin,
 
     "q45_concurrency" ->
-      """WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      """WITH e AS MATERIALIZED (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
         |           FROM events),
         |edges AS (SELECT event_type, ts_us AS t, 1 AS delta FROM e
         |          UNION ALL
@@ -1543,7 +1543,7 @@ object CoreQueries {
          |ORDER BY bucket""".stripMargin,
 
     "q50_winsorize" ->
-      s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
+      s"""WITH r AS MATERIALIZED (SELECT o_orderpriority, o_totalprice,
          |        row_number() OVER (PARTITION BY o_orderpriority
          |                           ORDER BY o_totalprice) AS rn,
          |        count(*) OVER (PARTITION BY o_orderpriority) AS n
@@ -1568,10 +1568,10 @@ object CoreQueries {
          |ORDER BY o_orderpriority""".stripMargin,
 
     "q51_asof_forward" ->
-      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      """WITH e AS MATERIALIZED (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |                  event_id, event_type, value
         |           FROM events),
-        |v AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'view'),
+        |v AS MATERIALIZED (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'view'),
         |b AS (SELECT user_id, ts_us AS b_ts, event_id AS buy_id, value
         |      FROM e WHERE event_type = 'purchase'),
         |c AS (SELECT v.user_id, v.event_id, b.b_ts, b.buy_id, b.value,

@@ -45,8 +45,13 @@ object TextQueries {
       // without it the cache held a lazy union+distinct that every probe
       // re-executed and "release" freed nothing.
       val labels = try {
-        Components.connectedComponents(mp.pairs.select("id_a", "id_b"))
-          .localCheckpoint()
+        val lazyLabels = Components.connectedComponents(
+          mp.pairs.select("id_a", "id_b"))
+        val cp = lazyLabels.localCheckpoint()
+        // the new checkpoint supersedes the component loop's final edge
+        // checkpoint still referenced by the lazy plan — free it now
+        Components.releaseCheckpoint(lazyLabels)
+        cp
       } finally mp.release()
       labels
     })
@@ -59,7 +64,10 @@ object TextQueries {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
-        try e.getValue.unpersist() catch { case _: Exception => () }
+        // NOT Dataset.unpersist: checkpoint blocks live on the LogicalRDD
+        // leaf's internal RDD, unreachable from the CacheManager
+        try Components.releaseCheckpoint(e.getValue)
+        catch { case _: Exception => () }
         it.remove()
       }
     }
@@ -1236,7 +1244,7 @@ object TextQueries {
     // Replays the fixed-point √n weights, the integer quota division, and
     // the ring-hash ranking with the engine's exact constants.
     "t22_source_quota" ->
-      s"""WITH n AS (SELECT source, count(*) AS n_in FROM documents
+      s"""WITH n AS MATERIALIZED (SELECT source, count(*) AS n_in FROM documents
          |           GROUP BY source),
          |w AS (SELECT source, n_in,
          |        CAST(round(sqrt(n_in) * 1000000) AS BIGINT) AS w FROM n),

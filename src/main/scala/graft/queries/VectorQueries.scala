@@ -500,7 +500,7 @@ object VectorQueries {
     "v08_pq_adc" -> v08Oracle(),
     // Mirrors mipsTopK: v01's brute force without the norm division.
     "v10_mips" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |     p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
         |             list_inner_product(q.v, c.v) AS ip
         |           FROM e q JOIN e c ON q.vec_id <> c.vec_id

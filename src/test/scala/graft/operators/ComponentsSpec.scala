@@ -100,4 +100,19 @@ class ComponentsSpec extends SparkSpec {
       assert(out(id) === ((id, id, true)))
     }
   }
+
+  test("releaseCheckpoint frees localCheckpoint blocks that unpersist can't") {
+    val sc = spark.sparkContext
+    def persistedIds = sc.getPersistentRDDs.keySet
+    val before = persistedIds
+    val cp = Seq((1L, 2L), (2L, 3L)).toDF("a", "b").localCheckpoint()
+    val added = persistedIds -- before
+    assert(added.nonEmpty, "localCheckpoint must persist an internal RDD")
+    cp.unpersist() // the trap: Dataset.unpersist is a no-op for checkpoints
+    assert((persistedIds -- before) === added,
+      "precondition: plain unpersist() must NOT free checkpoint blocks")
+    Components.releaseCheckpoint(cp)
+    assert((persistedIds -- before).isEmpty,
+      "releaseCheckpoint must drop the checkpoint's persisted RDD")
+  }
 }
