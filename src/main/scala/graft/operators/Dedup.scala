@@ -544,4 +544,40 @@ object Dedup {
           .otherwise(round(coalesce(col("n_cov_tokens"), lit(0L)).cast("double") /
             col("n_tokens"), 4)).as("cov_frac"))
   }
+
+  /** Record-linkage pairs at Levenshtein distance ≤ 1 via FastSS deletion
+    * neighborhoods (Bocek et al., 2007): every string emits itself plus its
+    * |s| single-char deletions as join keys; two strings are within one
+    * edit IFF their neighborhoods intersect (substitution → both delete the
+    * differing position; insertion/deletion → the shorter string IS a
+    * member of the longer one's neighborhood). The candidate step is a HASH
+    * JOIN on (block, key) — O(n·L) keys total, never the block-quadratic
+    * all-pairs a direct `levenshtein` join costs (and which no cheap
+    * length/prefix prefilter saves when the corpus shares a common prefix,
+    * e.g. generated names). Neighborhood intersection admits false
+    * positives at distance 2 (two different deletions, same residue), so
+    * candidates are confirmed with one exact `levenshtein` each.
+    *
+    * Returns (blk, id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}. */
+  def editPairs1(df: DataFrame, idCol: String, blockCol: String,
+                 strCol: String): DataFrame = {
+    val n = df.select(col(idCol).cast("long").as("id"),
+      col(blockCol).as("blk"), col(strCol).as("s"))
+    // sequence(0, len-1) counts DOWN for the empty string — guard it
+    val dels = transform(sequence(lit(0), length(col("s")) - 1),
+      i => concat(col("s").substr(lit(1), i),
+        col("s").substr(i + lit(2), length(col("s")))))
+    val keys = n.select(col("id"), col("blk"), col("s"),
+      explode(when(length(col("s")) === 0, array(col("s")))
+        .otherwise(array_distinct(concat(array(col("s")), dels)))).as("k"))
+    val a = keys.toDF("id_a", "blk", "s_a", "k")
+    val b = keys.toDF("id_b", "blk_b", "s_b", "k_b")
+    a.join(b, col("blk") === col("blk_b") && col("k") === col("k_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("blk"), col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct() // a pair can share several keys — dedup BEFORE the verify
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
+  }
 }

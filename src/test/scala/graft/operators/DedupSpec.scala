@@ -279,4 +279,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out(0L) === 0L, "count(DISTINCT doc) >= 2 ignores same-doc repeats")
   }
+
+  test("editPairs1 ≡ brute-force levenshtein ≤ 1 across sub/ins/del/empty") {
+    val rows = Seq(
+      (1L, "A", "kitten"), (2L, "A", "sitten"), // substitution
+      (3L, "A", "kitte"),                       // deletion of 1's last char
+      (4L, "A", "kittenx"),                     // insertion on 1
+      (5L, "A", "sittin"),                      // dist 2 from kitten, 1 from sitten
+      (6L, "B", "kitten"),                      // other block: no cross-block pair
+      (7L, "A", "kitten"),                      // exact duplicate of 1: dist 0
+      (8L, "A", ""), (9L, "A", "x")             // empty ↔ one char: dist 1
+    ).toDF("id", "blk", "s")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val data = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = (for {
+      (ia, ba, sa) <- data; (ib, bb, sb) <- data
+      if ba == bb && ia < ib && lev(sa, sb) <= 1
+    } yield (ba, ia, ib, lev(sa, sb))).toSet
+    val got = Dedup.editPairs1(rows, "id", "blk", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === expected)
+    // the interesting memberships, pinned explicitly:
+    assert(got.contains(("A", 1L, 7L, 0)), "exact dup at dist 0")
+    assert(got.contains(("A", 8L, 9L, 1)), "empty vs one-char")
+    assert(!got.exists(p => Set(p._2, p._3) == Set(1L, 5L)),
+      "dist-2 neighborhood false positive must be verified away")
+    assert(got.contains(("A", 2L, 5L, 1)), "sitten~sittin")
+    assert(!got.exists(p => Set(p._2, p._3) == Set(1L, 6L)), "blocks isolate")
+  }
 }
