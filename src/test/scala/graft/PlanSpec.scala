@@ -117,4 +117,41 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size == 2, exchanges.mkString("\n"))
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p.take(800))
   }
+
+  test("q45 sweep-line: merge + running window share ONE hash exchange") {
+    val p = plan(CoreQueries.queries("q45_concurrency")(spark, sf))
+    // the (type, t) merge aggregate hash-partitions; the running-sum
+    // window (keyed on the type prefix) and the final max-per-type
+    // aggregate both reuse it — remaining exchange is the output sort
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size >= 1, p.take(800))
+    val exchanges = p.linesIterator
+      .filter(_.matches(".*\\(\\d+\\) Exchange.*")).toSeq
+    assert(exchanges.size <= 3, exchanges.mkString("\n"))
+  }
+
+  test("d09 linkage: candidates via hash join — no nested-loop, no cartesian") {
+    val p = plan(CoreQueries.queries("d09_record_linkage")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(400))
+  }
+
+  test("t22 quota: the per-source quota table broadcasts back onto the ranks") {
+    val p = plan(graft.queries.TextQueries.queries("t22_source_quota")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q50 winsorize: order-statistic bounds broadcast onto the fact scan") {
+    val p = plan(CoreQueries.queries("q50_winsorize")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "winsor mean must partial-agg")
+  }
+
+  test("q49 z-order audit is map-only compute + one aggregate exchange") {
+    val p = plan(CoreQueries.queries("q49_zorder_layout")(spark, sf))
+    assert(!p.contains("Join"), "no join belongs in a layout audit")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "bucket stats must partial-agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("o_totalprice"), readSchema)
+  }
 }
