@@ -328,6 +328,26 @@ object Similarity {
       "adc", k)
   }
 
+  /** Exact cosine re-rank of per-query candidate pairs — the refinement
+    * stage after a quantized (PQ/IVF/LSH) candidate pass: `cands` is a
+    * (qid, nid) frame, tiny relative to the corpus, so it BROADCASTS onto
+    * the corpus-vector join; only candidate vectors are ever scored at
+    * full precision. Composes with [[pqTopK]] as coarse-recall →
+    * exact-precision, the standard two-stage ANN serving shape. */
+  def rerankCosine(cands: DataFrame, queries: DataFrame, qid: String, qvec: String,
+                   corpus: DataFrame, nid: String, nvec: String, k: Int): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+    rankTopK(
+      broadcast(cands.select("qid", "nid").join(broadcast(q), "qid"))
+        .join(c, "nid")
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      "sim", k)
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -39,4 +39,36 @@ object SkewJoin {
     * count exceeds `threshold` (these are the salting candidates). */
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).filter(col("n") >= threshold)
+
+  /** Bloom-prefiltered inner equi-join: build a Bloom filter over the
+    * SMALL side's join keys (one commutative `bloom_agg` — only numBits/8
+    * filter bytes ever reach the driver), embed it as a plan literal in a
+    * map-side `bloom_might_contain` probe on the LARGE side, then run the
+    * real join on survivors. Results are IDENTICAL to the plain join (a
+    * Bloom filter has no false negatives; false positives die in the
+    * join) — the win is SHUFFLE mass: large-side rows whose key cannot
+    * match never enter the join exchange, the dominant cost when the
+    * large side dwarfs its match set. Spark's own runtime row-level
+    * filtering (`spark.sql.optimizer.runtime.bloomFilter.*`) plays the
+    * same trick when its thresholds approve; this form is explicit,
+    * deterministic, and sized by the caller.
+    *
+    * Size `numBits` ≈ 10× expected distinct keys for ~1% false positives
+    * (surviving FPs only cost shuffle, never correctness). */
+  def bloomFilteredJoin(large: DataFrame, small: DataFrame, key: String,
+                        estimatedItems: Long = 1000000L,
+                        numBits: Long = 1L << 23): DataFrame = {
+    graft.plans.BloomMembership.register(large.sparkSession)
+    // NULL filter ⇔ empty small side: the join result is empty; keep the
+    // joined schema without scanning either side
+    Option(
+      small.agg(call_function("bloom_agg", xxhash64(col(key)),
+          lit(estimatedItems), lit(numBits)).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+      .fold(large.filter(lit(false)).join(small, Seq(key))) { bytes =>
+        large.filter(call_function("bloom_might_contain", lit(bytes),
+            xxhash64(col(key))))
+          .join(small, Seq(key))
+      }
+  }
 }

@@ -965,6 +965,29 @@ object CoreQueries {
           col("asof_buy_id"), col("asof_value"), col("asof_time"),
           (col("asof_time") - col("ts_us")).as("gap_us"))
         .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // J-bloom: Bloom-prefiltered fact join — the small side is a sharply
+    // filtered order set; its key filter rides to the lineitem side as a
+    // plan-literal might_contain probe, so non-matching fact rows never
+    // enter the join shuffle. Results identical to the plain join (the
+    // oracle IS the plain join); BloomJoinSpec pins the equivalence and
+    // the pruning.
+    "q52_bloom_join" -> { (s, dir) =>
+      val small = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 2001)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      graft.operators.SkewJoin.bloomFilteredJoin(fact, small, "o_orderkey",
+          estimatedItems = 100000L, numBits = 1L << 20)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_items"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("mo")
     }
   )
 
@@ -1578,6 +1601,16 @@ object CoreQueries {
         |  c.b_ts - v.ts_us AS gap_us
         |FROM v LEFT JOIN c ON c.user_id = v.user_id
         |                  AND c.event_id = v.event_id AND c.rn = 1
-        |ORDER BY v.user_id, v.ts_us, v.event_id""".stripMargin
+        |ORDER BY v.user_id, v.ts_us, v.event_id""".stripMargin,
+
+    // the oracle is the PLAIN join: the Bloom prefilter must be invisible
+    // in results
+    "q52_bloom_join" ->
+      s"""SELECT month(o_orderdate) AS mo, count(*) AS n_items,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 2001
+         |GROUP BY mo
+         |ORDER BY mo""".stripMargin
   )
 }

@@ -225,6 +225,23 @@ object VectorQueries {
           e, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("rank"), col("nid"), round(col("ip"), 4).as("ip"))
         .orderBy("qid", "rank")
+    },
+
+    // Two-stage ANN serving: PQ-ADC candidates (corpus side touches only
+    // 4 int codes/vector) → exact cosine re-rank of the ~20 survivors per
+    // query (coarse recall, exact precision — the standard quantized-
+    // search refinement). Probe-only against the session PQ index; the
+    // oracle replays all four subspace trainings AND the rerank.
+    "v11_pq_rerank" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val cand = Similarity.pqTopK(pqIndexFor(s, dir), q, "vec_id", "embedding",
+          k = 20)
+        .select(col("qid"), col("nid"))
+      Similarity.rerankCosine(cand, q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
     }
   )
 
@@ -479,6 +496,55 @@ object VectorQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB twin of v11 — v08's full PQ replay ranks ADC top-`candK`
+    * candidates, then the v01-style exact-cosine rerank runs over those
+    * candidates only. */
+  private def v11Oracle(m: Int = 4, k: Int = 8, iters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64,
+                        candK: Int = 20, topK: Int = 5): String = {
+    val subDim = dim / m
+    val blocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, iters,
+        trainSample, subDim)
+    }.mkString(",\n  ")
+    val codeCols = (0 until m).map(ms => s"m$ms.cell AS c$ms").mkString(", ")
+    val codeJoin = (1 until m)
+      .map(ms => s"JOIN m${ms}corpus m$ms ON m$ms.nid = m0.nid")
+      .mkString("\n            ")
+    val cbJoins = (0 until m)
+      .map(ms => s"JOIN m${ms}centl$iters b$ms ON b$ms.c = codes.c$ms")
+      .mkString("\n           ")
+    val adcSum = (0 until m).map { ms =>
+      val lo = ms * subDim
+      s"list_inner_product(q.v[${lo + 1}:${lo + subDim}], b$ms.cf)"
+    }.mkString("\n             + ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  $blocks,
+       |  codes AS (SELECT m0.nid, $codeCols
+       |            FROM m0corpus m0
+       |            $codeJoin),
+       |  q AS MATERIALIZED (SELECT vec_id AS qid, v FROM e WHERE vec_id < 8),
+       |  sims AS (SELECT q.qid, codes.nid,
+       |             $adcSum AS adc
+       |           FROM q JOIN codes ON codes.nid <> q.qid
+       |           $cbJoins),
+       |  r AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
+       |          ORDER BY adc DESC, nid) AS rank FROM sims),
+       |  cand AS (SELECT qid, nid FROM r WHERE rank <= $candK),
+       |  nrm AS MATERIALIZED (SELECT vec_id, v,
+       |           sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |  ex AS (SELECT c.qid, c.nid,
+       |           list_inner_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS sim
+       |         FROM cand c JOIN nrm nq ON nq.vec_id = c.qid
+       |                     JOIN nrm nc ON nc.vec_id = c.nid),
+       |  rr AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |           ORDER BY sim DESC, nid) AS rank FROM ex)
+       |SELECT qid, rank, nid, round(sim, 4) AS sim
+       |FROM rr WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB twin of v07 — same training replay as v04, then the per-cell
     * profile over the assigned corpus. */
   private def v07Oracle(nCells: Int = 16, iters: Int = 8,
@@ -498,6 +564,7 @@ object VectorQueries {
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),
+    "v11_pq_rerank" -> v11Oracle(),
     // Mirrors mipsTopK: v01's brute force without the norm division.
     "v10_mips" ->
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -65,6 +65,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("v11 rerank ≡ in-JVM exact cosine over the ADC top-20 candidates") {
+    import graft.queries.VectorQueries
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val byId = rows.toMap
+    // candidates from the already-specced PQ stage (fresh unpersisted build
+    // — this test must not depend on VectorQueries' session index cache)
+    val adcTop20 = Similarity.pqTopK(
+        Similarity.pqBuild(Tables.load(spark, sf, "embeddings"),
+          "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 4,
+          persist = false),
+        Tables.load(spark, sf, "embeddings").filter($"vec_id" < 8),
+        "vec_id", "embedding", k = 20)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = adcTop20.groupBy(_._1).toSeq.flatMap { case (qid, ps) =>
+      ps.map { case (_, nid) => (qid, nid, cos(byId(qid), byId(nid))) }
+        .sortBy { case (_, nid, sim) => (-sim, nid) }
+        .take(5).zipWithIndex
+        .map { case ((q, n, sim), i) =>
+          (q, i + 1, n, math.rint(sim * 1e4) / 1e4) }
+    }.toSet
+    val got = VectorQueries.queries("v11_pq_rerank")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
+
   test("LSH ANN achieves useful recall vs brute force on real embeddings") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 20)

@@ -44,4 +44,45 @@ class SkewJoinSpec extends SparkSpec {
     val hot = SkewJoin.hotKeys(large, "k", 100).collect()
     assert(hot.map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("bloomFilteredJoin ≡ plain join, with the probe in the plan") {
+    val sf = "/root/testdata/sf0.001"
+    val small = graft.io.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = graft.io.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    val bloomed = SkewJoin.bloomFilteredJoin(fact, small, "o_orderkey",
+      estimatedItems = 10000L, numBits = 1L << 17)
+    val plain = fact.join(small, Seq("o_orderkey"))
+    assert(bloomed.collect().map(_.toSeq).toSet ===
+      plain.collect().map(_.toSeq).toSet)
+    assert(plain.count() > 0, "fixture must join something")
+    // the literal-filter probe sits in the large side's plan (the
+    // expression pretty-prints as might_contain)
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+  }
+
+  test("bloomFilteredJoin: empty small side yields empty result, joined schema") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "x")
+    val small = Seq((1L, 9L)).toDF("k", "y").filter(col("y") === -1)
+    val out = SkewJoin.bloomFilteredJoin(fact, small, "k")
+    assert(out.columns.toSeq === Seq("k", "x", "y"))
+    assert(out.count() === 0)
+  }
+
+  test("bloom prefilter prunes non-matching fact rows before the join") {
+    // keys 1..1000 on the fact side; small side holds 10 — at 2^17 bits the
+    // FP rate is ~0, so survivors ≈ matches
+    val fact = (1 to 1000).map(i => (i.toLong, i)).toDF("k", "x")
+    val small = (1 to 10).map(i => (i.toLong * 100, i)).toDF("k", "y")
+    graft.plans.BloomMembership.register(spark)
+    val bytes = small.agg(call_function("bloom_agg", xxhash64(col("k")),
+      lit(10000L), lit(1L << 17))).head.getAs[Array[Byte]](0)
+    val survivors = fact.filter(call_function("bloom_might_contain",
+      lit(bytes), xxhash64(col("k")))).count()
+    assert(survivors >= 10 && survivors < 50,
+      s"expected ~10 survivors of 1000, got $survivors")
+  }
 }
