@@ -971,8 +971,8 @@ object CoreQueries {
     // filtered order set; its key filter rides to the lineitem side as a
     // plan-literal might_contain probe, so non-matching fact rows never
     // enter the join shuffle. Results identical to the plain join (the
-    // oracle IS the plain join); BloomJoinSpec pins the equivalence and
-    // the pruning.
+    // oracle IS the plain join); SkewJoinSpec pins the equivalence and
+    // the pruning, tools.BloomJoinProbe measures the shuffle savings.
     "q52_bloom_join" -> { (s, dir) =>
       val small = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -988,6 +988,71 @@ object CoreQueries {
           exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("revenue"))
         .orderBy("mo")
+    },
+
+    // A-path: event-type transition matrix within 30-minute continuity —
+    // the "user journey" aggregation: lag pairs per user (total window
+    // order), session continuity as a gap bound, transition shares from
+    // an exact long window sum and ONE division.
+    "q53_path_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      ev.filter(col("prev_type").isNotNull &&
+          col("ts_us") - col("prev_ts") <= lit(1800000000L))
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct", round(col("n").cast("double") * 100 /
+          sum(col("n")).over(Window.partitionBy("from_type")), 4))
+        .orderBy("from_type", "to_type")
+    },
+
+    // A-hierarchy: share-of-parent at two levels (nation within region,
+    // region within total). The float trap here is the WINDOW sum: summing
+    // already-divided doubles is reduction-order-dependent, so revenue
+    // stays in fixed-point LONG units through both window sums and each
+    // share is one terminal division.
+    "q54_share_of_parent" -> { (s, dir) =>
+      val units = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000, 0).cast("long")).as("units"))
+      val wr = Window.partitionBy("r_name")
+      val wt = Window.partitionBy()
+      units.select(col("r_name"), col("n_name"),
+          (col("units") / 1e4).as("revenue"),
+          round(col("units").cast("double") * 100 /
+            sum(col("units")).over(wr), 4).as("pct_of_region"),
+          round(sum(col("units")).over(wr).cast("double") * 100 /
+            sum(col("units")).over(wt), 4).as("region_pct_of_total"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Table reconciliation over two derived order snapshots: pre-2002 vs
+    // post-2000, with a deterministic perturbation in the "new" version so
+    // every status arises. Column-exact change detection (IS DISTINCT
+    // FROM), no row hashing — see TableDiff.
+    "d10_table_diff" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val prev = orders.filter(year(col("o_orderdate")) <= 2001)
+      val next = orders.filter(year(col("o_orderdate")) >= 2001)
+        .withColumn("o_totalprice",
+          when(col("o_custkey") % 10 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.operators.TableDiff.diff(prev, next, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("status")
     }
   )
 
@@ -1611,6 +1676,68 @@ object CoreQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 2001
          |GROUP BY mo
-         |ORDER BY mo""".stripMargin
+         |ORDER BY mo""".stripMargin,
+
+    "q53_path_transitions" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |         event_id, event_type
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |        lag(event_type) OVER w AS prev_type,
+        |        ts_us - lag(ts_us) OVER w AS gap
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id)),
+        |tr AS (SELECT prev_type AS from_type, event_type AS to_type,
+        |         count(*) AS n
+        |       FROM p
+        |       WHERE prev_type IS NOT NULL AND gap <= 1800000000
+        |       GROUP BY prev_type, event_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) * 100 /
+        |        sum(n) OVER (PARTITION BY from_type), 4) AS pct
+        |FROM tr
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q54_share_of_parent" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+        |                  AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, units / 10000.0 AS revenue,
+        |  round(CAST(units AS DOUBLE) * 100 /
+        |        sum(units) OVER (PARTITION BY r_name), 4) AS pct_of_region,
+        |  round(CAST(sum(units) OVER (PARTITION BY r_name) AS DOUBLE) * 100 /
+        |        sum(units) OVER (), 4) AS region_pct_of_total
+        |FROM rev
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "d10_table_diff" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE year(o_orderdate) <= 2001),
+        |n AS MATERIALIZED (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE year(o_orderdate) >= 2001),
+        |d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS key,
+        |        CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+        |             WHEN o.o_orderkey IS NULL THEN 'added'
+        |             WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |               OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |               THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT status, count(*) AS n, min(key) AS min_key, max(key) AS max_key
+        |FROM d
+        |GROUP BY status
+        |ORDER BY status""".stripMargin
   )
 }
