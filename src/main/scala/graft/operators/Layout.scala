@@ -58,6 +58,18 @@ object Layout {
     require(targetFileBytes > 0)
     val hadoopPath = new org.apache.hadoop.fs.Path(path) // normalizes trailing '/'
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery from a previous compact() of this table: a run that
+    // died between the two swap renames left the data under ._precompact
+    // (restore it); one that died after the swap but before cleanup left a
+    // stale ._precompact beside the already-compacted table (drop it —
+    // either way a leftover must not wedge every future compaction).
+    val staleBak = hadoopPath.suffix("._precompact")
+    if (fs.exists(staleBak)) {
+      if (!fs.exists(hadoopPath)) {
+        if (!fs.rename(staleBak, hadoopPath))
+          sys.error(s"compact: cannot restore $staleBak after crashed swap")
+      } else fs.delete(staleBak, true)
+    }
     val parts = fs.listStatus(hadoopPath)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     // A hive-partitioned table has NO top-level part files — rewriting it

@@ -339,11 +339,16 @@ object Similarity {
     graft.plans.FloatDotProduct.register(queries.sparkSession)
     val q = queries.select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
-      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+    // the corpus side stays a BARE (nid, vector) projection below the
+    // join: cast/dot/sqrt placed here would run per CORPUS row before the
+    // hash probe discards non-candidates — all full-precision arithmetic
+    // happens ABOVE the join, on the ~k-per-query survivors only
+    val c = corpus.select(col(nid).as("nid"), col(nvec).as("nv_raw"))
     rankTopK(
       broadcast(cands.select("qid", "nid").join(broadcast(q), "qid"))
         .join(c, "nid")
+        .withColumn("nv", col("nv_raw").cast("array<float>"))
+        .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
         .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
       "sim", k)
   }

@@ -59,15 +59,23 @@ object SkewJoin {
                         estimatedItems: Long = 1000000L,
                         numBits: Long = 1L << 23): DataFrame = {
     graft.plans.BloomMembership.register(large.sparkSession)
+    // xxhash64 hashes each numeric TYPE differently, while the join itself
+    // coerces both sides to a common type before comparing — hashing the
+    // raw columns of an INT-vs-BIGINT key pair would build the filter from
+    // long hashes and probe with int hashes, manufacturing false NEGATIVES
+    // (silently dropped matches). Hash through the exact type the join
+    // would compare at: Spark's own union coercion decides it.
+    val common = large.select(col(key)).unionByName(small.select(col(key)))
+      .schema.head.dataType
     // NULL filter ⇔ empty small side: the join result is empty; keep the
     // joined schema without scanning either side
     Option(
-      small.agg(call_function("bloom_agg", xxhash64(col(key)),
+      small.agg(call_function("bloom_agg", xxhash64(col(key).cast(common)),
           lit(estimatedItems), lit(numBits)).as("bf"))
         .head.getAs[Array[Byte]]("bf"))
       .fold(large.filter(lit(false)).join(small, Seq(key))) { bytes =>
         large.filter(call_function("bloom_might_contain", lit(bytes),
-            xxhash64(col(key))))
+            xxhash64(col(key).cast(common))))
           .join(small, Seq(key))
       }
   }

@@ -86,4 +86,27 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._compacting")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._precompact")))
   }
+
+  test("compact recovers from both crash windows of a previous run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    val path = s"$dir/tbl"
+    val src = Tables.load(spark, sf, "region").select($"r_regionkey", $"r_name")
+    src.repartition(3).write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = p.suffix("._precompact")
+    // window 1: died between the renames — table gone, data in ._precompact
+    assert(fs.rename(p, bak))
+    val (_, n1) = Layout.compact(spark, path, 1L << 20)
+    assert(n1 === 1)
+    assert(spark.read.parquet(path).count() === 5, "restored then compacted")
+    assert(!fs.exists(bak))
+    // window 2: died after the swap, before cleanup — stale bak beside table
+    fs.mkdirs(bak)
+    val (_, n2) = Layout.compact(spark, path, 1L << 20)
+    assert(n2 === 1)
+    assert(!fs.exists(bak), "stale backup must not wedge future compactions")
+    assert(spark.read.parquet(path).count() === 5)
+  }
 }

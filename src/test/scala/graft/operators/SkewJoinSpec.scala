@@ -72,6 +72,16 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("bloomFilteredJoin matches across INT-vs-BIGINT key types (no false negatives)") {
+    // xxhash64 hashes int and long inputs differently; the operator must
+    // hash through the join's common type or every match silently drops
+    val fact = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "x") // k: INT
+    val small = Seq((1L, 10L), (3L, 30L)).toDF("k", "y")        // k: BIGINT
+    val out = SkewJoin.bloomFilteredJoin(fact, small, "k")
+      .select("x", "y").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a", 10L), ("c", 30L)))
+  }
+
   test("bloom prefilter prunes non-matching fact rows before the join") {
     // keys 1..1000 on the fact side; small side holds 10 — at 2^17 bits the
     // FP rate is ~0, so survivors ≈ matches
