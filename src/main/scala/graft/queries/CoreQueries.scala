@@ -1036,6 +1036,22 @@ object CoreQueries {
         .orderBy("r_name", "n_name")
     },
 
+    // W-session-window: Spark's NATIVE session_window aggregate (the
+    // merging-interval session operator, usable in batch and streaming) —
+    // checked against a first-principles gap-and-running-sum oracle, so
+    // the built-in's exact boundary semantics (a new session starts when
+    // gap ≥ the timeout; end = last event + timeout, half-open) are pinned
+    // rather than assumed. Complements q23, which builds sessions manually.
+    "q55_session_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+
     // Table reconciliation over two derived order snapshots: pre-2002 vs
     // post-2000, with a deterministic perturbation in the "new" version so
     // every status arises. Column-exact change detection (IS DISTINCT
@@ -1716,6 +1732,30 @@ object CoreQueries {
         |        sum(units) OVER (), 4) AS region_pct_of_total
         |FROM rev
         |ORDER BY r_name, n_name""".stripMargin,
+
+    // first-principles replay of session_window semantics: new session at
+    // gap >= timeout (the built-in's half-open [start, last+timeout))
+    "q55_session_window" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS sid
+        |      FROM f)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "d10_table_diff" ->
       """WITH o AS MATERIALIZED (

@@ -88,4 +88,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     res.analytical.unpersist(); res.denominatorDays.unpersist()
     res.eligible.unpersist(); res.cohort.unpersist()
   }
+
+  test("bare min/max/count aggregates push down to parquet footer stats") {
+    // GraftSession sets spark.sql.parquet.aggregatePushdown, but the
+    // pushdown only exists on the V2 read path — parquet sits on Spark's
+    // default V1 list, so flip it for this scope (documenting the real
+    // deployment requirement). A stats-only aggregate then never touches
+    // data pages: the scan advertises PushedAggregation and answers from
+    // row-group metadata. Any filter or non-stats expression disables it.
+    val v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
+      val plan = fmt(df)
+      assert(plan.contains("PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"),
+        plan.take(1200))
+      val r = df.head()
+      assert(r.getLong(2) > 0)
+      assert(r.getLong(0) <= r.getLong(1))
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", v1)
+  }
 }
