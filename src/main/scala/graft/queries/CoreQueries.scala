@@ -1052,6 +1052,29 @@ object CoreQueries {
         .orderBy("user_id", "start_us")
     },
 
+    // Recursive-hierarchy traversal (the WITH RECURSIVE gap in Spark SQL):
+    // a deterministic decimal-digit tree over part keys (parent = key div
+    // 10) explodes to its full ancestor closure via Hierarchy.ancestors'
+    // iterative frontier joins, profiled per depth. The oracle runs the
+    // same closure as a genuine recursive CTE — engine iteration ≡ SQL
+    // recursion, hash-exact.
+    "q56_transitive_closure" -> { (s, dir) =>
+      val edges = t(s, dir, "part")
+        .filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("child"),
+          call_function("div", col("p_partkey"), lit(10L)).as("parent"))
+      val anc = graft.operators.Hierarchy.ancestors(edges)
+      val out = anc.groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("node")).as("n_nodes"),
+          countDistinct(col("anc")).as("n_ancs"),
+          sum(col("anc")).as("sum_anc"))
+        .orderBy("depth")
+      val materialized = out.localCheckpoint()
+      graft.operators.Components.releaseCheckpoint(anc)
+      materialized
+    },
+
     // Table reconciliation over two derived order snapshots: pre-2002 vs
     // post-2000, with a deterministic perturbation in the "new" version so
     // every status arises. Column-exact change detection (IS DISTINCT
@@ -1756,6 +1779,23 @@ object CoreQueries {
         |FROM s
         |GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "q56_transitive_closure" ->
+      """WITH RECURSIVE
+        |  e AS MATERIALIZED (SELECT p_partkey AS child,
+        |                            p_partkey // 10 AS parent
+        |                     FROM part WHERE p_partkey >= 10),
+        |  anc(node, anc, depth) AS (
+        |    SELECT child, parent, CAST(1 AS BIGINT) FROM e
+        |    UNION ALL
+        |    SELECT a.node, e.parent, a.depth + 1
+        |    FROM anc a JOIN e ON e.child = a.anc)
+        |SELECT depth, count(*) AS n_pairs,
+        |  count(DISTINCT node) AS n_nodes, count(DISTINCT anc) AS n_ancs,
+        |  CAST(sum(anc) AS BIGINT) AS sum_anc
+        |FROM anc
+        |GROUP BY depth
+        |ORDER BY depth""".stripMargin,
 
     "d10_table_diff" ->
       """WITH o AS MATERIALIZED (

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class HierarchySpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("ancestors enumerates the full closure of a hand-checked tree") {
+    //      1
+    //     / \
+    //    2   3
+    //   /|   |
+    //  4 5   6
+    //  |
+    //  7
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L), (7L, 4L))
+      .toDF("child", "parent")
+    val out = Hierarchy.ancestors(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set(
+      (2L, 1L, 1L), (3L, 1L, 1L), (4L, 2L, 1L), (5L, 2L, 1L), (6L, 3L, 1L),
+      (7L, 4L, 1L),
+      (4L, 1L, 2L), (5L, 1L, 2L), (6L, 1L, 2L), (7L, 2L, 2L),
+      (7L, 1L, 3L))
+    assert(out === expected)
+  }
+
+  test("a DAG node reaches an ancestor once per distinct path") {
+    // diamond: 4 → {2, 3} → 1 — node 4 reaches 1 twice at depth 2 (path
+    // multiplicity, the recursive-CTE UNION ALL semantics)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (4L, 3L)).toDF("c", "p")
+    val out = Hierarchy.ancestors(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.count(_ == ((4L, 1L, 2L))) === 2)
+  }
+
+  test("a cycle fails loudly at the depth cap instead of looping forever") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
+    val ex = intercept[IllegalArgumentException] {
+      Hierarchy.ancestors(edges, maxDepth = 8)
+    }
+    assert(ex.getMessage.contains("maxDepth"))
+  }
+
+  test("releaseCheckpoint on the result frees every level's blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Hierarchy.ancestors(
+      Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("c", "p"))
+    assert(out.count() === 6)
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty)
+    Components.releaseCheckpoint(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "all level checkpoints must be freed by one release call")
+  }
+}
