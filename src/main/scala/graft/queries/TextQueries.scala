@@ -621,6 +621,29 @@ object TextQueries {
         .filter(col("rk") <= col("quota"))
         .select(col("source"), col("doc_id"), col("rk"), col("quota"), col("n_in"))
         .orderBy("source", "rk")
+    },
+
+    // Dedup savings report — the corpus-level "what did near-dup removal
+    // buy" summary every pipeline run logs: cluster labels from the
+    // session index (probe-only, same labels d05/d08 use) joined to t01's
+    // token counts; canonical = the min-id survivor. One broadcast-ish
+    // join and one global aggregate.
+    "t23_dedup_savings" -> { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Components.dupClustersFromLabels(docs(s, dir), "doc_id",
+          dupClusterLabels(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"), col("is_canonical"))
+        .join(toks, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_tokens")).as("raw_tokens"),
+          sum(when(col("is_canonical"), col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"))
+        .select(col("n_docs"), col("n_clusters"), col("raw_tokens"),
+          col("kept_tokens"),
+          round(lit(1) - col("kept_tokens").cast("double") / col("raw_tokens"), 4)
+            .as("savings_frac"))
     }
   )
 
@@ -691,6 +714,31 @@ object TextQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Shared DuckDB replay of the near-dup cluster resolution (brute-force
+    * exact-Jaccard pairs at 0.8 → undirected edges → recursive label walk
+    * → min-label components) — the oracle-side twin of the cluster-label
+    * index d05/d08/t23 probe. */
+  private val dupClusterCtes: String =
+    """WITH RECURSIVE
+      |  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents),
+      |  s AS (SELECT doc_id,
+      |          list_distinct([array_to_string(w[i:i+2], ' ')
+      |                         for i in range(1, len(w) - 1)]) AS s
+      |        FROM w WHERE len(w) >= 3),
+      |  p AS (SELECT CAST(a.doc_id AS BIGINT) AS ia,
+      |               CAST(b.doc_id AS BIGINT) AS ib
+      |        FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |        WHERE len(list_intersect(a.s, b.s)) /
+      |              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      |  e AS (SELECT ia AS src, ib AS dst FROM p
+      |        UNION SELECT ib, ia FROM p),
+      |  walk(id, lbl) AS (
+      |    SELECT src, src FROM e
+      |    UNION
+      |    SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id),
+      |  cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)""".stripMargin
 
   /** DuckDB twin of t15 — replays the whole count-min sketch in SQL: the
     * same token counts, the same two closed-form polynomial token hashes
@@ -821,31 +869,31 @@ object TextQueries {
     // component id is the min reachable label. UNION (not UNION ALL)
     // dedups, so the recursion terminates at the transitive closure.
     "d05_dup_clusters" ->
-      """WITH RECURSIVE
-        |  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |        FROM documents),
-        |  s AS (SELECT doc_id,
-        |          list_distinct([array_to_string(w[i:i+2], ' ')
-        |                         for i in range(1, len(w) - 1)]) AS s
-        |        FROM w WHERE len(w) >= 3),
-        |  p AS (SELECT CAST(a.doc_id AS BIGINT) AS ia,
-        |               CAST(b.doc_id AS BIGINT) AS ib
-        |        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |        WHERE len(list_intersect(a.s, b.s)) /
-        |              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
-        |  e AS (SELECT ia AS src, ib AS dst FROM p
-        |        UNION SELECT ib, ia FROM p),
-        |  walk(id, lbl) AS (
-        |    SELECT src, src FROM e
-        |    UNION
-        |    SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id),
-        |  cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+      s"""$dupClusterCtes
         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
         |  COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
         |  COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) = CAST(d.doc_id AS BIGINT)
         |    AS is_canonical
         |FROM documents d LEFT JOIN cc ON cc.id = CAST(d.doc_id AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    // dedup savings report: d05's cluster replay + t01's tokenizer, one
+    // corpus-level summary row
+    "t23_dedup_savings" ->
+      s"""$dupClusterCtes,
+        |  mem AS (SELECT COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT))
+        |                   = CAST(d.doc_id AS BIGINT) AS is_canonical,
+        |                 COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
+        |                 len(string_split(d.text, ' ')) AS n_tokens
+        |          FROM documents d
+        |          LEFT JOIN cc ON cc.id = CAST(d.doc_id AS BIGINT))
+        |SELECT count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters,
+        |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(CASE WHEN is_canonical THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  round(1 - CAST(sum(CASE WHEN is_canonical THEN n_tokens ELSE 0 END)
+        |                  AS DOUBLE) / sum(n_tokens), 4) AS savings_frac
+        |FROM mem""".stripMargin,
 
     // t12: identical RE2-safe regexes, 'g' for replace-all (Spark's
     // default), counts on the raw text on both sides.
