@@ -28,26 +28,40 @@ object Hierarchy {
     val e = edges.select(col(edges.columns(0)).cast("long").as("child"),
         col(edges.columns(1)).cast("long").as("parent"))
       .localCheckpoint()
-    var frontier = e.select(col("child").as("node"), col("parent").as("anc"),
+    val base = e.select(col("child").as("node"), col("parent").as("anc"),
         lit(1L).as("depth"))
       .localCheckpoint()
-    var levels = List(frontier)
+    // one emptiness probe per level, exactly; depth == maxDepth is legal
+    // (the cap rejects only a level BEYOND it); every failure path frees
+    // what it checkpointed — a cyclic input must not also leak 64 levels
+    var levels = if (base.isEmpty) Nil else List(base)
+    var frontier = base
+    var done = levels.isEmpty
     var d = 1
-    while (d < maxDepth && !frontier.isEmpty) {
-      frontier = frontier.join(e, frontier("anc") === e("child"))
+    while (!done) {
+      val next = frontier.join(e, frontier("anc") === e("child"))
         .select(frontier("node"), e("parent").as("anc"),
           (frontier("depth") + 1).as("depth"))
         .localCheckpoint()
-      if (!frontier.isEmpty) levels ::= frontier
-      d += 1
+      if (next.isEmpty) {
+        Components.releaseCheckpoint(next) // terminal, never in the result
+        done = true
+      } else {
+        d += 1
+        if (d > maxDepth) {
+          (next :: levels).foreach(Components.releaseCheckpoint)
+          Components.releaseCheckpoint(e)
+          throw new IllegalArgumentException(
+            s"hierarchy deeper than maxDepth=$maxDepth — cycle, or raise the cap")
+        }
+        levels ::= next
+        frontier = next
+      }
     }
-    require(frontier.isEmpty,
-      s"hierarchy deeper than maxDepth=$maxDepth — cycle, or raise the cap")
-    // the edge checkpoint (and the empty terminal frontier) are not part
-    // of the returned union's plan — free their blocks now, or they'd
-    // outlive the result
+    // the edge checkpoint is not part of the returned union's plan — free
+    // it now, or it outlives the result
     Components.releaseCheckpoint(e)
-    Components.releaseCheckpoint(frontier)
-    levels.reduce(_ unionByName _)
+    if (levels.isEmpty) base // empty input: a valid, blockless empty frame
+    else levels.reduce(_ unionByName _)
   }
 }

@@ -1070,9 +1070,13 @@ object CoreQueries {
           countDistinct(col("anc")).as("n_ancs"),
           sum(col("anc")).as("sum_anc"))
         .orderBy("depth")
-      val materialized = out.localCheckpoint()
+      // ≤ maxDepth rows: collect the profile, then free every level
+      // checkpoint — repeated invocations must not strand cached RDDs
+      // (and a bounded per-depth summary is legitimate driver data, the
+      // same class as the IVF model)
+      val rows = out.collect().toSeq
       graft.operators.Components.releaseCheckpoint(anc)
-      materialized
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     },
 
     // Table reconciliation over two derived order snapshots: pre-2002 vs

@@ -34,12 +34,29 @@ class HierarchySpec extends SparkSpec {
     assert(out.count(_ == ((4L, 1L, 2L))) === 2)
   }
 
-  test("a cycle fails loudly at the depth cap instead of looping forever") {
+  test("a cycle fails loudly at the depth cap AND leaks no checkpoints") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
     val ex = intercept[IllegalArgumentException] {
       Hierarchy.ancestors(edges, maxDepth = 8)
     }
     assert(ex.getMessage.contains("maxDepth"))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "the failure path must free every level it checkpointed")
+  }
+
+  test("depth exactly equal to maxDepth is legal; one beyond is not") {
+    val chain = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("c", "p") // depth 3
+    assert(Hierarchy.ancestors(chain, maxDepth = 3).count() === 6)
+    intercept[IllegalArgumentException] {
+      Hierarchy.ancestors(chain, maxDepth = 2)
+    }
+  }
+
+  test("empty edge input yields a usable empty result") {
+    val out = Hierarchy.ancestors(
+      Seq.empty[(Long, Long)].toDF("c", "p"))
+    assert(out.count() === 0) // must not throw 'checkpoint block not found'
   }
 
   test("releaseCheckpoint on the result frees every level's blocks") {
