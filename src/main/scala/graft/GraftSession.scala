@@ -52,6 +52,22 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Opt this session's iterative operators (connected components,
+    * hierarchy traversal) into RELIABLE checkpoints: each round is written
+    * to `dir` (HDFS/S3/object store on a cluster) instead of
+    * executor-local blocks, so a lost executor mid-run recovers from the
+    * store rather than killing the job — the fault-tolerance mode an
+    * hours-long 100-TB run needs. `dir` must be a fault-tolerant,
+    * cluster-visible path in production; operators delete their round
+    * files as soon as the next round is durable (see
+    * [[graft.operators.Checkpoints]]), so steady-state usage is
+    * O(2 rounds), not O(all rounds). Idempotent; runtime-revocable with
+    * `spark.conf.set(Checkpoints.ReliableConf, "false")`. */
+  def enableReliableCheckpoints(spark: SparkSession, dir: String): Unit = {
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.operators.Checkpoints.ReliableConf, "true")
+  }
+
   /** Local session for tests / benchmarks. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = tune(

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint-mode selection for the engine's iterative operators
+  * ([[Components]], [[Hierarchy]]) — the fault-tolerance contract of a
+  * multi-hour run on a real cluster.
+  *
+  * `localCheckpoint()` (the default) truncates lineage by persisting blocks
+  * on the executors that computed them. That is the right call for local
+  * mode and short jobs — zero filesystem traffic — but those blocks "cannot
+  * be recomputed after unpersisting": lose ONE executor mid-run and the
+  * whole iterative job dies unrecoverably. A 100-TB connected-components
+  * run over hours WILL lose executors.
+  *
+  * Reliable mode writes each round to the session's checkpoint directory
+  * (HDFS/S3 on a cluster) via `Dataset.checkpoint()` instead: a lost
+  * executor re-reads the round from the fault-tolerant store and the job
+  * continues — the same restart-from-the-middle property the reference
+  * pipeline gets from its stage tables
+  * (ref: 2_data_importing_cleaning.R:39-40, 3_blood_pressure.R:44-55).
+  *
+  * Opt in with [[graft.GraftSession.enableReliableCheckpoints]] (sets the
+  * Spark checkpoint dir AND the [[ReliableConf]] runtime flag); every
+  * operator that iterates picks the mode per-call through [[stage]], and
+  * [[release]] cleans whichever artifact was produced — executor blocks
+  * for local, `rdd-*` directories for reliable (Spark's own cleaner only
+  * removes them at context shutdown, and only with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` — an hours-long run
+  * must reclaim round N's files as soon as round N+1 is durable, or it
+  * holds O(rounds × |E|) of the cluster store).
+  */
+object Checkpoints {
+
+  /** Runtime conf flag (`spark.conf.set(...)`-able mid-session): when
+    * `true`, [[stage]] uses reliable `Dataset.checkpoint()`; requires
+    * `SparkContext.setCheckpointDir` to have been called. */
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+
+  /** Is reliable mode on for this frame's session? */
+  def reliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Materialize a round of an iterative computation with lineage
+    * truncated: reliable `checkpoint()` when configured (survives executor
+    * loss), `localCheckpoint()` otherwise (fastest, not fault-tolerant).
+    * Eager in both modes — callers rely on the returned frame being
+    * computed so the PREVIOUS round can be [[release]]d immediately. */
+  def stage(df: DataFrame): DataFrame =
+    if (reliable(df)) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true but no checkpoint dir — call " +
+          "GraftSession.enableReliableCheckpoints(spark, dir) or SparkContext.setCheckpointDir")
+      df.checkpoint()
+    } else df.localCheckpoint()
+
+  /** Free a checkpointed frame's storage NOW, whichever mode produced it.
+    *
+    * `Dataset.unpersist` only reaches CacheManager-registered plans (those
+    * from `.persist()`/`.cache()`); a checkpoint's artifacts hang off the
+    * internal RDD inside the plan's `LogicalRDD` leaf, which otherwise only
+    * GC + ContextCleaner reclaim — "release" through `unpersist()` silently
+    * frees nothing. This digs every `LogicalRDD` out of the analyzed plan
+    * and, per RDD: drops its persisted blocks (localCheckpoint), and
+    * deletes its `rdd-*` checkpoint directory from the checkpoint store
+    * (reliable). Works on the checkpointed frame itself AND on any frame
+    * whose plan still references one — pass an operator's RESULT and every
+    * level/round it retained is freed in one call. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      rdd.unpersist(false)
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new Path(f)
+        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+}

@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   * is |E| rows through two groupBy shuffles — no adjacency materialization,
   * no signatures, just (long, long) pairs.
   *
-  * Scale notes: `localCheckpoint` truncates the growing lineage each round
-  * (iterative-DataFrame trap — without it the plan doubles per iteration and
-  * the driver ooms on plan size long before data size matters). Convergence
+  * Scale notes: each round is materialized with lineage truncated through
+  * [[Checkpoints.stage]] (iterative-DataFrame trap — without it the plan
+  * doubles per iteration and the driver ooms on plan size long before data
+  * size matters). Default mode is `localCheckpoint` (fast, executor-local);
+  * a session that calls [[graft.GraftSession.enableReliableCheckpoints]]
+  * gets reliable `checkpoint()` instead, so a lost executor mid-run recovers
+  * from the checkpoint store rather than killing the job — identical labels
+  * either way (ComponentsSpec runs both modes). Convergence
   * is detected by an exact edge-set comparison: a count + order-independent
   * xxhash64 checksum (ONE cheap aggregate per round — the previous round's
   * checksum is carried, not recomputed), then — only when the checksums
@@ -61,19 +66,20 @@ object Components {
       .select(least(src, dst).cast("long").as("a"), greatest(src, dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+    e = Checkpoints.stage(e)
 
     var iter = 0
     var converged = false
     var eSig = sig(e) // carried across rounds: one checksum job per round
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Checkpoints.stage(smallStar(largeStar(e)))
       val nextSig = sig(next)
       converged = eSig == nextSig && confirmedEqual(e, next)
-      // next is materialized (eager localCheckpoint) and the convergence
-      // check has read both frames: the previous round's checkpoint blocks
-      // can be released NOW instead of waiting for GC-driven cleanup —
-      // otherwise a long run holds O(rounds × |E|) storage.
+      // next is materialized (eager checkpoint, either mode) and the
+      // convergence check has read both frames: the previous round's
+      // checkpoint (blocks or files) can be released NOW instead of waiting
+      // for GC-driven cleanup — otherwise a long run holds
+      // O(rounds × |E|) storage.
       releaseCheckpoint(e)
       e = next
       eSig = nextSig
@@ -89,20 +95,10 @@ object Components {
     (labels, iter)
   }
 
-  /** Free the storage blocks of a `localCheckpoint()`ed frame NOW.
-    *
-    * `Dataset.unpersist` only reaches CacheManager-registered plans (those
-    * from `.persist()`/`.cache()`); a localCheckpoint's MEMORY_AND_DISK
-    * blocks hang off the internal RDD inside the plan's `LogicalRDD` leaf,
-    * which otherwise only GC + ContextCleaner reclaim — "release" through
-    * `unpersist()` silently frees nothing. Works on the checkpointed frame
-    * itself AND on any frame whose plan still references one (pass the
-    * pre-checkpoint handle to free an upstream checkpoint a fresh one has
-    * replaced). */
-  def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+  /** Free a checkpointed frame's storage NOW, whichever mode produced it —
+    * see [[Checkpoints.release]] (kept here under its original name; every
+    * operator and query that frees iterative state calls this). */
+  def releaseCheckpoint(df: DataFrame): Unit = Checkpoints.release(df)
 
   /** Per-node neighborhood minimum m = min(Γ(u) ∪ {u}); strictly larger
     * neighbors re-attach to m. Every canonical edge (a,b), a < b, is seen

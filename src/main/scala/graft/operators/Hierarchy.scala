@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Variable-depth hierarchy traversal — the recursive-CTE capability Spark
   * SQL lacks (BOM explosion, org charts, category trees), expressed as the
   * scale-correct iterative frontier join: level d+1 is frontier(d) ⋈ edges,
-  * each level localCheckpoint'ed (materialized, lineage truncated — the
-  * same discipline as [[Components]]' component loop), loop ends when the
+  * each level checkpointed through [[Checkpoints.stage]] (materialized,
+  * lineage truncated — the same discipline, and the same local-vs-reliable
+  * mode switch, as [[Components]]' component loop: sessions configured via
+  * [[graft.GraftSession.enableReliableCheckpoints]] survive executor loss
+  * mid-traversal), loop ends when the
   * frontier empties. Wall-clock is O(depth) joins; each join shuffles only
   * the CURRENT frontier, never the accumulated closure — on a 100-node
   * cluster a 10-level billion-edge hierarchy is 10 bounded shuffles.
@@ -25,12 +28,12 @@ object Hierarchy {
     * level's blocks. */
   def ancestors(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
     require(edges.columns.length >= 2, "edges needs (child, parent) columns")
-    val e = edges.select(col(edges.columns(0)).cast("long").as("child"),
-        col(edges.columns(1)).cast("long").as("parent"))
-      .localCheckpoint()
-    val base = e.select(col("child").as("node"), col("parent").as("anc"),
-        lit(1L).as("depth"))
-      .localCheckpoint()
+    val e = Checkpoints.stage(
+      edges.select(col(edges.columns(0)).cast("long").as("child"),
+        col(edges.columns(1)).cast("long").as("parent")))
+    val base = Checkpoints.stage(
+      e.select(col("child").as("node"), col("parent").as("anc"),
+        lit(1L).as("depth")))
     // one emptiness probe per level, exactly; depth == maxDepth is legal
     // (the cap rejects only a level BEYOND it); every failure path frees
     // what it checkpointed — a cyclic input must not also leak 64 levels
@@ -39,10 +42,10 @@ object Hierarchy {
     var done = levels.isEmpty
     var d = 1
     while (!done) {
-      val next = frontier.join(e, frontier("anc") === e("child"))
-        .select(frontier("node"), e("parent").as("anc"),
-          (frontier("depth") + 1).as("depth"))
-        .localCheckpoint()
+      val next = Checkpoints.stage(
+        frontier.join(e, frontier("anc") === e("child"))
+          .select(frontier("node"), e("parent").as("anc"),
+            (frontier("depth") + 1).as("depth")))
       if (next.isEmpty) {
         Components.releaseCheckpoint(next) // terminal, never in the result
         done = true

@@ -101,6 +101,25 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode: identical labels, files written then cleaned") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L), (40L, 30L))
+    val localMode = run(edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-c").toFile
+    graft.GraftSession.enableReliableCheckpoints(spark, dir.getAbsolutePath)
+    try {
+      val labels = Components.connectedComponents(edges.toDF("src", "dst"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === localMode, "both checkpoint modes must agree exactly")
+      // only the CONVERGED round may still hold files — the loop deletes
+      // each superseded round as soon as its successor is durable
+      assert(CheckpointFiles.rddDirs(dir).nonEmpty,
+        "reliable mode must write round checkpoints to the configured dir")
+      Components.releaseCheckpoint(labels)
+      assert(CheckpointFiles.rddDirs(dir).isEmpty,
+        "release must delete the reliable checkpoint files")
+    } finally spark.conf.set(Checkpoints.ReliableConf, "false")
+  }
+
   test("releaseCheckpoint frees localCheckpoint blocks that unpersist can't") {
     val sc = spark.sparkContext
     def persistedIds = sc.getPersistentRDDs.keySet

@@ -59,6 +59,27 @@ class HierarchySpec extends SparkSpec {
     assert(out.count() === 0) // must not throw 'checkpoint block not found'
   }
 
+  test("reliable-checkpoint mode: same closure, files written then cleaned") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (4L, 3L), (5L, 4L))
+      .toDF("c", "p")
+    val localMode = Hierarchy.ancestors(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-h").toFile
+    graft.GraftSession.enableReliableCheckpoints(spark, dir.getAbsolutePath)
+    try {
+      val out = Hierarchy.ancestors(edges)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(got === localMode, "both checkpoint modes must agree exactly")
+      assert(CheckpointFiles.rddDirs(dir).nonEmpty,
+        "reliable mode must write level checkpoints to the configured dir")
+      Components.releaseCheckpoint(out)
+      assert(CheckpointFiles.rddDirs(dir).isEmpty,
+        "one release call must delete every level's checkpoint files")
+    } finally spark.conf.set(Checkpoints.ReliableConf, "false")
+  }
+
   test("releaseCheckpoint on the result frees every level's blocks") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
