@@ -77,6 +77,9 @@ object Bench {
     try queries.TextQueries.prepareClusterIndex(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] cluster index build failed: $e") }
+    try queries.TextQueries.prepareSignatureIndex(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] signature index build failed: $e") }
     val idxSec = (System.nanoTime() - tIdx) / 1e9
 
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -88,12 +91,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""index_build_sec":$idxSec,"machine_cpus":$machineCpus,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
-      s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,"sf":"$sfDir"}""")
+      s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line: the stdout channel is a log-tail capture that
+    // has truncated this (single, ~100-query-wide) JSON line in practice —
+    // the file is the durable copy consumers can always parse.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
     queries.TextQueries.releaseClusterLabels(spark)
+    queries.TextQueries.releaseSignatureIndexes(spark)
     spark.stop()
   }
 }

@@ -137,7 +137,7 @@ object Dedup {
       .select(col("id"), col("nf"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("nf"), col("band"),
-        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("bh"))
+        bandHash(col("sig"), col("band"), r).as("bh"))
     val pairs = banded
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("id"), col("nf")))).as("ms"))
@@ -270,6 +270,165 @@ object Dedup {
         corpus.select(col(idCol), col(textCol)).withColumn("__nf", lit(false)))
     exactPairsImpl(tagged, idCol, textCol, flagCol = Some("__nf"), k, bands,
       shingleWidth, threshold, estMargin, maxBucket)
+  }
+
+  /** A built, persisted MinHash signature index over a standing corpus —
+    * the build/probe split for INCREMENTAL dedup (the missing sibling of
+    * [[Similarity.IvfIndex]]/[[Similarity.PqIndex]] and the cluster-label
+    * index): the corpus's signatures, sorted shingle sets, AND pre-grouped
+    * LSH buckets are computed ONCE per corpus version, so each arriving
+    * batch pays only its own (batch-linear) signature work plus a join
+    * against the buckets its band hashes actually touch — the per-probe
+    * corpus-linear recompute of [[incrementalExactPairs]] disappears.
+    *
+    * Contents: `sigs` = `(id, sig, ss)` (signature + sorted shingle set,
+    * the verification side); `buckets` = `(band, bh, cids)` (sorted member
+    * ids per LSH bucket, the candidate side). Both are persisted and
+    * eagerly materialized at build; `release()` drops both when the index
+    * is retired. At 100 TB these two frames are exactly what production
+    * persists as corpus columns — build once per ingest epoch, probe per
+    * batch. */
+  final case class SignatureIndex(k: Int, bands: Int, shingleWidth: Int,
+                                  sigs: DataFrame, buckets: DataFrame,
+                                  release: () => Unit)
+
+  /** Build a [[SignatureIndex]]: one combined signature+shingle-set pass
+    * over the corpus (the texts are read ONCE — signature and set share
+    * the tokenization), then one groupBy to pre-aggregate bucket
+    * membership. Eager: both frames are materialized before this returns,
+    * so probes never touch the corpus source again (asserted in
+    * DedupSpec via a source-read accumulator). */
+  def signatureBuild(corpus: DataFrame, idCol: String, textCol: String,
+                     k: Int = 128, bands: Int = 32,
+                     shingleWidth: Int = 3): SignatureIndex = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val sigs = sigShingleFrame(corpus, idCol, textCol, k, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"), bandHash(col("sig"), col("band"), r).as("bh"))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("cids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count(); buckets.count()
+    SignatureIndex(k, bands, shingleWidth, sigs, buckets,
+      () => { sigs.unpersist(); buckets.unpersist(); () })
+  }
+
+  /** [[incrementalExactPairs]] against a prebuilt [[SignatureIndex]] —
+    * identical pairs (same band hashes, same estimate prefilter, same
+    * exact verification), but the corpus side comes entirely from the
+    * index: the probe computes batch-side signatures only, shuffles only
+    * batch band rows, and reads corpus members only for the buckets the
+    * batch actually hits (left join batch-buckets → corpus-buckets).
+    * Bucket-cap semantics match the managed path: a merged bucket
+    * (batch + corpus members) over `maxBucket` is dropped with observable
+    * stats; corpus-only buckets never even reach the probe. */
+  def incrementalExactPairsIndexed(batch: DataFrame, index: SignatureIndex,
+                                   idCol: String, textCol: String,
+                                   threshold: Double = 0.8,
+                                   estMargin: Double = 0.2,
+                                   maxBucket: Int = 1000): DataFrame =
+    incrementalExactPairsIndexedManaged(batch, index, idCol, textCol,
+      threshold, estMargin, maxBucket).pairs
+
+  /** [[incrementalExactPairsIndexed]] with the cache-release + drop-stats
+    * handle; `release()` frees only the BATCH-side signature cache — the
+    * index is owned by its builder. */
+  def incrementalExactPairsIndexedManaged(batch: DataFrame, index: SignatureIndex,
+                                          idCol: String, textCol: String,
+                                          threshold: Double = 0.8,
+                                          estMargin: Double = 0.2,
+                                          maxBucket: Int = 1000): ManagedPairs = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val r = index.k / index.bands
+    val bs = sigShingleFrame(batch, idCol, textCol, index.k, index.shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBuckets = bs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(index.bands - 1))).as("band"))
+      .select(col("id"), col("band"), bandHash(col("sig"), col("band"), r).as("bh"))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("bids"))
+    val drops = DedupMetrics.counter(spark, "minhash", maxBucket)
+    val cand = bBuckets
+      .join(index.buckets, Seq("band", "bh"), "left")
+      .select(col("bids"),
+        coalesce(col("cids"), array().cast("array<long>")).as("cids"))
+      .as[(Seq[Long], Seq[Long])]
+      .mapPartitions { rows =>
+        var warned = false
+        rows.flatMap { case (bids, cids) =>
+          val n = bids.size + cids.size
+          if (n < 2) Iterator.empty
+          else if (n > maxBucket) {
+            drops.buckets.add(1L); drops.rows.add(n.toLong)
+            if (!warned) { DedupMetrics.warnDropped("minhash", n, maxBucket); warned = true }
+            Iterator.empty
+          } else {
+            // bids and cids are each sorted ascending and disjoint (one id
+            // authority across batch and corpus — same contract as the
+            // managed path), so batch×batch pairs are already (min, max)
+            // by index order; batch×corpus pairs normalize explicitly.
+            val bb = for { i <- bids.indices.iterator
+                           j <- Iterator.range(i + 1, bids.size) }
+              yield (bids(i), bids(j))
+            val bc = for { b <- bids.iterator; c <- cids.iterator }
+              yield if (b < c) (b, c) else (c, b)
+            bb ++ bc
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+    graft.plans.SigMatchCount.register(spark)
+    graft.plans.SetJaccard.register(spark)
+    val lk = bs.unionByName(index.sigs)
+    val verified = cand
+      .join(lk.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("ss").as("ss_a")), Seq("id_a"))
+      .join(lk.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("ss").as("ss_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        call_function("sig_match_count", col("sig_a"), col("sig_b"))
+          .cast("double") / index.k)
+      .filter(col("est_jaccard") >= math.max(0.0, threshold - estMargin))
+      .withColumn("jaccard", call_function("set_jaccard", col("ss_a"), col("ss_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    ManagedPairs(verified, () => { bs.unpersist(); () }, () => drops.stats())
+  }
+
+  /** The LSH band hash — ONE definition shared by the self-dedup path and
+    * the signature index, so index buckets and probe-side band hashes can
+    * never drift. */
+  private def bandHash(sig: Column, band: Column, r: Int): Column =
+    xxhash64(slice(sig, band * r + 1, lit(r)), band)
+
+  /** One combined pass computing both verification artifacts per doc:
+    * `(id, minhash signature, sorted shingle set)` — text tokenized once,
+    * emitted only when the doc has at least one shingle (both kernels
+    * agree on that condition). Same JVM-kernel rationale as
+    * [[lshPairsImpl]]; fully distributed. */
+  private def sigShingleFrame(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, shingleWidth: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          for {
+            sig <- minhashSignatureJvm(text, k, shingleWidth)
+            ss <- shingleSetJvm(text, shingleWidth)
+          } yield (id, sig.toSeq, graft.plans.SetJaccard.sortedUtf8(ss).toSeq)
+        }
+      }
+      .toDF("id", "sig", "ss")
   }
 
   private def exactPairsImpl(df: DataFrame, idCol: String, textCol: String,

@@ -82,6 +82,40 @@ object TextQueries {
     ()
   }
 
+  // One MinHash signature index per (session, dir) over the STANDING
+  // corpus (even doc_ids — d06's daily-ingest framing): signatures,
+  // shingle sets, and LSH buckets computed once per corpus version; the
+  // d06 probe pays only batch-side (odd-id) work. Same lifecycle as the
+  // IVF/PQ/cluster caches.
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dedup.SignatureIndex]()
+  private def corpusSignatureIndex(s: SparkSession, dir: String): Dedup.SignatureIndex =
+    sigCache.computeIfAbsent((s, dir), _ =>
+      Dedup.signatureBuild(docs(s, dir).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 128, bands = 32, shingleWidth = 3))
+
+  /** Build AND materialize the corpus signature index for (session, dir) —
+    * Bench times it with the other index builds so d06 reports probe
+    * cost, the shape a daily-ingest pipeline actually pays. */
+  def prepareSignatureIndex(s: SparkSession, dir: String): Unit = {
+    corpusSignatureIndex(s, dir)
+    ()
+  }
+
+  /** Drop cached signature indexes of `s` and release their persisted
+    * frames — session-teardown hygiene. */
+  def releaseSignatureIndexes(s: SparkSession): Unit = {
+    val it = sigCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release()
+        catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,11 +157,15 @@ object TextQueries {
     // corpus; emit exact near-dup pairs touching the batch (batch×corpus
     // and batch×batch), never corpus×corpus — the corpus's own duplicate
     // structure is settled and must not be re-paid per batch.
+    // Probes the cached corpus SignatureIndex (built once per corpus
+    // version): batch-side signatures only — the corpus side is served
+    // from its persisted signature/bucket frames. Emits exactly the pairs
+    // Dedup.incrementalExactPairs would (asserted in DedupSpec).
     "d06_incremental_dedup" -> { (s, dir) =>
       val d = docs(s, dir)
-      Dedup.incrementalExactPairs(
-          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+      Dedup.incrementalExactPairsIndexed(
+          d.filter(col("doc_id") % 2 === 1), corpusSignatureIndex(s, dir),
+          "doc_id", "text", threshold = 0.8)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                 round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -245,6 +245,57 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("SignatureIndex probe emits exactly the managed path's pairs") {
+    val d = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = d.filter($"doc_id" % 2 === 1)
+    val corpus = d.filter($"doc_id" % 2 === 0)
+    val m = Dedup.incrementalExactPairsManaged(batch, corpus,
+      "doc_id", "text", threshold = 0.8)
+    val expect = m.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    m.release()
+    val idx = Dedup.signatureBuild(corpus, "doc_id", "text")
+    val mi = Dedup.incrementalExactPairsIndexedManaged(batch, idx,
+      "doc_id", "text", threshold = 0.8)
+    val got = mi.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    mi.release(); idx.release()
+    assert(got === expect)
+  }
+
+  test("SignatureIndex probe never re-reads the corpus source") {
+    val d = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val acc = spark.sparkContext.longAccumulator("corpus-source-reads")
+    // corpus source instrumented with a read counter: the build pays one
+    // pass; every probe after it must be served from the index's
+    // persisted signature/bucket frames — zero further source reads
+    val corpus = d.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      .as[(Long, String)].map { r => acc.add(1); r }.toDF("doc_id", "text")
+    val idx = Dedup.signatureBuild(corpus, "doc_id", "text")
+    val afterBuild = acc.value
+    assert(afterBuild > 0, "the build must read the corpus once")
+    val mi = Dedup.incrementalExactPairsIndexedManaged(
+      d.filter($"doc_id" % 2 === 1), idx, "doc_id", "text", threshold = 0.8)
+    mi.pairs.count(); mi.pairs.count() // two probe actions
+    assert(acc.value === afterBuild,
+      "probing must not recompute corpus-side signatures from the source")
+    mi.release(); idx.release()
+  }
+
+  test("SignatureIndex: over-full MERGED bucket drops with observable stats") {
+    // 4 corpus + 3 batch copies of the same text merge into 7-member
+    // buckets, past maxBucket=5: the probe must refuse the quadratic work
+    // and surface the drop — same contract as the managed path.
+    val corpus = (0L until 8L by 2L).map(i => (i, base)).toDF("doc_id", "text")
+    val batch = (1L until 6L by 2L).map(i => (i, base)).toDF("doc_id", "text")
+    val idx = Dedup.signatureBuild(corpus, "doc_id", "text")
+    val mi = Dedup.incrementalExactPairsIndexedManaged(batch, idx,
+      "doc_id", "text", threshold = 0.5, maxBucket = 5)
+    assert(mi.pairs.count() === 0L)
+    assert(!mi.drops().isZero, "a dropped merged bucket must be observable")
+    mi.release(); idx.release()
+  }
+
   test("spanDedupProfile: coverage is a position-set union; short docs report zero") {
     // tokens 0..19 shared between docs 0 and 1 (20 tokens -> 13 windows at
     // w=8, covering all 20 positions of doc 0); doc 1 carries the shared
