@@ -53,8 +53,18 @@ object Layout {
     * `path` is missing to milliseconds; readers mid-scan hold open handles
     * (posix) or retry (object stores version the prefix).
     *
+    * `sortBy`: clustering-preserving mode. Round-robin SCATTERS rows, so
+    * compacting a z-ordered (or range-sorted) table with the default would
+    * silently destroy the min/max pruning layout the table paid a full
+    * rewrite for. Pass the table's cluster expression (e.g.
+    * `Seq(zValue($"x", $"y"))`) and compaction range-partitions + sorts on
+    * it instead — every output file again covers a contiguous cluster
+    * range. The trade: range partitioning samples the sort key, so file
+    * sizes are even only as far as the key is unskewed.
+    *
     * Returns (filesBefore, filesAfter). */
-  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[Column] = Nil): (Int, Int) = {
     require(targetFileBytes > 0)
     val hadoopPath = new org.apache.hadoop.fs.Path(path) // normalizes trailing '/'
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,8 +93,11 @@ object Layout {
     // siblings via Path suffix (never string concat: a trailing slash in
     // `path` would nest the staging dirs inside the table)
     val tmp = hadoopPath.suffix("._compacting")
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val rows = spark.read.parquet(path)
+    val shaped =
+      if (sortBy.isEmpty) rows.repartition(nOut)
+      else rows.repartitionByRange(nOut, sortBy: _*).sortWithinPartitions(sortBy: _*)
+    shaped.write.mode("overwrite").parquet(tmp.toString)
     val bak = hadoopPath.suffix("._precompact")
     if (!fs.rename(hadoopPath, bak)) sys.error(s"compact: cannot stage $path")
     if (!fs.rename(tmp, hadoopPath)) { // roll back, never leave path missing
@@ -93,5 +106,61 @@ object Layout {
     }
     fs.delete(bak, true)
     (parts.length, nOut)
+  }
+
+  /** Compact every leaf partition directory of a hive-partitioned table —
+    * the orchestration [[compact]] itself refuses (rewriting a partitioned
+    * root flat would destroy the `col=value` directory pruning). Walks the
+    * directory tree driver-side (FS metadata only), finds each leaf (a
+    * directory holding `part-*` files), and runs [[compact]] on it, so each
+    * leaf gets compact's full crash-recovery contract. A leaf whose
+    * PREVIOUS compaction died mid-swap (its data parked under
+    * `leaf._precompact`, the leaf itself possibly missing) is detected
+    * during the walk and handed to [[compact]], which restores before
+    * rewriting — a crashed run never hides a partition from the next one.
+    *
+    * An unpartitioned root (part files at top level) degenerates to a
+    * single-leaf walk = plain [[compact]]. `sortBy` is applied per leaf
+    * (partition columns are constant within a leaf, so cluster expressions
+    * over data columns mean the same thing they meant at write time).
+    *
+    * Returns one `(leafPath, filesBefore, filesAfter)` per leaf, sorted by
+    * path for deterministic reporting. Driver-side listing cost is one
+    * `listStatus` per directory — at 100 TB the rewrite jobs dominate;
+    * leaves are compacted sequentially so each rewrite gets the whole
+    * cluster (parallelizing leaves would just slice the same executors). */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetFileBytes: Long = 128L << 20,
+                         sortBy: Seq[Column] = Nil): Seq[(String, Int, Int)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"compactPartitioned: $root does not exist")
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.listStatus(p)
+      // a `<leaf>._precompact` sibling marks a leaf whose compaction
+      // crashed mid-swap: surface the ORIGINAL leaf path (it may not exist
+      // right now) — compact()'s recovery preamble restores it. Stale
+      // `._compacting` staging dirs are skipped; compact overwrites them.
+      val crashed = st.filter(s => s.isDirectory &&
+          s.getPath.getName.endsWith("._precompact"))
+        .map(s => new org.apache.hadoop.fs.Path(p,
+          s.getPath.getName.stripSuffix("._precompact")))
+      val visible = st.filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          !n.endsWith("._precompact") && !n.endsWith("._compacting")
+      }
+      val isLeaf = visible.exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      val here =
+        if (isLeaf) Seq(p)
+        else visible.filter(_.isDirectory).flatMap(d => leaves(d.getPath)).toSeq
+      (here ++ crashed).distinct
+    }
+    val ls = leaves(rootPath).sortBy(_.toString)
+    require(ls.nonEmpty, s"compactPartitioned: no parquet leaves under $root")
+    ls.map { l =>
+      val (before, after) = compact(spark, l.toString, targetFileBytes, sortBy)
+      (l.toString, before, after)
+    }
   }
 }

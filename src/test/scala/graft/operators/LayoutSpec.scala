@@ -87,6 +87,88 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._precompact")))
   }
 
+  test("compactPartitioned compacts every leaf, preserving the partition layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val root = s"$dir/tbl"
+    val src = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        year($"o_orderdate").as("yr"), $"o_orderpriority".substr(1, 1).as("pri"))
+    src.repartition(7).write.partitionBy("yr", "pri").parquet(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafDirs(): Seq[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+        val st = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+        if (st.exists(s => s.isFile && s.getPath.getName.startsWith("part-"))) Seq(p)
+        else st.filter(_.isDirectory).flatMap(d => walk(d.getPath)).toSeq
+      }
+      walk(new org.apache.hadoop.fs.Path(root)).map(_.toString).sorted
+    }
+    val leavesBefore = leafDirs()
+    assert(leavesBefore.size > 4, "two-level partitioning must fan out")
+    // partition-value inference reads pri="1" back as Integer — compare
+    // both partition columns as strings
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.get(3).toString, r.get(4).toString)).sorted.toSeq
+    val before = canon(src.collect())
+    val res = Layout.compactPartitioned(spark, root, targetFileBytes = 1L << 30)
+    assert(res.map(_._1) === leafDirs(), "report covers exactly the leaves, sorted")
+    assert(leafDirs() === leavesBefore, "partition directories unchanged")
+    // each leaf held up to 7 fragments (a writer task skips a leaf it got
+    // no rows for); all collapse to one target-size file
+    res.foreach { case (l, b, a) =>
+      assert(b >= 2, s"$l fragmented input"); assert(a === 1, s"$l compacted")
+    }
+    val after = canon(spark.read.parquet(root)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"yr", $"pri")
+      .collect())
+    assert(after === before, "content (incl. partition values) must be intact")
+  }
+
+  test("compactPartitioned recovers a leaf whose previous compaction crashed mid-swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part_crash").toString
+    val root = s"$dir/tbl"
+    Tables.load(spark, sf, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      .repartition(4).write.partitionBy("n_regionkey").parquet(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window 1 on one leaf: the swap's first rename happened, the second
+    // didn't — the leaf is GONE, its data parked under ._precompact
+    val leaf = new org.apache.hadoop.fs.Path(root, "n_regionkey=2")
+    assert(fs.rename(leaf, leaf.suffix("._precompact")))
+    val res = Layout.compactPartitioned(spark, root, targetFileBytes = 1L << 30)
+    assert(res.exists(_._1 == leaf.toString), "crashed leaf must be found and recovered")
+    assert(!fs.exists(leaf.suffix("._precompact")))
+    assert(spark.read.parquet(root).count() === 25, "no partition lost")
+    assert(spark.read.parquet(root).filter($"n_regionkey" === 2).count() === 5)
+  }
+
+  test("compact with sortBy preserves clustering: output files cover disjoint key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_sorted").toString
+    val path = s"$dir/ztbl"
+    val rng = new scala.util.Random(13)
+    val pts = Seq.fill(8192)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    // a z-ordered table written fragmented (many small sorted files)
+    Layout.zorderBy(pts.toDF("x", "y"), $"x", $"y", bits = 10)
+      .repartition(23).write.parquet(path)
+    val (b, a) = Layout.compact(spark, path, targetFileBytes = 1L << 14,
+      sortBy = Seq(Layout.zValue($"x", $"y", bits = 10)))
+    assert(b === 23 && a > 1, s"want a multi-file compaction, got $b -> $a")
+    // per-file z ranges must not overlap — that IS the pruning property;
+    // round-robin compaction would give every file the full z range
+    val ranges = spark.read.parquet(path)
+      .select(input_file_name().as("f"), Layout.zValue($"x", $"y", bits = 10).as("z"))
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length === a)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z-ranges overlap: $hi1 > $lo2")
+      case _ => ()
+    }
+  }
+
   test("compact recovers from both crash windows of a previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
     val path = s"$dir/tbl"
