@@ -39,8 +39,9 @@ object AsOfJoin {
     *                   single-shuffle shape — the window frame flips to
     *                   FOLLOWING and the running max becomes a running min,
     *                   ties resolving to the LOWEST tiebreak)
-    * @param tolerance  max |leftTime − rightTime| (in the time column's own
-    *                   units) for a match to count; farther matches emit
+    * @param tolerance  max |leftTime − rightTime| for a match to count;
+    *                   requires NUMERIC time columns (e.g. epoch micros) so
+    *                   the unit is defined; farther matches emit
     *                   NULL payload, exactly like an unmatched row. The
     *                   bound is applied AFTER the running pick — for the
     *                   backward/forward nearest row, in-tolerance-but-not-
@@ -55,7 +56,20 @@ object AsOfJoin {
     require(payload.nonEmpty, "payload columns required")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
-    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be >= 0, got $t")
+      // a plain-number tolerance only has defined units against NUMERIC
+      // time columns (epoch micros, ticks, ...): DATE/TIMESTAMP arithmetic
+      // would silently reinterpret it (days for DATE) — the unit the
+      // caller assumed and the unit applied could differ by 86400×
+      def numeric(d: org.apache.spark.sql.types.DataType) =
+        d.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+      require(numeric(lt) && numeric(rt),
+        s"tolerance=$t needs numeric time columns to have defined units; " +
+          s"got $leftTime: $lt, $rightTime: $rt — convert event time to " +
+          "epoch micros (unix_micros) first")
+    }
     val forward = direction == "forward"
     val keyCols = keys.map(col)
 

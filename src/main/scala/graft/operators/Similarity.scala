@@ -259,8 +259,10 @@ object Similarity {
     * with the codebook as a literal (broadcast), no shuffle. */
   def pqBuild(corpus: DataFrame, nid: String, nvec: String, dim: Int,
               m: Int = 4, k: Int = 8, iters: Int = 4,
-              trainSample: Int = 10000, persist: Boolean = true): PqIndex = {
+              trainSample: Int = 10000, persist: Boolean = true,
+              trainTimeoutSec: Long = 3600L): PqIndex = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into $m even subspaces")
+    require(trainTimeoutSec > 0, s"trainTimeoutSec must be positive, got $trainTimeoutSec")
     graft.plans.FloatDotProduct.register(corpus.sparkSession)
     val subDim = dim / m
     val sample = corpus
@@ -272,9 +274,17 @@ object Similarity {
     // the scheduler interleaves their jobs), so build latency is one
     // training, not m sequential ones. Results are deterministic either
     // way: each subspace's Lloyd's chain touches only its own slice.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val codebooks = Await.result(
+    // A DEDICATED daemon pool with a BOUNDED await, not the global pool
+    // with Duration.Inf: a training wedged on a sick executor must fail
+    // this build with a timeout, not silently hold global-pool threads
+    // (and the session) hostage forever.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-pq-train"); t.setDaemon(true); t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val codebooks = try Await.result(
       Future.sequence((0 until m).toList.map { ms => Future {
         val sliced = sample.select(col("__sid"),
           slice(col("__sv"), ms * subDim + 1, subDim).as("__sv"))
@@ -286,7 +296,9 @@ object Similarity {
         require(init.nonEmpty, "corpus is empty")
         lloydsCentroids(sliced, "__sv", k, iters, init)
       }}),
-      scala.concurrent.duration.Duration.Inf).toArray
+      scala.concurrent.duration.Duration(trainTimeoutSec,
+        java.util.concurrent.TimeUnit.SECONDS)).toArray
+    finally pool.shutdownNow()
     sample.unpersist()
     val encoded = {
       val withCodes = (0 until m).foldLeft(

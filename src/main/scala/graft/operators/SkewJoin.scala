@@ -64,7 +64,19 @@ object SkewJoin {
     // raw columns of an INT-vs-BIGINT key pair would build the filter from
     // long hashes and probe with int hashes, manufacturing false NEGATIVES
     // (silently dropped matches). Hash through the exact type the join
-    // would compare at: Spark's own union coercion decides it.
+    // would compare at: Spark's own union coercion decides it. That
+    // equivalence only holds INSIDE one type family — a string-vs-numeric
+    // pair unions at string but binary-compares at a numeric type, so the
+    // filter would hash values the join never compares; refuse it rather
+    // than silently drop matches.
+    val lt = large.schema(key).dataType
+    val st = small.schema(key).dataType
+    require(lt == st ||
+      (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        st.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"bloomFilteredJoin: key '$key' is $lt vs $st — mixed type families " +
+        "union-coerce differently than the join compares, so the prefilter " +
+        "could drop true matches; cast both sides to one type first")
     val common = large.select(col(key)).unionByName(small.select(col(key)))
       .schema.head.dataType
     // NULL filter ⇔ empty small side: the join result is empty; keep the

@@ -76,4 +76,22 @@ class AsOfJoinSpec extends SparkSpec {
     // latest prior is 300 (gap 200 > 50) → NULL, though right rows exist
     assert(out(11L) === None)
   }
+
+  test("tolerance over non-numeric time columns is refused (undefined units)") {
+    // DATE arithmetic would read tolerance=50 as 50 DAYS while a caller
+    // holding micros meant 50 µs — refuse rather than silently mis-scale
+    val left = Seq((1L, java.sql.Date.valueOf("2024-01-10"), 10L))
+      .toDF("user_id", "t", "id")
+    val right = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 90L))
+      .toDF("user_id", "t", "id")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id",
+        Seq("id"), tolerance = Some(50L))
+    }
+    assert(e.getMessage.contains("numeric time columns"))
+    // without tolerance the same DATE columns are fine (ordering only)
+    val ok = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "t", "id",
+      Seq("id")).head()
+    assert(ok.getAs[Long]("asof_id") === 90L)
+  }
 }

@@ -82,6 +82,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(out === Set(("a", 10L), ("c", 30L)))
   }
 
+  test("bloomFilteredJoin refuses mixed type families (string-vs-numeric key)") {
+    // string unions with bigint at STRING, but the join would compare at a
+    // numeric type — the filter would hash values the join never sees, a
+    // silent-false-negative factory; the guard turns it into a loud error
+    val fact = Seq(("1", "a"), ("2", "b")).toDF("k", "x")  // k: STRING
+    val small = Seq((1L, 10L)).toDF("k", "y")              // k: BIGINT
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.bloomFilteredJoin(fact, small, "k")
+    }
+    assert(e.getMessage.contains("cast both sides to one type"))
+  }
+
   test("bloom prefilter prunes non-matching fact rows before the join") {
     // keys 1..1000 on the fact side; small side holds 10 — at 2^17 bits the
     // FP rate is ~0, so survivors ≈ matches
