@@ -739,4 +739,60 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** [[editPairs1]] generalized to Levenshtein distance ≤ `k` via k-deletion
+    * neighborhoods: every string emits all variants with up to `k` chars
+    * deleted as join keys. If ed(a,b) ≤ k, an alignment argument gives a
+    * common string reachable from BOTH by ≤ k deletions (delete each side's
+    * substituted/inserted chars), so neighborhood intersection is a
+    * complete candidate generator; it over-generates (intersection only
+    * bounds ed ≤ 2k), and one exact `levenshtein` per candidate disposes.
+    *
+    * The key-volume tradeoff is the reason for the `k ≤ 2` cap: a string of
+    * length L emits Σ_{d≤k} C(L,d) keys — L+1 at k=1, ~L²/2 at k=2, L³/6 at
+    * k=3. At k=2 the hash join still beats block-quadratic `levenshtein`
+    * for the block sizes linkage blocking produces; by k=3 the candidate
+    * flood (both key count AND collision fan-out per key) overtakes it, and
+    * the right tool is a different blocking scheme, not a deeper
+    * neighborhood. Key generation stays codegen'd column work (nested
+    * `transform` over deletion-position pairs — no UDF), so the scan side
+    * is as cheap as [[editPairs1]]'s.
+    *
+    * Returns (blk, id_a, id_b, dist) with id_a < id_b, dist ∈ [0, k]. */
+  def editPairsK(df: DataFrame, idCol: String, blockCol: String,
+                 strCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 2,
+      s"editPairsK: k=$k unsupported — key volume is O(L^k) per string " +
+        "(see scaladoc); use k=1 or k=2, or change the blocking scheme")
+    if (k == 1) editPairs1(df, idCol, blockCol, strCol)
+    else {
+      val n = df.select(col(idCol).cast("long").as("id"),
+        col(blockCol).as("blk"), col(strCol).as("s"))
+      val s = col("s")
+      val dels1 = transform(sequence(lit(0), length(s) - 1),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
+      // delete 0-based positions i < j: prefix [1..i], the run strictly
+      // between them (j-i-1 chars from i+2), and the tail after j
+      val dels2 = flatten(transform(sequence(lit(0), length(s) - 2), i =>
+        transform(sequence(i + 1, length(s) - 1), j =>
+          concat(s.substr(lit(1), i), s.substr(i + lit(2), j - i - 1),
+            s.substr(j + lit(2), length(s))))))
+      // sequence() counts DOWN when end < start — guard short strings
+      val keys = n.select(col("id"), col("blk"), s,
+        explode(array_distinct(concat(
+          array(s),
+          when(length(s) >= 1, dels1).otherwise(array().cast("array<string>")),
+          when(length(s) >= 2, dels2).otherwise(array().cast("array<string>"))
+        ))).as("k"))
+      val a = keys.toDF("id_a", "blk", "s_a", "k")
+      val b = keys.toDF("id_b", "blk_b", "s_b", "k_b")
+      a.join(b, col("blk") === col("blk_b") && col("k") === col("k_b") &&
+          col("id_a") < col("id_b"))
+        .select(col("blk"), col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+        .filter(col("dist") <= k)
+        .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
+    }
+  }
 }

@@ -893,6 +893,19 @@ object CoreQueries {
         .orderBy("nation", "id_a", "id_b")
     },
 
+    // Entity resolution widened to Levenshtein ≤ 2: the 2-deletion
+    // neighborhood join (Dedup.editPairsK) — candidates from up-to-two-
+    // char-deletion keys, one exact levenshtein per candidate. The oracle
+    // is the block-quadratic formulation; equality holds because the
+    // neighborhood candidate set is COMPLETE for ed ≤ 2 (alignment
+    // argument in the operator's scaladoc).
+    "d11_edit2_linkage" -> { (s, dir) =>
+      graft.operators.Dedup.editPairsK(
+          t(s, dir, "customer"), "c_custkey", "c_nationkey", "c_name", k = 2)
+        .select(col("blk").as("nation"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("nation", "id_a", "id_b")
+    },
+
     // Layout audit: Z-order (Morton) bucketing of orders on
     // (customer, order-day) — the write-side layout that makes BOTH
     // dimensions pruneable from file min/max stats. The query reports each
@@ -1650,6 +1663,15 @@ object CoreQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY nation, id_a, id_b""".stripMargin,
+
+    "d11_edit2_linkage" ->
+      """SELECT a.c_nationkey AS nation, a.c_custkey AS id_a,
+        |  b.c_custkey AS id_b, levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY nation, id_a, id_b""".stripMargin,
 
     "q49_zorder_layout" ->

@@ -366,4 +366,56 @@ class DedupSpec extends SparkSpec {
     assert(got.contains(("A", 2L, 5L, 1)), "sitten~sittin")
     assert(!got.exists(p => Set(p._2, p._3) == Set(1L, 6L)), "blocks isolate")
   }
+
+  test("editPairsK(2) ≡ brute-force levenshtein ≤ 2; k=1 delegates; k=3 refused") {
+    val rows = Seq(
+      (1L, "A", "kitten"), (2L, "A", "sitten"),  // 1 sub
+      (3L, "A", "sittin"),                       // 2 subs from kitten
+      (4L, "A", "kitt"),                         // 2 deletions from kitten
+      (5L, "A", "kittenxy"),                     // 2 insertions on kitten
+      (6L, "A", "sitteny"),                      // sub + ins from kitten
+      (7L, "A", "iktten"),                       // transposition = 2 edits
+      (8L, "A", "mitten"), (9L, "A", "smitten"), // mixes across the set
+      (10L, "A", "kit"),                         // dist 3 from kitten: excluded
+      (11L, "A", ""), (12L, "A", "xy"),          // empty ↔ two chars: dist 2
+      (13L, "B", "kitten"),                      // other block isolates
+      (14L, "A", "kitten")                       // exact dup: dist 0
+    ).toDF("id", "blk", "s")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val data = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = (for {
+      (ia, ba, sa) <- data; (ib, bb, sb) <- data
+      if ba == bb && ia < ib && lev(sa, sb) <= 2
+    } yield (ba, ia, ib, lev(sa, sb))).toSet
+    val got = Dedup.editPairsK(rows, "id", "blk", "s", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.contains(("A", 1L, 3L, 2)), "two substitutions")
+    assert(got.contains(("A", 1L, 4L, 2)), "two deletions")
+    assert(got.contains(("A", 1L, 5L, 2)), "two insertions")
+    assert(got.contains(("A", 1L, 7L, 2)), "transposition is two edits")
+    assert(got.contains(("A", 11L, 12L, 2)), "empty vs two-char")
+    assert(!got.exists(p => Set(p._2, p._3) == Set(1L, 10L)),
+      "dist-3 candidate from shared 2-deletion residue must verify away")
+    assert(!got.exists(p => Set(p._2, p._3) == Set(1L, 13L)), "blocks isolate")
+    // k=1 delegates to editPairs1: same frame, same answer
+    val k1 = Dedup.editPairsK(rows, "id", "blk", "s", k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val ep1 = Dedup.editPairs1(rows, "id", "blk", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(k1 === ep1)
+    intercept[IllegalArgumentException] {
+      Dedup.editPairsK(rows, "id", "blk", "s", k = 3)
+    }
+  }
 }
