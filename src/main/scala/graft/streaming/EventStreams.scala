@@ -129,4 +129,109 @@ object EventStreams {
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append()): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  // ---- streaming as-of enrichment ------------------------------------
+
+  /** Tagged union row for [[streamingAsOf]]: side 0 = query (left),
+    * side 1 = reference (right). */
+  final case class AsOfTagged(user_id: Long, ts: java.sql.Timestamp,
+                              side: Int, event_id: Long, value: Double)
+  final case class AsOfRightRow(tsUs: Long, eventId: Long, value: Double)
+  final case class AsOfPendingLeft(tsUs: Long, eventId: Long)
+  /** Per-key state: `latest` = the single newest reference at-or-before
+    * the watermark (all a future query can ever need from that region),
+    * `newer` = references still ahead of the watermark, `pending` =
+    * queries held until the watermark passes their event time. */
+  final case class AsOfState(latest: Option[AsOfRightRow],
+                             newer: List[AsOfRightRow],
+                             pending: List[AsOfPendingLeft])
+  final case class AsOfEnriched(user_id: Long, event_id: Long,
+                                ts: java.sql.Timestamp,
+                                asof_event_id: Option[Long],
+                                asof_ts: Option[java.sql.Timestamp],
+                                asof_value: Option[Double])
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def usTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000); t
+  }
+
+  /** Streaming twin of [[graft.operators.AsOfJoin]] (backward,
+    * non-strict): enrich each query event with the LATEST reference event
+    * at-or-before its time, per user, ties to the highest reference
+    * event_id — the batch operator's exact pick order.
+    *
+    * Why this can't be a stream-stream join: Spark's interval join emits
+    * EVERY in-range pair; as-of wants the newest one, a ranking the join
+    * operator cannot express. And a naive "enrich on arrival" breaks on
+    * reordering — a reference delivered after a query it precedes in
+    * event time would be missed. The correct-under-reordering shape is
+    * watermark-deferred emission: queries are HELD in state and emitted
+    * only once the watermark passes their event time, at which point
+    * every reference at-or-before them has either arrived or is late
+    * (and late rows are dropped by the watermark for both sides — the
+    * documented streaming trade; the batch operator remains the exact
+    * backfill). Output latency is therefore the watermark `delay`.
+    *
+    * State per key is BOUNDED by the watermark horizon: after each
+    * trigger the references compact to the single newest one at-or-before
+    * the watermark (sufficient for every future query, which must carry a
+    * later event time) plus those still ahead of it; held queries drain
+    * by event-time timeout even if the key never sees traffic again.
+    * One shuffle (the groupByKey), state O(horizon) — the same scale
+    * contract as the other stateful ops here.
+    *
+    * Input contract: `queries` has (user_id, ts, event_id); `refs` has
+    * (user_id, ts, event_id, value). `event_id` is the join-back handle
+    * for wider left payloads (join the enriched frame back on it).
+    * Batch parity is asserted in EventStreamsSpec against
+    * `AsOfJoin.asOf(..., strict = false)`. */
+  def streamingAsOf(queries: DataFrame, refs: DataFrame,
+                    delay: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val l = queries.select(col("user_id").cast("long").as("user_id"), col("ts"),
+      lit(0).as("side"), col("event_id").cast("long").as("event_id"),
+      lit(0.0).as("value"))
+    val r = refs.select(col("user_id").cast("long").as("user_id"), col("ts"),
+      lit(1).as("side"), col("event_id").cast("long").as("event_id"),
+      col("value").cast("double").as("value"))
+    l.unionByName(r).as[AsOfTagged]
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AsOfTagged], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(None, Nil, Nil))
+          val (ls, rs) = rows.toSeq.partition(_.side == 0)
+          val rights = st.latest.toList ++ st.newer ++
+            rs.map(t => AsOfRightRow(tsUs(t.ts), t.event_id, t.value))
+          val pending = st.pending ++
+            ls.map(t => AsOfPendingLeft(tsUs(t.ts), t.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (emit, hold) = pending.partition(_.tsUs <= wmUs)
+          val out = emit.sortBy(p => (p.tsUs, p.eventId)).map { p =>
+            val m = rights.filter(_.tsUs <= p.tsUs)
+              .sortBy(r => (r.tsUs, r.eventId)).lastOption
+            AsOfEnriched(uid, p.eventId, usTs(p.tsUs), m.map(_.eventId),
+              m.map(r => usTs(r.tsUs)), m.map(_.value))
+          }
+          // compact: one reference at-or-before the watermark survives
+          val (older, ahead) = rights.partition(_.tsUs <= wmUs)
+          val latest = older.sortBy(r => (r.tsUs, r.eventId)).lastOption
+          if (hold.isEmpty && latest.isEmpty && ahead.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(latest,
+              ahead.sortBy(r => (r.tsUs, r.eventId)).toList, hold.toList))
+            // drain held queries by timeout even on an idle key; the
+            // target must sit beyond the current watermark (+1ms does it:
+            // held queries satisfy tsUs > wmUs)
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(hold.map(_.tsUs).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
 }

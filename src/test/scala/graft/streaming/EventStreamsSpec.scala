@@ -63,6 +63,80 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingAsOf: batch parity under reordered arrival; state compacts; timeout drains") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def at(s: Int) = new Timestamp(base + s * 1000L)
+    // truth table (delay 10s), user 1 refs: r100@10 v1, r101/r102@40 (tie →
+    // higher id 102) v2/v3, r103@60 v4, r104@80 v9; user 2: r200@20 v9,
+    // r201@80 v9.9. Queries: q1@5→None, q2@30→r100, q3@45→r102, q4@65→r103,
+    // q5@19→None, q6@20→r200 (at-instant matches), q7@21→r200
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = streamingAsOf(
+        memL.toDF().toDF("user_id", "ts", "event_id"),
+        memR.toDF().toDF("user_id", "ts", "event_id", "value"),
+        delay = "10 seconds")
+      .writeStream.format("memory").queryName("asof_sink")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long =
+      q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    // chunk 0: both sides interleaved in one trigger
+    memL.addData((1L, at(5), 1L), (2L, at(19), 5L), (2L, at(20), 6L))
+    memR.addData((1L, at(10), 100L, 1.0), (2L, at(20), 200L, 9.0))
+    q.processAllAvailable()
+    // chunk 1: queries only — q3@45 will be enriched by refs that ARRIVE
+    // in a later trigger (the reordering a naive enrich-on-arrival misses)
+    memL.addData((1L, at(30), 2L), (1L, at(45), 3L), (2L, at(21), 7L))
+    q.processAllAvailable()
+    // chunk 2: the late-arriving (but in-watermark) refs for q3
+    memR.addData((1L, at(40), 101L, 2.0), (1L, at(40), 102L, 3.0))
+    q.processAllAvailable()
+    // chunk 3: advances the watermark past q3
+    memR.addData((1L, at(60), 103L, 4.0))
+    q.processAllAvailable()
+    // chunk 4: q4 held; chunk 5 advances the watermark via the OTHER key,
+    // so q4 can only drain through the event-time timeout
+    memL.addData((1L, at(65), 4L))
+    q.processAllAvailable()
+    memR.addData((1L, at(80), 104L, 9.0), (2L, at(80), 201L, 9.9))
+    q.processAllAvailable()
+
+    val got = spark.table("asof_sink")
+      .select("event_id", "asof_event_id", "asof_value").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+      .toMap
+    assert(got === Map(
+      1L -> (None, None), 5L -> (None, None),
+      2L -> (Some(100L), Some(1.0)), 3L -> (Some(102L), Some(3.0)),
+      4L -> (Some(103L), Some(4.0)),
+      6L -> (Some(200L), Some(9.0)), 7L -> (Some(200L), Some(9.0))))
+    assert(got.size === 7, "every query emitted exactly once")
+    // state compaction: 6 user-1 refs + 2 user-2 refs collapse to one
+    // state row per key (latest-at-watermark + ahead-of-watermark)
+    assert(stateRows === 2, s"state must compact to one row per key, got $stateRows")
+    q.stop()
+
+    // batch parity: the batch as-of (non-strict backward, id tiebreak)
+    // over the SAME data gives the same enrichment
+    val lb = Seq((1L, at(5), 1L), (1L, at(30), 2L), (1L, at(45), 3L),
+      (1L, at(65), 4L), (2L, at(19), 5L), (2L, at(20), 6L), (2L, at(21), 7L))
+      .toDF("user_id", "ts", "event_id")
+    val rb = Seq((1L, at(10), 100L, 1.0), (1L, at(40), 101L, 2.0),
+      (1L, at(40), 102L, 3.0), (1L, at(60), 103L, 4.0), (1L, at(80), 104L, 9.0),
+      (2L, at(20), 200L, 9.0), (2L, at(80), 201L, 9.9))
+      .toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.operators.AsOfJoin.asOf(lb, rb, Seq("user_id"),
+        "ts", "ts", "event_id", Seq("event_id", "value"), strict = false)
+      .collect().map(r => r.getLong(2) ->
+        (Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+      .toMap
+    assert(batch === got, "streaming enrichment must equal the batch as-of")
+  }
+
   test("windowed counts: batch and streaming agree (API unification)") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"),
