@@ -778,18 +778,49 @@ object Dedup {
           concat(s.substr(lit(1), i), s.substr(i + lit(2), j - i - 1),
             s.substr(j + lit(2), length(s))))))
       // sequence() counts DOWN when end < start — guard short strings
-      val keys = n.select(col("id"), col("blk"), s,
+      //
+      // Key-volume discipline: at k=2 a row emits ~L²/2 keys, so the
+      // candidate join must stay LEAN — join on a 64-bit hash of
+      // (block, residue) instead of the residue string (the ~L-char keys
+      // are the dominant shuffle mass), carry ONLY ids through the join
+      // and the pair-level distinct, and re-attach block + strings from
+      // the (n-sized, much smaller) base relation afterwards. Hash
+      // collisions can only ADD candidates, never lose one, and both the
+      // block-equality recheck and the exact levenshtein dispose of them.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val keys = n.select(col("id"), col("blk"),
         explode(array_distinct(concat(
           array(s),
           when(length(s) >= 1, dels1).otherwise(array().cast("array<string>")),
           when(length(s) >= 2, dels2).otherwise(array().cast("array<string>"))
-        ))).as("k"))
-      val a = keys.toDF("id_a", "blk", "s_a", "k")
-      val b = keys.toDF("id_b", "blk_b", "s_b", "k_b")
-      a.join(b, col("blk") === col("blk_b") && col("k") === col("k_b") &&
-          col("id_a") < col("id_b"))
-        .select(col("blk"), col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+        ))).as("kstr"))
+        .select(col("id"), xxhash64(col("blk").cast("string"), col("kstr")).as("kh"))
+      // candidates from grouped key-buckets (one shuffle of the keys,
+      // pairs born inside the kernel) rather than a key self-join — the
+      // join shape shuffles the key table twice and materializes every
+      // raw bucket-pair row before the distinct; the bucket kernel emits
+      // straight into the pair-level distinct
+      val cand = keys
+        .groupBy("kh").agg(sort_array(collect_set(col("id"))).as("ids"))
+        .select(col("ids")).as[Seq[Long]]
+        .mapPartitions(_.flatMap { ids =>
+          if (ids.size < 2) Iterator.empty
+          else for { i <- ids.indices.iterator
+                     j <- Iterator.range(i + 1, ids.size) }
+            yield (ids(i), ids(j))
+        })
+        .toDF("id_a", "id_b")
         .distinct()
+      val lk = n.select(col("id"), col("blk"), col("s"))
+      cand
+        .join(lk.select(col("id").as("id_a"), col("blk"), col("s").as("s_a")),
+          Seq("id_a"))
+        .join(lk.select(col("id").as("id_b"), col("blk").as("blk_b"),
+          col("s").as("s_b")), Seq("id_b"))
+        // hash-collision cross-block FPs die here; plain === also keeps
+        // the join-key contract that NULL blocks never pair
+        .filter(col("blk") === col("blk_b"))
         .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
         .filter(col("dist") <= k)
         .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
