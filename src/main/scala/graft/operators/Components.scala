@@ -85,7 +85,13 @@ object Components {
       eSig = nextSig
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // failure must not leak the final round's checkpoint — in reliable
+    // mode those are durable rdd-* files in the cluster store that nothing
+    // else reclaims (Hierarchy frees every failure path for the same reason)
+    if (!converged) {
+      releaseCheckpoint(e)
+      sys.error(s"connectedComponents did not converge in $maxIter rounds")
+    }
 
     // Star forest: every edge (a, b) has a = component min, b a member.
     // The roots themselves are members of their own cluster.

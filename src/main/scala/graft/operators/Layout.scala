@@ -134,6 +134,14 @@ object Layout {
                          sortBy: Seq[Column] = Nil): Seq[(String, Int, Int)] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the crashed leaf can be the ROOT itself (unpartitioned table, crash
+    // between compact's two renames): its ._precompact marker is a SIBLING
+    // of root, outside the walk — restore it here or the table stays
+    // hidden from every future call
+    val rootBak = rootPath.suffix("._precompact")
+    if (!fs.exists(rootPath) && fs.exists(rootBak) &&
+        !fs.rename(rootBak, rootPath))
+      sys.error(s"compactPartitioned: cannot restore $rootBak after crashed swap")
     require(fs.exists(rootPath), s"compactPartitioned: $root does not exist")
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.listStatus(p)

@@ -298,8 +298,12 @@ object Similarity {
       }}),
       scala.concurrent.duration.Duration(trainTimeoutSec,
         java.util.concurrent.TimeUnit.SECONDS)).toArray
-    finally pool.shutdownNow()
-    sample.unpersist()
+    finally {
+      pool.shutdownNow()
+      // in the finally, not after: a timed-out build must not leave the
+      // persisted training sample pinned for the session's lifetime
+      sample.unpersist(); ()
+    }
     val encoded = {
       val withCodes = (0 until m).foldLeft(
         corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))) {

@@ -69,11 +69,19 @@ object SkewJoin {
     // pair unions at string but binary-compares at a numeric type, so the
     // filter would hash values the join never compares; refuse it rather
     // than silently drop matches.
+    // within one family (numeric with numeric, datetime with datetime)
+    // union coercion and comparison coercion promote to the same type, so
+    // the equivalence holds; across families it does not
     val lt = large.schema(key).dataType
     val st = small.schema(key).dataType
-    require(lt == st ||
-      (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-        st.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+    def fam(d: org.apache.spark.sql.types.DataType): Int = d match {
+      case _: org.apache.spark.sql.types.NumericType => 1
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => 2
+      case _ => 0
+    }
+    require(lt == st || (fam(lt) == fam(st) && fam(lt) != 0),
       s"bloomFilteredJoin: key '$key' is $lt vs $st — mixed type families " +
         "union-coerce differently than the join compares, so the prefilter " +
         "could drop true matches; cast both sides to one type first")

@@ -175,13 +175,17 @@ object EventStreams {
     * documented streaming trade; the batch operator remains the exact
     * backfill). Output latency is therefore the watermark `delay`.
     *
-    * State per key is BOUNDED by the watermark horizon: after each
+    * State PER KEY is bounded by the watermark horizon: after each
     * trigger the references compact to the single newest one at-or-before
     * the watermark (sufficient for every future query, which must carry a
     * later event time) plus those still ahead of it; held queries drain
     * by event-time timeout even if the key never sees traffic again.
-    * One shuffle (the groupByKey), state O(horizon) — the same scale
-    * contract as the other stateful ops here.
+    * TOTAL state is keyspace-linear — as-of enrichment is dimension
+    * state, one latest-reference row per key ever seen, like any keyed
+    * enrichment. For churning keyspaces pass `idleTtlMs`: a key idle
+    * (nothing pending) for that much EVENT time past the watermark is
+    * dropped whole, trading enrichment of queries that arrive for it
+    * later (they emit unmatched, as if the key were new).
     *
     * Input contract: `queries` has (user_id, ts, event_id); `refs` has
     * (user_id, ts, event_id, value). `event_id` is the join-back handle
@@ -189,7 +193,9 @@ object EventStreams {
     * Batch parity is asserted in EventStreamsSpec against
     * `AsOfJoin.asOf(..., strict = false)`. */
   def streamingAsOf(queries: DataFrame, refs: DataFrame,
-                    delay: String = "10 minutes"): Dataset[AsOfEnriched] = {
+                    delay: String = "10 minutes",
+                    idleTtlMs: Option[Long] = None): Dataset[AsOfEnriched] = {
+    idleTtlMs.foreach(t => require(t > 0, s"idleTtlMs must be positive, got $t"))
     val spark = queries.sparkSession
     import spark.implicits._
     val l = queries.select(col("user_id").cast("long").as("user_id"), col("ts"),
@@ -221,15 +227,26 @@ object EventStreams {
           // compact: one reference at-or-before the watermark survives
           val (older, ahead) = rights.partition(_.tsUs <= wmUs)
           val latest = older.sortBy(r => (r.tsUs, r.eventId)).lastOption
-          if (hold.isEmpty && latest.isEmpty && ahead.isEmpty) state.remove()
+          // a timeout that delivered no data, emitted nothing, holds
+          // nothing, and has no reference still ahead of the watermark is
+          // a pure idle-TTL expiry: drop the key whole (a ref ahead of
+          // the watermark means recent activity — re-arm instead)
+          val ttlExpiry = idleTtlMs.isDefined && state.hasTimedOut &&
+            ls.isEmpty && rs.isEmpty && emit.isEmpty && hold.isEmpty &&
+            ahead.isEmpty
+          if ((hold.isEmpty && latest.isEmpty && ahead.isEmpty) || ttlExpiry)
+            state.remove()
           else {
             state.update(AsOfState(latest,
               ahead.sortBy(r => (r.tsUs, r.eventId)).toList, hold.toList))
             // drain held queries by timeout even on an idle key; the
             // target must sit beyond the current watermark (+1ms does it:
-            // held queries satisfy tsUs > wmUs)
+            // held queries satisfy tsUs > wmUs). With no holds, an idle
+            // TTL (when configured) arms the expiry clock instead.
             if (hold.nonEmpty)
               state.setTimeoutTimestamp(hold.map(_.tsUs).min / 1000L + 1L)
+            else idleTtlMs.foreach(ttl =>
+              state.setTimeoutTimestamp(wmUs / 1000L + math.max(ttl, 1L)))
           }
           out.iterator
       }

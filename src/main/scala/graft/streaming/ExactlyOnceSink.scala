@@ -46,18 +46,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * @param root     target directory; holds `state/` (bucketed parquet) and
   *                 `_commits/` (the batch ledger)
-  * @param keys     upsert key columns — one row per key survives
+  * @param keys     upsert key columns — one row per key survives. NULL
+  *                 keys are one key like any other (null-safe matching
+  *                 throughout) — a redelivered NULL-key row upserts, never
+  *                 accumulates.
   * @param nBuckets hash-bucket count for the state layout (fixed for the
   *                 sink's lifetime; changing it means a rebuild)
   * @param orderBy  within-batch conflict resolution: keep the row with the
   *                 MAX of this column per key (e.g. the event timestamp).
   *                 None = arbitrary-but-single row per key.
+  * @param appId    ledger namespace, the Delta `txnAppId` discipline:
+  *                 batchIds are only unique WITHIN one streaming query's
+  *                 checkpoint lineage. A stream restarted from a FRESH
+  *                 checkpoint restarts batchIds at 0 — under the same
+  *                 appId those would be skipped as replays and their rows
+  *                 silently lost. New checkpoint ⇒ new appId (or new
+  *                 root); the ledger keys on (appId, batchId).
   */
 final case class ExactlyOnceSink(root: String, keys: Seq[String],
                                  nBuckets: Int = 64,
-                                 orderBy: Option[String] = None) {
+                                 orderBy: Option[String] = None,
+                                 appId: String = "default") {
   require(keys.nonEmpty, "upsert needs at least one key column")
   require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+  require(appId.nonEmpty && !appId.contains("/"),
+    s"appId must be a plain token, got '$appId'")
 
   private val statePath = new Path(root, "state")
   private val commitsPath = new Path(root, "_commits")
@@ -65,18 +78,28 @@ final case class ExactlyOnceSink(root: String, keys: Seq[String],
   private def fs(spark: SparkSession) =
     statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** True iff `batchId` has already been applied (its marker is on disk). */
+  /** True iff (appId, batchId) has already been applied (marker on disk). */
   def committed(spark: SparkSession, batchId: Long): Boolean =
-    fs(spark).exists(new Path(commitsPath, batchId.toString))
+    fs(spark).exists(new Path(commitsPath, s"$appId-$batchId"))
 
   /** Current target contents (key columns + payload; the internal
-    * `_bucket` partition column is dropped). Empty frame with no rows if
-    * nothing has been committed yet. */
+    * `_bucket` partition column is dropped). Live buckets only — a
+    * parked `._old` directory from a mid-swap crash is never read, so a
+    * reader between the crash and the healing next batch sees each row
+    * at most once. Before the first commit there is no schema on disk:
+    * returns the zero-column empty frame. */
   def read(spark: SparkSession): DataFrame = {
     val f = fs(spark)
-    if (!f.exists(statePath) || f.listStatus(statePath).isEmpty)
-      spark.emptyDataFrame
-    else spark.read.parquet(statePath.toString).drop("_bucket")
+    if (!f.exists(statePath)) spark.emptyDataFrame
+    else {
+      val live = f.listStatus(statePath).filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith("_bucket=") &&
+          !s.getPath.getName.endsWith("._old")
+      }
+      if (live.isEmpty) spark.emptyDataFrame
+      else spark.read.option("basePath", statePath.toString)
+        .parquet(live.map(_.getPath.toString).toSeq: _*).drop("_bucket")
+    }
   }
 
   /** Apply one micro-batch. Returns false (and does nothing) when the
@@ -113,7 +136,12 @@ final case class ExactlyOnceSink(root: String, keys: Seq[String],
           val current = spark.read
             .option("basePath", statePath.toString)
             .parquet(existingTouched.map(bucketDir(_).toString): _*)
-          current.join(resolved.select(keys.map(col): _*), keys, "left_anti")
+          // NULL-SAFE anti-join: a plain equi-anti never matches NULL
+          // keys, so a redelivered NULL-key row would accumulate one
+          // duplicate per batch instead of upserting
+          val rk = resolved.select(keys.map(col): _*)
+          val cond = keys.map(k => current(k) <=> rk(k)).reduce(_ && _)
+          current.join(rk, cond, "left_anti")
             .unionByName(resolved)
         }
       // stage the full merged content of the touched buckets, then swap
@@ -146,6 +174,10 @@ final case class ExactlyOnceSink(root: String, keys: Seq[String],
   def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
+      // Update, not the Append default: an aggregated upstream (the
+      // natural input for a keyed upsert) must emit changed rows per
+      // trigger, not defer every group to watermark close
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
       .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) => {
         upsertBatch(b, id); ()
       })
@@ -171,5 +203,5 @@ final case class ExactlyOnceSink(root: String, keys: Seq[String],
       }
 
   private def markCommitted(f: org.apache.hadoop.fs.FileSystem, batchId: Long): Unit =
-    f.create(new Path(commitsPath, batchId.toString), true).close()
+    f.create(new Path(commitsPath, s"$appId-$batchId"), true).close()
 }

@@ -144,6 +144,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(root).filter($"n_regionkey" === 2).count() === 5)
   }
 
+  test("compactPartitioned recovers when the crashed leaf is the ROOT itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_root_crash").toString
+    val path = s"$dir/tbl"
+    Tables.load(spark, sf, "region").select($"r_regionkey", $"r_name")
+      .repartition(3).write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    // unpartitioned table (single-leaf degenerate case), crash between the
+    // two swap renames: root gone, data parked in a SIBLING ._precompact
+    assert(fs.rename(p, p.suffix("._precompact")))
+    val res = Layout.compactPartitioned(spark, path, targetFileBytes = 1L << 20)
+    assert(res.map(r => (r._2, r._3)) === Seq((3, 1)))
+    assert(spark.read.parquet(path).count() === 5, "restored then compacted")
+    assert(!fs.exists(p.suffix("._precompact")))
+  }
+
   test("compact with sortBy preserves clustering: output files cover disjoint key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_sorted").toString
     val path = s"$dir/ztbl"

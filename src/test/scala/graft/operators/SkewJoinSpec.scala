@@ -94,6 +94,20 @@ class SkewJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("cast both sides to one type"))
   }
 
+  test("bloomFilteredJoin allows DATE-vs-TIMESTAMP keys (one coercion family)") {
+    // union coercion and comparison coercion both promote date→timestamp,
+    // so the filter hashes the type the join compares at — exact
+    val fact = Seq((java.sql.Date.valueOf("2024-01-01"), "a"),
+      (java.sql.Date.valueOf("2024-03-05"), "b")).toDF("k", "x")
+    val small = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L))
+      .toDF("k", "y")
+    val out = SkewJoin.bloomFilteredJoin(fact, small, "k")
+      .select("x", "y").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = fact.join(small, Seq("k"))
+      .select("x", "y").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === plain && out === Set(("a", 10L)))
+  }
+
   test("bloom prefilter prunes non-matching fact rows before the join") {
     // keys 1..1000 on the fact side; small side holds 10 — at 2^17 bits the
     // FP rate is ~0, so survivors ≈ matches

@@ -137,6 +137,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch === got, "streaming enrichment must equal the batch as-of")
   }
 
+  test("streamingAsOf idleTtlMs expires idle keys; queries drained first") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def at(s: Int) = new Timestamp(base + s * 1000L)
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = streamingAsOf(
+        memL.toDF().toDF("user_id", "ts", "event_id"),
+        memR.toDF().toDF("user_id", "ts", "event_id", "value"),
+        delay = "10 seconds", idleTtlMs = Some(5000L))
+      .writeStream.format("memory").queryName("asof_ttl_sink")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long =
+      q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    // user 1 drains its one query, then goes idle with a kept reference
+    memR.addData((1L, at(10), 100L, 1.0))
+    memL.addData((1L, at(12), 1L))
+    memR.addData((1L, at(25), 101L, 2.0)) // wm → 15: q1 drains
+    q.processAllAvailable()
+    assert(spark.table("asof_ttl_sink").count() === 1)
+    assert(stateRows === 1, "user 1 holds compacted reference state")
+    // traffic on ANOTHER key pushes the watermark 5s+ past user 1's idle
+    // clock: the TTL timeout must drop user 1's state whole
+    memR.addData((2L, at(60), 200L, 9.0))
+    q.processAllAvailable()
+    memR.addData((2L, at(80), 201L, 9.9))
+    q.processAllAvailable()
+    assert(stateRows === 1, s"idle user 1 expired; only user 2 remains")
+    q.stop()
+  }
+
   test("windowed counts: batch and streaming agree (API unification)") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"),

@@ -45,7 +45,7 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     // simulate "crashed after the data swap, before the marker": drop the
     // ledger entry — Spark would redeliver batch 0 with the same rows
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new Path(s"$root/_commits/0"), false))
+    assert(fs.delete(new Path(s"$root/_commits/default-0"), false))
     assert(sink.upsertBatch(b0, 0L), "unmarked batch must re-apply")
     assert(contents(sink) === committed, "re-apply must converge, not duplicate")
     assert(sink.read(spark).count() === 2)
@@ -84,6 +84,52 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     val rows = sink.read(spark).select("user_id", "status", "score").collect()
     assert(rows.length === 1)
     assert(rows(0).getString(1) === "last" && rows(0).getDouble(2) === 9.0)
+  }
+
+  test("ledger is appId-scoped: a fresh checkpoint lineage is not mistaken for replay") {
+    // a stream restarted from a NEW checkpoint restarts batchIds at 0 —
+    // under a new appId its batch 0 must apply, not be skipped as a
+    // replay of the old lineage's batch 0
+    val root = tmp("eos_appid")
+    val a = ExactlyOnceSink(root, keys = Seq("user_id"), nBuckets = 4, appId = "run1")
+    assert(a.upsertBatch(Seq((1L, "old", 1.0)).toDF("user_id", "status", "score"), 0L))
+    val b = ExactlyOnceSink(root, keys = Seq("user_id"), nBuckets = 4, appId = "run2")
+    assert(b.upsertBatch(Seq((1L, "new", 2.0)).toDF("user_id", "status", "score"), 0L),
+      "same batchId under a new appId is NEW data, not a replay")
+    assert(contents(b) === Map(1L -> ("new", 2.0)))
+    // and within one appId the skip still holds
+    assert(!b.upsertBatch(Seq((1L, "x", 3.0)).toDF("user_id", "status", "score"), 0L))
+    assert(contents(b) === Map(1L -> ("new", 2.0)))
+  }
+
+  test("NULL upsert keys upsert null-safely instead of accumulating") {
+    val sink = ExactlyOnceSink(tmp("eos_null"), keys = Seq("user_id"), nBuckets = 4)
+    val b0 = Seq((Some(1L), "a", 1.0), (None, "n0", 5.0))
+      .toDF("user_id", "status", "score")
+    val b1 = Seq((None: Option[Long], "n1", 6.0)).toDF("user_id", "status", "score")
+    assert(sink.upsertBatch(b0, 0L))
+    assert(sink.upsertBatch(b1, 1L))
+    val rows = sink.read(spark).select("user_id", "status").collect()
+      .map(r => Option(r.getAs[java.lang.Long](0)).map(_.longValue) -> r.getString(1))
+      .toMap
+    assert(rows === Map(Some(1L) -> "a", None -> "n1"),
+      "the NULL key is ONE key: batch 1 replaces batch 0's row")
+    assert(sink.read(spark).count() === 2)
+  }
+
+  test("read() never sees a parked ._old bucket (no mid-crash duplicates)") {
+    val root = tmp("eos_read_park")
+    val sink = ExactlyOnceSink(root, keys = Seq("user_id"), nBuckets = 4)
+    val b0 = (1L to 12L).map(i => (i, "new", i.toDouble))
+      .toDF("user_id", "status", "score")
+    assert(sink.upsertBatch(b0, 0L))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket = fs.listStatus(new Path(s"$root/state"))
+      .filter(_.getPath.getName.startsWith("_bucket=")).head.getPath
+    // window 2 of a crashed swap: live bucket AND its parked copy coexist
+    org.apache.hadoop.fs.FileUtil.copy(fs, bucket, fs,
+      bucket.suffix("._old"), false, spark.sparkContext.hadoopConfiguration)
+    assert(sink.read(spark).count() === 12, "parked copy must not double rows")
   }
 
   test("foreachBatch wiring: a real stream upserts through the sink") {
