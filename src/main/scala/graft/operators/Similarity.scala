@@ -233,6 +233,41 @@ object Similarity {
     ivfProbe(ivfBuild(corpus, nid, nvec, nCells, trainSample, iters, persist = false),
       queries, qid, qvec, k, nProbe)
 
+  /** Append a vector batch to a built [[IvfIndex]] WITHOUT retraining —
+    * the index-maintenance half of the build/probe split (the vector twin
+    * of [[graft.operators.Dedup.SignatureIndex]] for signatures): new
+    * corpus versions arrive continuously, and re-running Lloyd's per batch
+    * would cost 8 driver round-trips plus a full corpus re-assignment.
+    * Instead the batch is assigned to the EXISTING centroids in one
+    * broadcast-map pass (cell scores are literals — no shuffle, no driver
+    * data motion, work linear in the batch), and the appended index serves
+    * probes over base ∪ batch immediately.
+    *
+    * The trade is the standard IVF drift contract: centroids stop being
+    * the k-means optimum of the grown corpus, degrading recall gradually
+    * as the appended fraction grows — production re-trains at a drift
+    * threshold (e.g. appended > ~30% of base) during a maintenance window.
+    * Probe results over the appended index are EXACTLY what a fresh
+    * assignment under the same centroids would produce (asserted in
+    * SimilaritySpec; replayed end-to-end by v12's oracle).
+    *
+    * The returned index owns its base: `release()` frees the appended
+    * assignment and then the base index's. Chain appends freely — each
+    * layer unions one more persisted batch. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame, nid: String, nvec: String,
+                persist: Boolean = true): IvfIndex = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    val a = batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .withColumn("cell", greatest(cellScores(col("nv"), index.centroids): _*).getField("c"))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+    val appended =
+      if (persist) a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else a
+    IvfIndex(index.centroids, index.nCells,
+      index.assigned.unionByName(appended),
+      () => { if (persist) { appended.unpersist(); () }; index.release() })
+  }
+
   /** A built product-quantization index: per-subspace codebooks plus the
     * code-compressed corpus. `codebooks(m)(c)` is subspace `m`'s centroid
     * `c` (subDim doubles); `encoded` carries ONLY (nid, code_0..code_{m-1})

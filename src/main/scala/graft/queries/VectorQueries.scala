@@ -21,6 +21,20 @@ object VectorQueries {
     ivfCache.computeIfAbsent((s, dir),
       _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
 
+  // Appended-IVF cache (v12): a base index trained on ⅞ of the corpus
+  // (vec_id % 8 <> 0) with the remaining ⅛ ivfAppend-ed — the
+  // index-maintenance path. Same lifecycle as the IVF cache above.
+  private val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
+  private def appendedIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfAppendCache.computeIfAbsent((s, dir), { _ =>
+      val e = emb(s, dir)
+      val base = Similarity.ivfBuild(e.filter(col("vec_id") % 8 =!= 0),
+        "vec_id", "embedding", nCells = 16)
+      Similarity.ivfAppend(base, e.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding")
+    })
+
   // PQ index cache, same lifecycle as the IVF cache above: built by the
   // first v08 invocation per (session, dir), probe-only afterwards.
   private val pqCache =
@@ -49,6 +63,14 @@ object VectorQueries {
         pt.remove()
       }
     }
+    val at = ivfAppendCache.entrySet().iterator()
+    while (at.hasNext) {
+      val e = at.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release() catch { case _: Exception => () }
+        at.remove()
+      }
+    }
   }
 
   /** Build AND materialize the vector indexes for (session, dir) — the
@@ -59,6 +81,7 @@ object VectorQueries {
   def prepareIvfIndex(s: SparkSession, dir: String): Unit = {
     ivfIndexFor(s, dir).assigned.count()
     pqIndexFor(s, dir).encoded.count()
+    appendedIndexFor(s, dir).assigned.count()
     ()
   }
 
@@ -96,6 +119,21 @@ object VectorQueries {
     // oracle, see v04Oracle).
     "v04_ivf_ann" -> { (s, dir) =>
       Similarity.ivfProbe(ivfIndexFor(s, dir),
+          emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // IVF index maintenance: the base index is trained on ⅞ of the corpus
+    // (vec_id % 8 <> 0) and the held-out ⅛ is ivfAppend-ed — assigned to
+    // the EXISTING centroids in one broadcast-map pass, no retraining —
+    // then the same v04-shaped probe runs over base ∪ batch. Appended
+    // vectors are immediately searchable AND immediately candidates
+    // (query 0 is itself an appended vector). The oracle replays training
+    // on the ⅞ subset, the batch assignment, and the union probe.
+    "v12_ivf_append" -> { (s, dir) =>
+      Similarity.ivfProbe(appendedIndexFor(s, dir),
           emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nProbe = 4)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
@@ -398,6 +436,58 @@ object VectorQueries {
        |FROM r WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB twin of v12 — trains on the ⅞ base (kmeansCtes with `e`
+    * restricted to vec_id % 8 <> 0), assigns the held-out ⅛ batch to the
+    * trained `centl` codebook with the SAME score arithmetic (float-cast
+    * centroid for the dot, unrounded double for |c|²/2, (sc DESC, c DESC)
+    * argmax — ivfAppend reuses cellScores verbatim), then runs v04's
+    * probe over the unioned corpus. Probe cells for base queries come
+    * from `cscore`, for appended queries from `bscore` — together exactly
+    * the per-query cell scores ivfProbe recomputes. */
+  private def v12Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+                        iters: Int = 8, trainSample: Int = 10000,
+                        dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id % 8 <> 0),
+       |  eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |         WHERE vec_id % 8 = 0),
+       |  ${kmeansCtes("", "v", nCells, iters, trainSample, dim)},
+       |  bscore AS MATERIALIZED (SELECT b.vec_id, l.c,
+       |              list_inner_product(b.v, l.cf)
+       |                - list_inner_product(l.cd, l.cd) / 2 AS sc
+       |            FROM eb b CROSS JOIN centl$iters l),
+       |  bcorpus AS MATERIALIZED (SELECT s.vec_id AS nid, s.cell, b.v AS nv,
+       |               sqrt(list_inner_product(b.v, b.v)) AS nn
+       |             FROM (SELECT vec_id, c AS cell FROM (
+       |                     SELECT vec_id, c, row_number() OVER (
+       |                       PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |                     FROM bscore) WHERE rn = 1) s
+       |             JOIN eb b ON b.vec_id = s.vec_id),
+       |  uni AS MATERIALIZED (SELECT * FROM corpus
+       |                       UNION ALL SELECT * FROM bcorpus),
+       |  qsc AS (SELECT vec_id, c, sc FROM cscore WHERE vec_id < 8
+       |          UNION ALL SELECT vec_id, c, sc FROM bscore WHERE vec_id < 8),
+       |  probe AS (SELECT vec_id AS qid, c AS cell FROM (
+       |              SELECT vec_id, c, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |              FROM qsc) WHERE rn <= $nProbe),
+       |  q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+       |          sqrt(list_inner_product(embedding::DOUBLE[],
+       |                                  embedding::DOUBLE[])) AS qn
+       |        FROM embeddings WHERE vec_id < 8),
+       |  cand AS (SELECT DISTINCT p.qid, c.nid
+       |           FROM probe p JOIN uni c ON c.cell = p.cell
+       |           WHERE p.qid <> c.nid),
+       |  sims AS (SELECT cand.qid, cand.nid,
+       |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
+       |           FROM cand JOIN q ON q.qid = cand.qid
+       |                     JOIN uni c ON c.nid = cand.nid),
+       |  r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS rank FROM sims)
+       |SELECT qid, rank, nid, round(sim, 4) AS sim
+       |FROM r WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** DuckDB twin of v09 — v04's training/probe replay for the IVF leg, the
     * v01 brute-force formulation (over the same `corpus` CTE) for the
     * exact leg, then the per-query intersection count. Rank ties on both
@@ -560,6 +650,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
+    "v12_ivf_append" -> v12Oracle(),
     "v09_recall_audit" -> v09Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     "v07_cluster_profile" -> v07Oracle(),

@@ -162,6 +162,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend: no retraining, appended vectors searchable, equal to fresh assignment") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val base = e.filter($"vec_id" % 4 =!= 0)
+    val batch = e.filter($"vec_id" % 4 === 0)
+    val idx = Similarity.ivfBuild(base, "vec_id", "embedding", nCells = 8)
+    val appended = Similarity.ivfAppend(idx, batch, "vec_id", "embedding")
+    try {
+      // the codebook is untouched — same array, not a retrained copy
+      assert(appended.centroids eq idx.centroids)
+      assert(appended.assigned.count() === e.count())
+      // appended rows land in the same cells a fresh assignment under the
+      // SAME centroids gives them: rebuild an index over the FULL corpus
+      // but force idx's centroids by appending everything to an empty base
+      val emptyBase = idx.copy(assigned = idx.assigned.limit(0), release = () => ())
+      val fresh = Similarity.ivfAppend(emptyBase, e, "vec_id", "embedding",
+        persist = false)
+      val got = appended.assigned.select("nid", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = fresh.assigned.select("nid", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want, "appended assignment must equal a fresh one")
+      // probe parity: the appended index and the fresh full assignment
+      // rank identically (ivfProbe recomputes query cells from centroids,
+      // so equal assignments ⇒ equal candidates ⇒ equal ranking)
+      val q = e.filter($"vec_id" < 5)
+      def top(i: Similarity.IvfIndex) =
+        Similarity.ivfProbe(i, q, "vec_id", "embedding", k = 3, nProbe = 2)
+          .collect().map(_.toSeq).toSet
+      assert(top(appended) === top(fresh))
+    } finally appended.release() // owns the base: releases both layers
+  }
+
   test("IVF is deterministic: same seed → same result set") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 5)
