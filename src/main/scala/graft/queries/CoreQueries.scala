@@ -1109,6 +1109,29 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("status")
+    },
+
+    // One-pass data-quality audit (Deequ-style constraint metrics) over
+    // orders, plus a referential-integrity leg: lineitem rows whose order
+    // is missing from a parent snapshot cut at 2001 (simulating the
+    // late-arriving-dimension case — the full parent has no orphans by
+    // construction). Exact mode so DuckDB can re-derive every number; see
+    // DataQuality for the approx/HLL 100 TB mode.
+    "q57_quality_audit" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val audit = graft.operators.DataQuality.audit(orders,
+        nullCols = Seq("o_custkey", "o_orderstatus", "o_totalprice"),
+        distinctCols = Seq("o_orderstatus", "o_custkey"),
+        numericCols = Seq("o_totalprice"),
+        keyCols = Seq("o_orderkey"))
+      val ref = graft.operators.DataQuality.referentialOrphans(
+        li, "l_orderkey",
+        orders.filter(year(col("o_orderdate")) <= 2001), "o_orderkey")
+      audit.unionByName(ref)
+        .select(col("metric"), col("col_name"),
+          round(col("value"), 2).as("value"))
+        .orderBy("metric", "col_name")
     }
   )
 
@@ -1844,6 +1867,38 @@ object CoreQueries {
         |SELECT status, count(*) AS n, min(key) AS min_key, max(key) AS max_key
         |FROM d
         |GROUP BY status
-        |ORDER BY status""".stripMargin
+        |ORDER BY status""".stripMargin,
+
+    "q57_quality_audit" ->
+      """WITH m AS (
+        |  SELECT 'row_count' AS metric, '*' AS col_name,
+        |    CAST(count(*) AS DOUBLE) AS value FROM orders
+        |  UNION ALL SELECT 'null_count', 'o_custkey',
+        |    CAST(count(*) - count(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'null_count', 'o_orderstatus',
+        |    CAST(count(*) - count(o_orderstatus) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'null_count', 'o_totalprice',
+        |    CAST(count(*) - count(o_totalprice) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'distinct_count', 'o_orderstatus',
+        |    CAST(count(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'distinct_count', 'o_custkey',
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'min', 'o_totalprice',
+        |    min(o_totalprice) FROM orders
+        |  UNION ALL SELECT 'max', 'o_totalprice',
+        |    max(o_totalprice) FROM orders
+        |  UNION ALL SELECT 'dup_key_rows', 'o_orderkey',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'orphan_count', 'l_orderkey',
+        |    CAST(count(*) AS DOUBLE) FROM lineitem l
+        |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey
+        |        AND year(o.o_orderdate) <= 2001)
+        |  UNION ALL SELECT 'null_key_rows', 'l_orderkey',
+        |    CAST(count(*) - count(l_orderkey) AS DOUBLE) FROM lineitem)
+        |SELECT metric, col_name, round(value, 2) AS value
+        |FROM m
+        |ORDER BY metric, col_name""".stripMargin
   )
 }
