@@ -40,9 +40,11 @@ object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", mergedExtensions(b))
-    // nanosecond parquet timestamps read as nanos-long engine-wide (the
-    // events table); graft.io.Tables converts to TimestampType explicitly.
-    // Set here so read behavior never depends on which table loaded first.
+    // If a TIMESTAMP(NANOS) parquet is ever read, decode as nanos-long
+    // engine-wide rather than erroring; graft.io.Tables branches on the
+    // file footer's actual logical type and converts to TimestampType
+    // explicitly (micros files never hit this flag). Set here so read
+    // behavior never depends on which table loaded first.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

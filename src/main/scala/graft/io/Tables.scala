@@ -1,7 +1,13 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, max, min, timestamp_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import graft.schema.Schemas
 
 /** Typed readers for the driver testdata directory (TESTDATA.md).
@@ -10,21 +16,101 @@ import graft.schema.Schemas
   * parquet scan with the types we expect, and so the SQL entry point (temp
   * views) agrees with the DataFrame path. At cluster scale the same readers
   * take a directory of many files; nothing here assumes a single file.
+  *
+  * The events table additionally ADAPTS to the file's physical timestamp
+  * encoding (see [[tsUnit]]): a previous round hard-coded TIMESTAMP(NANOS)
+  * and silently produced 1000x-wrong timestamps when the data was
+  * regenerated as TIMESTAMP(MICROS). The loader now branches on the parquet
+  * footer's actual logical type, and [[assertTsContract]] is the loud
+  * canary for any future silent contract change.
   */
 object Tables {
 
   /** Read one testdata table with its canonical schema. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS): read as nanos-long, then
-      // truncate to a microsecond TimestampType (Spark's native precision).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(Schemas.events).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.schema(Schemas.testdata(name)).parquet(s"$dir/$name.parquet")
-    }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, s"$dir/events.parquet")
+    else spark.read.schema(Schemas.testdata(name)).parquet(s"$dir/$name.parquet")
+
+  /** Time unit of the parquet TIMESTAMP logical type for `column`, read
+    * from the footer of `path` (or of the first parquet file under it, when
+    * a directory — files of one dataset share one schema). An unannotated
+    * INT64 is treated as nanos-since-epoch (the shape the legacy generator
+    * produced). Footer-only: no row data is read, so this costs one small
+    * metadata fetch per load — negligible at any scale.
+    */
+  private[graft] def tsUnit(spark: SparkSession, path: String,
+                            column: String = "ts"): TimeUnit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter { f =>
+            val n = f.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"tsUnit: no parquet files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.getType(Seq(column): _*).asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+        case _ => TimeUnit.NANOS // unannotated INT64: legacy nanos encoding
+      }
+    } finally reader.close()
   }
+
+  /** Load the events table, normalizing `ts` to the canonical microsecond
+    * TimestampType whatever the file's physical encoding:
+    *  - TIMESTAMP(NANOS): Spark has no nanosecond timestamp, so read as
+    *    nanos-long (legacy flag) and truncate to micros;
+    *  - TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=false: read as
+    *    TimestampNTZType (the file's exact logical type) and cast — the
+    *    session timezone is pinned to UTC (GraftSession), so the cast is a
+    *    pure re-tag and values match what the DuckDB oracle reads.
+    */
+  def loadEvents(spark: SparkSession, path: String): DataFrame =
+    tsUnit(spark, path) match {
+      case TimeUnit.NANOS =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(Schemas.eventsWithTs(org.apache.spark.sql.types.LongType))
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.read.schema(Schemas.eventsWithTs(TimestampNTZType)).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+
+  /** Source-contract canary: the driver events table documents ~2024 event
+    * times (TESTDATA.md); a decode that is 1000x off lands in 1970 or in
+    * year ~3700. Bound wide enough to survive legitimate regeneration,
+    * tight enough that any unit-scale error fails LOUDLY instead of
+    * producing 12 plausible wrong answers (the round-7 failure mode).
+    * min/max are answered from parquet footer stats when aggregate
+    * pushdown applies — cheap even on a 100-TB table. */
+  val TsContractLo: java.time.Instant = java.time.Instant.parse("2000-01-01T00:00:00Z")
+  val TsContractHi: java.time.Instant = java.time.Instant.parse("2100-01-01T00:00:00Z")
+
+  def assertTsContract(df: DataFrame, column: String = "ts"): Unit = {
+    val row = df.agg(min(col(column)), max(col(column))).head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"ts-contract canary: $column is entirely NULL")
+    val (mn, mx) = (row.getTimestamp(0).toInstant, row.getTimestamp(1).toInstant)
+    require(!mn.isBefore(TsContractLo) && mx.isBefore(TsContractHi),
+      s"ts-contract canary FAILED: $column range [$mn, $mx] outside " +
+        s"[$TsContractLo, $TsContractHi] — the source file's timestamp " +
+        "encoding likely changed under the loader (check the parquet footer " +
+        "logical type vs Tables.loadEvents)")
+  }
+
+  /** Canary entry point for Verify/Bench: fail fast before running any
+    * query against a mis-decoded events table. */
+  def canaryEvents(spark: SparkSession, dir: String): Unit =
+    assertTsContract(load(spark, dir, "events"))
 
   /** Register all testdata tables as temp views (EP1 SQL entry point). */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * one agg plan through Catalyst's Expand (input ×(n+1) rows before the
   * partial agg). That is the honest price of an EXACT audit and is the
   * mode the DuckDB oracle can check; at 100 TB run `exact = false` and the
-  * same metrics come from HyperLogLog++ sketches (no Expand, still one
-  * pass, mergeable across shards).
+  * same metrics come from one-pass HyperLogLog++ approximate counts (no
+  * Expand; `approx_count_distinct` returns a finalized estimate per run —
+  * to merge across independently-audited shards, re-run on the union or
+  * keep the raw hll sketches with `hll_sketch_agg`).
   *
   * Output is long-format `(metric, col_name, value: double)` so audits of
   * arbitrarily wide tables union, diff across snapshots (TableDiff on
@@ -27,26 +29,52 @@ object DataQuality {
 
   /** Audit `df` in one aggregation pass.
     *
+    * Key semantics: rows where ANY declared key column is NULL are
+    * excluded from the duplicate computation (a NULL key identifies
+    * nothing — same convention as SQL `count(DISTINCT k)` and
+    * [[referentialOrphans]]) and surfaced separately as `null_key_rows`,
+    * so "key collides" and "key missing" stay distinguishable failures.
+    *
     * @param nullCols     columns to count NULLs in
     * @param distinctCols columns to count distinct non-null values of
     * @param numericCols  columns to min/max (cast to double)
     * @param keyCols      declared unique key; emits `dup_key_rows` =
-    *                     rows − distinct(key) (0 when the key holds)
+    *                     non-null-key rows − distinct(key) (0 when the key
+    *                     holds) and `null_key_rows` = rows with a NULL key
     * @param exact        true → exact countDistinct (Expand cost, oracle-
     *                     checkable); false → HLL++ approx, one pass, no
-    *                     Expand — the 100 TB mode
+    *                     Expand — the 100 TB mode. Approx `dup_key_rows`
+    *                     is clamped at 0 (HLL can overestimate the
+    *                     distinct count past the row count) and is a
+    *                     NOISY LOWER-BOUND SIGNAL, not an exact count:
+    *                     small duplicate counts can vanish under the
+    *                     sketch error (±rsd·n); use exact mode to assert
+    *                     a key strictly.
+    * @param rsd          target relative standard deviation of the HLL
+    *                     estimates when `exact = false` (default matches
+    *                     Spark's approx_count_distinct default)
     */
   def audit(df: DataFrame,
             nullCols: Seq[String] = Nil,
             distinctCols: Seq[String] = Nil,
             numericCols: Seq[String] = Nil,
             keyCols: Seq[String] = Nil,
-            exact: Boolean = true): DataFrame = {
+            exact: Boolean = true,
+            rsd: Double = 0.05): DataFrame = {
     def cd(c: Column): Column =
-      if (exact) countDistinct(c) else approx_count_distinct(c)
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
 
-    // (metric, col_name, aggregate) triples; slot names joined with "§"
-    // (never in a metric/column name) keep the wide→long mapping exact.
+    // `count(keyStruct)`/`cd(keyStruct)` both skip NULL inputs, so gating
+    // the struct on all-keys-non-null implements the key semantics above
+    // inside the same single aggregate (no second scan, no filter job).
+    val keyStruct: Column =
+      if (keyCols.isEmpty) lit(null)
+      else when(keyCols.map(col(_).isNotNull).reduce(_ && _),
+                struct(keyCols.map(col): _*))
+    def clamped(c: Column): Column =
+      if (exact) c else greatest(lit(0L), c)
+
+    // (metric, col_name, aggregate) triples, unpivoted after the agg.
     val slots: Seq[(String, String, Column)] =
       Seq(("row_count", "*", count(lit(1)))) ++
         nullCols.map(c =>
@@ -56,8 +84,11 @@ object DataQuality {
           ("min", c, min(col(c).cast("double"))),
           ("max", c, max(col(c).cast("double"))))) ++
         (if (keyCols.nonEmpty)
-           Seq(("dup_key_rows", keyCols.mkString(","),
-             count(lit(1)) - cd(struct(keyCols.map(col): _*))))
+           Seq(
+             ("dup_key_rows", keyCols.mkString(","),
+               clamped(count(keyStruct) - cd(keyStruct))),
+             ("null_key_rows", keyCols.mkString(","),
+               count(lit(1)) - count(keyStruct)))
          else Nil)
 
     val aggs = slots.zipWithIndex.map { case ((_, _, e), i) => e.as(s"m$i") }

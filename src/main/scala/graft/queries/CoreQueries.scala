@@ -1888,7 +1888,9 @@ object CoreQueries {
         |  UNION ALL SELECT 'max', 'o_totalprice',
         |    max(o_totalprice) FROM orders
         |  UNION ALL SELECT 'dup_key_rows', 'o_orderkey',
-        |    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'null_key_rows', 'o_orderkey',
+        |    CAST(count(*) - count(o_orderkey) AS DOUBLE) FROM orders
         |  UNION ALL SELECT 'orphan_count', 'l_orderkey',
         |    CAST(count(*) AS DOUBLE) FROM lineitem l
         |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (

@@ -64,17 +64,25 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // ts is TIMESTAMP(NANOS) in the parquet; Spark has no nanosecond timestamp,
-  // so the file schema reads it as nanos-since-epoch (LongType, requires
-  // spark.sql.legacy.parquet.nanosAsLong) and Tables.load converts to a
-  // microsecond TimestampType column of the same name.
+  // Canonical ENGINE-FACING schema: ts is Spark's microsecond TimestampType.
+  // The parquet file's physical encoding of ts has changed under us before
+  // (TIMESTAMP(NANOS) → TIMESTAMP(MICROS), round-7 regression): the loader
+  // (graft.io.Tables.loadEvents) inspects the parquet footer and picks the
+  // matching READ schema via [[eventsWithTs]], then normalizes to this one.
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Read-schema variant of [[events]] with `ts` re-typed: LongType for
+    * TIMESTAMP(NANOS) files (with spark.sql.legacy.parquet.nanosAsLong),
+    * TimestampNTZType for TIMESTAMP(isAdjustedToUTC=false, MICROS/MILLIS)
+    * files. The loader casts/converts back to the canonical TimestampType. */
+  def eventsWithTs(dt: DataType): StructType =
+    StructType(events.map(f => if (f.name == "ts") f.copy(dataType = dt) else f))
 
   val documents = StructType(Seq(
     StructField("doc_id", LongType),

@@ -114,16 +114,27 @@ object EventStreams {
 
   /** Wire a streaming source of the events schema from a directory of
     * parquet files (one-file-per-trigger for deterministic replay).
-    * Converts the nanosecond `ts` to Spark's microsecond timestamp, same as
-    * the batch loader (graft.io.Tables). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(graft.schema.Schemas.testdata("events"))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * Normalizes `ts` to Spark's microsecond TimestampType whatever the
+    * files' physical encoding, same as the batch loader: the footer of the
+    * first file present decides the read schema (a landing directory's
+    * files share one producer schema; a MIXED-encoding directory is a
+    * producer bug the batch canary catches). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.tsUnit(spark, dir) match {
+      case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.readStream
+          .schema(graft.schema.Schemas.eventsWithTs(org.apache.spark.sql.types.LongType))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.readStream
+          .schema(graft.schema.Schemas.eventsWithTs(org.apache.spark.sql.types.TimestampNTZType))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 
   /** Run a windowed-count stream to an in-memory sink (demo/test harness). */
   def runToMemory(df: DataFrame, name: String,

@@ -1,0 +1,61 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** The round-7 lesson, pinned: the events parquet's timestamp encoding
+  * changed under the loader (NANOS → MICROS) and the engine silently
+  * produced 1000x-wrong timestamps while staying schema-valid. These tests
+  * pin (a) footer-adaptive decoding — the loader reads the file's ACTUAL
+  * logical type; (b) the decoded values match the documented 2024 window;
+  * (c) the canary catches a deliberately mis-decoded read LOUDLY. */
+class EventsContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tsUnit reads the parquet footer's actual logical type") {
+    // the current driver testdata is TIMESTAMP(micros); if the generator
+    // flips back to nanos this assertion flips with it via the footer —
+    // what must NOT happen is the loader assuming either one blindly
+    val unit = Tables.tsUnit(spark, s"$dir/events.parquet")
+    assert(unit == TimeUnit.MICROS || unit == TimeUnit.NANOS)
+  }
+
+  test("loadEvents decodes ts into the documented 2024 event-time window") {
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    val row = df.agg(min("ts"), max("ts")).head()
+    val (mn, mx) = (row.getTimestamp(0).toInstant, row.getTimestamp(1).toInstant)
+    val lo = java.time.Instant.parse("2023-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    assert(!mn.isBefore(lo) && mx.isBefore(hi),
+      s"decoded events ts [$mn, $mx] outside the documented window — unit-scale decode bug")
+    // and the full span is ~30 days, not a 1000x-collapsed ~43 minutes
+    val spanDays = java.time.Duration.between(mn, mx).toDays
+    assert(spanDays >= 7, s"events span only collapsed to $spanDays days")
+  }
+
+  test("canary passes on the correctly-decoded table") {
+    Tables.canaryEvents(spark, dir)
+  }
+
+  test("canary FAILS loudly on a deliberately mis-decoded read") {
+    // reproduce the round-7 bug shape: treat micros-since-epoch as if it
+    // were nanos (divide by 1000) — everything collapses into 1970
+    val bad = Tables.load(spark, dir, "events")
+      .withColumn("ts",
+        timestamp_micros((unix_micros(col("ts")) / 1000).cast(LongType)))
+    val e = intercept[IllegalArgumentException] {
+      Tables.assertTsContract(bad)
+    }
+    assert(e.getMessage.contains("ts-contract canary"))
+  }
+
+  test("canary rejects an all-NULL timestamp column") {
+    val bad = Tables.load(spark, dir, "events")
+      .withColumn("ts", lit(null).cast(TimestampType))
+    intercept[IllegalArgumentException] { Tables.assertTsContract(bad) }
+  }
+}
