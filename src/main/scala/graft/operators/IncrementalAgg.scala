@@ -51,14 +51,35 @@ object IncrementalAgg {
   }
 
   /** Merge state frames (same schema) into one: one shuffle of STATE rows
-    * — never of the underlying data. Keys are whatever columns carry no
-    * metric prefix. */
+    * — never of the underlying data. Keys are inferred as the columns
+    * carrying no metric prefix; a natural key column that itself starts
+    * with a metric prefix (e.g. `sum_type`) would be mis-classified, so
+    * inference REFUSES ambiguity-prone schemas unless the keys are
+    * declared via the explicit overload. */
   def merge(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state frame")
-    val all = states.reduce(_.unionByName(_))
-    val keys = all.columns.filterNot(isMetric)
+    val keys = states.head.columns.filterNot(isMetric).toSeq
     require(keys.nonEmpty, "state has no key columns")
-    val aggs: Seq[Column] = all.columns.filter(isMetric).map { c =>
+    merge(keys, states: _*)
+  }
+
+  /** Merge with DECLARED key columns — the safe form when a key name could
+    * collide with a metric prefix. Every column must be either a declared
+    * key or a metric-prefixed state column; anything else is an error, not
+    * a silent aggregation. */
+  def merge(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state frame")
+    val all = states.reduce(_.unionByName(_))
+    val missing = keys.filterNot(all.columns.contains)
+    require(missing.isEmpty,
+      s"declared key columns absent from state: ${missing.mkString(", ")}")
+    val stray = all.columns.filterNot(c => keys.contains(c) || isMetric(c))
+    require(stray.isEmpty,
+      s"state columns neither declared keys nor metric-prefixed " +
+        s"(cnt_/sum_/min_/max_): ${stray.mkString(", ")} — declare them as " +
+        "keys or rename; refusing to guess")
+    val metricCols = all.columns.filterNot(keys.contains)
+    val aggs: Seq[Column] = metricCols.toIndexedSeq.map { c =>
       if (c.startsWith("min_")) min(col(c)).as(c)
       else if (c.startsWith("max_")) max(col(c)).as(c)
       else sum(col(c)).as(c) // cnt_ and sum_ both add
@@ -68,18 +89,36 @@ object IncrementalAgg {
 
   /** Remove `deleted` rows' contribution from `state`: build state over
     * the deleted rows with the SAME spec, negate its additive metrics, and
-    * merge. Only count/sum state is invertible — refuses min/max. Keys
-    * whose count reaches 0 are dropped (fully-retracted key). */
+    * merge. Only count/sum state is invertible — refuses min/max on BOTH
+    * sides (a min/max-carrying `state` would otherwise die later inside
+    * merge with an opaque union error). Keys whose count reaches exactly 0
+    * are dropped (fully-retracted key); a key driven NEGATIVE means the
+    * CDC input retracted rows never built in — that is corrupt input and
+    * fails the job at execution time instead of being silently dropped. */
   def retract(state: DataFrame, deletedState: DataFrame): DataFrame = {
-    val bad = deletedState.columns.filter(c =>
-      c.startsWith("min_") || c.startsWith("max_"))
-    require(bad.isEmpty,
-      s"min/max state is not invertible; cannot retract: ${bad.mkString(", ")}")
+    Seq("state" -> state, "deletedState" -> deletedState).foreach {
+      case (which, df) =>
+        val bad = df.columns.filter(c =>
+          c.startsWith("min_") || c.startsWith("max_"))
+        require(bad.isEmpty,
+          s"min/max state is not invertible; cannot retract ($which " +
+            s"carries: ${bad.mkString(", ")})")
+    }
     val negated = deletedState.columns.foldLeft(deletedState) { (d, c) =>
       if (c.startsWith("cnt_") || c.startsWith("sum_"))
         d.withColumn(c, -col(c)) else d
     }
-    merge(state, negated).filter(col("cnt_rows") > 0)
+    val merged = merge(state, negated)
+    val keys = merged.columns.filterNot(isMetric)
+    merged
+      .filter(col("cnt_rows") =!= 0)
+      .withColumn("cnt_rows",
+        when(col("cnt_rows") < 0,
+          raise_error(concat(
+            lit("IncrementalAgg.retract: cnt_rows went negative for key "),
+            to_json(struct(keys.map(col): _*)),
+            lit(" — deleted rows were never built into this state"))))
+          .otherwise(col("cnt_rows")))
   }
 
   /** Present state for reading: decode `sum_<c>__<scale>` long units back

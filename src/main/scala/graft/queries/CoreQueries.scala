@@ -1132,6 +1132,66 @@ object CoreQueries {
         .select(col("metric"), col("col_name"),
           round(col("value"), 2).as("value"))
         .orderBy("metric", "col_name")
+    },
+
+    // Incremental aggregate maintenance (IncrementalAgg) proven against the
+    // one-shot answer: build mergeable state on two corpus halves, merge —
+    // must equal aggregating everything at once (count/fixed-point-sum are
+    // algebraic, min/max semilattice); and retract the late half from
+    // full-corpus state — must equal aggregating only the early half. The
+    // 100-TB point: each refresh shuffles O(state) rows, never the corpus.
+    "q58_incremental_agg" -> { (s, dir) =>
+      import graft.operators.IncrementalAgg._
+      val orders = t(s, dir, "orders")
+      val early = orders.filter(year(col("o_orderdate")) <= 1997)
+      val late = orders.filter(year(col("o_orderdate")) > 1997)
+      val keys = Seq("o_orderstatus")
+      val sums = Seq("o_totalprice" -> 2)
+      // merge leg (with non-invertible min/max — merge handles them)
+      val total = finish(merge(
+        build(early, keys, sums, minMax = Seq("o_totalprice")),
+        build(late, keys, sums, minMax = Seq("o_totalprice"))))
+      // retract leg (invertible metrics only, per the retract contract)
+      val earlyViaRetract = finish(retract(
+        build(orders, keys, sums), build(late, keys, sums)))
+        .select(col("o_orderstatus"), col("n").as("n_early"),
+          col("sum_o_totalprice").as("sum_early"))
+      total.join(earlyViaRetract, keys)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("sum_o_totalprice"), 2).as("sum_o_totalprice"),
+          col("min_o_totalprice"), col("max_o_totalprice"),
+          col("n_early"), round(col("sum_early"), 2).as("sum_early"))
+        .orderBy("o_orderstatus")
+    },
+
+    // The q20 tolerance-verdict pattern applied to the audit's 100-TB mode:
+    // approx (HLL, rsd=0.01) audit joined to the exact audit; distinct
+    // counts must land within 5% (≈5σ — deterministically true unless the
+    // sketch breaks), approx dup_key_rows must be non-negative (the clamp)
+    // and bounded by the sketch error, row counts must match exactly
+    // (counting is exact in both modes). DuckDB re-derives the exact side
+    // and the verdicts, so the approx mode is driver-checked end-to-end.
+    "q59_quality_approx" -> { (s, dir) =>
+      import graft.operators.DataQuality.audit
+      val orders = t(s, dir, "orders")
+      val spec = (e: Boolean) => audit(orders,
+        distinctCols = Seq("o_custkey", "o_orderstatus"),
+        keyCols = Seq("o_orderkey"), exact = e, rsd = 0.01)
+      val ex = spec(true).withColumnRenamed("value", "exact_value")
+      val ap = spec(false).withColumnRenamed("value", "approx_value")
+      val n = orders.agg(count(lit(1)).cast("double").as("total_rows"))
+      ex.join(ap, Seq("metric", "col_name"))
+        .crossJoin(broadcast(n))
+        .select(col("metric"), col("col_name"), col("exact_value"),
+          when(col("metric") === "distinct_count",
+            abs(col("approx_value") - col("exact_value")) <=
+              col("exact_value") * 0.05)
+          .when(col("metric") === "dup_key_rows",
+            col("approx_value") >= 0 &&
+              col("approx_value") <= col("total_rows") * 0.05)
+          .otherwise(col("approx_value") === col("exact_value"))
+          .as("approx_ok"))
+        .orderBy("metric", "col_name")
     }
   )
 
@@ -1900,6 +1960,35 @@ object CoreQueries {
         |  UNION ALL SELECT 'null_key_rows', 'l_orderkey',
         |    CAST(count(*) - count(l_orderkey) AS DOUBLE) FROM lineitem)
         |SELECT metric, col_name, round(value, 2) AS value
+        |FROM m
+        |ORDER BY metric, col_name""".stripMargin,
+
+    "q58_incremental_agg" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  round(${sqlExactSum("o_totalprice", 2)}, 2) AS sum_o_totalprice,
+         |  min(CAST(o_totalprice AS DOUBLE)) AS min_o_totalprice,
+         |  max(CAST(o_totalprice AS DOUBLE)) AS max_o_totalprice,
+         |  count(*) FILTER (WHERE year(o_orderdate) <= 1997) AS n_early,
+         |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |          FILTER (WHERE year(o_orderdate) <= 1997) / 100.0,
+         |        2) AS sum_early
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q59_quality_approx" ->
+      """WITH m AS (
+        |  SELECT 'distinct_count' AS metric, 'o_custkey' AS col_name,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS exact_value FROM orders
+        |  UNION ALL SELECT 'distinct_count', 'o_orderstatus',
+        |    CAST(count(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'dup_key_rows', 'o_orderkey',
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'null_key_rows', 'o_orderkey',
+        |    CAST(count(*) - count(o_orderkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'row_count', '*',
+        |    CAST(count(*) AS DOUBLE) FROM orders)
+        |SELECT metric, col_name, exact_value, TRUE AS approx_ok
         |FROM m
         |ORDER BY metric, col_name""".stripMargin
   )

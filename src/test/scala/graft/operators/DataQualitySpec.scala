@@ -25,6 +25,24 @@ class DataQualitySpec extends SparkSpec {
     assert(m(("min", "x")) === -2.0)
     assert(m(("max", "x")) === 30.5)
     assert(m(("dup_key_rows", "k")) === 1.0)
+    assert(m(("null_key_rows", "k")) === 0.0)
+  }
+
+  test("NULL-key rows are excluded from dup count and surfaced separately") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), // one real dup
+      (None: Option[Long], "c"), (None: Option[Long], "d") // NULL keys:
+      // NOT two colliding values of one key — a different failure mode
+    ).toDF("k", "s")
+    val m = metricsOf(DataQuality.audit(df, keyCols = Seq("k")))
+    assert(m(("dup_key_rows", "k")) === 1.0)
+    assert(m(("null_key_rows", "k")) === 2.0)
+    // composite key: a NULL in ANY key column disqualifies the row
+    val m2 = metricsOf(DataQuality.audit(
+      df.withColumn("k2", org.apache.spark.sql.functions.lit("z")),
+      keyCols = Seq("k", "k2")))
+    assert(m2(("dup_key_rows", "k,k2")) === 1.0)
+    assert(m2(("null_key_rows", "k,k2")) === 2.0)
   }
 
   test("audit exact=false uses HLL and still returns every slot") {
