@@ -754,65 +754,90 @@ object Dedup {
     * for the block sizes linkage blocking produces; by k=3 the candidate
     * flood (both key count AND collision fan-out per key) overtakes it, and
     * the right tool is a different blocking scheme, not a deeper
-    * neighborhood. Key generation stays codegen'd column work (nested
-    * `transform` over deletion-position pairs — no UDF), so the scan side
-    * is as cheap as [[editPairs1]]'s.
+    * neighborhood.
+    *
+    * Key generation is a tight JVM kernel ([[hashDeletionResidues]]) that
+    * hashes every ≤2-deletion residue of (block, string) by STREAMING the
+    * surviving chars through a 64-bit FNV-1a — the residue strings are
+    * never materialized. The previous formulation (nested `transform` +
+    * `substr`/`concat` + `array_distinct` column expressions) built ~L²/2
+    * residue STRINGS per row and spent 60%+ of d11's wall-clock there;
+    * the hash kernel removes every allocation from the hot loop. Hash
+    * collisions (64-bit, content-hash) can only ADD candidates, never
+    * lose one; the block-equality recheck and the exact levenshtein
+    * dispose of them.
+    *
+    * Residue buckets larger than `maxBucket` (degenerate near-identical
+    * clusters — where pair emission would go quadratic) are REFUSED, the
+    * refusing task WARNs, and drop counts ride in named accumulators
+    * (`graft.dedup.edit2.*`, the [[DedupMetrics]] discipline shared with
+    * `minhashLshPairs`) — never silent. Exactness vs a block-quadratic
+    * oracle therefore holds exactly when the drop counters read zero.
     *
     * Returns (blk, id_a, id_b, dist) with id_a < id_b, dist ∈ [0, k]. */
   def editPairsK(df: DataFrame, idCol: String, blockCol: String,
-                 strCol: String, k: Int): DataFrame = {
+                 strCol: String, k: Int, maxBucket: Int = 2000): DataFrame = {
     require(k >= 1 && k <= 2,
       s"editPairsK: k=$k unsupported — key volume is O(L^k) per string " +
         "(see scaladoc); use k=1 or k=2, or change the blocking scheme")
     if (k == 1) editPairs1(df, idCol, blockCol, strCol)
     else {
-      val n = df.select(col(idCol).cast("long").as("id"),
-        col(blockCol).as("blk"), col(strCol).as("s"))
-      val s = col("s")
-      val dels1 = transform(sequence(lit(0), length(s) - 1),
-        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
-      // delete 0-based positions i < j: prefix [1..i], the run strictly
-      // between them (j-i-1 chars from i+2), and the tail after j
-      val dels2 = flatten(transform(sequence(lit(0), length(s) - 2), i =>
-        transform(sequence(i + 1, length(s) - 1), j =>
-          concat(s.substr(lit(1), i), s.substr(i + lit(2), j - i - 1),
-            s.substr(j + lit(2), length(s))))))
-      // sequence() counts DOWN when end < start — guard short strings
-      //
-      // Key-volume discipline: at k=2 a row emits ~L²/2 keys, so the
-      // candidate join must stay LEAN — join on a 64-bit hash of
-      // (block, residue) instead of the residue string (the ~L-char keys
-      // are the dominant shuffle mass), carry ONLY ids through the join
-      // and the pair-level distinct, and re-attach block + strings from
-      // the (n-sized, much smaller) base relation afterwards. Hash
-      // collisions can only ADD candidates, never lose one, and both the
-      // block-equality recheck and the exact levenshtein dispose of them.
       val spark = df.sparkSession
       import spark.implicits._
-      val keys = n.select(col("id"), col("blk"),
-        explode(array_distinct(concat(
-          array(s),
-          when(length(s) >= 1, dels1).otherwise(array().cast("array<string>")),
-          when(length(s) >= 2, dels2).otherwise(array().cast("array<string>"))
-        ))).as("kstr"))
-        .select(col("id"), xxhash64(col("blk").cast("string"), col("kstr")).as("kh"))
-      // candidates from grouped key-buckets (one shuffle of the keys,
-      // pairs born inside the kernel) rather than a key self-join — the
-      // join shape shuffles the key table twice and materializes every
-      // raw bucket-pair row before the distinct; the bucket kernel emits
-      // straight into the pair-level distinct
-      val cand = keys
-        .groupBy("kh").agg(sort_array(collect_set(col("id"))).as("ids"))
-        .select(col("ids")).as[Seq[Long]]
-        .mapPartitions(_.flatMap { ids =>
-          if (ids.size < 2) Iterator.empty
-          else for { i <- ids.indices.iterator
-                     j <- Iterator.range(i + 1, ids.size) }
-            yield (ids(i), ids(j))
+      val n = df.select(col(idCol).cast("long").as("id"),
+        col(blockCol).as("blk"), col(strCol).as("s"))
+      val drops = DedupMetrics.counter(spark, "edit2", maxBucket)
+      // Only (id, hash) rows ever shuffle — 16 bytes/key instead of the
+      // ~L-char residue strings that would otherwise dominate the exchange.
+      val keys = n
+        .select(col("id"), col("blk").cast("string").as("blk_s"), col("s"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (id, blk, s) =>
+          hashDeletionResidues(blk, s).iterator.map(h => (id, h))
         })
+        .toDF("id", "kh")
+      // Candidate generation: ONE shuffle of the (id, kh) keys, then a
+      // partition-local sort and a streaming run-detector that emits pairs
+      // straight out of each equal-kh run. 75%+ of buckets are singletons;
+      // this shape allocates NOTHING for them, unlike a groupBy+collect_set
+      // (ObjectHashAggregate builds a set per group — measured +1.8 s at
+      // sf0.1) or a key self-join (shuffles the key table twice).
+      val cand = keys
+        .repartition(col("kh"))
+        .sortWithinPartitions("kh", "id")
+        .select(col("kh"), col("id")).as[(Long, Long)]
+        .mapPartitions { rows =>
+          var warned = false
+          val it = rows.buffered
+          new Iterator[Iterator[(Long, Long)]] {
+            def hasNext: Boolean = it.hasNext
+            def next(): Iterator[(Long, Long)] = {
+              val kh = it.head._1
+              val buf = new scala.collection.mutable.ArrayBuffer[Long](4)
+              while (it.hasNext && it.head._1 == kh) buf += it.next()._2
+              val m = buf.size
+              if (m < 2) Iterator.empty
+              else if (m > maxBucket) {
+                drops.buckets.add(1L); drops.rows.add(m.toLong)
+                if (!warned) {
+                  DedupMetrics.warnDropped("edit2", m, maxBucket); warned = true
+                }
+                Iterator.empty
+              } else {
+                val ids = buf.toArray // already id-ascending (partition sort)
+                for { i <- ids.indices.iterator
+                      j <- Iterator.range(i + 1, m) } yield (ids(i), ids(j))
+              }
+            }
+          }.flatten
+        }
         .toDF("id_a", "id_b")
-        .distinct()
       val lk = n.select(col("id"), col("blk"), col("s"))
+      // A pair can surface from several shared residues — duplicates are
+      // NOT dropped here: they ride the (broadcast, map-side) joins and the
+      // exact-verify filter, and dedup happens on the far smaller verified
+      // set. distinct() before the join measured slower (full-width shuffle
+      // of 1.3M candidate rows vs ~0.2M result rows).
       cand
         .join(lk.select(col("id").as("id_a"), col("blk"), col("s").as("s_a")),
           Seq("id_a"))
@@ -824,6 +849,53 @@ object Dedup {
         .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
         .filter(col("dist") <= k)
         .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
+        .distinct()
     }
+  }
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** All DISTINCT 64-bit FNV-1a hashes of (block ++ SEP ++ residue) for
+    * every residue of `s` with 0, 1, or 2 chars deleted — computed by
+    * streaming the surviving chars, no residue string is ever built. The
+    * separator folds in a value outside the char range so block/string
+    * boundary ambiguity cannot alias keys. Duplicate residues (deletions
+    * inside runs of equal chars produce the same string) collapse via a
+    * sort + adjacent-dedup of the hash array. O(L³) char folds per call —
+    * ~10⁴ for typical name-length strings, pure register work. */
+  private[operators] def hashDeletionResidues(blk: String, s: String): Array[Long] = {
+    val L = s.length
+    var h0 = FnvOffset
+    var b = 0
+    while (b < blk.length) { h0 = (h0 ^ blk.charAt(b).toLong) * FnvPrime; b += 1 }
+    h0 = (h0 ^ 0x1ffffL) * FnvPrime // separator: outside any char value
+    def residueHash(skip1: Int, skip2: Int): Long = {
+      var h = h0
+      var p = 0
+      while (p < L) {
+        if (p != skip1 && p != skip2) h = (h ^ s.charAt(p).toLong) * FnvPrime
+        p += 1
+      }
+      h
+    }
+    val out = new Array[Long](1 + L + L * (L - 1) / 2)
+    var w = 0
+    out(w) = residueHash(-1, -1); w += 1
+    var i = 0
+    while (i < L) {
+      out(w) = residueHash(i, -1); w += 1
+      var j = i + 1
+      while (j < L) { out(w) = residueHash(i, j); w += 1; j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // adjacent-dedup in place; return the compact prefix
+    var r = 1; var k2 = 1
+    while (r < out.length) {
+      if (out(r) != out(r - 1)) { out(k2) = out(r); k2 += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, k2)
   }
 }

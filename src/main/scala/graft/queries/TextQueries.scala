@@ -349,12 +349,16 @@ object TextQueries {
     },
 
     // Gopher-style repetition filter: most-common-token fraction per doc
-    // (two partial-aggregating shuffles, no per-doc loops).
+    // (two partial-aggregating shuffles, no per-doc loops). The token
+    // STRING never shuffles — only its 64-bit hash does (the max-count
+    // answer needs token identity, not token text; an in-doc xxhash64
+    // collision merging two tokens' counts is a ~n²·2⁻⁶⁴ event). Same 8×
+    // shuffle-mass trick as spanDedupProfile's scale note.
     "t11_repetition" -> { (s, dir) =>
       val toks = split(col("text"), " ")
       docs(s, dir)
         .select(col("doc_id"), explode(toks).as("tok"), size(toks).as("nt"))
-        .groupBy(col("doc_id"), col("nt"), col("tok"))
+        .groupBy(col("doc_id"), col("nt"), xxhash64(col("tok")).as("tokh"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"), col("nt"))
         .agg(max(col("c")).as("top"))
