@@ -51,6 +51,9 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Source-contract canary: a mis-decoded events table would produce
+    // plausible timings for wrong answers — refuse to bench it.
+    graft.io.Tables.canaryEvents(spark, sfDir)
     // Warm up the JVM/codegen/parquet-footer paths on the smallest scale
     // factor so the first timed query doesn't absorb session startup.
     // Skipped when the warm-up dir IS the benched dir: persisted signature

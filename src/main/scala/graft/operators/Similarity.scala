@@ -404,6 +404,51 @@ object Similarity {
       "sim", k)
   }
 
+  /** Pack the sign bits of `v` (dim ≤ 64) into ONE 64-bit word:
+    * bit d set ⟺ v[d] ≥ 0. Distinct powers of two never carry, so the
+    * bitwise-OR fold is a plain codegen'd expression chain. */
+  def signWord(v: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"signWord packs into one long; dim=$dim")
+    (0 until dim).map { d =>
+      when(element_at(v, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Binary-quantized two-stage top-k: sign-sketch Hamming pre-rank, exact
+    * cosine re-rank — the classic 32× compression play (Charikar's simhash
+    * bound: E[hamming]/dim = θ(a,b)/π, so low Hamming tracks high cosine).
+    *
+    * Stage 1 scans a ONE-LONG-PER-ROW sketch projection of the corpus
+    * (dim ≤ 64 floats → 8 bytes; at 100 TB of raw vectors the sketch table
+    * is ~3 TB and is the only thing the pre-rank reads — in production it
+    * is a stored column, computed at ingest) and ranks by
+    * `bit_count(qw XOR nw)` — pure register codegen, no arrays touched.
+    * The bounded-heap ranker keeps `preK` candidates per query; stage 2
+    * ([[rerankCosine]]) scores ONLY those at full precision.
+    *
+    * Approximate by design (a true neighbor outside the Hamming-top-preK
+    * is lost — recall vs brute force is asserted in SimilaritySpec), but
+    * fully deterministic: pre-rank ties break on (hamming, nid), so the
+    * DuckDB oracle replays both stages exactly. */
+  def hammingRerankTopK(queries: DataFrame, qid: String, qvec: String,
+                        corpus: DataFrame, nid: String, nvec: String,
+                        k: Int, dim: Int = 64, preK: Int = 32): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val q = queries
+      .select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+      .select(col("qid"), signWord(col("qv"), dim).as("qw"))
+    // sketch-only corpus projection: the float array is PRUNED from this
+    // scan — stage 1 never reads a vector
+    val c = corpus
+      .select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .select(col("nid"), signWord(col("nv"), dim).as("nw"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("nid"))
+      // rankTopK ranks DESC; negate so smallest Hamming wins
+      .withColumn("negh", -bit_count(col("qw").bitwiseXOR(col("nw"))))
+    val cands = rankTopK(scored, "negh", preK).select("qid", "nid")
+    rerankCosine(cands, queries, qid, qvec, corpus, nid, nvec, k)
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` ~ U(-1,1), fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -686,6 +686,29 @@ object TextQueries {
           col("kept_tokens"),
           round(lit(1) - col("kept_tokens").cast("double") / col("raw_tokens"), 4)
             .as("savings_frac"))
+    },
+
+    // Sliding-window chunking with overlap (size 32, stride 24 — the
+    // context-window preprocessing step for embedding/RAG pipelines):
+    // every chunk carries provenance (doc, index, token offset) and a
+    // content fingerprint for downstream chunk-level dedup. Map-only —
+    // sequence+slice explode per row, no shuffle until the output sort;
+    // at 100 TB this is embarrassingly parallel and the md5 rides the
+    // chunk to dedup WITHOUT a second pass over the text.
+    "t24_chunk_windows" -> { (s, dir) =>
+      val chunkLen = 32
+      val stride = 24
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0), size(col("tk")) - 1, lit(stride))).as("st"))
+        .select(col("doc_id"),
+          (col("st") / stride).cast("long").as("chunk_idx"),
+          col("st").cast("long").as("start_tok"),
+          size(slice(col("tk"), col("st") + 1, lit(chunkLen))).cast("long").as("n_tok"),
+          md5(concat_ws(" ", slice(col("tk"), col("st") + 1, lit(chunkLen))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 
@@ -936,6 +959,25 @@ object TextQueries {
         |  round(1 - CAST(sum(CASE WHEN is_canonical THEN n_tokens ELSE 0 END)
         |                  AS DOUBLE) / sum(n_tokens), 4) AS savings_frac
         |FROM mem""".stripMargin,
+
+    // t24: same chunk geometry (size 32, stride 24), DuckDB 1-based
+    // inclusive list slicing with explicit end clamp; md5 of the
+    // space-joined chunk matches Spark's md5(concat_ws(' ', slice(...))).
+    "t24_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |  s AS (SELECT doc_id, tk, len(tk) AS n,
+        |          unnest(range(0, len(tk), 24)) AS st
+        |        FROM d),
+        |  c AS (SELECT doc_id,
+        |          CAST(st // 24 AS BIGINT) AS chunk_idx,
+        |          CAST(st AS BIGINT) AS start_tok,
+        |          tk[st + 1 : least(st + 32, n)] AS chunk
+        |        FROM s)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // t12: identical RE2-safe regexes, 'g' for replace-all (Spark's
     // default), counts on the raw text on both sides.

@@ -280,6 +280,22 @@ object VectorQueries {
           e, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
+    },
+
+    // Binary (sign) quantization ANN: 64 float dims → ONE 64-bit word per
+    // vector; stage 1 ranks by popcount(XOR) over that 8-byte sketch
+    // (32× less scan mass than the raw vectors — the quantization that
+    // makes a 100-TB corpus's pre-rank fit in RAM), stage 2 re-ranks the
+    // top-32 Hamming candidates by exact cosine. Deterministic despite the
+    // approximation — ties break on (hamming, nid) — so the oracle replays
+    // both stages bit-for-bit.
+    "v13_binary_hamming" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hammingRerankTopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, dim = 64, preK = 32)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
     }
   )
 
@@ -648,6 +664,36 @@ object VectorQueries {
        |ORDER BY cluster""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Mirrors hammingRerankTopK: sign bits (x >= 0), hamming via the 0/1
+    // identity |a|+|b|-2·a·b, pre-rank top-32 by (hamming, nid), exact
+    // cosine re-rank of the candidates — v01's arithmetic on the survivors.
+    "v13_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  b AS (SELECT vec_id, v,
+        |          [CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END FOR x IN v] AS bits
+        |        FROM e),
+        |  h AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |          CAST(list_sum(q.bits) + list_sum(c.bits)
+        |               - 2 * list_inner_product(q.bits, c.bits) AS BIGINT) AS ham
+        |        FROM b q JOIN b c ON q.vec_id <> c.vec_id
+        |        WHERE q.vec_id < 8),
+        |  r1 AS (SELECT qid, nid,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY ham, nid) AS hrank
+        |         FROM h),
+        |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |  p AS (SELECT r1.qid, r1.nid,
+        |          list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |        FROM r1 JOIN n q ON q.vec_id = r1.qid
+        |                JOIN n c ON c.vec_id = r1.nid
+        |        WHERE r1.hrank <= 32),
+        |  r2 AS (SELECT qid, nid, sim,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY sim DESC, nid) AS rank
+        |         FROM p)
+        |SELECT qid, rank, nid, round(sim, 4) AS sim
+        |FROM r2 WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
     "v12_ivf_append" -> v12Oracle(),

@@ -418,4 +418,65 @@ class DedupSpec extends SparkSpec {
       Dedup.editPairsK(rows, "id", "blk", "s", k = 3)
     }
   }
+
+  test("editPairsK(2) maxBucket refuses degenerate buckets, never blows up") {
+    // 30 identical strings: every residue bucket holds all 30 members —
+    // the degenerate near-identical cluster that would go quadratic at
+    // scale. With the cap below the cluster size every bucket is refused
+    // (no pairs, counted drops); with the default cap the full pair set
+    // comes back.
+    val rows = (1L to 30L).map(i => (i, "A", "aaaaaa")).toDF("id", "blk", "s")
+    assert(Dedup.editPairsK(rows, "id", "blk", "s", k = 2, maxBucket = 10).isEmpty,
+      "capped run must refuse the oversized buckets")
+    assert(Dedup.editPairsK(rows, "id", "blk", "s", k = 2).count() === 30L * 29 / 2)
+  }
+
+  test("editPairsK(2) ≡ brute force on a seeded random mutation corpus") {
+    // kernel-level fuzz: random base strings + random 0-3-edit mutants,
+    // fixed seed so the case set is reproducible. Exercises residue
+    // hashing across varied lengths, repeated chars, and shared prefixes.
+    val rnd = new scala.util.Random(421)
+    val alpha = "abc0"
+    def randStr(n: Int): String = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        if (cur.isEmpty) cur = randStr(1)
+        else op match {
+          case 0 => // substitute
+            val p = rnd.nextInt(cur.length)
+            cur = cur.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => // delete
+            val p = rnd.nextInt(cur.length)
+            cur = cur.take(p) + cur.drop(p + 1)
+          case 2 => // insert
+            val p = rnd.nextInt(cur.length + 1)
+            cur = cur.take(p) + alpha(rnd.nextInt(alpha.length)) + cur.drop(p)
+        }
+      }
+      cur
+    }
+    val strs = (1 to 12).flatMap { _ =>
+      val base = randStr(4 + rnd.nextInt(8))
+      base +: Seq.fill(4)(mutate(base, rnd.nextInt(4)))
+    }
+    val data = strs.zipWithIndex.map { case (s, i) => (i.toLong, "A", s) }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, _, sa) <- data; (ib, _, sb) <- data
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val got = Dedup.editPairsK(data.toDF("id", "blk", "s"), "id", "blk", "s", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
 }

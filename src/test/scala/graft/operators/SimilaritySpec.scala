@@ -266,6 +266,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("signWord packs sign bits; hammingRerankTopK recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    // hand-checkable packing: dims 0,2 non-negative → bits 0,2 → word 5
+    val one = Seq((1L, Seq(1.0f, -2.0f, 0.0f, -0.5f))).toDF("id", "v")
+    val w = one.select(Similarity.signWord(col("v"), 4).as("w"))
+      .head().getLong(0)
+    assert(w === 5L)
+
+    // two-stage search on real embeddings: the Hamming pre-rank at
+    // preK=32 must recover most of the exact cosine top-5 (Charikar:
+    // E[hamming]/dim tracks angle), and at preK=corpus the result must
+    // EQUAL brute force exactly (the sketch stage only prunes).
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(q, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 5))
+    val twoStage = pairs(Similarity.hammingRerankTopK(q, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 5, dim = 64, preK = 32))
+    val recall = exact.intersect(twoStage).size.toDouble / exact.size
+    assert(recall >= 0.6, f"hamming preK=32 recall $recall%.2f too low")
+    val full = pairs(Similarity.hammingRerankTopK(q, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 5, dim = 64, preK = 1000000))
+    assert(full === exact, "preK=corpus must reduce to exact brute force")
+  }
+
   test("v09 recall audit equals the v01∩v04 intersection it claims to count") {
     val sf = "/root/testdata/sf0.001"
     import graft.queries.VectorQueries

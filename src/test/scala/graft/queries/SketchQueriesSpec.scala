@@ -30,6 +30,32 @@ class SketchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t24: chunks tile every token with stride overlap; fingerprints dedup-ready") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextQueries.queries("t24_chunk_windows")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet, "every doc chunks")
+    byDoc.foreach { case (d, cs) =>
+      val n = docs(d)
+      val sorted = cs.sortBy(_._2)
+      // chunk indices are dense from 0; starts follow the stride
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, idx, start, nTok, md5) =>
+        assert(start === idx * 24)
+        assert(nTok === math.min(32, n - start), s"doc $d chunk $idx length")
+        assert(md5.length === 32)
+      }
+      // coverage: last chunk reaches the final token; consecutive full
+      // chunks overlap by 32 - 24 = 8 tokens
+      val last = sorted.last
+      assert(last._3 + last._4 === n, s"doc $d tail uncovered")
+    }
+  }
+
   test("t21: rank 1 is the modal token; per-doc means bounded by the vocab") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(col("text"), " ")).as("tok"))
