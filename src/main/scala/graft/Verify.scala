@@ -13,9 +13,11 @@ object Verify {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Source-contract canary: if the events timestamp decode is off by a
-    // unit scale, fail the whole run loudly here rather than emitting 100+
-    // plausible-but-wrong results (round-7 failure mode).
+    // Source-contract canaries: if any table's physical schema drifted
+    // under the declared read schema, or the events timestamp decode is
+    // off by a unit scale, fail the whole run loudly here rather than
+    // emitting 100+ plausible-but-wrong results (round-7 failure mode).
+    graft.io.Tables.assertSchemaContract(spark, sfDir)
     graft.io.Tables.canaryEvents(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

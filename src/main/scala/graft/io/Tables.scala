@@ -112,6 +112,58 @@ object Tables {
   def canaryEvents(spark: SparkSession, dir: String): Unit =
     assertTsContract(load(spark, dir, "events"))
 
+  /** Generalized source contract: every testdata table's parquet footer
+    * must carry the column NAMES the canonical schema declares, with
+    * physically compatible types. The events-timestamp regression
+    * (round 7) was one instance of a general failure mode — a silently
+    * regenerated source whose physical schema drifted under the engine's
+    * declared read schema. Spark's own error for that is a mid-query
+    * SchemaColumnConvertNotSupportedException deep in a task stack; this
+    * check turns it into one readable diff per table BEFORE any query
+    * runs. Footer-only (no data read). Returns the list of human-readable
+    * violations; empty = contract holds. */
+  def schemaContractViolations(spark: SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    Schemas.testdata.keys.toSeq.sorted.flatMap { name =>
+      val p = new Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq(s"$name: file missing at $p")
+      else {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val fileSchema = reader.getFooter.getFileMetaData.getSchema
+          val fileCols = fileSchema.getFields.size()
+          val byName = (0 until fileCols)
+            .map(i => fileSchema.getType(i))
+            .map(t => t.getName -> t).toMap
+          Schemas.testdata(name).flatMap { f =>
+            byName.get(f.name) match {
+              case None =>
+                Some(s"$name.${f.name}: declared ${f.dataType.sql} but ABSENT " +
+                  s"from the file (file has: ${byName.keys.toSeq.sorted.mkString(", ")})")
+              case Some(t) if !t.isPrimitive &&
+                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+                Some(s"$name.${f.name}: declared scalar ${f.dataType.sql} but the " +
+                  s"file stores a group type $t")
+              case _ => None // primitive physical compatibility is decided
+              // by Spark's vectorized reader; the canary for VALUE-level
+              // drift (the nanos/micros class) is assertTsContract
+            }
+          }
+        } finally reader.close()
+      }
+    }
+  }
+
+  /** Fail-fast form of [[schemaContractViolations]]. */
+  def assertSchemaContract(spark: SparkSession, dir: String): Unit = {
+    val v = schemaContractViolations(spark, dir)
+    require(v.isEmpty,
+      s"source schema contract violated:\n  ${v.mkString("\n  ")}")
+  }
+
   /** Register all testdata tables as temp views (EP1 SQL entry point). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     Schemas.testdata.keys.foreach { n =>

@@ -404,6 +404,34 @@ object Similarity {
       "sim", k)
   }
 
+  /** Metadata-FILTERED exact top-k: each query ranks only corpus vectors
+    * matching it on `filterKeys` (per-tenant / per-language / per-shard
+    * vector search — the filter is part of the JOIN, so non-matching
+    * corpus rows are discarded by the hash probe before any dot product
+    * runs, not scored and thrown away). At scale the corpus side can
+    * additionally be PARTITIONED on the filter keys, turning the probe
+    * into a partition-pruned scan; the broadcast query side and bounded-
+    * heap ranking are [[cosineTopK]]'s. */
+  def filteredCosineTopK(queries: DataFrame, qid: String, qvec: String,
+                         corpus: DataFrame, nid: String, nvec: String,
+                         filterKeys: Seq[String], k: Int): DataFrame = {
+    require(filterKeys.nonEmpty, "use cosineTopK when there is no filter")
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val q = queries.select(
+      (Seq(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv")) ++
+        filterKeys.map(col)): _*)
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.select(
+      (Seq(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv")) ++
+        filterKeys.map(col)): _*)
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+    rankTopK(
+      broadcast(q).join(c, filterKeys)
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      "sim", k)
+  }
+
   /** Pack the sign bits of `v` (dim ≤ 64) into ONE 64-bit word:
     * bit d set ⟺ v[d] ≥ 0. Distinct powers of two never carry, so the
     * bitwise-OR fold is a plain codegen'd expression chain. */

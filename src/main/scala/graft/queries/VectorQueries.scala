@@ -207,6 +207,20 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // Metadata-filtered vector search: top-5 cosine among corpus vectors
+    // sharing the query's label (per-tenant/per-language ANN — the filter
+    // rides the JOIN, so mismatched vectors are dropped by the hash probe
+    // before any arithmetic). Ranks legitimately differ from v01 whenever
+    // a global neighbor has a different label.
+    "v15_filtered_ann" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.filteredCosineTopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", filterKeys = Seq("label"), k = 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Vector norms + label stats: sanity surface for the embedding column.
     "v03_norm_stats" -> { (s, dir) =>
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -723,6 +737,24 @@ object VectorQueries {
         |SELECT qid, rank, nid, round(sim, 4) AS sim
         |FROM r2 WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // Mirrors v15: v01's arithmetic with the label-equality join condition.
+    "v15_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |     n AS (SELECT vec_id, label, v,
+        |             sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |     p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |             list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |           FROM n q JOIN n c
+        |             ON q.label = c.label AND q.vec_id <> c.vec_id
+        |           WHERE q.vec_id < 8),
+        |     r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rank
+        |           FROM p)
+        |SELECT qid, rank, nid, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
     // Mirrors v14: full-dim top-5 (v01's arithmetic) left-joined to the
     // 16-dim-prefix top-5, per-query hit counts. Slicing in DuckDB is
     // 1-based inclusive like Spark's slice.

@@ -58,4 +58,42 @@ class EventsContractSpec extends SparkSpec {
       .withColumn("ts", lit(null).cast(TimestampType))
     intercept[IllegalArgumentException] { Tables.assertTsContract(bad) }
   }
+
+  test("schema contract holds on the driver testdata") {
+    assert(Tables.schemaContractViolations(spark, dir) === Seq.empty)
+  }
+
+  test("schema contract flags a drifted source (missing + renamed columns)") {
+    // stage a copy of the testdata dir where customer.parquet lost a
+    // declared column — the generalized round-7 failure shape
+    val staged = java.nio.file.Files.createTempDirectory("drift")
+    new java.io.File(dir).listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, staged.resolve(f.getName))
+    }
+    spark.read.parquet(s"$dir/customer.parquet")
+      .withColumnRenamed("c_acctbal", "c_balance")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(staged.resolve("tmp_cust").toString)
+    val part = new java.io.File(staged.resolve("tmp_cust").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.delete(staged.resolve("customer.parquet"))
+    java.nio.file.Files.move(part.toPath, staged.resolve("customer.parquet"))
+
+    val v = Tables.schemaContractViolations(spark, staged.toString)
+    assert(v.exists(_.startsWith("customer.c_acctbal")), v.mkString("; "))
+    assert(v.forall(_.startsWith("customer.")), s"only customer drifted: $v")
+    val e = intercept[IllegalArgumentException] {
+      Tables.assertSchemaContract(spark, staged.toString)
+    }
+    assert(e.getMessage.contains("schema contract violated"))
+  }
+
+  test("schema contract reports a missing table file") {
+    val staged = java.nio.file.Files.createTempDirectory("missing")
+    new java.io.File(dir).listFiles()
+      .filterNot(_.getName == "region.parquet")
+      .foreach(f => java.nio.file.Files.copy(f.toPath, staged.resolve(f.getName)))
+    val v = Tables.schemaContractViolations(spark, staged.toString)
+    assert(v.exists(_.startsWith("region: file missing")), v.mkString("; "))
+  }
 }
