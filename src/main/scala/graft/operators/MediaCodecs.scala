@@ -142,6 +142,31 @@ object ImageCodec {
     acc / (img.getWidth.toLong * img.getHeight)
   }
 
+  /** 64-bit average hash (aHash): bilinear-resize to 8×8, per-pixel
+    * BT.601 luma, bit p set iff pixel p's luma ≥ the 64-pixel mean.
+    * Survives re-encoding, resizing, and mild noise — Hamming distance
+    * between aHashes tracks perceptual difference, which makes near-dup
+    * image detection a 64-bit integer problem instead of a pixel one. */
+  def aHash(img: BufferedImage): Long = {
+    val small = resize(img, 8, 8)
+    val lumas = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      lumas(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      i += 1
+    }
+    var mean = 0.0
+    i = 0
+    while (i < 64) { mean += lumas(i); i += 1 }
+    mean /= 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (lumas(i) >= mean) h |= (1L << i); i += 1 }
+    h
+  }
+
   /** Bilinear resize (JDK Graphics2D). */
   def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
     val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

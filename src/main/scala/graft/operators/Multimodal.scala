@@ -123,6 +123,61 @@ object Multimodal {
       .toDF("media_id", "format", "sample_rate", "channels", "n_frames", "rms")
   }
 
+  /** Perceptual hash per image: decode → 8×8 average-hash ([[ImageCodec.aHash]]).
+    * The 100-TB shape: this runs ONCE at ingest and the 8-byte hash is
+    * stored beside the blob; everything downstream (near-dup, clustering)
+    * touches only the hash column. Undecodable blobs are skipped. */
+  def imageHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          ImageCodec.decode(bytes).map(img => (id, ImageCodec.aHash(img)))
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate image pairs at aHash Hamming distance ≤ `maxHamming`,
+    * via pigeonhole banding — the SimHash discipline applied to images:
+    * the 64-bit hash splits into `maxHamming + 1` bands, and any pair
+    * within the distance budget matches EXACTLY in at least one band
+    * (≤ maxHamming differing bits cannot touch all maxHamming + 1 bands),
+    * so candidates come from a hash equi-join on (band, band_value) —
+    * never an all-pairs comparison — and one popcount(XOR) verifies each.
+    * Input needs (media_id, media); only (id, hash) rows ever shuffle.
+    * Complete: banding admits no false negatives within the budget. */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: banding needs maxHamming+1 bands of >= 4 bits")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val hashes = imageHashes(df)
+    val bandCols = (0 until bands).map { i =>
+      val lo = i * width
+      val len = if (i == bands - 1) 64 - lo else width
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = hashes.select(col("media_id"), col("phash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("media_id"), col("phash"), col("b.band"), col("b.bv"))
+    val a = banded.toDF("id_a", "ph_a", "band", "bv")
+    val b = banded.toDF("id_b", "ph_b", "band_b", "bv_b")
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .distinct() // a pair can share several bands
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Even out task sizes by payload bytes: media blobs are wildly variable,
     * so row-count partitioning skews executors. One column scan (length
     * only — the blob itself isn't shuffled until the repartition moves it). */

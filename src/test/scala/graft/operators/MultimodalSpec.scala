@@ -189,4 +189,56 @@ class MultimodalSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions >= 2)
     assert(df.count() === 30)
   }
+
+  test("aHash: stable under re-encode/resize, separates different images") {
+    import sqlImplicits._
+    def img(salt: Long) = {
+      // a synthetic PNG row's decoded image (ids ≡ 0 mod 3 are images)
+      val bytes = syntheticReal(spark, 60).filter(_.kind == "image")
+        .collect().find(_.media_id == salt).get.media
+      ImageCodec.decode(bytes).get
+    }
+    val base = img(0L)
+    val h = ImageCodec.aHash(base)
+    // re-encode round trip: identical pixels → identical hash
+    assert(ImageCodec.aHash(
+      ImageCodec.decode(ImageCodec.encodePng(base)).get) === h)
+    // upscale 2×: perceptual content unchanged → small Hamming distance
+    val up = ImageCodec.aHash(ImageCodec.resize(base, base.getWidth * 2, base.getHeight * 2))
+    assert(java.lang.Long.bitCount(h ^ up) <= 3,
+      s"resize moved the hash ${java.lang.Long.bitCount(h ^ up)} bits")
+    // a structurally different image (checkerboard vs gradient) is far
+    // away — note a DIFFERENT SALT is not: gradientImage's salt only
+    // shifts the blue channel, and aHash's luma field barely sees it
+    // (that near-invariance is exactly the robustness the hash is for)
+    val board = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      board.setRGB(x, y, if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0x000000)
+    val other = ImageCodec.aHash(board)
+    assert(java.lang.Long.bitCount(h ^ other) > 3)
+  }
+
+  test("imageNearDupPairs: banding finds near-dups, no false negatives") {
+    import sqlImplicits._
+    // corpus: images 0 and 100 are near-identical (100 = 0 upscaled and
+    // re-encoded); 0 vs the other gradients are far apart
+    val imgs = syntheticReal(spark, 60).filter(_.kind == "image").collect()
+    val base = ImageCodec.decode(imgs.find(_.media_id == 0L).get.media).get
+    val twin = ImageCodec.encodePng(
+      ImageCodec.resize(base, base.getWidth * 2, base.getHeight * 2))
+    val rows = imgs.map(r => (r.media_id, r.media)).toSeq :+ (100L, twin)
+    val df = rows.toDF("media_id", "media")
+    val pairs = imageNearDupPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100L),
+      s"the planted near-dup must surface: ${pairs.toSeq}")
+    // banding completeness: every brute-force pair within the budget is found
+    val hs = imageHashes(df).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(pairs.toSet === brute, "banded pair set must equal brute force")
+  }
 }
