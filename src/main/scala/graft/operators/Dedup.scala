@@ -717,28 +717,13 @@ object Dedup {
     * positives at distance 2 (two different deletions, same residue), so
     * candidates are confirmed with one exact `levenshtein` each.
     *
-    * Returns (blk, id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}. */
+    * Returns (blk, id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    * Shares [[editPairsK]]'s hash-kernel candidate pipeline (k = 1: L+1
+    * residues per string — the streamed-hash key generation and the
+    * run-detector buckets pay off the same way, just one order lower). */
   def editPairs1(df: DataFrame, idCol: String, blockCol: String,
-                 strCol: String): DataFrame = {
-    val n = df.select(col(idCol).cast("long").as("id"),
-      col(blockCol).as("blk"), col(strCol).as("s"))
-    // sequence(0, len-1) counts DOWN for the empty string — guard it
-    val dels = transform(sequence(lit(0), length(col("s")) - 1),
-      i => concat(col("s").substr(lit(1), i),
-        col("s").substr(i + lit(2), length(col("s")))))
-    val keys = n.select(col("id"), col("blk"), col("s"),
-      explode(when(length(col("s")) === 0, array(col("s")))
-        .otherwise(array_distinct(concat(array(col("s")), dels)))).as("k"))
-    val a = keys.toDF("id_a", "blk", "s_a", "k")
-    val b = keys.toDF("id_b", "blk_b", "s_b", "k_b")
-    a.join(b, col("blk") === col("blk_b") && col("k") === col("k_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("blk"), col("id_a"), col("id_b"), col("s_a"), col("s_b"))
-      .distinct() // a pair can share several keys — dedup BEFORE the verify
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= 1)
-      .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
-  }
+                 strCol: String, maxBucket: Int = 2000): DataFrame =
+    neighborhoodPairs(df, idCol, blockCol, strCol, k = 1, maxBucket)
 
   /** [[editPairs1]] generalized to Levenshtein distance ≤ `k` via k-deletion
     * neighborhoods: every string emits all variants with up to `k` chars
@@ -780,20 +765,28 @@ object Dedup {
     require(k >= 1 && k <= 2,
       s"editPairsK: k=$k unsupported — key volume is O(L^k) per string " +
         "(see scaladoc); use k=1 or k=2, or change the blocking scheme")
-    if (k == 1) editPairs1(df, idCol, blockCol, strCol)
-    else {
+    neighborhoodPairs(df, idCol, blockCol, strCol, k, maxBucket)
+  }
+
+  /** Shared candidate pipeline of [[editPairs1]]/[[editPairsK]]. */
+  private def neighborhoodPairs(df: DataFrame, idCol: String, blockCol: String,
+                                strCol: String, k: Int, maxBucket: Int): DataFrame = {
+    {
       val spark = df.sparkSession
       import spark.implicits._
       val n = df.select(col(idCol).cast("long").as("id"),
         col(blockCol).as("blk"), col(strCol).as("s"))
-      val drops = DedupMetrics.counter(spark, "edit2", maxBucket)
+      val drops = DedupMetrics.counter(spark, s"edit$k", maxBucket)
       // Only (id, hash) rows ever shuffle — 16 bytes/key instead of the
       // ~L-char residue strings that would otherwise dominate the exchange.
+      // NULL strings/blocks emit no keys: a NULL can never pair (the same
+      // contract the editPairs1 expression path gets from explode(null)).
       val keys = n
         .select(col("id"), col("blk").cast("string").as("blk_s"), col("s"))
         .as[(Long, String, String)]
         .mapPartitions(_.flatMap { case (id, blk, s) =>
-          hashDeletionResidues(blk, s).iterator.map(h => (id, h))
+          if (blk == null || s == null) Iterator.empty
+          else hashDeletionResidues(blk, s, k).iterator.map(h => (id, h))
         })
         .toDF("id", "kh")
       // Candidate generation: ONE shuffle of the (id, kh) keys, then a
@@ -820,7 +813,7 @@ object Dedup {
               else if (m > maxBucket) {
                 drops.buckets.add(1L); drops.rows.add(m.toLong)
                 if (!warned) {
-                  DedupMetrics.warnDropped("edit2", m, maxBucket); warned = true
+                  DedupMetrics.warnDropped(s"edit$k", m, maxBucket); warned = true
                 }
                 Iterator.empty
               } else {
@@ -857,14 +850,16 @@ object Dedup {
   private final val FnvPrime = 0x100000001b3L
 
   /** All DISTINCT 64-bit FNV-1a hashes of (block ++ SEP ++ residue) for
-    * every residue of `s` with 0, 1, or 2 chars deleted — computed by
-    * streaming the surviving chars, no residue string is ever built. The
-    * separator folds in a value outside the char range so block/string
-    * boundary ambiguity cannot alias keys. Duplicate residues (deletions
-    * inside runs of equal chars produce the same string) collapse via a
-    * sort + adjacent-dedup of the hash array. O(L³) char folds per call —
-    * ~10⁴ for typical name-length strings, pure register work. */
-  private[operators] def hashDeletionResidues(blk: String, s: String): Array[Long] = {
+    * every residue of `s` with 0, 1, or (when `k` = 2) 2 chars deleted —
+    * computed by streaming the surviving chars, no residue string is ever
+    * built. The separator folds in a value outside the char range so
+    * block/string boundary ambiguity cannot alias keys. Duplicate
+    * residues (deletions inside runs of equal chars produce the same
+    * string) collapse via a sort + adjacent-dedup of the hash array.
+    * O(L^{k+1}) char folds per call — ~10⁴ for typical name-length
+    * strings at k=2, pure register work. */
+  private[operators] def hashDeletionResidues(blk: String, s: String,
+                                              k: Int = 2): Array[Long] = {
     val L = s.length
     var h0 = FnvOffset
     var b = 0
@@ -879,14 +874,17 @@ object Dedup {
       }
       h
     }
-    val out = new Array[Long](1 + L + L * (L - 1) / 2)
+    val out = new Array[Long](
+      1 + L + (if (k >= 2) L * (L - 1) / 2 else 0))
     var w = 0
     out(w) = residueHash(-1, -1); w += 1
     var i = 0
     while (i < L) {
       out(w) = residueHash(i, -1); w += 1
-      var j = i + 1
-      while (j < L) { out(w) = residueHash(i, j); w += 1; j += 1 }
+      if (k >= 2) {
+        var j = i + 1
+        while (j < L) { out(w) = residueHash(i, j); w += 1; j += 1 }
+      }
       i += 1
     }
     java.util.Arrays.sort(out)

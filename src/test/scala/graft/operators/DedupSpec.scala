@@ -419,6 +419,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editPairs1/K: NULL strings and NULL blocks never pair, never throw") {
+    val rows = Seq(
+      (1L, Some("A"), Some("kitten")), (2L, Some("A"), Some("sitten")),
+      (3L, Some("A"), None: Option[String]),   // NULL string
+      (4L, None: Option[String], Some("kitten")), // NULL block
+      (5L, None: Option[String], None: Option[String])
+    ).toDF("id", "blk", "s")
+    Seq(1, 2).foreach { k =>
+      val got = Dedup.editPairsK(rows, "id", "blk", "s", k)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 2L)), s"k=$k: only the real pair survives")
+    }
+  }
+
   test("editPairsK(2) maxBucket refuses degenerate buckets, never blows up") {
     // 30 identical strings: every residue bucket holds all 30 members —
     // the degenerate near-identical cluster that would go quadratic at
