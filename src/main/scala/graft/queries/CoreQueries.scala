@@ -1192,6 +1192,26 @@ object CoreQueries {
           .otherwise(col("approx_value") === col("exact_value"))
           .as("approx_ok"))
         .orderBy("metric", "col_name")
+    },
+
+    // Equal-frequency (quantile) binning — the feature-engineering twin of
+    // q37's fixed-width histogram: ntile(8) over a TOTAL order
+    // (o_totalprice, o_orderkey — the tie-break is what makes the bin
+    // assignment deterministic and hash-checkable). The global window is
+    // the exact-semantics pin; at 100 TB the same binning runs as
+    // approx_percentile boundaries broadcast onto the scan (the q36/q50
+    // pattern) — exact global ntile requires the sort by definition.
+    "q60_equal_freq_bins" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bin", ntile(8).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          round(exactSum(col("o_totalprice"), 2), 2).as("sum_price"))
+        .orderBy("bin")
     }
   )
 
@@ -1990,6 +2010,17 @@ object CoreQueries {
         |    CAST(count(*) AS DOUBLE) FROM orders)
         |SELECT metric, col_name, exact_value, TRUE AS approx_ok
         |FROM m
-        |ORDER BY metric, col_name""".stripMargin
+        |ORDER BY metric, col_name""".stripMargin,
+
+    "q60_equal_freq_bins" ->
+      s"""WITH b AS (SELECT o_totalprice,
+         |             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+         |           FROM orders)
+         |SELECT bin, count(*) AS n,
+         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         |  round(${sqlExactSum("o_totalprice", 2)}, 2) AS sum_price
+         |FROM b
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin
   )
 }

@@ -709,6 +709,34 @@ object TextQueries {
           md5(concat_ws(" ", slice(col("tk"), col("st") + 1, lit(chunkLen))))
             .as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Ordered n-gram novelty: per document, the fraction of its DISTINCT
+    // 8-gram windows whose FIRST occurrence (by doc_id order — ingestion
+    // order in a real corpus) is this document. The curriculum/dataset-
+    // growth signal: low novelty = the document mostly restates earlier
+    // data. One inverted-index shuffle on the gram (min-reduce to the
+    // first holder) + one join back — the t18/t09 index discipline; at
+    // 100 TB the gram string would be xxhash64-ed before the shuffle
+    // (t11's trick; kept as text here so the oracle replays it exactly).
+    "t25_ngram_novelty" -> { (s, dir) =>
+      val w = 8
+      val base = docs(s, dir).select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("tk"))
+      val grams = base.filter(size(col("tk")) >= w)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("tk")) - w),
+          i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(w)))))).as("gram"))
+      val firstSeen = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstSeen, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 4)
+            .as("novelty_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -978,6 +1006,26 @@ object TextQueries {
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // t25: distinct 8-gram windows per doc (t18's window CTE), min doc_id
+    // per gram as the first holder, per-doc novelty share.
+    "t25_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |     g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(tk[i:i+7], ' ')
+        |                                   for i in range(1, len(tk) - 6)])) AS gram
+        |           FROM d WHERE len(tk) >= 8),
+        |     fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |          / CAST(count(*) AS DOUBLE), 4) AS novelty_frac
+        |FROM g JOIN fs USING (gram)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     // t12: identical RE2-safe regexes, 'g' for replace-all (Spark's
     // default), counts on the raw text on both sides.
