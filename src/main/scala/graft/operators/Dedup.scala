@@ -704,6 +704,46 @@ object Dedup {
             col("n_tokens"), 4)).as("cov_frac"))
   }
 
+  /** The TRANSFORM half of [[spanDedupProfile]]: rewrite each document
+    * with its cross-document duplicated spans REMOVED (every token
+    * position covered by a ≥2-document window is dropped; uncovered
+    * tokens keep their relative order). This is the aggressive variant —
+    * both copies of a duplicated span are cut, where Lee et al. keep one
+    * occurrence; the aggressive form needs no global "who keeps it"
+    * election (which is a second CC-shaped pass) and is what pipelines
+    * run when any cross-doc boilerplate is unwanted. Same scale shape as
+    * the profile: map-side window enumeration, ONE gram shuffle, coverage
+    * join back; the rewrite itself is a per-row array filter. */
+  def spanDedupClean(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+    val wins = base
+      .filter(size(col("tk")) >= w)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - w),
+        i => struct(i.as("w0"),
+          concat_ws(" ", slice(col("tk"), i + lit(1), lit(w))).as("gram")))).as("wn"))
+      .select(col("id"), col("wn.w0").as("w0"), col("wn.gram").as("gram"))
+    val dup = wins.groupBy("gram")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val cov = wins.join(dup, "gram")
+      .select(col("id"), explode(sequence(col("w0"), col("w0") + (w - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(collect_set(col("p")).as("drop_pos"))
+    base.join(cov, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        when(col("drop_pos").isNull, col("tk"))
+          .otherwise(filter(col("tk"),
+            (t, i) => !array_contains(col("drop_pos"), i))).as("kept"))
+      .select(col("id"), size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+  }
+
   /** Record-linkage pairs at Levenshtein distance ≤ 1 via FastSS deletion
     * neighborhoods (Bocek et al., 2007): every string emits itself plus its
     * |s| single-char deletions as join keys; two strings are within one

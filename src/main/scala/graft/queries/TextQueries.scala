@@ -737,6 +737,40 @@ object TextQueries {
           round(col("n_novel").cast("double") / col("n_grams"), 4)
             .as("novelty_frac"))
         .orderBy("doc_id")
+    },
+
+    // Span-dedup TRANSFORM (t18's profile made actionable): documents
+    // rewritten with cross-doc duplicated 8-token spans removed; the
+    // cleaned text rides as an md5 so the oracle checks the REWRITE, not
+    // just the counts.
+    "t26_span_removal" -> { (s, dir) =>
+      Dedup.spanDedupClean(docs(s, dir), "doc_id", "text", w = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("kept_text")).as("kept_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Leakage-safe train/val/test split: the split is assigned to the
+    // duplicate CLUSTER, not the document, so near-duplicates can never
+    // straddle train and test (the classic eval-contamination hole that
+    // doc-hash splits like t07 leave open). Composes the session cluster
+    // index (d05's labels, built once) with the deterministic hash-ring
+    // carve; per split: docs, distinct clusters, tokens.
+    "t27_cluster_split" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Components.dupClustersFromLabels(d, "doc_id",
+          dupClusterLabels(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .join(d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt")), "doc_id")
+        .select(Splits.assign(col("cluster"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+          col("cluster"), col("nt"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("nt")).as("n_tokens"))
+        .orderBy("split")
     }
   )
 
@@ -1026,6 +1060,58 @@ object TextQueries {
         |FROM g JOIN fs USING (gram)
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    // t26: t18's window/dup/coverage CTEs, then the rewrite — tokens at
+    // covered positions dropped, survivors re-joined in position order.
+    "t26_span_removal" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |     w AS (SELECT doc_id,
+        |             unnest([{'w0': i - 1,
+        |                      'gram': array_to_string(tk[i:i+7], ' ')}
+        |                     for i in range(1, len(tk) - 6)],
+        |                    recursive := true)
+        |           FROM d WHERE len(tk) >= 8),
+        |     dup AS (SELECT gram FROM w GROUP BY gram
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     hit AS (SELECT w.doc_id, w.w0 FROM w JOIN dup USING (gram)),
+        |     cv AS (SELECT DISTINCT doc_id, unnest(range(w0, w0 + 8)) AS p
+        |            FROM hit),
+        |     t AS (SELECT doc_id, unnest(tk) AS tok,
+        |             unnest(range(0, len(tk))) AS p FROM d),
+        |     k AS (SELECT t.doc_id, t.tok, t.p
+        |           FROM t LEFT JOIN cv ON cv.doc_id = t.doc_id AND cv.p = t.p
+        |           WHERE cv.p IS NULL),
+        |     agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+        |             FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+        |  COALESCE(agg.n_kept, 0) AS n_kept,
+        |  COALESCE(agg.kept_md5, md5('')) AS kept_md5
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // t27: d05's cluster walk (shared CTEs) + t07's hash-ring carve, keyed
+    // on the CLUSTER id instead of the document id.
+    "t27_cluster_split" -> {
+      val Seq(c1, c2, _) = Splits.cutsFor(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val h = s"((cluster % ${Splits.HashRing}) * ${Splits.HashMult}) % ${Splits.HashRing}"
+      s"""$dupClusterCtes,
+         |  mem AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |            COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
+         |            len(string_split(d.text, ' ')) AS nt
+         |          FROM documents d
+         |          LEFT JOIN cc ON cc.id = CAST(d.doc_id AS BIGINT)),
+         |  sp AS (SELECT CASE WHEN $h < $c1 THEN 'train'
+         |                WHEN $h < $c2 THEN 'val' ELSE 'test' END AS split,
+         |           cluster, nt FROM mem)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster) AS n_clusters,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    },
 
     // t12: identical RE2-safe regexes, 'g' for replace-all (Spark's
     // default), counts on the raw text on both sides.

@@ -56,6 +56,38 @@ class SketchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t26: kept = total − profile coverage; clean text drops exactly the spans") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val profile = graft.operators.Dedup
+      .spanDedupProfile(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val clean = graft.operators.Dedup
+      .spanDedupClean(docs, "doc_id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    clean.foreach { case (id, nTok, nKept, kept) =>
+      val (pTok, pCov) = profile(id)
+      assert(nTok === pTok)
+      assert(nKept === nTok - pCov, s"doc $id: kept must be total minus covered")
+      assert(kept.split(" ").count(_.nonEmpty) === nKept.toInt, s"doc $id text/count")
+    }
+    // the corpus HAS duplicated spans — the transform must actually cut
+    assert(clean.exists(c => c._3 < c._2), "some doc must lose tokens")
+  }
+
+  test("t27: leakage safety — no duplicate cluster straddles two splits") {
+    val rows = TextQueries.queries("t27_cluster_split")(spark, sf)
+      .collect()
+    // per-split cluster counts must sum to the total cluster count: a
+    // cluster in two splits would be double-counted and break equality
+    val nClustersSum = rows.map(_.getLong(2)).sum
+    val total = TextQueries.queries("d05_dup_clusters")(spark, sf)
+      .select("cluster").distinct().count()
+    assert(nClustersSum === total,
+      s"cluster split-straddle: per-split sum $nClustersSum vs $total distinct")
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "every doc lands in a split")
+  }
+
   test("t21: rank 1 is the modal token; per-doc means bounded by the vocab") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(col("text"), " ")).as("tok"))
