@@ -38,22 +38,28 @@ object Tables {
     * produced). Footer-only: no row data is read, so this costs one small
     * metadata fetch per load — negligible at any scale.
     */
+  /** First data file of a parquet path (the path itself when it is a
+    * file) — files of one dataset share one schema, so one footer decides.
+    * None when a directory holds no parquet files yet. */
+  private def firstParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Option[Path] =
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).map(_.getPath)
+        .filter { f =>
+          val n = f.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .sortBy(_.getName).headOption
+    else Some(p)
+
   private[graft] def tsUnit(spark: SparkSession, path: String,
                             column: String = "ts"): TimeUnit = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter { f =>
-            val n = f.getName
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }
-          .sortBy(_.getName).headOption
-          .getOrElse(throw new IllegalArgumentException(
-            s"tsUnit: no parquet files under $path"))
-      else p
+    val file = firstParquetFile(fs, p)
+      .getOrElse(throw new IllegalArgumentException(
+        s"tsUnit: no parquet files under $path"))
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
@@ -128,8 +134,10 @@ object Tables {
       val p = new Path(s"$dir/$name.parquet")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq(s"$name: file missing at $p")
-      else {
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      else firstParquetFile(fs, p) match {
+        case None => Seq(s"$name: no parquet files under $p")
+        case Some(file) =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
         try {
           val fileSchema = reader.getFooter.getFileMetaData.getSchema
           val fileCols = fileSchema.getFields.size()

@@ -669,22 +669,7 @@ object Dedup {
     * DuckDB oracle replays the operator exactly. */
   def spanDedupProfile(df: DataFrame, idCol: String, textCol: String,
                        w: Int = 8): DataFrame = {
-    require(w >= 2, s"window width must be >= 2, got $w")
-    val base = df.select(col(idCol).cast("long").as("id"),
-      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
-    // (id, w0, gram) for every length-w window; docs shorter than w emit
-    // nothing (sequence(0, size-w) would count DOWN for size < w).
-    val wins = base
-      .filter(size(col("tk")) >= w)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("tk")) - w),
-        i => struct(i.as("w0"),
-          concat_ws(" ", slice(col("tk"), i + lit(1), lit(w))).as("gram")))).as("wn"))
-      .select(col("id"), col("wn.w0").as("w0"), col("wn.gram").as("gram"))
-    val dup = wins.groupBy("gram")
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("gram")
+    val (base, wins, dup) = spanWindowIndex(df, idCol, textCol, w)
     val hit = wins.join(dup, "gram")
     val dw = hit.groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
     val cov = hit
@@ -704,18 +689,14 @@ object Dedup {
             col("n_tokens"), 4)).as("cov_frac"))
   }
 
-  /** The TRANSFORM half of [[spanDedupProfile]]: rewrite each document
-    * with its cross-document duplicated spans REMOVED (every token
-    * position covered by a ≥2-document window is dropped; uncovered
-    * tokens keep their relative order). This is the aggressive variant —
-    * both copies of a duplicated span are cut, where Lee et al. keep one
-    * occurrence; the aggressive form needs no global "who keeps it"
-    * election (which is a second CC-shaped pass) and is what pipelines
-    * run when any cross-doc boilerplate is unwanted. Same scale shape as
-    * the profile: map-side window enumeration, ONE gram shuffle, coverage
-    * join back; the rewrite itself is a per-row array filter. */
-  def spanDedupClean(df: DataFrame, idCol: String, textCol: String,
-                     w: Int = 8): DataFrame = {
+  /** Shared window enumeration of [[spanDedupProfile]]/[[spanDedupClean]]:
+    * `base` = (id, token array); `wins` = (id, w0, gram) for every
+    * length-`w` window (docs shorter than `w` emit nothing —
+    * sequence(0, size-w) would count DOWN for size < w); `dup` = grams in
+    * ≥ 2 distinct documents. One definition of "duplicated span" for both
+    * the profile and the transform — they cannot silently diverge. */
+  private def spanWindowIndex(df: DataFrame, idCol: String, textCol: String,
+                              w: Int): (DataFrame, DataFrame, DataFrame) = {
     require(w >= 2, s"window width must be >= 2, got $w")
     val base = df.select(col(idCol).cast("long").as("id"),
       filter(split(col(textCol), " "), t => t =!= "").as("tk"))
@@ -730,9 +711,25 @@ object Dedup {
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("gram")
+    (base, wins, dup)
+  }
+
+  /** The TRANSFORM half of [[spanDedupProfile]]: rewrite each document
+    * with its cross-document duplicated spans REMOVED (every token
+    * position covered by a ≥2-document window is dropped; uncovered
+    * tokens keep their relative order). This is the aggressive variant —
+    * both copies of a duplicated span are cut, where Lee et al. keep one
+    * occurrence; the aggressive form needs no global "who keeps it"
+    * election (which is a second CC-shaped pass) and is what pipelines
+    * run when any cross-doc boilerplate is unwanted. Same scale shape as
+    * the profile: map-side window enumeration, ONE gram shuffle, coverage
+    * join back; the rewrite itself is a per-row array filter. */
+  def spanDedupClean(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8): DataFrame = {
+    val (base, wins, dup) = spanWindowIndex(df, idCol, textCol, w)
     val cov = wins.join(dup, "gram")
       .select(col("id"), explode(sequence(col("w0"), col("w0") + (w - 1))).as("p"))
-      .distinct()
+      // no distinct: collect_set's set semantics dedup positions in-agg
       .groupBy("id").agg(collect_set(col("p")).as("drop_pos"))
     base.join(cov, Seq("id"), "left")
       .select(col("id"), col("tk"),
@@ -847,7 +844,13 @@ object Dedup {
             def next(): Iterator[(Long, Long)] = {
               val kh = it.head._1
               val buf = new scala.collection.mutable.ArrayBuffer[Long](4)
-              while (it.hasNext && it.head._1 == kh) buf += it.next()._2
+              // ids arrive sorted within the run: skip adjacent repeats so
+              // a duplicated input id can never emit a (x, x) self-pair
+              // (the old join's id_a < id_b exclusion, preserved)
+              while (it.hasNext && it.head._1 == kh) {
+                val id = it.next()._2
+                if (buf.isEmpty || buf(buf.size - 1) != id) buf += id
+              }
               val m = buf.size
               if (m < 2) Iterator.empty
               else if (m > maxBucket) {

@@ -151,11 +151,23 @@ object Multimodal {
     * Input needs (media_id, media); only (id, hash) rows ever shuffle.
     * Complete: banding admits no false negatives within the budget. */
   def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // persist the (id, hash) frame: BOTH sides of the band self-join read
+    // it, and without the cache every blob would decode + aHash twice —
+    // the dominant cost. 16 bytes/row; stays cached for the session (the
+    // production path stores the hash as a column and uses
+    // [[imageNearDupPairsFromHashes]] directly).
+    imageNearDupPairsFromHashes(
+      imageHashes(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxHamming)
+  }
+
+  /** [[imageNearDupPairs]] over an already-computed (media_id, phash)
+    * frame — the stored-hash-column production path. */
+  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: banding needs maxHamming+1 bands of >= 4 bits")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val hashes = imageHashes(df)
     val bandCols = (0 until bands).map { i =>
       val lo = i * width
       val len = if (i == bands - 1) 64 - lo else width

@@ -1156,11 +1156,15 @@ object CoreQueries {
         build(orders, keys, sums), build(late, keys, sums)))
         .select(col("o_orderstatus"), col("n").as("n_early"),
           col("sum_o_totalprice").as("sum_early"))
-      total.join(earlyViaRetract, keys)
+      // LEFT join + coalesce: a status with no pre-1998 rows is a
+      // fully-retracted key (dropped by retract), but the oracle's
+      // FILTER form still emits it with n_early = 0 / NULL sum
+      total.join(earlyViaRetract, keys, "left")
         .select(col("o_orderstatus"), col("n"),
           round(col("sum_o_totalprice"), 2).as("sum_o_totalprice"),
           col("min_o_totalprice"), col("max_o_totalprice"),
-          col("n_early"), round(col("sum_early"), 2).as("sum_early"))
+          coalesce(col("n_early"), lit(0L)).as("n_early"),
+          round(col("sum_early"), 2).as("sum_early"))
         .orderBy("o_orderstatus")
     },
 

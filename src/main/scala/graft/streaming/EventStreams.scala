@@ -118,9 +118,15 @@ object EventStreams {
     * files' physical encoding, same as the batch loader: the footer of the
     * first file present decides the read schema (a landing directory's
     * files share one producer schema; a MIXED-encoding directory is a
-    * producer bug the batch canary catches). */
+    * producer bug the batch canary catches). An EMPTY landing directory —
+    * the normal state before the producer's first drop — wires with the
+    * current-producer (micros) schema rather than failing: a stream must
+    * be startable before data exists. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    graft.io.Tables.tsUnit(spark, dir) match {
+    (try graft.io.Tables.tsUnit(spark, dir)
+     catch { case _: IllegalArgumentException =>
+       org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+     }) match {
       case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.readStream

@@ -70,7 +70,11 @@ final case class IncrementalAggSink(root: String, keys: Seq[String],
     if (raw.columns.isEmpty) raw else IncrementalAgg.finish(raw)
   }
 
-  /** Current RAW state (cnt_/sum_/min_/max_ columns) — the mergeable form. */
+  /** Current RAW state (cnt_/sum_/min_/max_ columns) — the mergeable form.
+    * Buckets holding only an `_applied` marker (every key fully retracted)
+    * carry no data files and are skipped — a state where ALL buckets are
+    * in that condition reads as the empty frame, not a schema-inference
+    * error. */
   def readRaw(spark: SparkSession): DataFrame = {
     val f = fs(spark)
     if (!f.exists(statePath)) spark.emptyDataFrame
@@ -78,7 +82,7 @@ final case class IncrementalAggSink(root: String, keys: Seq[String],
       val live = f.listStatus(statePath).filter { s =>
         s.isDirectory && s.getPath.getName.startsWith("_bucket=") &&
           !s.getPath.getName.endsWith("._old")
-      }
+      }.filter(s => hasDataFiles(f, s.getPath))
       if (live.isEmpty) spark.emptyDataFrame
       else spark.read.option("basePath", statePath.toString)
         .parquet(live.map(_.getPath.toString).toSeq: _*).drop("_bucket")
@@ -117,7 +121,7 @@ final case class IncrementalAggSink(root: String, keys: Seq[String],
       if (remaining.isEmpty) { markCommitted(f, batchId); return true }
 
       val rem = remaining.toSet
-      val existing = remaining.filter(i => f.exists(bucketDir(i)))
+      val existing = remaining.filter(i => hasDataFiles(f, bucketDir(i)))
       val current: Option[DataFrame] =
         if (existing.isEmpty) None
         else Some(spark.read.option("basePath", statePath.toString)
@@ -171,6 +175,15 @@ final case class IncrementalAggSink(root: String, keys: Seq[String],
         applyBatch(b, id); ()
       })
       .start()
+
+  /** True iff `dir` exists and holds at least one parquet data file
+    * (markers and hidden files don't count — a fully-retracted bucket
+    * holds only its `_applied` marker). */
+  private def hasDataFiles(f: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    f.exists(dir) && f.listStatus(dir).exists { c =>
+      val n = c.getPath.getName
+      c.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
 
   private def healParkedBuckets(f: org.apache.hadoop.fs.FileSystem): Unit =
     if (f.exists(statePath))

@@ -433,6 +433,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editPairs1/K: duplicated input ids never emit a self-pair") {
+    // the same id delivered twice (upstream redelivery): identical residue
+    // sets land the id twice in every bucket — (x, x) must not surface
+    val rows = Seq(
+      (1L, "A", "kitten"), (1L, "A", "kitten"), (2L, "A", "sitten")
+    ).toDF("id", "blk", "s")
+    Seq(1, 2).foreach { k =>
+      val got = Dedup.editPairsK(rows, "id", "blk", "s", k)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 2L)), s"k=$k: strict id_a < id_b must hold")
+    }
+  }
+
   test("editPairsK(2) maxBucket refuses degenerate buckets, never blows up") {
     // 30 identical strings: every residue bucket holds all 30 members —
     // the degenerate near-identical cluster that would go quadratic at

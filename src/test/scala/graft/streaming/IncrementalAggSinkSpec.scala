@@ -78,6 +78,21 @@ class IncrementalAggSinkSpec extends SparkSpec {
       oneShot(Seq(("a", 10.0), ("c", 7.0)).toDF("k", "x"), Seq("k"), Seq("x" -> 2)))
   }
 
+  test("retracting EVERYTHING reads back as empty state, not a schema error") {
+    val sink = IncrementalAggSink(tmp(), Seq("k"),
+      sums = Seq("x" -> 2), deleteCol = Some("del"), nBuckets = 2, appId = "t4b")
+    assert(sink.applyBatch(
+      Seq(("a", 1.0, false), ("b", 2.0, false)).toDF("k", "x", "del"), 0L))
+    assert(sink.applyBatch(
+      Seq(("a", 1.0, true), ("b", 2.0, true)).toDF("k", "x", "del"), 1L))
+    assert(sink.read(spark).collect().isEmpty,
+      "marker-only buckets must read as empty")
+    // and the state keeps working: a later batch re-populates
+    assert(sink.applyBatch(Seq(("c", 9.0, false)).toDF("k", "x", "del"), 2L))
+    assert(stateOf(sink) ===
+      oneShot(Seq(("c", 9.0)).toDF("k", "x"), Seq("k"), Seq("x" -> 2)))
+  }
+
   test("deleteCol + minMax is refused at construction") {
     val e = intercept[IllegalArgumentException] {
       IncrementalAggSink(tmp(), Seq("k"),
