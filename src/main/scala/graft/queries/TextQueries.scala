@@ -715,10 +715,11 @@ object TextQueries {
     // 8-gram windows whose FIRST occurrence (by doc_id order — ingestion
     // order in a real corpus) is this document. The curriculum/dataset-
     // growth signal: low novelty = the document mostly restates earlier
-    // data. One inverted-index shuffle on the gram (min-reduce to the
-    // first holder) + one join back — the t18/t09 index discipline; at
-    // 100 TB the gram string would be xxhash64-ed before the shuffle
-    // (t11's trick; kept as text here so the oracle replays it exactly).
+    // data. One inverted-index shuffle (min-reduce to the first holder) +
+    // one join back — the t18/t09 index discipline — and the gram TEXT
+    // never shuffles: both legs key on xxhash64(gram) (t11's trick — the
+    // output carries counts, not grams, and a cross-gram collision is a
+    // ~n²·2⁻⁶⁴ event), ~6× less exchange mass than the ~50-char strings.
     "t25_ngram_novelty" -> { (s, dir) =>
       val w = 8
       val base = docs(s, dir).select(col("doc_id"),
@@ -726,9 +727,9 @@ object TextQueries {
       val grams = base.filter(size(col("tk")) >= w)
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(0), size(col("tk")) - w),
-          i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(w)))))).as("gram"))
-      val firstSeen = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstSeen, "gram")
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(w))))))).as("gh"))
+      val firstSeen = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstSeen, "gh")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
