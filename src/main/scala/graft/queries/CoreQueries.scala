@@ -1216,6 +1216,35 @@ object CoreQueries {
           max(col("o_totalprice")).as("hi"),
           round(exactSum(col("o_totalprice"), 2), 2).as("sum_price"))
         .orderBy("bin")
+    },
+
+    // Point-in-time feature computation (the feature-store shape): for
+    // every purchase event, trailing-window features over the user's OWN
+    // prior activity — 7-day event count, 7-day exact fixed-point value
+    // sum, and tenure (days since the user's first event). ONE pass:
+    // a per-user RANGE frame computes the trailing aggregates for every
+    // event, purchases filter afterwards — no self-join, no shuffle
+    // beyond the per-user partition. The frame ends at -1 μs, so nothing
+    // at-or-after the anchor leaks in (PIT correctness — the train-serve
+    // skew rule). Composes with q21/q51's as-of joins for cross-table
+    // features.
+    "q61_pit_features" -> { (s, dir) =>
+      val us7d = 7L * 86400L * 1000000L
+      val e = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val trail = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-us7d, -1L)
+      val ever = Window.partitionBy("user_id").orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("n_prior_7d", count(lit(1)).over(trail))
+        .withColumn("sum_prior_7d",
+          coalesce(sum(round(col("value") * 100, 0).cast("long")).over(trail), lit(0L)))
+        .withColumn("first_us", min(col("ts_us")).over(ever))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("n_prior_7d"),
+          round(col("sum_prior_7d") / 100.0, 2).as("sum_prior_7d"),
+          floor((col("ts_us") - col("first_us")) / lit(86400000000L))
+            .as("tenure_days"))
+        .orderBy("event_id")
     }
   )
 
@@ -2025,6 +2054,27 @@ object CoreQueries {
          |  round(${sqlExactSum("o_totalprice", 2)}, 2) AS sum_price
          |FROM b
          |GROUP BY bin
-         |ORDER BY bin""".stripMargin
+         |ORDER BY bin""".stripMargin,
+
+    "q61_pit_features" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |           FROM events),
+        |     f AS (SELECT event_id, user_id, event_type, ts_us,
+        |             count(*) OVER w7 AS n_prior_7d,
+        |             COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w7,
+        |                      0) AS s7,
+        |             min(ts_us) OVER (PARTITION BY user_id
+        |                              ORDER BY ts_us) AS first_us
+        |           FROM e
+        |           WINDOW w7 AS (PARTITION BY user_id ORDER BY ts_us
+        |                         RANGE BETWEEN 604800000000 PRECEDING
+        |                               AND 1 PRECEDING))
+        |SELECT event_id, user_id, n_prior_7d,
+        |  round(s7 / 100.0, 2) AS sum_prior_7d,
+        |  CAST(floor((ts_us - first_us) / 86400000000) AS BIGINT) AS tenure_days
+        |FROM f
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
   )
 }
