@@ -772,6 +772,41 @@ object TextQueries {
           countDistinct(col("cluster")).as("n_clusters"),
           sum(col("nt")).as("n_tokens"))
         .orderBy("split")
+    },
+
+    // The composed data pipeline as ONE query — the funnel every corpus
+    // build reports: raw → quality filter (t20's rules) → exact dedup
+    // (d01's content key, min-id survivor) → cross-doc span removal
+    // (t26, computed WITHIN the surviving corpus), with doc and token
+    // counts per stage. Every stage is the library operator the
+    // standalone query checks; this entry proves they COMPOSE and gives
+    // the one-row-per-stage artifact a dataset card quotes.
+    "t28_pipeline_funnel" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val quality = d.select(col("doc_id"), col("text"),
+          size(toks).as("nt"), size(array_distinct(toks)).as("nd"),
+          length(col("text")).as("ch"),
+          arrays_overlap(toks, array(enStop.map(lit): _*)).as("has_stop"))
+        .filter(col("nt") >= 20 && col("nd") * 3 >= col("nt") &&
+          col("has_stop") && col("ch") * 10 <= col("nt") * 55)
+        .select("doc_id", "text", "nt")
+      val reps = quality
+        .groupBy(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = quality.join(reps, "doc_id")
+      val cleaned = Dedup.spanDedupClean(deduped, "doc_id", "text", w = 8)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame,
+                tokCol: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(tokCol).cast("long").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("0_raw", d.select(size(toks).as("nt")), col("nt"))
+        .unionByName(stage("1_quality", quality, col("nt")))
+        .unionByName(stage("2_dedup", deduped, col("nt")))
+        .unionByName(stage("3_spanclean", cleaned, col("n_kept")))
+        .orderBy("stage")
     }
   )
 
@@ -1484,6 +1519,55 @@ object TextQueries {
          |WHERE t.split = 'train'
          |GROUP BY t.doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // t28: the three pipeline stages replayed as chained CTEs — t20's
+    // keep predicate, d01's content-key min-id survivor, t26's span
+    // coverage (computed within the SURVIVING corpus, matching the
+    // engine's composition order).
+    "t28_pipeline_funnel" -> {
+      val stopTest = enStop.map(w => s"list_contains(w, '$w')").mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+         |             len(string_split(text, ' ')) AS nt,
+         |             len(list_distinct(string_split(text, ' '))) AS nd,
+         |             length(text) AS ch
+         |           FROM documents),
+         |     q AS (SELECT doc_id, text, nt FROM t
+         |           WHERE nt >= 20 AND nd * 3 >= nt AND ($stopTest)
+         |             AND ch * 10 <= nt * 55),
+         |     reps AS (SELECT min(doc_id) AS doc_id FROM q
+         |              GROUP BY md5(array_to_string(
+         |                string_split(text, ' ')[1:3], ' '))),
+         |     k AS (SELECT q.doc_id, q.text, q.nt FROM q JOIN reps USING (doc_id)),
+         |     d2 AS (SELECT doc_id,
+         |              list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |            FROM k),
+         |     w2 AS (SELECT doc_id,
+         |              unnest([{'w0': i - 1,
+         |                       'gram': array_to_string(tk[i:i+7], ' ')}
+         |                      for i in range(1, len(tk) - 6)],
+         |                     recursive := true)
+         |            FROM d2 WHERE len(tk) >= 8),
+         |     dup2 AS (SELECT gram FROM w2 GROUP BY gram
+         |              HAVING count(DISTINCT doc_id) >= 2),
+         |     hit2 AS (SELECT w2.doc_id, w2.w0 FROM w2 JOIN dup2 USING (gram)),
+         |     cv2 AS (SELECT DISTINCT doc_id, unnest(range(w0, w0 + 8)) AS p
+         |             FROM hit2),
+         |     kept AS (SELECT d2.doc_id,
+         |                len(d2.tk) - COALESCE(c.n, 0) AS n_kept
+         |              FROM d2 LEFT JOIN (SELECT doc_id, count(*) AS n
+         |                                 FROM cv2 GROUP BY doc_id) c
+         |                USING (doc_id)),
+         |     f AS (
+         |       SELECT '0_raw' AS stage, count(*) AS n_docs,
+         |         CAST(sum(nt) AS BIGINT) AS n_tokens FROM t
+         |       UNION ALL SELECT '1_quality', count(*),
+         |         CAST(sum(nt) AS BIGINT) FROM q
+         |       UNION ALL SELECT '2_dedup', count(*),
+         |         CAST(sum(nt) AS BIGINT) FROM k
+         |       UNION ALL SELECT '3_spanclean', count(*),
+         |         CAST(sum(n_kept) AS BIGINT) FROM kept)
+         |SELECT stage, n_docs, n_tokens FROM f ORDER BY stage""".stripMargin
     },
 
     // t20: rule predicates in the same fixed order; concat_ws skips the
