@@ -268,6 +268,24 @@ object Similarity {
       () => { if (persist) { appended.unpersist(); () }; index.release() })
   }
 
+  /** Probe an [[IvfIndex]] with a TOMBSTONE set excluded — the deletion
+    * half of index maintenance ([[ivfAppend]] is the insertion half):
+    * GDPR erasure / corpus retractions mark ids dead, and rebuilding a
+    * 100-TB index per delete batch is not an option. Tombstoned rows are
+    * anti-joined out of the assigned corpus BEFORE ranking, so every
+    * query still returns k live results (filtering after the top-k would
+    * silently return fewer). The tombstone set is typically tiny →
+    * broadcast anti-join, zero extra shuffle of the corpus; production
+    * compacts the index (physically dropping dead rows) when tombstones
+    * pass a threshold, exactly like the ivfAppend retrain contract. */
+  def ivfProbeExcluding(index: IvfIndex, tombstones: DataFrame, tombId: String,
+                        queries: DataFrame, qid: String, qvec: String,
+                        k: Int, nProbe: Int = 4): DataFrame = {
+    val dead = broadcast(tombstones.select(col(tombId).as("nid")).distinct())
+    val live = index.assigned.join(dead, Seq("nid"), "left_anti")
+    ivfProbe(index.copy(assigned = live), queries, qid, qvec, k, nProbe)
+  }
+
   /** A built product-quantization index: per-subspace codebooks plus the
     * code-compressed corpus. `codebooks(m)(c)` is subspace `m`'s centroid
     * `c` (subDim doubles); `encoded` carries ONLY (nid, code_0..code_{m-1})

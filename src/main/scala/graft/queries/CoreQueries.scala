@@ -1245,6 +1245,32 @@ object CoreQueries {
           floor((col("ts_us") - col("first_us")) / lit(86400000000L))
             .as("tenure_days"))
         .orderBy("event_id")
+    },
+
+    // SCD2 point-in-time LOOKUP — the consuming half of q46's dimension
+    // build: every view event is resolved to the user's tier version
+    // valid AT that instant. Not a range join: SCD2 intervals partition
+    // each user's timeline gap-free, so "latest valid_from at-or-before
+    // ts" (one as-of join, strict = false for the inclusive-from
+    // boundary) IS the interval lookup, at O(sort-merge) instead of
+    // interval-banding cost. Views before a user's first version carry
+    // NULL — unknown history is not a fabricated tier.
+    "q62_scd2_lookup" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val e = t(s, dir, "events")
+      val changes = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), floor(col("value") / 25).cast("long").as("tier"))
+        .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .select(col("user_id"), col("ts_us").as("valid_from_us"),
+          col("event_id"), col("tier"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      graft.operators.AsOfJoin.asOf(views, changes, Seq("user_id"),
+          "ts_us", "valid_from_us", "event_id", Seq("tier"), strict = false)
+        .select(col("event_id"), col("user_id"), col("asof_tier").as("tier"))
+        .orderBy("event_id")
     }
   )
 
@@ -2075,6 +2101,25 @@ object CoreQueries {
         |  CAST(floor((ts_us - first_us) / 86400000000) AS BIGINT) AS tenure_days
         |FROM f
         |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q62_scd2_lookup" ->
+      """WITH p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             event_id, CAST(floor(value / 25) AS BIGINT) AS tier
+        |           FROM events WHERE event_type = 'purchase'),
+        |     ch AS (SELECT user_id, ts_us, event_id, tier FROM (
+        |              SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS prev
+        |              FROM p)
+        |            WHERE prev IS NULL OR tier <> prev),
+        |     v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             event_id
+        |           FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id,
+        |  (SELECT ch.tier FROM ch
+        |   WHERE ch.user_id = v.user_id AND ch.ts_us <= v.ts_us
+        |   ORDER BY ch.ts_us DESC, ch.event_id DESC LIMIT 1) AS tier
+        |FROM v
         |ORDER BY event_id""".stripMargin
   )
 }

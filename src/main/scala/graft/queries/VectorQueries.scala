@@ -207,6 +207,21 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // Index-maintenance DELETE path: probe the appended IVF index with a
+    // tombstone set (vec_id % 97 = 0 — "erased" vectors) excluded BEFORE
+    // ranking, so every query still returns k live neighbors. With v12
+    // (append) this completes the index lifecycle without a retrain:
+    // build → append → delete-by-tombstone → compact-at-threshold.
+    "v16_ivf_tombstones" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfProbeExcluding(appendedIndexFor(s, dir),
+          e.filter(col("vec_id") % 97 === 0), "vec_id",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Metadata-filtered vector search: top-5 cosine among corpus vectors
     // sharing the query's label (per-tenant/per-language ANN — the filter
     // rides the JOIN, so mismatched vectors are dropped by the hash probe
@@ -505,7 +520,7 @@ object VectorQueries {
     * the per-query cell scores ivfProbe recomputes. */
   private def v12Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
                         iters: Int = 8, trainSample: Int = 10000,
-                        dim: Int = 64): String =
+                        dim: Int = 64, excludeNid: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE vec_id % 8 <> 0),
        |  eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -536,7 +551,7 @@ object VectorQueries {
        |        FROM embeddings WHERE vec_id < 8),
        |  cand AS (SELECT DISTINCT p.qid, c.nid
        |           FROM probe p JOIN uni c ON c.cell = p.cell
-       |           WHERE p.qid <> c.nid),
+       |           WHERE p.qid <> c.nid$excludeNid),
        |  sims AS (SELECT cand.qid, cand.nid,
        |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
        |           FROM cand JOIN q ON q.qid = cand.qid
@@ -787,6 +802,9 @@ object VectorQueries {
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
     "v12_ivf_append" -> v12Oracle(),
+    // v16 = v12's appended-index probe with tombstoned nids excluded at
+    // the candidate stage (exactly where the engine anti-joins).
+    "v16_ivf_tombstones" -> v12Oracle(excludeNid = " AND c.nid % 97 <> 0"),
     "v09_recall_audit" -> v09Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     "v07_cluster_profile" -> v07Oracle(),

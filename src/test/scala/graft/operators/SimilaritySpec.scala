@@ -294,6 +294,32 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact, "preK=corpus must reduce to exact brute force")
   }
 
+  test("ivfProbeExcluding: tombstoned ids never surface, k live results remain") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    try {
+      val q = e.filter(col("vec_id") < 4)
+      val dead = e.filter(col("vec_id") % 7 === 0)
+      val got = Similarity.ivfProbeExcluding(idx, dead, "vec_id",
+        q, "vec_id", "embedding", k = 5)
+      val rows = got.collect()
+      assert(rows.forall(_.getAs[Long]("nid") % 7 != 0),
+        "a tombstoned id surfaced in the results")
+      // exclusion happens BEFORE ranking: every query still gets k rows
+      assert(rows.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+      // and equals probing the SAME index with the corpus pre-filtered —
+      // the operator's exact contract (a fresh REBUILD would retrain
+      // centroids on the reduced corpus and legitimately differ)
+      val filtered = idx.copy(assigned =
+        idx.assigned.filter(col("nid") % 7 =!= 0))
+      val want = Similarity.ivfProbe(filtered, q, "vec_id", "embedding", k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(rows.map(_.toSeq).toSet === want)
+    } finally idx.release()
+  }
+
   test("v09 recall audit equals the v01∩v04 intersection it claims to count") {
     val sf = "/root/testdata/sf0.001"
     import graft.queries.VectorQueries
