@@ -807,6 +807,38 @@ object TextQueries {
         .unionByName(stage("2_dedup", deduped, col("nt")))
         .unionByName(stage("3_spanclean", cleaned, col("n_kept")))
         .orderBy("stage")
+    },
+
+    // Chunk-level dedup over t24's fingerprints: a chunk is duplicated
+    // when its md5 occurs in ≥ 2 documents (within-doc repeats don't
+    // count — same convention as t18's span index, one level coarser).
+    // Per doc: chunk counts and the duplicated fraction — the signal a
+    // RAG ingest thresholds on before embedding redundant chunks. One
+    // shuffle on the 16-byte fingerprint; the chunk text never moves.
+    "t29_chunk_dedup" -> { (s, dir) =>
+      val chunkLen = 32
+      val stride = 24
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("tk")) - 1, lit(stride))).as("st"),
+          col("tk"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("tk"), col("st") + 1, lit(chunkLen))))
+            .as("chunk_md5"))
+      val dup = chunks.groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("chunk_md5")
+      chunks.join(dup, Seq("chunk_md5"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+        .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+          round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+            col("n_chunks"), 4).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1076,6 +1108,27 @@ object TextQueries {
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // t29: t24's chunk fingerprints, duplicated when in ≥ 2 distinct docs.
+    "t29_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |     c AS (SELECT doc_id,
+        |             md5(array_to_string(
+        |               tk[st + 1 : least(st + 32, len(tk))], ' ')) AS h
+        |           FROM (SELECT doc_id, tk,
+        |                   unnest(range(0, len(tk), 24)) AS st
+        |                 FROM d)),
+        |     dup AS (SELECT h FROM c GROUP BY h
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     per AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id),
+        |     dd AS (SELECT c.doc_id, count(*) AS n_dup_chunks
+        |            FROM c JOIN dup USING (h) GROUP BY c.doc_id)
+        |SELECT per.doc_id, per.n_chunks,
+        |  COALESCE(dd.n_dup_chunks, 0) AS n_dup_chunks,
+        |  round(COALESCE(dd.n_dup_chunks, 0) / CAST(per.n_chunks AS DOUBLE), 4)
+        |    AS dup_frac
+        |FROM per LEFT JOIN dd USING (doc_id)
+        |ORDER BY per.doc_id""".stripMargin,
 
     // t25: distinct 8-gram windows per doc (t18's window CTE), min doc_id
     // per gram as the first holder, per-doc novelty share.
