@@ -120,6 +120,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       BloomMembership.aggInfo, BloomMembership.aggBuilder))
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
       BloomMembership.probeInfo, BloomMembership.probeBuilder))
+    ext.injectFunction((FunctionIdentifier("ngram_hashes"), NgramHashes.info,
+      (children: Seq[Expression]) => NgramHashes(children(0), children(1))))
     ext.injectOptimizerRule(_ => FuseSetJaccard)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -715,27 +715,32 @@ object TextQueries {
     // 8-gram windows whose FIRST occurrence (by doc_id order — ingestion
     // order in a real corpus) is this document. The curriculum/dataset-
     // growth signal: low novelty = the document mostly restates earlier
-    // data. One inverted-index shuffle (min-reduce to the first holder) +
-    // one join back — the t18/t09 index discipline — and the gram TEXT
-    // never shuffles: both legs key on xxhash64(gram) (t11's trick — the
-    // output carries counts, not grams, and a cross-gram collision is a
-    // ~n²·2⁻⁶⁴ event), ~6× less exchange mass than the ~50-char strings.
+    // data. Gram hashing is the native `ngram_hashes` kernel (one pass over
+    // the text bytes — see plans/NgramHashes.scala for why the HOF form was
+    // both slow and un-reusable), and the whole query runs off ONE exchange
+    // of the exploded (doc, gh) pairs: the first-holder min-reduce consumes
+    // the gh-hash partitioning directly, and the per-doc gram counts
+    // re-aggregate the SAME exchange output (ReusedExchange — pinned in
+    // PlanSpec; the r8 shape computed the gram subplan twice). Gram TEXT
+    // never shuffles — both legs key on the 64-bit hash (a cross-gram
+    // collision is a ~n²·2⁻⁶⁴ event); the join back to docs carries one
+    // row per doc, not per gram.
     "t25_ngram_novelty" -> { (s, dir) =>
-      val w = 8
-      val base = docs(s, dir).select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("tk"))
-      val grams = base.filter(size(col("tk")) >= w)
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(0), size(col("tk")) - w),
-          i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(w))))))).as("gh"))
-      val firstSeen = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstSeen, "gh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 4)
+      graft.plans.NgramHashes.register(s)
+      val exploded = docs(s, dir)
+        .select(col("doc_id"),
+          call_function("ngram_hashes", col("text"), lit(8)).as("ghs"))
+        .select(col("doc_id"), explode(col("ghs")).as("gh"))
+      val byGram = exploded.repartition(col("gh"))
+      val novel = byGram.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      val docStats = byGram.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      docStats.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"), 4)
             .as("novelty_frac"))
         .orderBy("doc_id")
     },

@@ -175,6 +175,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p.take(400))
   }
 
+  test("t25 novelty: both aggregate legs share ONE gram exchange (ReusedExchange)") {
+    // r8 regression this pins: the HOF gram subplan defeated canonicalization
+    // (lambda variables carry fresh expr ids) so the costliest subtree ran
+    // twice — ReusedExchange x0, 4 scans, 12.6 s in the driver bench. The
+    // native ngram_hashes kernel + explicit repartition(gh) make both the
+    // first-holder reduce and the per-doc count consume one exchange. AQE
+    // realizes the reuse at runtime, so assert on the FINAL plan.
+    val df = graft.queries.TextQueries.queries("t25_ngram_novelty")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(1500))
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
+      "the gram subplan must scan documents exactly once\n" + finalPlan.take(1500))
+    assert(finalPlan.contains("ngram_hashes"), "native kernel missing")
+  }
+
   test("q58 incremental agg: merge shuffles STATE rows, never the corpus twice") {
     val p = plan(CoreQueries.queries("q58_incremental_agg")(spark, sf))
     // each build leg partial-aggregates map-side before its exchange
