@@ -73,17 +73,32 @@ object Bench {
     // Index construction is a build-time step, not query cost: run it once
     // here and report its duration as its own field, so v04's per-query
     // number is what a query-heavy deployment actually pays per batch.
-    val tIdx = System.nanoTime()
-    try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] IVF index build failed: $e") }
-    try queries.TextQueries.prepareClusterIndex(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] cluster index build failed: $e") }
-    try queries.TextQueries.prepareSignatureIndex(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] signature index build failed: $e") }
-    val idxSec = (System.nanoTime() - tIdx) / 1e9
+    // Each build is recorded INDIVIDUALLY (outcome + duration + error) in
+    // the artifact: r7/r8 both saw driver benches diverge from committed
+    // medians exactly on the index-served family, and a prepare failure
+    // swallowed into stderr was indistinguishable from a real regression.
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    // warm-up ran the sf0.001 builds — only the timed dir's stats matter
+    operators.IndexStats.reset()
+    val indexBuilds = Seq[(String, () => Unit)](
+      "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
+      "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
+      "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir))
+    ).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      val err = try { build(); None } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name index build FAILED: $e")
+        Some(e.toString.take(300))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, err)
+    }
+    val idxSec = indexBuilds.map(_._2).sum
+    val anyBuildFailed = indexBuilds.exists(_._3.nonEmpty)
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -94,8 +109,37 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val buildsJson = indexBuilds.map { case (n, sec, err) =>
+      s"""${jsonStr(n)}:{"ok":${err.isEmpty},"sec":$sec,""" +
+        s""""err":${err.map(jsonStr).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    // Cache hit/miss per index kind over the timed run: the designed path
+    // is misses == builds-in-prepare and every query lookup a hit; any
+    // other shape names the divergence cause inside the artifact.
+    val cacheJson = operators.IndexStats.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+    // Capped-kernel drop counters (recall events): zero is the exactness
+    // precondition for d03/d06/d09/d11 — non-zero voids those guarantees
+    // and MUST be visible where the timings are.
+    val dropsJson = operators.DedupMetrics.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, s) =>
+        s"""${jsonStr(k)}:{"buckets":${s.buckets},"rows":${s.rows}}""" }
+      .mkString("{", ",", "}")
+    // Persisted-block census at end of run: an evicted index frame (cached
+    // fraction < 1) means probes silently recomputed — the other half of
+    // the divergence diagnosis.
+    val rddJson = spark.sparkContext.getRDDStorageInfo.toSeq
+      .map { i =>
+        s"""{"id":${i.id},"name":${jsonStr(Option(i.name).getOrElse("")
+          .linesIterator.take(2).mkString(" | ").take(160))},""" +
+          s""""cached_parts":${i.numCachedPartitions},"parts":${i.numPartitions},""" +
+          s""""mem_bytes":${i.memSize},"disk_bytes":${i.diskSize}}"""
+      }.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""index_build_sec":$idxSec,"machine_cpus":$machineCpus,""" +
+      s""""index_build_sec":$idxSec,"index_builds":$buildsJson,""" +
+      s""""index_build_failed":$anyBuildFailed,"index_cache":$cacheJson,""" +
+      s""""dedup_drops":$dropsJson,"persisted_rdds":$rddJson,""" +
+      s""""machine_cpus":$machineCpus,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,"sf":"$sfDir"}"""
     println(json)

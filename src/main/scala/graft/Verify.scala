@@ -42,6 +42,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Capped-kernel audit (r8 advice): the d-queries' exactness guarantees
+    // are conditional on ZERO dropped LSH/residue buckets. A non-zero count
+    // here means some emitted result silently lost pairs — scream, because
+    // the per-query hash gate may or may not catch it depending on which
+    // side of the comparison lost them.
+    val drops = graft.operators.DedupMetrics.snapshot().filterNot(_._2.isZero)
+    if (drops.nonEmpty) {
+      System.err.println(
+        s"[verify] WARNING: capped dedup kernels dropped buckets this run — " +
+          s"exactness guarantees void for: " +
+          drops.map { case (k, s) => s"$k(buckets=${s.buckets},rows=${s.rows})" }
+            .mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -67,11 +67,36 @@ object DedupMetrics {
     }
   }
 
-  def counter(spark: SparkSession, kind: String, maxBucket: Int): DropCounter =
-    DropCounter(
+  // Every live counter, so Verify/Bench can audit "did ANY capped kernel
+  // drop pairs this run" without threading ManagedPairs handles through 118
+  // query closures (r8 advice: a capped editPairs1 can silently lose pairs;
+  // the artifact must carry the drop counts).
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[DropCounter]()
+
+  /** Aggregate drop stats per kind across all counters created in this JVM.
+    * Zero-valued kinds are included — "signature: 0 drops" is the positive
+    * statement the bench artifact needs. */
+  def snapshot(): Map[String, DropStats] = {
+    val it = registry.iterator()
+    val acc = scala.collection.mutable.Map[String, DropStats]()
+    while (it.hasNext) {
+      val c = it.next()
+      val prev = acc.getOrElse(c.kind, DropStats(0L, 0L))
+      acc(c.kind) = DropStats(prev.buckets + c.buckets.value,
+        prev.rows + c.rows.value)
+    }
+    acc.toMap
+  }
+
+  def counter(spark: SparkSession, kind: String, maxBucket: Int): DropCounter = {
+    val c = DropCounter(
       spark.sparkContext.longAccumulator(s"graft.dedup.$kind.droppedBuckets"),
       spark.sparkContext.longAccumulator(s"graft.dedup.$kind.droppedRows"),
       kind, maxBucket)
+    registry.add(c)
+    c
+  }
 
   /** Executor-side WARN at the point of refusal — called from inside the
     * pair-enumeration task. Rate-limit in the caller (once per partition). */

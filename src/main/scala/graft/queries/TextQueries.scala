@@ -31,7 +31,8 @@ object TextQueries {
   // retains the session and the labels' final localCheckpoint otherwise.
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame]()
-  private def dupClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private def dupClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.operators.IndexStats.lookup("cluster", hit = ccCache.containsKey((s, dir)))
     ccCache.computeIfAbsent((s, dir), _ => {
       val d = docs(s, dir)
       // Managed pair generation: the convergence below materializes away
@@ -55,6 +56,7 @@ object TextQueries {
       } finally mp.release()
       labels
     })
+  }
 
   /** Drop cached cluster labels of `s` and release their checkpoint
     * blocks — session-teardown hygiene, same lifecycle as
@@ -89,10 +91,12 @@ object TextQueries {
   // IVF/PQ/cluster caches.
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dedup.SignatureIndex]()
-  private def corpusSignatureIndex(s: SparkSession, dir: String): Dedup.SignatureIndex =
+  private def corpusSignatureIndex(s: SparkSession, dir: String): Dedup.SignatureIndex = {
+    graft.operators.IndexStats.lookup("signature", hit = sigCache.containsKey((s, dir)))
     sigCache.computeIfAbsent((s, dir), _ =>
       Dedup.signatureBuild(docs(s, dir).filter(col("doc_id") % 2 === 0),
         "doc_id", "text", k = 128, bands = 32, shingleWidth = 3))
+  }
 
   /** Build AND materialize the corpus signature index for (session, dir) —
     * Bench times it with the other index builds so d06 reports probe

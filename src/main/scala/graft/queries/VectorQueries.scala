@@ -17,16 +17,19 @@ object VectorQueries {
   // MEMORY_AND_DISK-persisted assignment frame.
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
-  private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
+  private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    graft.operators.IndexStats.lookup("ivf", hit = ivfCache.containsKey((s, dir)))
     ivfCache.computeIfAbsent((s, dir),
       _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
+  }
 
   // Appended-IVF cache (v12): a base index trained on ⅞ of the corpus
   // (vec_id % 8 <> 0) with the remaining ⅛ ivfAppend-ed — the
   // index-maintenance path. Same lifecycle as the IVF cache above.
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
-  private def appendedIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
+  private def appendedIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    graft.operators.IndexStats.lookup("ivfAppend", hit = ivfAppendCache.containsKey((s, dir)))
     ivfAppendCache.computeIfAbsent((s, dir), { _ =>
       val e = emb(s, dir)
       val base = Similarity.ivfBuild(e.filter(col("vec_id") % 8 =!= 0),
@@ -34,15 +37,18 @@ object VectorQueries {
       Similarity.ivfAppend(base, e.filter(col("vec_id") % 8 === 0),
         "vec_id", "embedding")
     })
+  }
 
   // PQ index cache, same lifecycle as the IVF cache above: built by the
   // first v08 invocation per (session, dir), probe-only afterwards.
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqIndex]()
-  private def pqIndexFor(s: SparkSession, dir: String): Similarity.PqIndex =
+  private def pqIndexFor(s: SparkSession, dir: String): Similarity.PqIndex = {
+    graft.operators.IndexStats.lookup("pq", hit = pqCache.containsKey((s, dir)))
     pqCache.computeIfAbsent((s, dir),
       _ => Similarity.pqBuild(emb(s, dir), "vec_id", "embedding",
         dim = 64, m = 4, k = 8, iters = 4))
+  }
 
   /** Drop (and unpersist) every cached index of `s` — session teardown
     * hygiene for JVMs that run many sessions. */

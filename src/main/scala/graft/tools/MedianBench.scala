@@ -1,0 +1,54 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Committed-medians artifact: run EVERY SparkEntry query `reps` times at
+  * `sfDir` and write per-query {median, min, max} JSON. This is the
+  * builder-side discipline PERF.md quotes, promoted from prose to a machine
+  * artifact (r8 verdict task 2): a later bench.json that diverges from
+  * these medians can be diffed query-by-query, and the divergence either
+  * reproduces under reps (real regression) or doesn't (box noise / cache
+  * path miss — which bench.json's index_cache/index_builds fields now
+  * name directly).
+  *
+  * Index builds happen ONCE before timing (same contract as Bench), so the
+  * medians measure the probe path the bench measures.
+  * Usage: runMain graft.tools.MedianBench [sfDir] [reps] [outFile] */
+object MedianBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val outFile = args.lift(2).getOrElse("perf_medians.json")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.io.Tables.canaryEvents(spark, sfDir)
+    // codegen/footer warm-up on the small sf, then one-time index builds
+    graft.SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    }
+    graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)
+    graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)
+    graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)
+
+    val rows = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      System.err.println(f"[medians] $name med ${ts(reps / 2)}%.2fs")
+      f""""$name":{"median":${ts(reps / 2)}%.4f,"min":${ts.head}%.4f,"max":${ts.last}%.4f}"""
+    }
+    val commit =
+      try new String(Runtime.getRuntime.exec(Array("git", "rev-parse", "--short", "HEAD"))
+        .getInputStream.readAllBytes(), StandardCharsets.UTF_8).trim
+      catch { case _: Throwable => "unknown" }
+    val json = s"""{"sf":"$sfDir","reps":$reps,"commit":"$commit",""" +
+      s""""machine_cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    Files.write(Paths.get(outFile), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    System.err.println(s"[medians] wrote $outFile")
+    spark.stop()
+  }
+}
