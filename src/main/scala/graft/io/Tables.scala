@@ -52,8 +52,17 @@ object Tables {
         .sortBy(_.getName).headOption
     else Some(p)
 
-  private[graft] def tsUnit(spark: SparkSession, path: String,
-                            column: String = "ts"): TimeUnit = {
+  /** Full footer verdict for a timestamp column: the unit AND the
+    * isAdjustedToUTC flag. The flag picks the read schema — an
+    * adjusted-to-UTC TIMESTAMP is Spark's native TimestampType, while an
+    * unadjusted one is TimestampNTZType; reading one under the other's
+    * schema dies deep in the vectorized reader with an opaque
+    * SchemaColumnConvertNotSupportedException (the failure class
+    * [[schemaContractViolations]] exists to pre-empt). */
+  private[graft] case class TsEncoding(unit: TimeUnit, adjustedToUtc: Boolean)
+
+  private[graft] def tsEncoding(spark: SparkSession, path: String,
+                                column: String = "ts"): TsEncoding = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -63,12 +72,26 @@ object Tables {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
-      schema.getType(Seq(column): _*).asPrimitiveType().getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
-        case _ => TimeUnit.NANOS // unannotated INT64: legacy nanos encoding
+      val prim = schema.getType(Seq(column): _*).asPrimitiveType()
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          TsEncoding(t.getUnit, t.isAdjustedToUTC)
+        case _
+          if prim.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+          // legacy INT96 (e.g. a Hive/old-Spark writer): Spark decodes it
+          // natively as TimestampType — report as adjusted so the loader
+          // takes the direct-TimestampType read path, NOT the
+          // nanos-as-long path (which only applies to unannotated INT64)
+          TsEncoding(TimeUnit.MICROS, adjustedToUtc = true)
+        case _ => TsEncoding(TimeUnit.NANOS, false) // unannotated INT64: legacy nanos
       }
     } finally reader.close()
   }
+
+  private[graft] def tsUnit(spark: SparkSession, path: String,
+                            column: String = "ts"): TimeUnit =
+    tsEncoding(spark, path, column).unit
 
   /** Load the events table, normalizing `ts` to the canonical microsecond
     * TimestampType whatever the file's physical encoding:
@@ -80,12 +103,16 @@ object Tables {
     *    pure re-tag and values match what the DuckDB oracle reads.
     */
   def loadEvents(spark: SparkSession, path: String): DataFrame =
-    tsUnit(spark, path) match {
-      case TimeUnit.NANOS =>
+    tsEncoding(spark, path) match {
+      case TsEncoding(TimeUnit.NANOS, _) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.schema(Schemas.eventsWithTs(org.apache.spark.sql.types.LongType))
           .parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TsEncoding(_, true) =>
+        // isAdjustedToUTC=true IS Spark's native TimestampType — read it
+        // directly; an NTZ schema here would die in the vectorized reader.
+        spark.read.schema(Schemas.eventsWithTs(TimestampType)).parquet(path)
       case _ =>
         spark.read.schema(Schemas.eventsWithTs(TimestampNTZType)).parquet(path)
           .withColumn("ts", col("ts").cast(TimestampType))

@@ -150,16 +150,27 @@ object Multimodal {
     * never an all-pairs comparison — and one popcount(XOR) verifies each.
     * Input needs (media_id, media); only (id, hash) rows ever shuffle.
     * Complete: banding admits no false negatives within the budget. */
-  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // persist the (id, hash) frame: BOTH sides of the band self-join read
-    // it, and without the cache every blob would decode + aHash twice —
-    // the dominant cost. 16 bytes/row; stays cached for the session (the
-    // production path stores the hash as a column and uses
-    // [[imageNearDupPairsFromHashes]] directly).
-    imageNearDupPairsFromHashes(
-      imageHashes(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      maxHamming)
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame =
+    imageNearDupPairsManaged(df, maxHamming).pairs
+
+  /** [[imageNearDupPairs]] with an explicit cache-release handle, mirroring
+    * [[Dedup.minhashExactPairsManaged]]: the internal (media_id, phash)
+    * frame is persisted because BOTH sides of the band self-join read it —
+    * without the cache every blob would decode + aHash twice, the dominant
+    * cost. 16 bytes/row, but a long-lived session calling the convenience
+    * form repeatedly would otherwise accumulate unreleasable cached frames
+    * (r8 advice). Consume `pairs`, then `release()`. The production path
+    * stores the hash as a column and uses
+    * [[imageNearDupPairsFromHashes]] directly — no cache to manage. */
+  def imageNearDupPairsManaged(df: DataFrame, maxHamming: Int = 3): ManagedImagePairs = {
+    val hashes = imageHashes(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ManagedImagePairs(imageNearDupPairsFromHashes(hashes, maxHamming),
+      () => { hashes.unpersist(); () })
   }
+
+  /** A lazy pair frame plus the handle that frees its internal hash cache. */
+  final case class ManagedImagePairs(pairs: DataFrame, release: () => Unit)
 
   /** [[imageNearDupPairs]] over an already-computed (media_id, phash)
     * frame — the stored-hash-column production path. */

@@ -122,18 +122,39 @@ object EventStreams {
     * the normal state before the producer's first drop — wires with the
     * current-producer (micros) schema rather than failing: a stream must
     * be startable before data exists. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    (try graft.io.Tables.tsUnit(spark, dir)
-     catch { case _: IllegalArgumentException =>
-       org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Tables.TsEncoding
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    // Empty AND missing landing directories both wire with the
+    // current-producer (micros, unadjusted) schema: "startable before data
+    // exists" must hold whether the producer has created the directory yet
+    // or not (a missing dir surfaces as FileNotFoundException from the
+    // footer probe, not IllegalArgumentException — r8 advice). Spark's file
+    // source itself refuses a missing path even with an explicit schema, so
+    // the missing case also CREATES the landing dir — the consumer claiming
+    // the mailbox before the producer's first drop, on whatever Hadoop
+    // filesystem the path names.
+    (try graft.io.Tables.tsEncoding(spark, dir)
+     catch {
+       case e @ (_: IllegalArgumentException | _: java.io.FileNotFoundException) =>
+         if (e.isInstanceOf[java.io.FileNotFoundException]) {
+           val p = new org.apache.hadoop.fs.Path(dir)
+           p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+         }
+         TsEncoding(TimeUnit.MICROS, false)
      }) match {
-      case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
+      case TsEncoding(TimeUnit.NANOS, _) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.readStream
           .schema(graft.schema.Schemas.eventsWithTs(org.apache.spark.sql.types.LongType))
           .option("maxFilesPerTrigger", "1")
           .parquet(dir)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TsEncoding(_, true) =>
+        spark.readStream
+          .schema(graft.schema.Schemas.eventsWithTs(org.apache.spark.sql.types.TimestampType))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
       case _ =>
         spark.readStream
           .schema(graft.schema.Schemas.eventsWithTs(org.apache.spark.sql.types.TimestampNTZType))
@@ -141,6 +162,7 @@ object EventStreams {
           .parquet(dir)
           .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
+  }
 
   /** Run a windowed-count stream to an in-memory sink (demo/test harness). */
   def runToMemory(df: DataFrame, name: String,

@@ -96,4 +96,45 @@ class EventsContractSpec extends SparkSpec {
     val v = Tables.schemaContractViolations(spark, staged.toString)
     assert(v.exists(_.startsWith("region: file missing")), v.mkString("; "))
   }
+
+  test("loadEvents reads an isAdjustedToUTC=true file as native TimestampType") {
+    // TIMESTAMP_MICROS writer on a TimestampType column annotates
+    // isAdjustedToUTC=true; before the r8-advice fix the loader read every
+    // non-nanos file under an NTZ schema, which dies on an adjusted file
+    // deep in the vectorized reader. Round-trip and re-load.
+    val staged = java.nio.file.Files.createTempDirectory("adjusted")
+    val out = staged.resolve("events.parquet").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Tables.load(spark, dir, "events").write.parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val enc = Tables.tsEncoding(spark, out)
+    assert(enc.adjustedToUtc, s"writer did not produce an adjusted file: $enc")
+    val df = Tables.loadEvents(spark, out)
+    assert(df.schema("ts").dataType == TimestampType)
+    Tables.assertTsContract(df) // values survive the round trip
+    val n = Tables.load(spark, dir, "events").count()
+    assert(df.count() == n)
+  }
+
+  test("loadEvents routes a legacy INT96 file through native decode, not nanos-as-long") {
+    // INT96 has NO logical annotation; the pre-fix fallthrough treated it as
+    // unannotated-INT64 legacy nanos and read it under a LongType schema —
+    // guaranteed vectorized-reader carnage on a real Hive/old-Spark file.
+    val staged = java.nio.file.Files.createTempDirectory("int96")
+    val out = staged.resolve("events.parquet").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try Tables.load(spark, dir, "events").write.parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val df = Tables.loadEvents(spark, out)
+    assert(df.schema("ts").dataType == TimestampType)
+    Tables.assertTsContract(df)
+  }
 }

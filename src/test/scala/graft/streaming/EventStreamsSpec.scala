@@ -318,4 +318,26 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("file_stream_test").count() > 0)
     } finally q.stop()
   }
+
+  test("stream is startable before the landing directory exists (r8 advice)") {
+    // a MISSING dir must behave like an empty one: the footer probe throws
+    // FileNotFoundException (not IllegalArgumentException) and the reader
+    // must still wire with the current-producer schema, then pick up files
+    // dropped after start
+    val base = java.nio.file.Files.createTempDirectory("late_dir")
+    val landing = base.resolve("landing") // never created before readEventStream
+    val stream = EventStreams.readEventStream(spark, landing.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // readEventStream claimed (created) the landing dir itself
+    assert(java.nio.file.Files.isDirectory(landing))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    val q = runToMemory(windowedTypeCounts(stream), "late_dir_test", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_dir_test").count() > 0)
+    } finally q.stop()
+  }
 }
