@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Durable on-disk form of the engine's corpus indexes (r8 verdict task):
+  * MinHash [[Dedup.SignatureIndex]], [[Similarity.IvfIndex]],
+  * [[Similarity.PqIndex]], and duplicate-cluster label tables.
+  *
+  * Why: every index here is a build-once-per-corpus-VERSION artifact — at
+  * 100 TB the signature/IVF build is hours of cluster time, and a
+  * session-scoped cache silently re-pays it in every new job/session. The
+  * store writes each index as plain parquet under one directory plus a
+  * tiny JSON meta file carrying the index kind, its build parameters, and
+  * a CORPUS VERSION STAMP; loading validates the stamp so a stale index
+  * (corpus changed under it) is refused, not silently served.
+  *
+  * Commit protocol: frames first, `_graft_index.json` LAST — the meta file
+  * is the commit marker, so a torn write (job died mid-save) is invisible
+  * to loaders. Same discipline as a Spark `_SUCCESS` marker, but carrying
+  * the validation payload. Overwrite of a live index is atomic-enough for
+  * the single-writer (ingest-epoch) ownership model these artifacts have
+  * in production; concurrent writers need an external lock, as with any
+  * parquet table.
+  *
+  * All numeric state round-trips EXACTLY: centroids/codebooks are written
+  * as parquet `array<double>` rows (never JSON text, which loses bits),
+  * so a probe against a loaded index is bit-identical to one against the
+  * just-built index (pinned in IndexStoreSpec).
+  */
+object IndexStore {
+
+  private val MetaFile = "_graft_index.json"
+
+  /** Content stamp of a corpus path: count + MD5 over every data file's
+    * (relative path, length, mtime), listing only — no data read, so it is
+    * cheap even on a 100-TB table. Conservative by design: a rewritten
+    * file with identical bytes changes the stamp and forces a rebuild —
+    * the safe direction. Callers with their own release tags (an ingest
+    * epoch, a snapshot id) can pass those as the version instead. */
+  def corpusVersion(spark: SparkSession, sourcePath: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(sourcePath)
+    val fs = p.getFileSystem(conf)
+    val root = fs.getFileStatus(p)
+    val base = root.getPath.toString
+    val files = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    def walk(st: FileStatus): Unit =
+      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
+      else {
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          files += ((st.getPath.toString.stripPrefix(base), st.getLen,
+            st.getModificationTime))
+      }
+    walk(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.sortBy(_._1).foreach { case (n, len, mt) =>
+      md.update(s"$n:$len:$mt\n".getBytes("UTF-8"))
+    }
+    files.length + ":" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  // ---------- tiny JSON meta (flat string map — no nested values needed)
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  private def writeMeta(spark: SparkSession, dir: String,
+                        fields: Seq[(String, String)]): Unit = {
+    val p = new Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(fields.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** None when the meta file is absent (index missing or torn write). */
+  private def readMeta(spark: SparkSession, dir: String): Option[Map[String, String]] = {
+    val p = new Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+      // flat {"k":"v",...} parser for exactly what writeMeta emits
+      val m = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      def unesc(s: String): String = {
+        val b = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          if (s(i) == '\\' && i + 1 < s.length) {
+            s(i + 1) match {
+              case 'n' => b += '\n'; i += 2
+              case 'r' => b += '\r'; i += 2
+              case 't' => b += '\t'; i += 2
+              case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+              case c   => b += c; i += 2
+            }
+          } else { b += s(i); i += 1 }
+        }
+        b.result()
+      }
+      Some(m.findAllMatchIn(text).map(g => unesc(g.group(1)) -> unesc(g.group(2))).toMap)
+    }
+  }
+
+  /** Meta validation shared by every loader: present, right kind, right
+    * corpus version (when the caller pins one). */
+  private def validMeta(spark: SparkSession, dir: String, kind: String,
+                        expectedVersion: Option[String]): Option[Map[String, String]] =
+    readMeta(spark, dir).filter { m =>
+      m.get("kind").contains(kind) &&
+        expectedVersion.forall(v => m.get("corpus_version").contains(v))
+    }
+
+  // ---------- MinHash signature index
+
+  /** Lazy parquet read with the schema RECORDED AT SAVE TIME: no footer
+    * inference, so loading an index runs ZERO Spark jobs (pinned in
+    * IndexStoreSpec) — and at scale, no listing/footer pass either. */
+  private def readFrame(spark: SparkSession, path: String, schemaJson: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(path)
+
+
+  def saveSignatureIndex(spark: SparkSession, idx: Dedup.SignatureIndex,
+                         dir: String, corpusVersion: String): Unit = {
+    idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    idx.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    writeMeta(spark, dir, Seq(
+      "kind" -> "signature", "corpus_version" -> corpusVersion,
+      "k" -> idx.k.toString, "bands" -> idx.bands.toString,
+      "shingle_width" -> idx.shingleWidth.toString,
+      "sigs_schema" -> idx.sigs.schema.json,
+      "buckets_schema" -> idx.buckets.schema.json))
+    IndexStats.inc("signature.disk.save")
+  }
+
+  /** Load a signature index; `None` on missing/torn/stale store. Pure plan
+    * construction — ZERO Spark jobs (pinned in IndexStoreSpec): the frames
+    * are lazy parquet reads, persisted so repeated probes pay the scan
+    * once; `release()` unpersists them. */
+  def loadSignatureIndex(spark: SparkSession, dir: String,
+                         expectedVersion: Option[String] = None): Option[Dedup.SignatureIndex] = {
+    val out = validMeta(spark, dir, "signature", expectedVersion).map { m =>
+      val sigs = readFrame(spark, s"$dir/sigs", m("sigs_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val buckets = readFrame(spark, s"$dir/buckets", m("buckets_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Dedup.SignatureIndex(m("k").toInt, m("bands").toInt, m("shingle_width").toInt,
+        sigs, buckets, () => { sigs.unpersist(); buckets.unpersist(); () })
+    }
+    IndexStats.inc(s"signature.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
+  // ---------- IVF index
+
+  def saveIvfIndex(spark: SparkSession, idx: Similarity.IvfIndex,
+                   dir: String, corpusVersion: String): Unit = {
+    import spark.implicits._
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.centroids.zipWithIndex
+      .map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeMeta(spark, dir, Seq(
+      "kind" -> "ivf", "corpus_version" -> corpusVersion,
+      "n_cells" -> idx.nCells.toString,
+      "assigned_schema" -> idx.assigned.schema.json))
+    IndexStats.inc("ivf.disk.save")
+  }
+
+  /** Load an IVF index. The centroid model is tiny (nCells × dim doubles)
+    * and is collected eagerly; the assignment stays a lazy persisted
+    * parquet read. */
+  def loadIvfIndex(spark: SparkSession, dir: String,
+                   expectedVersion: Option[String] = None): Option[Similarity.IvfIndex] = {
+    val out = validMeta(spark, dir, "ivf", expectedVersion).map { m =>
+      val nCells = m("n_cells").toInt
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .collect().sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+      require(centroids.length == nCells,
+        s"ivf index at $dir: ${centroids.length} centroids, meta says $nCells")
+      val assigned = readFrame(spark, s"$dir/assigned", m("assigned_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Similarity.IvfIndex(centroids, nCells, assigned,
+        () => { assigned.unpersist(); () })
+    }
+    IndexStats.inc(s"ivf.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
+  // ---------- PQ index
+
+  def savePqIndex(spark: SparkSession, idx: Similarity.PqIndex,
+                  dir: String, corpusVersion: String): Unit = {
+    import spark.implicits._
+    idx.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+    (for {
+      (book, ms) <- idx.codebooks.zipWithIndex
+      (v, c) <- book.zipWithIndex
+    } yield (ms, c, v.toSeq)).toSeq
+      .toDF("m", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeMeta(spark, dir, Seq(
+      "kind" -> "pq", "corpus_version" -> corpusVersion,
+      "m" -> idx.m.toString, "k" -> idx.k.toString,
+      "sub_dim" -> idx.subDim.toString,
+      "encoded_schema" -> idx.encoded.schema.json))
+    IndexStats.inc("pq.disk.save")
+  }
+
+  def loadPqIndex(spark: SparkSession, dir: String,
+                  expectedVersion: Option[String] = None): Option[Similarity.PqIndex] = {
+    val out = validMeta(spark, dir, "pq", expectedVersion).map { meta =>
+      val (m, k) = (meta("m").toInt, meta("k").toInt)
+      val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      require(rows.length == m * k,
+        s"pq index at $dir: ${rows.length} codebook rows, meta says ${m * k}")
+      val codebooks = Array.ofDim[Array[Double]](m, k)
+      rows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val encoded = readFrame(spark, s"$dir/encoded", meta("encoded_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Similarity.PqIndex(codebooks, m, k, meta("sub_dim").toInt, encoded,
+        () => { encoded.unpersist(); () })
+    }
+    IndexStats.inc(s"pq.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
+  // ---------- duplicate-cluster labels (a plain keyed frame)
+
+  def saveClusterLabels(spark: SparkSession, labels: DataFrame,
+                        dir: String, corpusVersion: String): Unit = {
+    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    writeMeta(spark, dir, Seq("kind" -> "cluster", "corpus_version" -> corpusVersion,
+      "labels_schema" -> labels.schema.json))
+    IndexStats.inc("cluster.disk.save")
+  }
+
+  def loadClusterLabels(spark: SparkSession, dir: String,
+                        expectedVersion: Option[String] = None): Option[DataFrame] = {
+    val out = validMeta(spark, dir, "cluster", expectedVersion).map(m =>
+      readFrame(spark, s"$dir/labels", m("labels_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    IndexStats.inc(s"cluster.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
+  /** Conf key consulted by the query-level caches: when set to a store
+    * root, indexes are served from disk across sessions/jobs (and written
+    * there on first build) instead of living only in the session cache. */
+  val IndexDirConf = "spark.graft.indexDir"
+
+  /** Stable store subdirectory for (kind, corpus path) under a root — the
+    * corpus path is hashed so one root can hold indexes of many corpora. */
+  def storePath(root: String, kind: String, sourcePath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sourcePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/${kind}_${md.take(10)}"
+  }
+
+  // ---------- load-or-build convenience
+
+  /** The production access pattern in one call: serve the index from
+    * `dir` when its stamp matches the CURRENT corpus version, else build
+    * with `build` and persist the result for every later job/session.
+    * `sourcePath` is the corpus the stamp is computed from. */
+  def signatureIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+                           (build: => Dedup.SignatureIndex): Dedup.SignatureIndex = {
+    val v = corpusVersion(spark, sourcePath)
+    loadSignatureIndex(spark, dir, Some(v)).getOrElse {
+      val idx = build
+      saveSignatureIndex(spark, idx, dir, v)
+      idx
+    }
+  }
+
+  def ivfIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+                     (build: => Similarity.IvfIndex): Similarity.IvfIndex = {
+    val v = corpusVersion(spark, sourcePath)
+    loadIvfIndex(spark, dir, Some(v)).getOrElse {
+      val idx = build
+      saveIvfIndex(spark, idx, dir, v)
+      idx
+    }
+  }
+
+  def pqIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+                    (build: => Similarity.PqIndex): Similarity.PqIndex = {
+    val v = corpusVersion(spark, sourcePath)
+    loadPqIndex(spark, dir, Some(v)).getOrElse {
+      val idx = build
+      savePqIndex(spark, idx, dir, v)
+      idx
+    }
+  }
+
+  def clusterLabelsOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+                          (build: => DataFrame): DataFrame = {
+    val v = corpusVersion(spark, sourcePath)
+    loadClusterLabels(spark, dir, Some(v)).getOrElse {
+      val labels = build
+      saveClusterLabels(spark, labels, dir, v)
+      labels
+    }
+  }
+}

@@ -33,7 +33,22 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame]()
   private def dupClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     graft.operators.IndexStats.lookup("cluster", hit = ccCache.containsKey((s, dir)))
-    ccCache.computeIfAbsent((s, dir), _ => {
+    ccCache.computeIfAbsent((s, dir), { _ =>
+      // durable form first, when a store root is configured — see
+      // corpusSignatureIndex for the lifecycle rationale
+      s.conf.get(graft.operators.IndexStore.IndexDirConf, "") match {
+        case ""   => buildClusterLabels(s, dir)
+        case root =>
+          val src = s"$dir/documents.parquet"
+          graft.operators.IndexStore.clusterLabelsOrBuild(s,
+            graft.operators.IndexStore.storePath(root, "cluster", src), src)(
+            buildClusterLabels(s, dir))
+      }
+    })
+  }
+
+  private def buildClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    {
       val d = docs(s, dir)
       // Managed pair generation: the convergence below materializes away
       // from the pairs plan at its first localCheckpoint, so the MinHash
@@ -55,7 +70,7 @@ object TextQueries {
         cp
       } finally mp.release()
       labels
-    })
+    }
   }
 
   /** Drop cached cluster labels of `s` and release their checkpoint
@@ -70,6 +85,9 @@ object TextQueries {
         // leaf's internal RDD, unreachable from the CacheManager
         try Components.releaseCheckpoint(e.getValue)
         catch { case _: Exception => () }
+        // labels LOADED from the durable store are plain persisted parquet
+        // frames — unpersist covers that shape (harmless on checkpoints)
+        try { e.getValue.unpersist(); () } catch { case _: Exception => () }
         it.remove()
       }
     }
@@ -93,9 +111,21 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dedup.SignatureIndex]()
   private def corpusSignatureIndex(s: SparkSession, dir: String): Dedup.SignatureIndex = {
     graft.operators.IndexStats.lookup("signature", hit = sigCache.containsKey((s, dir)))
-    sigCache.computeIfAbsent((s, dir), _ =>
-      Dedup.signatureBuild(docs(s, dir).filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", k = 128, bands = 32, shingleWidth = 3))
+    sigCache.computeIfAbsent((s, dir), { _ =>
+      def build = Dedup.signatureBuild(docs(s, dir).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 128, bands = 32, shingleWidth = 3)
+      // With spark.graft.indexDir set, the index survives the session: a
+      // fresh session loads the parquet form (stamped with the corpus
+      // version) instead of re-paying the build — the 100-TB access
+      // pattern, where signatures are built once per ingest epoch.
+      s.conf.get(graft.operators.IndexStore.IndexDirConf, "") match {
+        case ""   => build
+        case root =>
+          val src = s"$dir/documents.parquet"
+          graft.operators.IndexStore.signatureIndexOrBuild(s,
+            graft.operators.IndexStore.storePath(root, "signature", src), src)(build)
+      }
+    })
   }
 
   /** Build AND materialize the corpus signature index for (session, dir) —
@@ -194,7 +224,11 @@ object TextQueries {
     // Same block discipline as d02 (within-source), exact integer set
     // arithmetic, single terminal division.
     "d07_containment" -> { (s, dir) =>
-      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", "source", 0.95)
+      // the prefix-filtered index path (r9): EXACTLY containmentPairs'
+      // pair set (zero-drop contract, DedupSpec parity) without the
+      // block-quadratic self-join — the oracle still replays the
+      // quadratic definition, which is the point: same answer, scale plan
+      Dedup.containmentPairsIndexed(docs(s, dir), "doc_id", "text", "source", 0.95)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                 round(col("containment"), 4).as("containment"))
         .orderBy("doc_a", "doc_b")

@@ -19,8 +19,19 @@ object VectorQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
   private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex = {
     graft.operators.IndexStats.lookup("ivf", hit = ivfCache.containsKey((s, dir)))
-    ivfCache.computeIfAbsent((s, dir),
-      _ => Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16))
+    ivfCache.computeIfAbsent((s, dir), { _ =>
+      def build = Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16)
+      // spark.graft.indexDir set → the trained index survives the session
+      // as parquet, stamped with the corpus version (TextQueries
+      // .corpusSignatureIndex documents the lifecycle)
+      s.conf.get(graft.operators.IndexStore.IndexDirConf, "") match {
+        case ""   => build
+        case root =>
+          val src = s"$dir/embeddings.parquet"
+          graft.operators.IndexStore.ivfIndexOrBuild(s,
+            graft.operators.IndexStore.storePath(root, "ivf", src), src)(build)
+      }
+    })
   }
 
   // Appended-IVF cache (v12): a base index trained on ⅞ of the corpus
@@ -45,9 +56,17 @@ object VectorQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqIndex]()
   private def pqIndexFor(s: SparkSession, dir: String): Similarity.PqIndex = {
     graft.operators.IndexStats.lookup("pq", hit = pqCache.containsKey((s, dir)))
-    pqCache.computeIfAbsent((s, dir),
-      _ => Similarity.pqBuild(emb(s, dir), "vec_id", "embedding",
-        dim = 64, m = 4, k = 8, iters = 4))
+    pqCache.computeIfAbsent((s, dir), { _ =>
+      def build = Similarity.pqBuild(emb(s, dir), "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iters = 4)
+      s.conf.get(graft.operators.IndexStore.IndexDirConf, "") match {
+        case ""   => build
+        case root =>
+          val src = s"$dir/embeddings.parquet"
+          graft.operators.IndexStore.pqIndexOrBuild(s,
+            graft.operators.IndexStore.storePath(root, "pq", src), src)(build)
+      }
+    })
   }
 
   /** Drop (and unpersist) every cached index of `s` — session teardown

@@ -331,6 +331,56 @@ class DedupSpec extends SparkSpec {
     assert(out(0L) === 0L, "count(DISTINCT doc) >= 2 ignores same-doc repeats")
   }
 
+  test("containmentPairsIndexed ≡ containmentPairs on the driver corpus (blocked and single-block)") {
+    // the r9 scale twin must emit the EXACT pair set of the quadratic
+    // verifier, including on a corpus where a block is the whole table
+    // (the shape whose quadratic cost motivated the index path)
+    val d = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for ((blkCol, dd) <- Seq(
+        ("source", d),
+        ("all", d.withColumn("all", lit("corpus")))); t <- Seq(0.95, 0.7)) {
+      val quad = Dedup.containmentPairs(dd, "doc_id", "text", blkCol, t)
+        .collect().map(_.toString).sorted.toSeq
+      val idx = Dedup.containmentPairsIndexed(dd, "doc_id", "text", blkCol, t)
+        .collect().map(_.toString).sorted.toSeq
+      assert(idx == quad, s"block=$blkCol t=$t: indexed ${idx.size} vs quadratic ${quad.size}")
+    }
+  }
+
+  test("containmentPairsIndexed catches the low-Jaccard quote pair LSH-on-Jaccard misses") {
+    // a short doc fully quoted inside a much longer one: containment 1.0,
+    // Jaccard far below any near-dup threshold — the operator's raison
+    // d'être, and the false-negative class a banded-Jaccard candidate
+    // generator would reintroduce
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val rows = Seq((1L, long, "s"), (2L, short, "s"), (3L, "other words entirely", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairsIndexed(rows, "doc_id", "text", "source", 0.95)
+      .collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getDouble(2)) == ((1L, 2L, 1.0)))
+    // and its Jaccard really is low (12/60): sanity that this pair is
+    // outside the Jaccard-LSH capture zone
+    val jac = Dedup.jaccardPairs(rows, "doc_id", "text", "source", 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairsIndexed: over-full posting bucket drops with observable stats") {
+    // 'shared' appears in every doc; with maxBucket=3 its (blk, token)
+    // bucket (5 members) must be refused — counted, not silent, and the
+    // pair set shrinks accordingly (conditional-exactness contract)
+    val rows = (1L to 5L).map(i => (i, s"shared only$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val before = DedupMetrics.snapshot().get("containment").map(s => (s.buckets, s.rows))
+      .getOrElse((0L, 0L))
+    val got = Dedup.containmentPairsIndexed(rows, "doc_id", "text", "source",
+      threshold = 0.5, maxBucket = 3).collect()
+    val after = DedupMetrics.snapshot()("containment")
+    assert(after.buckets > before._1, "dropped-bucket counter did not fire")
+    assert(got.isEmpty, "pairs emitted from a refused bucket")
+  }
+
   test("editPairs1 ≡ brute-force levenshtein ≤ 1 across sub/ins/del/empty") {
     val rows = Seq(
       (1L, "A", "kitten"), (2L, "A", "sitten"), // substitution

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.queries.{TextQueries, VectorQueries}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The durable index store (r8 verdict task 3): each session-cached index
+  * (MinHash signature, IVF, PQ, cluster labels) round-trips through its
+  * parquet form, a FRESH SparkSession serves probes from disk with ZERO
+  * rebuild jobs, numeric state is bit-exact, and the corpus-version stamp
+  * refuses a stale index. */
+class IndexStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs(s: SparkSession) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession) = Tables.load(s, dir, "embeddings")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Count Spark jobs started while `body` runs (events post within ms of
+    * job submission; a rebuild would run dozens of jobs synchronously
+    * before returning, so a short post-wait suffices). */
+  private def jobsDuring[T](body: => T): (T, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val out = try { val r = body; Thread.sleep(500); r }
+    finally spark.sparkContext.removeSparkListener(l)
+    (out, jobs.get())
+  }
+
+  test("signature index: fresh-session disk load probes d06-identically with zero rebuild jobs") {
+    val src = s"$dir/documents.parquet"
+    val version = IndexStore.corpusVersion(spark, src)
+    val built = Dedup.signatureBuild(docs(spark).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", k = 128, bands = 32, shingleWidth = 3)
+    val store = tmp("sigstore")
+    try {
+      val batch = docs(spark).filter(col("doc_id") % 2 === 1)
+      val expected = sortedRows(Dedup.incrementalExactPairsIndexed(
+        batch, built, "doc_id", "text", threshold = 0.8))
+
+      IndexStore.saveSignatureIndex(spark, built, store, version)
+
+      val s2 = spark.newSession() // fresh session state, empty caches
+      val (loadedOpt, loadJobs) = jobsDuring {
+        IndexStore.loadSignatureIndex(s2, store, Some(version))
+      }
+      assert(loadJobs == 0, s"index LOAD ran $loadJobs Spark jobs — rebuild leak")
+      val loaded = loadedOpt.getOrElse(fail("stored index did not load"))
+      assert((loaded.k, loaded.bands, loaded.shingleWidth) == (128, 32, 3))
+      // the loaded frames read the STORE, not the corpus
+      assert(loaded.sigs.inputFiles.forall(_.contains(store)))
+      assert(loaded.buckets.inputFiles.forall(_.contains(store)))
+
+      val batch2 = Tables.load(s2, dir, "documents").filter(col("doc_id") % 2 === 1)
+      val got = sortedRows(Dedup.incrementalExactPairsIndexed(
+        batch2, loaded, "doc_id", "text", threshold = 0.8))
+      assert(got == expected, "disk-served probe diverged from built-index probe")
+      loaded.release()
+
+      // stale stamp → refused, not served
+      assert(IndexStore.loadSignatureIndex(s2, store, Some("0:deadbeef")).isEmpty)
+      // torn write (no meta marker) → invisible
+      val torn = tmp("torn")
+      built.sigs.write.parquet(s"$torn/sigs")
+      assert(IndexStore.loadSignatureIndex(s2, torn).isEmpty)
+    } finally built.release()
+  }
+
+  test("ivf index: centroids round-trip bit-exactly; fresh-session probe parity (v04 shape)") {
+    val src = s"$dir/embeddings.parquet"
+    val version = IndexStore.corpusVersion(spark, src)
+    val built = Similarity.ivfBuild(emb(spark), "vec_id", "embedding", nCells = 16)
+    val store = tmp("ivfstore")
+    try {
+      val q = emb(spark).filter(col("vec_id") < 8)
+      val expected = sortedRows(Similarity.ivfProbe(built, q, "vec_id", "embedding", k = 5))
+      IndexStore.saveIvfIndex(spark, built, store, version)
+
+      val s2 = spark.newSession()
+      val loaded = IndexStore.loadIvfIndex(s2, store, Some(version))
+        .getOrElse(fail("stored ivf index did not load"))
+      // model state is bit-exact, not approximately equal
+      assert(loaded.centroids.length == built.centroids.length)
+      built.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b))
+      }
+      assert(loaded.assigned.inputFiles.forall(_.contains(store)))
+      val q2 = Tables.load(s2, dir, "embeddings").filter(col("vec_id") < 8)
+      val got = sortedRows(Similarity.ivfProbe(loaded, q2, "vec_id", "embedding", k = 5))
+      assert(got == expected)
+      loaded.release()
+    } finally built.release()
+  }
+
+  test("pq index: codebooks round-trip bit-exactly; probe parity (v08 shape)") {
+    val src = s"$dir/embeddings.parquet"
+    val version = IndexStore.corpusVersion(spark, src)
+    val built = Similarity.pqBuild(emb(spark), "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iters = 4)
+    val store = tmp("pqstore")
+    try {
+      val q = emb(spark).filter(col("vec_id") < 4)
+      val expected = sortedRows(Similarity.pqTopK(built, q, "vec_id", "embedding", k = 5))
+      IndexStore.savePqIndex(spark, built, store, version)
+
+      val s2 = spark.newSession()
+      val loaded = IndexStore.loadPqIndex(s2, store, Some(version))
+        .getOrElse(fail("stored pq index did not load"))
+      assert((loaded.m, loaded.k, loaded.subDim) == (built.m, built.k, built.subDim))
+      for (ms <- 0 until built.m; c <- 0 until built.k)
+        assert(java.util.Arrays.equals(built.codebooks(ms)(c), loaded.codebooks(ms)(c)))
+      val q2 = Tables.load(s2, dir, "embeddings").filter(col("vec_id") < 4)
+      val got = sortedRows(Similarity.pqTopK(loaded, q2, "vec_id", "embedding", k = 5))
+      assert(got == expected)
+      loaded.release()
+    } finally built.release()
+  }
+
+  test("cluster labels round-trip; version stamp tracks corpus content") {
+    val src = s"$dir/documents.parquet"
+    val version = IndexStore.corpusVersion(spark, src)
+    val mp = Dedup.minhashExactPairsManaged(docs(spark), "doc_id", "text",
+      k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+    val labels = try Components.connectedComponents(mp.pairs.select("id_a", "id_b"))
+      .localCheckpoint()
+    finally mp.release()
+    val store = tmp("ccstore")
+    val expected = sortedRows(labels)
+    IndexStore.saveClusterLabels(spark, labels, store, version)
+    val s2 = spark.newSession()
+    val loaded = IndexStore.loadClusterLabels(s2, store, Some(version))
+      .getOrElse(fail("stored labels did not load"))
+    assert(sortedRows(loaded) == expected)
+    loaded.unpersist()
+
+    // the stamp is derived from file facts — a different source path with
+    // different content yields a different stamp
+    val other = IndexStore.corpusVersion(spark, s"$dir/embeddings.parquet")
+    assert(other != version)
+    // and re-stamping the unchanged corpus is stable
+    assert(IndexStore.corpusVersion(spark, src) == version)
+  }
+
+  test("conf-wired caches: a second session serves the signature index from disk (d06 parity)") {
+    val root = tmp("idxroot")
+    val d06 = TextQueries.queries("d06_incremental_dedup")
+    IndexStats.reset()
+    val s1 = spark.newSession()
+    s1.conf.set(IndexStore.IndexDirConf, root)
+    val first = sortedRows(d06(s1, dir)) // builds AND saves
+    val afterBuild = IndexStats.snapshot()
+    assert(afterBuild.getOrElse("signature.disk.save", 0L) == 1L,
+      s"expected one disk save, got: $afterBuild")
+
+    val s2 = spark.newSession() // cold cache — must hit the disk form
+    s2.conf.set(IndexStore.IndexDirConf, root)
+    val second = sortedRows(d06(s2, dir))
+    val afterLoad = IndexStats.snapshot()
+    assert(afterLoad.getOrElse("signature.disk.hit", 0L) >= 1L,
+      s"second session did not load from disk: $afterLoad")
+    assert(afterLoad.getOrElse("signature.disk.save", 0L) == 1L,
+      "second session re-built and re-saved — disk load was bypassed")
+    assert(second == first)
+    TextQueries.releaseSignatureIndexes(s1)
+    TextQueries.releaseSignatureIndexes(s2)
+  }
+}
