@@ -286,6 +286,44 @@ object Similarity {
     ivfProbe(index.copy(assigned = live), queries, qid, qvec, k, nProbe)
   }
 
+  /** Metadata-FILTERED IVF probe — the approximate counterpart of
+    * [[filteredCosineTopK]] and the path a 100-TB per-tenant/per-language
+    * ANN actually runs: each query probes its `nProbe` nearest cells and
+    * ranks only candidates matching it on `filterKeys`. The filter rides
+    * the hash JOIN (cell + filter keys), so mismatched candidates are
+    * discarded by the probe, never scored.
+    *
+    * `meta` supplies the filter columns for corpus ids (at scale these are
+    * stored as index columns at build time; here they attach with one hash
+    * join on the id). RECALL CAVEAT — the reason v17 exists: the filter
+    * composes with cell probing, so when a probed cell holds few (or no)
+    * rows of the query's filter value, fewer than k matches may surface
+    * even though the corpus has k good ones elsewhere. Filtered probes can
+    * therefore lose recall beyond plain-IVF's (v09's audit cannot see
+    * this); audit per filter value with v17's pattern and raise `nProbe`
+    * for decimated values. */
+  def ivfProbeFiltered(index: IvfIndex, meta: DataFrame, metaId: String,
+                       queries: DataFrame, qid: String, qvec: String,
+                       filterKeys: Seq[String], k: Int, nProbe: Int = 4): DataFrame = {
+    require(filterKeys.nonEmpty, "use ivfProbe when there is no filter")
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    val assigned = index.assigned.join(
+      meta.select((col(metaId).as("nid") +: filterKeys.map(col)): _*), Seq("nid"))
+    def probeCells(v: Column): Column =
+      slice(reverse(array_sort(array(cellScores(v, index.centroids): _*))), 1, nProbe)
+    val q = queries.select(
+      (Seq(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv")) ++
+        filterKeys.map(col)): _*)
+      .withColumn("cell", explode(probeCells(col("qv")).getField("c")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    rankTopK(
+      broadcast(q).join(assigned, Seq("cell") ++ filterKeys)
+        .filter(col("qid") =!= col("nid"))
+        .dropDuplicates("qid", "nid")
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      "sim", k)
+  }
+
   /** A built product-quantization index: per-subspace codebooks plus the
     * code-compressed corpus. `codebooks(m)(c)` is subspace `m`'s centroid
     * `c` (subDim doubles); `encoded` carries ONLY (nid, code_0..code_{m-1})

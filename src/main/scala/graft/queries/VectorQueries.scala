@@ -261,6 +261,32 @@ object VectorQueries {
         .orderBy("qid", "rank")
     },
 
+    // Filtered-ANN recall audit (r8 verdict task 5) — v09's discipline for
+    // the FILTERED probe: per query, |filtered-IVF top-k ∩ exact
+    // filtered top-k| / k, where the exact side is brute force over the
+    // label-matched subset (v15's arithmetic). This is the audit v09
+    // cannot substitute for: a filter can decimate a probed cell (few or
+    // no label-matched rows in the nProbe cells) and silently cost recall
+    // that plain-IVF recall never shows. Integer intersection counts +
+    // one terminal division — exactly oracle-checkable.
+    "v17_filtered_recall_audit" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.filteredCosineTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", filterKeys = Seq("label"), k = 5)
+        .select(col("qid"), col("nid"))
+      val approx = Similarity.ivfProbeFiltered(ivfIndexFor(s, dir),
+          e, "vec_id", q, "vec_id", "embedding", Seq("label"), k = 5, nProbe = 4)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("qid"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+        .orderBy("qid")
+    },
+
     // Vector norms + label stats: sanity surface for the embedding column.
     "v03_norm_stats" -> { (s, dir) =>
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -629,6 +655,54 @@ object VectorQueries {
        |GROUP BY ex.qid
        |ORDER BY ex.qid""".stripMargin
 
+  /** DuckDB twin of v17 — v09's replay with the label-equality condition
+    * on BOTH legs: the IVF leg's candidates require the corpus row's label
+    * to equal the query's (exactly where ivfProbeFiltered's join applies
+    * it), and the exact leg is brute force over the label-matched subset
+    * (v15's formulation). Tie-breaks (sim DESC, nid) as rankTopK. */
+  private def v17Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
+                        iters: Int = 8, trainSample: Int = 10000,
+                        dim: Int = 64): String =
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)},
+       |  lab AS (SELECT vec_id, label FROM embeddings),
+       |  probe AS (SELECT vec_id AS qid, c AS cell FROM (
+       |              SELECT vec_id, c, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |              FROM cscore WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |  q AS (SELECT e.vec_id AS qid, e.v AS qv,
+       |          sqrt(list_inner_product(e.v, e.v)) AS qn, l.label
+       |        FROM e JOIN lab l ON l.vec_id = e.vec_id WHERE e.vec_id < 8),
+       |  cand AS (SELECT DISTINCT p.qid, c.nid
+       |           FROM probe p
+       |           JOIN q ON q.qid = p.qid
+       |           JOIN corpus c ON c.cell = p.cell
+       |           JOIN lab cl ON cl.vec_id = c.nid AND cl.label = q.label
+       |           WHERE p.qid <> c.nid),
+       |  sims AS (SELECT cand.qid, cand.nid,
+       |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
+       |           FROM cand JOIN q ON q.qid = cand.qid
+       |                     JOIN corpus c ON c.nid = cand.nid),
+       |  ivf AS (SELECT qid, nid FROM (
+       |            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |              ORDER BY sim DESC, nid) AS rank FROM sims)
+       |          WHERE rank <= $k),
+       |  ex AS (SELECT qid, nid FROM (
+       |           SELECT q.qid, c.nid,
+       |             row_number() OVER (PARTITION BY q.qid
+       |               ORDER BY list_inner_product(q.qv, c.nv) / (q.qn * c.nn)
+       |                 DESC, c.nid) AS rank
+       |           FROM q JOIN corpus c ON c.nid <> q.qid
+       |                  JOIN lab cl ON cl.vec_id = c.nid AND cl.label = q.label)
+       |         WHERE rank <= $k)
+       |SELECT ex.qid, count(*) AS k,
+       |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  round(CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |               AS DOUBLE) / count(*), 4) AS recall
+       |FROM ex LEFT JOIN ivf i ON i.qid = ex.qid AND i.nid = ex.nid
+       |GROUP BY ex.qid
+       |ORDER BY ex.qid""".stripMargin
+
   /** DuckDB twin of v05 — same training replay as v04, then the IVF-cell-
     * blocked exact dedup tail: within-cell pairs at exact cosine ≥ the
     * threshold, mirroring Dedup.embeddingNearDupPairs arithmetic
@@ -831,6 +905,7 @@ object VectorQueries {
     // the candidate stage (exactly where the engine anti-joins).
     "v16_ivf_tombstones" -> v12Oracle(excludeNid = " AND c.nid % 97 <> 0"),
     "v09_recall_audit" -> v09Oracle(),
+    "v17_filtered_recall_audit" -> v17Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),

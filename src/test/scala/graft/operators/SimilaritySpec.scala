@@ -340,4 +340,70 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) === math.rint(expectHits / 5.0 * 1e4) / 1e4)
     }
   }
+
+  test("ivfProbeFiltered: label-matched only, equals exact when cells aren't decimated") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    try {
+      val q = e.filter(col("vec_id") < 8)
+      val got = Similarity.ivfProbeFiltered(idx, e, "vec_id",
+        q, "vec_id", "embedding", Seq("label"), k = 5, nProbe = 8)
+      val labelOf = e.select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      val rows = got.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(labelOf(r.getAs[Long]("nid")) == labelOf(r.getAs[Long]("qid")),
+          "a cross-label neighbor surfaced through the filtered probe")
+      }
+      // probing ALL cells = no decimation possible → must equal the exact
+      // filtered baseline (the same every-candidate-scored set)
+      val want = Similarity.filteredCosineTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", Seq("label"), k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(rows.map(_.toSeq).toSet === want)
+    } finally idx.release()
+  }
+
+  test("filtered recall audit catches a filter-decimated cell (the hole v09 can't see)") {
+    import org.apache.spark.sql.functions._
+    import sqlImplicits._
+    // two well-separated clusters; the query's label 'x' lives almost
+    // entirely in the FAR cluster (one same-label decoy sits near the
+    // query). nProbe=1 probes only the near cell → the filtered probe
+    // finds just the decoy while the exact filtered baseline ranks the
+    // far-cluster label-mates: recall@k must drop below 1.
+    def vec(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    val rows = Seq(
+      (0L, vec(1f, 0f), "x"),      // query, near cluster
+      (1L, vec(0.99f, 0.05f), "x"),// same-label decoy, near cluster
+      (2L, vec(0.98f, -0.05f), "y"), (3L, vec(0.97f, 0.02f), "y"),
+      (4L, vec(1.02f, 0.01f), "y"), // near cluster, wrong label
+      (5L, vec(-1f, 0.02f), "x"), (6L, vec(-0.99f, -0.03f), "x"),
+      (7L, vec(-1.01f, 0.04f), "x"), (8L, vec(-0.98f, 0.01f), "x"),
+      (9L, vec(-1f, -0.02f), "x")   // far cluster, query's label
+    ).toDF("vec_id", "embedding", "label")
+    val idx = Similarity.ivfBuild(rows, "vec_id", "embedding",
+      nCells = 2, trainSample = 10, iters = 4)
+    try {
+      val q = rows.filter(col("vec_id") === 0L)
+      val approx = Similarity.ivfProbeFiltered(idx, rows, "vec_id",
+          q, "vec_id", "embedding", Seq("label"), k = 5, nProbe = 1)
+        .select("nid").collect().map(_.getLong(0)).toSet
+      val exact = Similarity.filteredCosineTopK(q, "vec_id", "embedding",
+          rows, "vec_id", "embedding", Seq("label"), k = 5)
+        .select("nid").collect().map(_.getLong(0)).toSet
+      assert(exact.size == 5)
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall < 1.0,
+        s"decimated-cell scenario did not lose recall (approx=$approx exact=$exact)")
+      // raising nProbe to cover both cells restores full recall — the
+      // remediation the audit exists to trigger
+      val healed = Similarity.ivfProbeFiltered(idx, rows, "vec_id",
+          q, "vec_id", "embedding", Seq("label"), k = 5, nProbe = 2)
+        .select("nid").collect().map(_.getLong(0)).toSet
+      assert(healed == exact)
+    } finally idx.release()
+  }
 }
