@@ -1271,6 +1271,33 @@ object CoreQueries {
           "ts_us", "valid_from_us", "event_id", Seq("tier"), strict = false)
         .select(col("event_id"), col("user_id"), col("asof_tier").as("tier"))
         .orderBy("event_id")
+    },
+
+    // Batch MERGE/upsert (r8 verdict task 6) — the producer half of the
+    // SCD family: q46 derives history from a log, q62 reads it as-of;
+    // Merge maintains the LIVE current-state table between ingests.
+    // Construction doubles as the correctness proof: target = latest row
+    // per user before a mid-log cutoff, updates = the log after it, and
+    // MERGE of the two must equal the snapshot recomputed over the WHOLE
+    // log (every second-half ts exceeds every first-half ts, so
+    // per-key-latest composes) — which is exactly what the oracle
+    // computes, so hash-equality certifies update, insert, and
+    // no-second-half-row retention paths at once.
+    "q63_merge_upsert" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val cutUs = lit(java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .toEpochMilli * 1000L)
+      val target = e.filter(col("ts_us") < cutUs)
+        .withColumn("_rn", row_number().over(byUser))
+        .filter(col("_rn") === 1).drop("_rn")
+      val updates = e.filter(col("ts_us") >= cutUs)
+      graft.operators.Merge.upsert(target, updates, Seq("user_id"),
+          orderBy = Seq("ts_us", "event_id"))
+        .orderBy("user_id")
     }
   )
 
@@ -2120,6 +2147,20 @@ object CoreQueries {
         |   WHERE ch.user_id = v.user_id AND ch.ts_us <= v.ts_us
         |   ORDER BY ch.ts_us DESC, ch.event_id DESC LIMIT 1) AS tier
         |FROM v
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q63: the merged state must equal the snapshot recomputed over the
+    // full log — latest row per user by (ts, event_id).
+    "q63_merge_upsert" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             event_type, value
+        |           FROM events)
+        |SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |              ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

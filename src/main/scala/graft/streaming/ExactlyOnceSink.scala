@@ -136,13 +136,9 @@ final case class ExactlyOnceSink(root: String, keys: Seq[String],
           val current = spark.read
             .option("basePath", statePath.toString)
             .parquet(existingTouched.map(bucketDir(_).toString): _*)
-          // NULL-SAFE anti-join: a plain equi-anti never matches NULL
-          // keys, so a redelivered NULL-key row would accumulate one
-          // duplicate per batch instead of upserting
-          val rk = resolved.select(keys.map(col): _*)
-          val cond = keys.map(k => current(k) <=> rk(k)).reduce(_ && _)
-          current.join(rk, cond, "left_anti")
-            .unionByName(resolved)
+          // the shared keyed-merge core (null-safe anti-join + union) —
+          // batch callers get the same semantics via operators.Merge
+          graft.operators.Merge.upsertResolved(current, resolved, keys)
         }
       // stage the full merged content of the touched buckets, then swap
       // each bucket directory by rename — compact's discipline per bucket
