@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming throughput micro-bench (r8 verdict task 8): the streaming
+  * surface is correctness-proven by specs but had no rate numbers. This
+  * main stages the driver events table into a landing directory as N
+  * parquet drops, replays it through two representative pipelines, and
+  * prints ONE JSON line with events/s for each:
+  *
+  *  - `windowed`: readEventStream → windowedTypeCounts → memory sink —
+  *    the stateful windowed-aggregation path (watermark + window state).
+  *  - `agg_sink`: readEventStream → IncrementalAggSink — the maintained-
+  *    aggregate path with its ledger, bucket swaps, and exact sums (the
+  *    per-batch upsert cost dominates; this is the sink a production
+  *    counter table pays).
+  *
+  * One file per trigger, so N files = N micro-batches: the measured rate
+  * includes per-batch overheads (planning, state store, ledger IO), which
+  * is the honest number — single-batch throughput flatters the sink by
+  * amortizing its fixed costs to zero. Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.StreamBench [nChunks]"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nChunks = if (args.nonEmpty) args(0).toInt else 8
+    val spark = graft.GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.io.Tables.canaryEvents(spark, sfDir)
+
+    // stage the table as nChunks files — one micro-batch each
+    val tmp = java.nio.file.Files.createTempDirectory("stream_bench")
+    val landing = s"$tmp/landing"
+    val events = graft.io.Tables.load(spark, sfDir, "events")
+    val total = events.count()
+    events.repartition(nChunks).write.parquet(landing)
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // --- windowed aggregation path
+    val winSec = timed {
+      val q = graft.streaming.EventStreams
+        .windowedTypeCounts(
+          graft.streaming.EventStreams.readEventStream(spark, landing))
+        .writeStream.format("memory").queryName("sb_win")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$tmp/ckpt_win")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // --- maintained-aggregate sink path (per-user count + exact value sum)
+    val sink = graft.streaming.IncrementalAggSink(
+      root = s"$tmp/aggsink", keys = Seq("user_id"),
+      sums = Seq(("value", 2)), nBuckets = 16, appId = "sb")
+    val sinkSec = timed {
+      val q = sink.start(
+        graft.streaming.EventStreams.readEventStream(spark, landing)
+          .select(col("user_id"), col("value")),
+        s"$tmp/ckpt_sink")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // sanity: the maintained state saw every row exactly once
+    val stateRows = sink.read(spark).agg(sum("n")).head().getLong(0)
+    require(stateRows == total,
+      s"agg sink folded $stateRows rows, staged $total — lost or doubled a batch")
+
+    println(
+      f"""{"metric":"stream_events_per_sec","events":$total,"chunks":$nChunks,""" +
+        f""""windowed":{"sec":$winSec%.2f,"rate":${total / winSec}%.0f},""" +
+        f""""agg_sink":{"sec":$sinkSec%.2f,"rate":${total / sinkSec}%.0f}}""")
+    spark.stop()
+  }
+}
