@@ -655,20 +655,30 @@ object Dedup {
     * therefore "some token is in the smaller doc's PREFIX and anywhere in
     * the larger doc" — an equi-join on (block, token), never all-pairs.
     *
-    * The global order is ascending document frequency (rarest first, one
-    * linear groupBy), which keeps stop-words out of prefixes and posting
-    * buckets small; ANY fixed order preserves exactness, frequency order
-    * is purely the bucket-size heuristic. Buckets over `maxBucket` members
-    * are dropped with observable [[DedupMetrics]] stats — the same
-    * conditional-exactness contract as the LSH/residue kernels (zero drops
-    * ⇒ pair set is exactly [[containmentPairs]]'s, pinned in DedupSpec).
-    * Survivors are verified with the IDENTICAL exact set arithmetic, so
+    * Two deliberate approximation-free shortcuts keep the pipeline cheap:
+    *
+    *  - The ENTIRE candidate pipeline runs on `xxhash64(token)`, never the
+    *    token string (the t11 lesson: 8-byte keys, not ~8× wider strings,
+    *    through every shuffle). Sound because prefix soundness needs no
+    *    particular order at all — ANY ⌊(1−t)·|A|⌋+1 distinct tokens of A
+    *    exceed |A∖B| — and a hash collision can only MERGE buckets, i.e.
+    *    add spurious candidates, which the exact verify kills.
+    *  - Prefix selection orders by ascending document frequency (rarest
+    *    first, one hash-keyed groupBy), which keeps stop-words out of
+    *    prefixes and posting buckets small; again purely a bucket-size
+    *    heuristic, not a correctness ingredient.
+    *
+    * Buckets over `maxBucket` members are dropped with observable
+    * [[DedupMetrics]] stats — the same conditional-exactness contract as
+    * the LSH/residue kernels (zero drops ⇒ pair set is exactly
+    * [[containmentPairs]]'s, pinned in DedupSpec). Survivors are verified
+    * with the IDENTICAL exact set arithmetic over the true token sets, so
     * emitted scores are bit-equal to the quadratic form's.
     *
-    * Scale shape: two linear shuffles (token-rank window by id, posting
-    * groupBy on (block, token)) + one distinct on candidate ids + a hash
-    * join back to the sets for verification. Ids must be numeric (cast to
-    * long — the LSH-family id contract). */
+    * Scale shape: two linear hash-keyed shuffles (token-rank window by id,
+    * posting groupBy on (block, token-hash)) + one distinct on candidate
+    * ids + a hash join back to the sets for verification. Ids must be
+    * numeric (cast to long — the LSH-family id contract). */
   def containmentPairsIndexed(df: DataFrame, idCol: String, textCol: String,
                               blockCol: String, threshold: Double,
                               maxBucket: Int = 10000): DataFrame = {
@@ -680,9 +690,10 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),
         tokenSet(col(textCol)).as("s"))
-    // token rows carry only (id, blk, set size, token) — never the set
+    // token rows carry only (id, blk, set size, token HASH) — never the
+    // set, never the string
     val toks = base.select(col("id"), col("blk"), size(col("s")).as("sz"),
-      explode(col("s")).as("w"))
+      explode(transform(col("s"), w => xxhash64(w))).as("w"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("df"))
     val ranked = toks.join(freq, "w")
       .withColumn("rn", row_number().over(
