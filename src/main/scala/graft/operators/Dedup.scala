@@ -679,6 +679,36 @@ object Dedup {
     * posting groupBy on (block, token-hash)) + one distinct on candidate
     * ids + a hash join back to the sets for verification. Ids must be
     * numeric (cast to long — the LSH-family id contract). */
+  /** Cost-dispatched containment pairs — the form production calls: the
+    * quadratic-within-block join for SMALL blocks, the prefix-filtered
+    * index for LARGE ones, per block, union of the two. Both paths are
+    * exact (same pair set, bit-equal scores — DedupSpec), so the split is
+    * purely a cost decision, the operator-level analog of Spark's own
+    * broadcast-vs-shuffle join selection: below `maxQuadBlock` docs a
+    * block's n² comparisons run as ONE codegen'd equi-join + filter and
+    * beat the index path's three shuffles of fixed overhead (measured at
+    * sf0.1: 250-doc blocks, 0.8 s quadratic vs 3.5 s indexed — the work
+    * floor is the same ~560k verifications either way on that corpus's
+    * 31-token vocabulary, and the index machinery is pure overhead);
+    * above it, n² dominates every fixed cost and the index path is the
+    * only survivable plan. Block sizes come from one cheap count
+    * aggregate. Ids must be numeric (cast to long, both paths, so the
+    * union is type-stable). */
+  def containmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, threshold: Double,
+                           maxQuadBlock: Int = 2048,
+                           maxBucket: Int = 10000): DataFrame = {
+    val d = df.withColumn(idCol, col(idCol).cast("long"))
+    val sizes = d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+    val tagged = d.join(sizes, Seq(blockCol))
+    val small = tagged.filter(col("__bn") <= maxQuadBlock).drop("__bn")
+    val large = tagged.filter(col("__bn") > maxQuadBlock).drop("__bn")
+    containmentPairs(small, idCol, textCol, blockCol, threshold)
+      .unionByName(
+        containmentPairsIndexed(large, idCol, textCol, blockCol, threshold,
+          maxBucket))
+  }
+
   def containmentPairsIndexed(df: DataFrame, idCol: String, textCol: String,
                               blockCol: String, threshold: Double,
                               maxBucket: Int = 10000): DataFrame = {
@@ -695,12 +725,25 @@ object Dedup {
     val toks = base.select(col("id"), col("blk"), size(col("s")).as("sz"),
       explode(transform(col("s"), w => xxhash64(w))).as("w"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    // Minimum integer overlap that PASSES THE VERIFIER for a smaller-set
+    // size m: the smallest o with o/m >= t under the exact same double
+    // arithmetic the verification filter runs. Deriving the prefix length
+    // from ⌊(1−t)·m⌋ instead is WRONG at the boundary — (1.0 − 0.9) is
+    // 0.0999…8 in IEEE, so a C = 0.9 pair over a 10-token set got a
+    // 1-token prefix while |A∖B| = 1 (found as 74 lost boundary pairs in
+    // the DedupSpec parity corpus). o is within 1 of ⌊t·m⌋; probing the
+    // three candidates with the verifier's own comparison is exact.
+    val fl = floor(lit(threshold) * col("sz"))
+    val minOverlap = when((fl - 1) / col("sz") >= threshold, fl - 1)
+      .when(fl / col("sz") >= threshold, fl)
+      .otherwise(fl + 1)
     val ranked = toks.join(freq, "w")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("df"), col("w"))))
-      .withColumn("pfx",
-        col("rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")).cast("int") + 1)
+      // prefix = sz − o_min + 1 tokens: any that many distinct tokens of
+      // A must intersect every B that can still verify
+      .withColumn("pfx", col("rn") <= col("sz") - minOverlap + 1)
     val drops = DedupMetrics.counter(spark, "containment", maxBucket)
     val cand = ranked
       .groupBy("blk", "w")

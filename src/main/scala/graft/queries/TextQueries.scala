@@ -224,11 +224,11 @@ object TextQueries {
     // Same block discipline as d02 (within-source), exact integer set
     // arithmetic, single terminal division.
     "d07_containment" -> { (s, dir) =>
-      // the prefix-filtered index path (r9): EXACTLY containmentPairs'
-      // pair set (zero-drop contract, DedupSpec parity) without the
-      // block-quadratic self-join — the oracle still replays the
-      // quadratic definition, which is the point: same answer, scale plan
-      Dedup.containmentPairsIndexed(docs(s, dir), "doc_id", "text", "source", 0.95)
+      // cost-dispatched (r9): quadratic inside small blocks, the
+      // prefix-filtered index for large ones — both EXACTLY
+      // containmentPairs' pair set (DedupSpec parity), so the oracle
+      // still replays the quadratic definition: same answer, best plan
+      Dedup.containmentPairsAuto(docs(s, dir), "doc_id", "text", "source", 0.95)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                 round(col("containment"), 4).as("containment"))
         .orderBy("doc_a", "doc_b")

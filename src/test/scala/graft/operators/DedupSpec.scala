@@ -347,6 +347,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsAuto dispatches by block size; both branches + union ≡ quadratic") {
+    // corpus with one small block (quadratic branch) and one large block
+    // (indexed branch): the auto result must equal the pure quadratic run
+    // over everything — the dispatch is a cost decision, never a
+    // semantics one. maxQuadBlock=10 forces the 40-doc block indexed.
+    val d = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val mixed = d.withColumn("grp",
+      when(col("doc_id") % 10 === 0, lit("small")).otherwise(lit("large")))
+    val quad = Dedup.containmentPairs(
+        mixed.withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "text", "grp", 0.9)
+      .collect().map(_.toString).sorted.toSeq
+    val auto = Dedup.containmentPairsAuto(mixed, "doc_id", "text", "grp", 0.9,
+        maxQuadBlock = 100)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == quad,
+      s"auto-dispatched ${auto.size} pairs vs quadratic ${quad.size}")
+    assert(auto.nonEmpty)
+  }
+
   test("containmentPairsIndexed catches the low-Jaccard quote pair LSH-on-Jaccard misses") {
     // a short doc fully quoted inside a much longer one: containment 1.0,
     // Jaccard far below any near-dup threshold — the operator's raison
