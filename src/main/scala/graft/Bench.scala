@@ -84,6 +84,7 @@ object Bench {
     } + "\""
     // warm-up ran the sf0.001 builds — only the timed dir's stats matter
     operators.IndexStats.reset()
+    val stealIdx0 = tools.HostCpu.snapshot()
     val indexBuilds = Seq[(String, () => Unit)](
       "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
       "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
@@ -99,14 +100,29 @@ object Bench {
     }
     val idxSec = indexBuilds.map(_._2).sum
     val anyBuildFailed = indexBuilds.exists(_._3.nonEmpty)
+    val stealIdxPct = tools.HostCpu.stealPct(stealIdx0, tools.HostCpu.snapshot())
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Per-query host-steal share: this guest VM shares a host, and steal
+    // bursts inflate identical work up to 6× (HostCpu scaladoc) while
+    // loadavg stays quiet — so every timing carries the steal% of its own
+    // window, and a slow query taken at high steal indicts the host, not
+    // the plan.
+    val stealQ0 = tools.HostCpu.snapshot()
+    var results = Map.empty[String, Double]
+    var querySteal = Map.empty[String, Double]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val s0 = tools.HostCpu.snapshot()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      results += name -> (System.nanoTime() - t0) / 1e9
+      querySteal += name ->
+        (math.round(tools.HostCpu.stealPct(s0, tools.HostCpu.snapshot()) * 10) / 10.0)
     }
+    val stealQueriesPct = tools.HostCpu.stealPct(stealQ0, tools.HostCpu.snapshot())
     val loadAfter = loadavg1()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val stealJson = querySteal.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val buildsJson = indexBuilds.map { case (n, sec, err) =>
@@ -141,7 +157,11 @@ object Bench {
       s""""dedup_drops":$dropsJson,"persisted_rdds":$rddJson,""" +
       s""""machine_cpus":$machineCpus,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
-      s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,"sf":"$sfDir"}"""
+      s""""idle_wait_sec":$waitedSec,"load_warning":$loaded,""" +
+      s""""steal_pct_index":${math.round(stealIdxPct * 10) / 10.0},""" +
+      s""""steal_pct_queries":${math.round(stealQueriesPct * 10) / 10.0},""" +
+      s""""steal_warning":${stealQueriesPct > 5.0},""" +
+      s""""query_steal_pct":$stealJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line: the stdout channel is a log-tail capture that
     // has truncated this (single, ~100-query-wide) JSON line in practice —

@@ -178,6 +178,33 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Semantic dedup KEEP-LIST (the SemDeDup shape — Abbas et al. 2023:
+    // cluster the embedding space, drop within-cluster semantic
+    // duplicates): v05's cell-blocked exact-cosine pairs reduced to a
+    // per-vector verdict under the dominated rule — a vector is dropped
+    // iff SOME lower-id vector in its cell sits at cosine ≥ the
+    // threshold. Deterministic and order-free (unlike greedy sequential
+    // SemDeDup, whose keep-set depends on scan order — the dominated rule
+    // is the parallel-safe variant, same family as d05/d08's min-id
+    // canonical). Everything after the pair join is integer arithmetic:
+    // a count of dominating neighbors and a null-check. Scale shape =
+    // v05's (within-cell quadratic bounded by nCells) + one aggregate on
+    // id_b + one left join back to the assignment frame — probe-only
+    // against the session IVF index, no new training.
+    "d12_semdedup" -> { (s, dir) =>
+      val idx = ivfIndexFor(s, dir)
+      val dominated = graft.operators.Dedup
+        .embeddingNearDupPairs(idx, V05Threshold)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(count(lit(1)).as("n_lower_dups"))
+      idx.assigned.select(col("nid").as("vec_id"), col("cell"))
+        .join(dominated, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_lower_dups"), lit(0L)).as("n_lower_dups"),
+          col("n_lower_dups").isNull.as("keep"))
+        .orderBy("vec_id")
+    },
+
     // ANN recall audit — the eval harness every approximate index needs:
     // per query, |IVF top-k ∩ exact top-k| / k. Both sides are
     // deterministic (v01's and v04's own guarantees), so recall is
@@ -907,6 +934,23 @@ object VectorQueries {
     "v09_recall_audit" -> v09Oracle(),
     "v17_filtered_recall_audit" -> v17Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
+
+    // d12: v05's training+blocking replay, reduced to the dominated-rule
+    // keep-list (drop iff a lower-id within-cell neighbor ≥ threshold).
+    "d12_semdedup" ->
+      s"""${ivfTrainingCtes(16, 8, 10000, 64)},
+         |  pairs AS (SELECT a.nid AS id_a, b.nid AS id_b
+         |            FROM corpus a JOIN corpus b
+         |              ON a.cell = b.cell AND a.nid < b.nid
+         |            WHERE list_inner_product(a.nv, b.nv) / (a.nn * b.nn)
+         |                    >= $V05Threshold),
+         |  dom AS (SELECT id_b AS vec_id, count(*) AS n_lower_dups
+         |          FROM pairs GROUP BY id_b)
+         |SELECT c.nid AS vec_id, c.cell,
+         |  COALESCE(d.n_lower_dups, 0) AS n_lower_dups,
+         |  d.vec_id IS NULL AS keep
+         |FROM corpus c LEFT JOIN dom d ON d.vec_id = c.nid
+         |ORDER BY vec_id""".stripMargin,
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),
     "v11_pq_rerank" -> v11Oracle(),

@@ -31,21 +31,33 @@ object MedianBench {
     graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)
     graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)
 
+    // Each rep carries the host-steal share of its own window (HostCpu):
+    // on this shared-host guest, identical reps swing up to 6× under
+    // steal bursts, so `min` — the least-stolen rep — is the quotable
+    // steady-state estimator and `steal_min_rep` says how clean it was.
+    val runSteal0 = graft.tools.HostCpu.snapshot()
     val rows = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      System.err.println(f"[medians] $name med ${ts(reps / 2)}%.2fs")
-      f""""$name":{"median":${ts(reps / 2)}%.4f,"min":${ts.head}%.4f,"max":${ts.last}%.4f}"""
+        graft.tools.HostCpu.measuring {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+      }.sortBy(_._1)
+      val med = ts(reps / 2)._1
+      System.err.println(
+        f"[medians] $name min ${ts.head._1}%.2fs (steal ${ts.head._2}%.1f%%) med $med%.2fs")
+      f""""$name":{"median":$med%.4f,"min":${ts.head._1}%.4f,"max":${ts.last._1}%.4f,""" +
+        f""""steal_min_rep":${math.round(ts.head._2 * 10) / 10.0}%s}"""
     }
+    val runStealPct = graft.tools.HostCpu.stealPct(runSteal0, graft.tools.HostCpu.snapshot())
     val commit =
       try new String(Runtime.getRuntime.exec(Array("git", "rev-parse", "--short", "HEAD"))
         .getInputStream.readAllBytes(), StandardCharsets.UTF_8).trim
       catch { case _: Throwable => "unknown" }
     val json = s"""{"sf":"$sfDir","reps":$reps,"commit":"$commit",""" +
       s""""machine_cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""steal_pct_run":${math.round(runStealPct * 10) / 10.0},""" +
       s""""queries":{${rows.mkString(",")}}}"""
     Files.write(Paths.get(outFile), (json + "\n").getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[medians] wrote $outFile")

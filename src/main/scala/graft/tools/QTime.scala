@@ -14,11 +14,16 @@ object QTime {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, "/root/testdata/sf0.001").count() // codegen warm
       val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sf).count()
-        (System.nanoTime() - t0) / 1e9
+        HostCpu.measuring {
+          val t0 = System.nanoTime()
+          fn(spark, sf).count()
+          (System.nanoTime() - t0) / 1e9
+        }
       }
-      println(f"### $q: min ${ts.min}%.2fs med ${ts.sorted.apply(reps / 2)}%.2fs max ${ts.max}%.2fs")
+      val sorted = ts.sortBy(_._1)
+      println(f"### $q: min ${sorted.head._1}%.2fs (steal ${sorted.head._2}%.1f%%) " +
+        f"med ${sorted(reps / 2)._1}%.2fs max ${sorted.last._1}%.2fs " +
+        f"(steal ${sorted.last._2}%.1f%%)")
     }
     spark.stop()
   }
