@@ -233,6 +233,24 @@ object CoreQueries {
         .orderBy("hour_epoch", "event_type")
     },
 
+    // SLIDING event-time windows (6h width, 3h slide — each event lands in
+    // exactly width/slide = 2 overlapping windows): distinct-user reach per
+    // window, the classic "rolling active users" shape. Exercises the
+    // overlap path of native `window()` that q17's tumbling buckets never
+    // touch — Spark explodes each row into its windows BEFORE the
+    // aggregate, so the shuffle carries ×(width/slide) rows; at 100 TB the
+    // slide ratio is the explicit cost dial. The oracle replays the
+    // epoch-aligned window arithmetic with an integer unnest.
+    "q64_sliding_distinct" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n_users"), col("n_events"))
+        .orderBy("w_start")
+    },
+
     // S7 profiling: one-pass column stats (the reference's skim/str shape).
     "q19_profile" -> { (s, dir) =>
       t(s, dir, "lineitem").agg(
@@ -1441,6 +1459,23 @@ object CoreQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // q64: epoch-aligned slide arithmetic — an event at epoch-second es
+    // belongs to the window starting at its own 3h slide boundary and the
+    // one before it (width 6h / slide 3h ⇒ exactly 2).
+    "q64_sliding_distinct" ->
+      """WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es
+        |           FROM events),
+        |     x AS (SELECT user_id, es,
+        |             unnest([(es // 10800) * 10800,
+        |                     (es // 10800) * 10800 - 10800]) AS w_start
+        |           FROM e)
+        |SELECT w_start, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM x
+        |WHERE es >= w_start AND es < w_start + 21600
+        |GROUP BY w_start
+        |ORDER BY w_start""".stripMargin,
 
     // q20: the exact side is reproduced; the sketch side is verified as a
     // tolerance verdict (see the query comment) — DuckDB emits the literal

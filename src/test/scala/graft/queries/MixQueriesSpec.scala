@@ -59,6 +59,17 @@ class MixQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q64: every event lands in exactly width/slide = 2 windows, " +
+       "and slide starts are 3h-aligned") {
+    val out = CoreQueries.queries("q64_sliding_distinct")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.map(_.getLong(2)).sum === 2 * total)
+    out.foreach { r =>
+      assert(r.getLong(0) % 10800 === 0, "window start on a slide boundary")
+      assert(r.getLong(1) <= r.getLong(2), "distinct users <= events")
+    }
+  }
+
   test("d12: keep-list is exactly the complement of v05's dominated side") {
     val pairs = VectorQueries.queries("v05_embedding_dedup")(spark, sf)
       .select("id_a", "id_b").collect()
