@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * one agg plan through Catalyst's Expand (input ×(n+1) rows before the
   * partial agg). That is the honest price of an EXACT audit and is the
   * mode the DuckDB oracle can check; at 100 TB run `exact = false` and the
-  * same metrics come from one-pass HyperLogLog++ approximate counts (no
-  * Expand; `approx_count_distinct` returns a finalized estimate per run —
-  * to merge across independently-audited shards, re-run on the union or
-  * keep the raw hll sketches with `hll_sketch_agg`).
+  * same metrics come from one-pass DataSketches HLL estimates (no Expand,
+  * ONE binary buffer per sketch — see the in-body note on why NOT
+  * `approx_count_distinct` — and the binary form is directly mergeable
+  * across independently-audited shards via `hll_union_agg`).
   *
   * Output is long-format `(metric, col_name, value: double)` so audits of
   * arbitrarily wide tables union, diff across snapshots (TableDiff on
@@ -61,8 +61,40 @@ object DataQuality {
             keyCols: Seq[String] = Nil,
             exact: Boolean = true,
             rsd: Double = 0.05): DataFrame = {
-    def cd(c: Column): Column =
-      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
+    // Approx mode uses the DataSketches HLL aggregate, NOT
+    // approx_count_distinct: Spark's HLL++ materializes its registers as
+    // individual aggregate-buffer ATTRIBUTES — 1639 longs per sketch at
+    // rsd = 0.01 — and every optimizer pass over a plan built on top of
+    // the audit then walks thousands of expression nodes (measured: the
+    // q59 join re-planned in ~2 s of pure driver time per execution,
+    // ~0.6 s per approx slot). hll_sketch_agg carries ONE binary buffer
+    // per sketch, the plan stays attribute-thin, and the sketch form is
+    // the one that actually serves the documented cross-shard merge story
+    // (store the binary, hll_union_agg across shards). lgK is derived
+    // from the requested rsd (rse ≈ 1.16/√2^lgK for the HLL_8 default).
+    // Supported input types (int/long/string/binary) feed the sketch RAW
+    // — its list/set stages are then exact at low cardinality, the
+    // property the spec pins — and only unsupported types (structs,
+    // doubles, dates) are xxhash64-normalized first, null-gated so
+    // count-distinct's null-skip semantics survive. A 64-bit pre-hash
+    // collision only UNDER-counts, the direction approx mode already
+    // documents as its noise (and it is real: xxhash64-ing the spec's
+    // 100-long fixture before sketching produced a deterministic coupon
+    // collision, estimate 99 — hash only when the type forces it).
+    val lgK = math.max(4, math.min(21,
+      math.ceil(2 * math.log(1.16 / rsd) / math.log(2)).toInt))
+    import org.apache.spark.sql.types._
+    def sketchable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | StringType | BinaryType => true
+      case _ => false
+    }
+    def sketchCd(c: Column, dt: DataType): Column = {
+      val in = if (sketchable(dt)) c else when(c.isNotNull, xxhash64(c))
+      hll_sketch_estimate(hll_sketch_agg(in, lgK))
+    }
+    def cdNamed(name: String): Column =
+      if (exact) countDistinct(col(name))
+      else sketchCd(col(name), df.schema(name).dataType)
 
     // `count(keyStruct)`/`cd(keyStruct)` both skip NULL inputs, so gating
     // the struct on all-keys-non-null implements the key semantics above
@@ -71,6 +103,15 @@ object DataQuality {
       if (keyCols.isEmpty) lit(null)
       else when(keyCols.map(col(_).isNotNull).reduce(_ && _),
                 struct(keyCols.map(col): _*))
+    // single supported-type key: sketch the raw (null-gated) column, not
+    // the struct — keeps the low-cardinality exactness on the common case
+    val keyCd: Column =
+      if (exact) countDistinct(keyStruct)
+      else keyCols match {
+        case Seq(k) if sketchable(df.schema(k).dataType) =>
+          sketchCd(col(k), df.schema(k).dataType)
+        case _ => sketchCd(keyStruct, NullType /* force the hash path */)
+      }
     def clamped(c: Column): Column =
       if (exact) c else greatest(lit(0L), c)
 
@@ -79,14 +120,14 @@ object DataQuality {
       Seq(("row_count", "*", count(lit(1)))) ++
         nullCols.map(c =>
           ("null_count", c, count(lit(1)) - count(col(c)))) ++
-        distinctCols.map(c => ("distinct_count", c, cd(col(c)))) ++
+        distinctCols.map(c => ("distinct_count", c, cdNamed(c))) ++
         numericCols.flatMap(c => Seq(
           ("min", c, min(col(c).cast("double"))),
           ("max", c, max(col(c).cast("double"))))) ++
         (if (keyCols.nonEmpty)
            Seq(
              ("dup_key_rows", keyCols.mkString(","),
-               clamped(count(keyStruct) - cd(keyStruct))),
+               clamped(count(keyStruct) - keyCd)),
              ("null_key_rows", keyCols.mkString(","),
                count(lit(1)) - count(keyStruct)))
          else Nil)
