@@ -77,13 +77,12 @@ object Bench {
     // the artifact: r7/r8 both saw driver benches diverge from committed
     // medians exactly on the index-served family, and a prepare failure
     // swallowed into stderr was indistinguishable from a real regression.
-    def jsonStr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jsonStr(s: String): String = io.Jsons.str(s)
     // warm-up ran the sf0.001 builds — only the timed dir's stats matter
     operators.IndexStats.reset()
+    // scope the drop counters the same way: dedup_drops must speak for the
+    // index builds + timed queries only, not the warm-up sweep
+    operators.DedupMetrics.reset()
     val stealIdx0 = tools.HostCpu.snapshot()
     val indexBuilds = Seq[(String, () => Unit)](
       "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
@@ -107,22 +106,35 @@ object Bench {
     // loadavg stays quiet — so every timing carries the steal% of its own
     // window, and a slow query taken at high steal indicts the host, not
     // the plan.
+    val spinBefore = tools.HostCpu.spinScore()
     val stealQ0 = tools.HostCpu.snapshot()
+    // timeline sampler: endpoint spin scores miss mid-run capacity dips —
+    // each query also records the WORST sampled single-core score inside
+    // its own window (-1 = query too short to catch a sample)
+    val capSampler = tools.HostCpu.sampler()
     var results = Map.empty[String, Double]
     var querySteal = Map.empty[String, Double]
+    var querySpinMin = Map.empty[String, Long]
     SparkEntry.queries.foreach { case (name, fn) =>
       val s0 = tools.HostCpu.snapshot()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      results += name -> (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      results += name -> (t1 - t0) / 1e9
       querySteal += name ->
         (math.round(tools.HostCpu.stealPct(s0, tools.HostCpu.snapshot()) * 10) / 10.0)
+      querySpinMin += name -> capSampler.minIn(t0, t1)
     }
+    capSampler.stop()
+    val spinSamples = capSampler.all().map(_._2)
     val stealQueriesPct = tools.HostCpu.stealPct(stealQ0, tools.HostCpu.snapshot())
+    val spinAfter = tools.HostCpu.spinScore()
     val loadAfter = loadavg1()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val stealJson = querySteal.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spinMinJson = querySpinMin.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val buildsJson = indexBuilds.map { case (n, sec, err) =>
@@ -161,7 +173,13 @@ object Bench {
       s""""steal_pct_index":${math.round(stealIdxPct * 10) / 10.0},""" +
       s""""steal_pct_queries":${math.round(stealQueriesPct * 10) / 10.0},""" +
       s""""steal_warning":${stealQueriesPct > 5.0},""" +
-      s""""query_steal_pct":$stealJson,"sf":"$sfDir"}"""
+      s""""cpu_spin_score_before":$spinBefore,"cpu_spin_score_after":$spinAfter,""" +
+      (if (spinSamples.nonEmpty)
+         s""""cpu_spin_sampled_min":${spinSamples.min},""" +
+           s""""cpu_spin_sampled_med":${spinSamples.sorted.apply(spinSamples.size / 2)},"""
+       else "") +
+      s""""query_steal_pct":$stealJson,"query_spin_min":$spinMinJson,""" +
+      s""""sf":"$sfDir"}"""
     println(json)
     // Also persist the line: the stdout channel is a log-tail capture that
     // has truncated this (single, ~100-query-wide) JSON line in practice —

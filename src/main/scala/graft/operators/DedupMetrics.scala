@@ -98,6 +98,15 @@ object DedupMetrics {
     c
   }
 
+  /** Drop all registered counters — scopes a later [[snapshot]] to the work
+    * that follows. Bench calls this between its warm-up sweep and the timed
+    * run so `dedup_drops` in the artifact speaks ONLY for the timed
+    * queries: accumulators are cumulative per JVM, and a warm-up drop
+    * would otherwise falsely void the timed run's exactness claim. Also
+    * the registry's release valve — one DropCounter is registered per
+    * kernel invocation and retained for the JVM lifetime otherwise. */
+  def reset(): Unit = registry.clear()
+
   /** Executor-side WARN at the point of refusal — called from inside the
     * pair-enumeration task. Rate-limit in the caller (once per partition). */
   def warnDropped(kind: String, bucketSize: Int, maxBucket: Int): Unit =

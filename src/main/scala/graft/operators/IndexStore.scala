@@ -65,11 +65,7 @@ object IndexStore {
 
   // ---------- tiny JSON meta (flat string map — no nested values needed)
 
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case '\r' => "\\r"; case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = graft.io.Jsons.str(s)
 
   private def writeMeta(spark: SparkSession, dir: String,
                         fields: Seq[(String, String)]): Unit = {
@@ -118,12 +114,20 @@ object IndexStore {
   }
 
   /** Meta validation shared by every loader: present, right kind, right
-    * corpus version (when the caller pins one). */
+    * corpus version (when the caller pins one), and every expected BUILD
+    * parameter matching the recorded one. The parameter check matters as
+    * much as the stamp: a store populated under nCells=16 serves
+    * hash-WRONG probes to a caller who now builds with nCells=32, and the
+    * corpus stamp alone would happily hand it over (a parameter mismatch
+    * reads as stale → rebuild-and-save, the same path as a corpus bump). */
   private def validMeta(spark: SparkSession, dir: String, kind: String,
-                        expectedVersion: Option[String]): Option[Map[String, String]] =
+                        expectedVersion: Option[String],
+                        expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
     readMeta(spark, dir).filter { m =>
       m.get("kind").contains(kind) &&
-        expectedVersion.forall(v => m.get("corpus_version").contains(v))
+        expectedVersion.forall(v => m.get("corpus_version").contains(v)) &&
+        expectedParams.forall { case (k, v) => m.get(k).contains(v) }
     }
 
   // ---------- MinHash signature index
@@ -156,8 +160,10 @@ object IndexStore {
     * are lazy parquet reads, persisted so repeated probes pay the scan
     * once; `release()` unpersists them. */
   def loadSignatureIndex(spark: SparkSession, dir: String,
-                         expectedVersion: Option[String] = None): Option[Dedup.SignatureIndex] = {
-    val out = validMeta(spark, dir, "signature", expectedVersion).map { m =>
+                         expectedVersion: Option[String] = None,
+                         expectedParams: Map[String, String] = Map.empty)
+      : Option[Dedup.SignatureIndex] = {
+    val out = validMeta(spark, dir, "signature", expectedVersion, expectedParams).map { m =>
       val sigs = readFrame(spark, s"$dir/sigs", m("sigs_schema"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val buckets = readFrame(spark, s"$dir/buckets", m("buckets_schema"))
@@ -190,8 +196,10 @@ object IndexStore {
     * and is collected eagerly; the assignment stays a lazy persisted
     * parquet read. */
   def loadIvfIndex(spark: SparkSession, dir: String,
-                   expectedVersion: Option[String] = None): Option[Similarity.IvfIndex] = {
-    val out = validMeta(spark, dir, "ivf", expectedVersion).map { m =>
+                   expectedVersion: Option[String] = None,
+                   expectedParams: Map[String, String] = Map.empty)
+      : Option[Similarity.IvfIndex] = {
+    val out = validMeta(spark, dir, "ivf", expectedVersion, expectedParams).map { m =>
       val nCells = m("n_cells").toInt
       val centroids = spark.read.parquet(s"$dir/centroids")
         .collect().sortBy(_.getInt(0))
@@ -228,8 +236,10 @@ object IndexStore {
   }
 
   def loadPqIndex(spark: SparkSession, dir: String,
-                  expectedVersion: Option[String] = None): Option[Similarity.PqIndex] = {
-    val out = validMeta(spark, dir, "pq", expectedVersion).map { meta =>
+                  expectedVersion: Option[String] = None,
+                  expectedParams: Map[String, String] = Map.empty)
+      : Option[Similarity.PqIndex] = {
+    val out = validMeta(spark, dir, "pq", expectedVersion, expectedParams).map { meta =>
       val (m, k) = (meta("m").toInt, meta("k").toInt)
       val rows = spark.read.parquet(s"$dir/codebooks").collect()
       require(rows.length == m * k,
@@ -248,16 +258,19 @@ object IndexStore {
   // ---------- duplicate-cluster labels (a plain keyed frame)
 
   def saveClusterLabels(spark: SparkSession, labels: DataFrame,
-                        dir: String, corpusVersion: String): Unit = {
+                        dir: String, corpusVersion: String,
+                        params: Map[String, String] = Map.empty): Unit = {
     labels.write.mode("overwrite").parquet(s"$dir/labels")
     writeMeta(spark, dir, Seq("kind" -> "cluster", "corpus_version" -> corpusVersion,
-      "labels_schema" -> labels.schema.json))
+      "labels_schema" -> labels.schema.json) ++ params.toSeq.sorted)
     IndexStats.inc("cluster.disk.save")
   }
 
   def loadClusterLabels(spark: SparkSession, dir: String,
-                        expectedVersion: Option[String] = None): Option[DataFrame] = {
-    val out = validMeta(spark, dir, "cluster", expectedVersion).map(m =>
+                        expectedVersion: Option[String] = None,
+                        expectedParams: Map[String, String] = Map.empty)
+      : Option[DataFrame] = {
+    val out = validMeta(spark, dir, "cluster", expectedVersion, expectedParams).map(m =>
       readFrame(spark, s"$dir/labels", m("labels_schema"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     IndexStats.inc(s"cluster.disk.${if (out.isDefined) "hit" else "miss"}")
@@ -280,46 +293,91 @@ object IndexStore {
   // ---------- load-or-build convenience
 
   /** The production access pattern in one call: serve the index from
-    * `dir` when its stamp matches the CURRENT corpus version, else build
-    * with `build` and persist the result for every later job/session.
-    * `sourcePath` is the corpus the stamp is computed from. */
-  def signatureIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+    * `dir` when its stamp matches the CURRENT corpus version AND its
+    * recorded build parameters match `params`, else build with `build`
+    * and persist the result for every later job/session. `sourcePath` is
+    * the corpus the stamp is computed from. */
+  def signatureIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                            params: Map[String, String] = Map.empty)
                            (build: => Dedup.SignatureIndex): Dedup.SignatureIndex = {
     val v = corpusVersion(spark, sourcePath)
-    loadSignatureIndex(spark, dir, Some(v)).getOrElse {
+    loadSignatureIndex(spark, dir, Some(v), params).getOrElse {
       val idx = build
       saveSignatureIndex(spark, idx, dir, v)
       idx
     }
   }
 
-  def ivfIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+  def ivfIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                      params: Map[String, String] = Map.empty)
                      (build: => Similarity.IvfIndex): Similarity.IvfIndex = {
     val v = corpusVersion(spark, sourcePath)
-    loadIvfIndex(spark, dir, Some(v)).getOrElse {
+    loadIvfIndex(spark, dir, Some(v), params).getOrElse {
       val idx = build
       saveIvfIndex(spark, idx, dir, v)
       idx
     }
   }
 
-  def pqIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+  def pqIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                     params: Map[String, String] = Map.empty)
                     (build: => Similarity.PqIndex): Similarity.PqIndex = {
     val v = corpusVersion(spark, sourcePath)
-    loadPqIndex(spark, dir, Some(v)).getOrElse {
+    loadPqIndex(spark, dir, Some(v), params).getOrElse {
       val idx = build
       savePqIndex(spark, idx, dir, v)
       idx
     }
   }
 
-  def clusterLabelsOrBuild(spark: SparkSession, dir: String, sourcePath: String)
+  def clusterLabelsOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                           params: Map[String, String] = Map.empty)
                           (build: => DataFrame): DataFrame = {
     val v = corpusVersion(spark, sourcePath)
-    loadClusterLabels(spark, dir, Some(v)).getOrElse {
+    loadClusterLabels(spark, dir, Some(v), params).getOrElse {
       val labels = build
-      saveClusterLabels(spark, labels, dir, v)
+      // labels carry no build parameters of their own — record the
+      // caller's (pair-generation) params so the load-side check works
+      saveClusterLabels(spark, labels, dir, v, params)
       labels
     }
   }
+
+  // ---------- session-conf dispatch (ONE implementation — the four
+  // query-level caches all route through here instead of hand-copying
+  // the conf match)
+
+  /** Conf-dispatched serve: plain `build` when `spark.graft.indexDir` is
+    * unset; otherwise `orBuild(storeDir)` against the per-(kind, corpus)
+    * store path under the configured root. */
+  private def withStore[A](spark: SparkSession, kind: String, sourcePath: String)
+                          (orBuild: String => A)(build: => A): A =
+    spark.conf.get(IndexDirConf, "") match {
+      case ""   => build
+      case root => orBuild(storePath(root, kind, sourcePath))
+    }
+
+  def signatureIndexFromConf(spark: SparkSession, sourcePath: String,
+                             params: Map[String, String] = Map.empty)
+                            (build: => Dedup.SignatureIndex): Dedup.SignatureIndex =
+    withStore(spark, "signature", sourcePath)(
+      dir => signatureIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
+
+  def ivfIndexFromConf(spark: SparkSession, sourcePath: String,
+                       params: Map[String, String] = Map.empty)
+                      (build: => Similarity.IvfIndex): Similarity.IvfIndex =
+    withStore(spark, "ivf", sourcePath)(
+      dir => ivfIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
+
+  def pqIndexFromConf(spark: SparkSession, sourcePath: String,
+                      params: Map[String, String] = Map.empty)
+                     (build: => Similarity.PqIndex): Similarity.PqIndex =
+    withStore(spark, "pq", sourcePath)(
+      dir => pqIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
+
+  def clusterLabelsFromConf(spark: SparkSession, sourcePath: String,
+                            params: Map[String, String] = Map.empty)
+                           (build: => DataFrame): DataFrame =
+    withStore(spark, "cluster", sourcePath)(
+      dir => clusterLabelsOrBuild(spark, dir, sourcePath, params)(build))(build)
 }

@@ -29,9 +29,9 @@ object BloomMembership {
       "bloom_might_contain")
 
   val aggBuilder: Seq[Expression] => Expression =
-    c => new BloomFilterAggregate(c(0), c(1), c(2))
+    Builders.ternary("bloom_agg")(new BloomFilterAggregate(_, _, _))
   val probeBuilder: Seq[Expression] => Expression =
-    c => BloomFilterMightContain(c(0), c(1))
+    Builders.binary("bloom_might_contain")(BloomFilterMightContain(_, _))
 
   /** Idempotent per-session registration (same defensive shape as
     * [[FloatDotProduct.register]]). */

@@ -98,8 +98,7 @@ object FloatDotProduct {
     val id = FunctionIdentifier("float_dot")
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
       spark.sessionState.functionRegistry.registerFunction(
-        id, info, (children: Seq[Expression]) =>
-          FloatDotProduct(children(0), children(1)))
+        id, info, Builders.binary("float_dot")(FloatDotProduct(_, _)))
     }
   }
 }
@@ -111,17 +110,17 @@ object FloatDotProduct {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"), FloatDotProduct.info,
-      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+      Builders.binary("float_dot")(FloatDotProduct(_, _))))
     ext.injectFunction((FunctionIdentifier("sig_match_count"), SigMatchCount.info,
-      (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
+      Builders.binary("sig_match_count")(SigMatchCount(_, _))))
     ext.injectFunction((FunctionIdentifier("set_jaccard"), SetJaccard.info,
-      (children: Seq[Expression]) => new SetJaccard(children(0), children(1))))
+      Builders.binary("set_jaccard")(new SetJaccard(_, _))))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       BloomMembership.aggInfo, BloomMembership.aggBuilder))
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
       BloomMembership.probeInfo, BloomMembership.probeBuilder))
     ext.injectFunction((FunctionIdentifier("ngram_hashes"), NgramHashes.info,
-      (children: Seq[Expression]) => NgramHashes(children(0), children(1))))
+      Builders.binary("ngram_hashes")(NgramHashes(_, _))))
     ext.injectOptimizerRule(_ => FuseSetJaccard)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

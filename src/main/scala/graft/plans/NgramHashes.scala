@@ -140,8 +140,7 @@ object NgramHashes {
     val id = FunctionIdentifier("ngram_hashes")
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
       spark.sessionState.functionRegistry.registerFunction(
-        id, info, (children: Seq[Expression]) =>
-          NgramHashes(children(0), children(1)))
+        id, info, Builders.binary("ngram_hashes")(NgramHashes(_, _)))
     }
   }
 }

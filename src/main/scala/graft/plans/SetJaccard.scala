@@ -171,8 +171,7 @@ object SetJaccard {
     val id = FunctionIdentifier("set_jaccard")
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
       spark.sessionState.functionRegistry.registerFunction(
-        id, info, (children: Seq[Expression]) =>
-          new SetJaccard(children(0), children(1)))
+        id, info, Builders.binary("set_jaccard")(new SetJaccard(_, _)))
     }
   }
 

@@ -93,8 +93,7 @@ object SigMatchCount {
     val id = FunctionIdentifier("sig_match_count")
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
       spark.sessionState.functionRegistry.registerFunction(
-        id, info, (children: Seq[Expression]) =>
-          SigMatchCount(children(0), children(1)))
+        id, info, Builders.binary("sig_match_count")(SigMatchCount(_, _)))
     }
   }
 }

@@ -1462,9 +1462,13 @@ object CoreQueries {
 
     // q64: epoch-aligned slide arithmetic — an event at epoch-second es
     // belongs to the window starting at its own 3h slide boundary and the
-    // one before it (width 6h / slide 3h ⇒ exactly 2).
+    // one before it (width 6h / slide 3h ⇒ exactly 2). floor(), NOT a
+    // bare BIGINT cast: the cast ROUNDS fractional seconds, and an event
+    // 0.5 s under a slide boundary would round across it into the wrong
+    // window pair (2 such rows exist at sf0.1) — Spark's window() floors
+    // exact microseconds.
     "q64_sliding_distinct" ->
-      """WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
         |           FROM events),
         |     x AS (SELECT user_id, es,
         |             unnest([(es // 10800) * 10800,

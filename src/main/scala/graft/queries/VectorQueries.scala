@@ -22,15 +22,10 @@ object VectorQueries {
     ivfCache.computeIfAbsent((s, dir), { _ =>
       def build = Similarity.ivfBuild(emb(s, dir), "vec_id", "embedding", nCells = 16)
       // spark.graft.indexDir set → the trained index survives the session
-      // as parquet, stamped with the corpus version (TextQueries
-      // .corpusSignatureIndex documents the lifecycle)
-      s.conf.get(graft.operators.IndexStore.IndexDirConf, "") match {
-        case ""   => build
-        case root =>
-          val src = s"$dir/embeddings.parquet"
-          graft.operators.IndexStore.ivfIndexOrBuild(s,
-            graft.operators.IndexStore.storePath(root, "ivf", src), src)(build)
-      }
+      // as parquet, stamped with the corpus version AND the build params
+      // (TextQueries.corpusSignatureIndex documents the lifecycle)
+      graft.operators.IndexStore.ivfIndexFromConf(
+        s, s"$dir/embeddings.parquet", Map("n_cells" -> "16"))(build)
     })
   }
 
@@ -59,13 +54,9 @@ object VectorQueries {
     pqCache.computeIfAbsent((s, dir), { _ =>
       def build = Similarity.pqBuild(emb(s, dir), "vec_id", "embedding",
         dim = 64, m = 4, k = 8, iters = 4)
-      s.conf.get(graft.operators.IndexStore.IndexDirConf, "") match {
-        case ""   => build
-        case root =>
-          val src = s"$dir/embeddings.parquet"
-          graft.operators.IndexStore.pqIndexOrBuild(s,
-            graft.operators.IndexStore.storePath(root, "pq", src), src)(build)
-      }
+      graft.operators.IndexStore.pqIndexFromConf(
+        s, s"$dir/embeddings.parquet",
+        Map("m" -> "4", "k" -> "8", "sub_dim" -> "16"))(build)
     })
   }
 

@@ -11,14 +11,9 @@ object DumpOne {
     graft.SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     val sql = graft.SparkEntry.oracleSql(name)
-    val esc = sql.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{"$name": "$esc"}""")
+      s"""{"$name": ${graft.io.Jsons.str(sql)}}""")
     spark.stop()
   }
 }

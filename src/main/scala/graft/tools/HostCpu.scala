@@ -43,4 +43,88 @@ object HostCpu {
     val r = body
     (r, stealPct(b, snapshot()))
   }
+
+  /** Direct CPU-throughput calibration: total iterations of a fixed
+    * integer-mix loop across `threads` spinners in `ms` of wall time
+    * (millions, rounded). This is the self-defense layer steal% cannot
+    * provide: r9 observed bench windows where loadavg AND steal read
+    * clean while identical queries ran 4–10× slow (host frequency
+    * scaling / scheduling effects are invisible to guest accounting).
+    * Two boxes — or two moments on one box — with the same spin score
+    * are comparable; a 76 s bench next to a 55 s bench with HALF the
+    * spin score indicts the box, not the code. Deterministic work
+    * (xorshift mix), so scores are proportional to delivered cycles. */
+  def spinScore(ms: Long = 200,
+                threads: Int = Runtime.getRuntime.availableProcessors()): Long = {
+    spinOnce(50, threads) // JIT/ramp-up warm pass — measure the box, not the JVM
+    spinOnce(ms, threads)
+  }
+
+  /** Background capacity sampler: one daemon thread records a 50 ms
+    * single-core spin score every `periodMs` for the life of the handle.
+    * Endpoint scores miss mid-run dips (r9: bench endpoints read ~3100
+    * while queries in between ran 4× slow); the timeline catches them at
+    * ~1.7% of one core. `minIn(t0, t1)` answers "what was the worst
+    * delivered capacity while THIS query ran" — the per-query field that
+    * lets a slow timing indict the box with evidence. */
+  final class Sampler(periodMs: Long) {
+    private val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      spinOnce(50, 1) // JIT warm
+      while (running) {
+        val now = System.nanoTime()
+        samples.add((now, spinOnce(50, 1)))
+        Thread.sleep(periodMs)
+      }
+    })
+    t.setDaemon(true); t.setName("graft-hostcpu-sampler"); t.start()
+
+    /** Minimum sampled score in [t0, t1) nanos; -1 when no sample fell
+      * inside the window (short queries between samples). */
+    def minIn(t0: Long, t1: Long): Long = {
+      var min = -1L
+      val it = samples.iterator()
+      while (it.hasNext) {
+        val (ts, s) = it.next()
+        if (ts >= t0 && ts < t1 && (min < 0 || s < min)) min = s
+      }
+      min
+    }
+
+    def all(): Seq[(Long, Long)] = {
+      val b = Seq.newBuilder[(Long, Long)]
+      val it = samples.iterator()
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    def stop(): Unit = { running = false }
+  }
+
+  def sampler(periodMs: Long = 3000): Sampler = new Sampler(periodMs)
+
+  private def spinOnce(ms: Long, threads: Int): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val deadline = System.nanoTime() + ms * 1000000L
+    val ts = (1 to threads).map { i =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + i
+        var n = 0L
+        while (System.nanoTime() < deadline) {
+          var k = 0
+          while (k < 4096) { // check the clock every 4096 iterations
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            k += 1
+          }
+          n += 4096
+        }
+        if (x != 0L) total.addAndGet(n) // data-dependence: keep the loop live
+        ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    total.get / 1000000L
+  }
 }

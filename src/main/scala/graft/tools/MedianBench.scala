@@ -36,6 +36,7 @@ object MedianBench {
     // steal bursts, so `min` — the least-stolen rep — is the quotable
     // steady-state estimator and `steal_min_rep` says how clean it was.
     val runSteal0 = graft.tools.HostCpu.snapshot()
+    val spinBefore = graft.tools.HostCpu.spinScore()
     val rows = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         graft.tools.HostCpu.measuring {
@@ -51,6 +52,7 @@ object MedianBench {
         f""""steal_min_rep":${math.round(ts.head._2 * 10) / 10.0}%s}"""
     }
     val runStealPct = graft.tools.HostCpu.stealPct(runSteal0, graft.tools.HostCpu.snapshot())
+    val spinAfter = graft.tools.HostCpu.spinScore()
     val commit =
       try new String(Runtime.getRuntime.exec(Array("git", "rev-parse", "--short", "HEAD"))
         .getInputStream.readAllBytes(), StandardCharsets.UTF_8).trim
@@ -58,6 +60,7 @@ object MedianBench {
     val json = s"""{"sf":"$sfDir","reps":$reps,"commit":"$commit",""" +
       s""""machine_cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""steal_pct_run":${math.round(runStealPct * 10) / 10.0},""" +
+      s""""cpu_spin_score_before":$spinBefore,"cpu_spin_score_after":$spinAfter,""" +
       s""""queries":{${rows.mkString(",")}}}"""
     Files.write(Paths.get(outFile), (json + "\n").getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[medians] wrote $outFile")

@@ -175,4 +175,42 @@ class IndexStoreSpec extends SparkSpec {
     TextQueries.releaseSignatureIndexes(s1)
     TextQueries.releaseSignatureIndexes(s2)
   }
+  test("build-parameter mismatch is refused like a stale stamp (r9 review)") {
+    val root = tmp("idxparams")
+    val src = s"$dir/documents.parquet"
+    val version = IndexStore.corpusVersion(spark, src)
+    val built = Dedup.signatureBuild(docs(spark).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", k = 128, bands = 32, shingleWidth = 3)
+    try {
+      IndexStore.saveSignatureIndex(spark, built, root, version)
+      // matching params (or none) serve the store
+      assert(IndexStore.loadSignatureIndex(spark, root, Some(version),
+        Map("k" -> "128", "bands" -> "32")).isDefined)
+      // a caller who now builds with different bands must NOT be served
+      // the stale-parameter index — same refusal path as a corpus bump
+      assert(IndexStore.loadSignatureIndex(spark, root, Some(version),
+        Map("k" -> "128", "bands" -> "16")).isEmpty)
+      // cluster labels record the CALLER's params at save time
+      val labels = docs(spark).select(col("doc_id").as("id"),
+        (col("doc_id") % 5).as("cluster"))
+      val lroot = tmp("idxlabels")
+      IndexStore.saveClusterLabels(spark, labels, lroot, version,
+        Map("pair_threshold" -> "0.8"))
+      assert(IndexStore.loadClusterLabels(spark, lroot, Some(version),
+        Map("pair_threshold" -> "0.8")).isDefined)
+      assert(IndexStore.loadClusterLabels(spark, lroot, Some(version),
+        Map("pair_threshold" -> "0.9")).isEmpty)
+    } finally built.release()
+  }
+
+  test("registered SQL functions reject wrong arity with a readable error") {
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("float_dot(array(1.0F))").collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c = t; while (c.getCause != null) c = c.getCause; c.getMessage
+    }
+    assert(rootMsg(e).contains("float_dot requires exactly 2 arguments"),
+      s"got: ${rootMsg(e)}")
+  }
 }
