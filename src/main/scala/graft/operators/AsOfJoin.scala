@@ -73,6 +73,18 @@ object AsOfJoin {
     val forward = direction == "forward"
     val keyCols = keys.map(col)
 
+    // the tiebreak is cast to long below; a non-numeric column would cast
+    // to NULL on every row and silently degrade the documented
+    // deterministic same-instant resolution to payload-struct comparison —
+    // refuse eagerly, like the tolerance column check above
+    locally {
+      val dt = right.schema(rightTiebreak).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"rightTiebreak '$rightTiebreak' must be numeric (cast to long for " +
+          s"the same-instant total order); got $dt — hash or rank it to a " +
+          "number first")
+    }
+
     val l = left.withColumn("__t", col(leftTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", lit(null).cast("long"))

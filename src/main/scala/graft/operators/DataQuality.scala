@@ -90,7 +90,9 @@ object DataQuality {
     }
     def sketchCd(c: Column, dt: DataType): Column = {
       val in = if (sketchable(dt)) c else when(c.isNotNull, xxhash64(c))
-      hll_sketch_estimate(hll_sketch_agg(in, lgK))
+      // coalesce: a sketch over zero non-null inputs is NULL, where exact
+      // countDistinct reports 0 — the two modes must agree on empty
+      coalesce(hll_sketch_estimate(hll_sketch_agg(in, lgK)), lit(0L))
     }
     def cdNamed(name: String): Column =
       if (exact) countDistinct(col(name))

@@ -124,6 +124,23 @@ object Dedup {
       }
       .toDF("id", "sig", "nf")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inner = lshPairsFromSigs(sigs, k, bands, threshold, maxBucket)
+    ManagedPairs(inner.pairs, () => { sigs.unpersist(); () }, inner.drops)
+  }
+
+  /** Banding + estimate-verify over a PRECOMPUTED (id, sig, nf) frame —
+    * shared by the self-build path ([[lshPairsImpl]], which persists its
+    * own signature frame) and the combined signature+shingle path
+    * ([[exactPairsImpl]], which computes signatures AND shingle sets in
+    * one scan and persists ONE frame instead of two). Never persists; the
+    * caller owns the input frame's lifecycle, so the returned release is
+    * a no-op. */
+  private def lshPairsFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                               threshold: Double, maxBucket: Int): ManagedPairs = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val spark = sigs.sparkSession
+    import spark.implicits._
 
     // Candidate generation never shuffles signatures: only (band, bandHash,
     // id) rows move. Pairs are enumerated bucket-side from the sorted member
@@ -194,7 +211,7 @@ object Dedup {
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    ManagedPairs(verified, () => { sigs.unpersist(); () }, () => drops.stats())
+    ManagedPairs(verified, () => (), () => drops.stats())
   }
 
   /** EXACT near-duplicate pairs at `threshold` shingle-set Jaccard,
@@ -437,36 +454,42 @@ object Dedup {
                              estMargin: Double, maxBucket: Int): ManagedPairs = {
     val spark = df.sparkSession
     import spark.implicits._
-    val managed = lshPairsImpl(df, idCol, textCol, flagCol, k, bands, shingleWidth,
-      math.max(0.0, threshold - estMargin), maxBucket)
-    val cand = managed.pairs.select("id_a", "id_b")
-    // Shingle sets in the same JVM-kernel family as the signatures: the
-    // expression form (array_distinct over interpreted transform/slice/
-    // concat_ws HOFs) measured ~40 s on 5 000 long documents vs ~2 s here.
+    // ONE scan computes signature AND shingle set per document (both
+    // kernels JVM loops — the expression forms measured ~40 s / 350+ s on
+    // 5 000 long documents, see lshPairsImpl), and ONE persisted frame
+    // serves the banding pass, the estimate verify, and the exact
+    // verification joins. The previous shape ran lshPairsImpl's signature
+    // pass and a SEPARATE shingle pass: two scans, two tokenizations, two
+    // cached frames — pure waste at the stated per-row dominant cost.
     // Sets are sorted ONCE per document (binary UTF-8 order) so the exact
-    // Jaccard below is the codegen'd set_jaccard merge scan — no per-pair
-    // hash sets, no intermediate intersect/union arrays. Persisted because
-    // BOTH join sides read it; released with the handle.
-    val ss = df
+    // Jaccard below is the codegen'd set_jaccard merge scan.
+    val flag = flagCol.map(f => col(f).cast("boolean")).getOrElse(lit(true))
+    val combined = df
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+      .select(col(idCol).cast("long"), col(textCol), flag)
+      .as[(Long, String, Boolean)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text) =>
-          graft.functions.TextFunctions.shingleSetJvm(text, shingleWidth)
-            .map(s => (id, graft.plans.SetJaccard.sortedUtf8(s).toSeq))
+        rows.flatMap { case (id, text, nf) =>
+          for {
+            sig <- minhashSignatureJvm(text, k, shingleWidth)
+            ss <- graft.functions.TextFunctions.shingleSetJvm(text, shingleWidth)
+          } yield (id, sig.toSeq,
+            graft.plans.SetJaccard.sortedUtf8(ss).toSeq, nf)
         }
       }
-      .toDF("id", "ss")
+      .toDF("id", "sig", "ss", "nf")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val managed = lshPairsFromSigs(combined.select("id", "sig", "nf"),
+      k, bands, math.max(0.0, threshold - estMargin), maxBucket)
+    val cand = managed.pairs.select("id_a", "id_b")
     graft.plans.SetJaccard.register(spark)
     val exact = cand
-      .join(ss.select(col("id").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
-      .join(ss.select(col("id").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
+      .join(combined.select(col("id").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
+      .join(combined.select(col("id").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
       .withColumn("jaccard", call_function("set_jaccard", col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    ManagedPairs(exact, () => { managed.release(); ss.unpersist(); () }, managed.drops)
+    ManagedPairs(exact, () => { combined.unpersist(); () }, managed.drops)
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, candidates blocked on

@@ -25,15 +25,28 @@ object Hierarchy {
     * first), every (node, anc, depth) with depth ≥ 1 following parent
     * links. Levels are materialized checkpoints; pass the RETURNED frame
     * to [[Components.releaseCheckpoint]] when done — one call frees every
-    * level's blocks. */
-  def ancestors(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    * level's blocks.
+    *
+    * `dedupPaths`: by default the result follows recursive-CTE UNION ALL
+    * semantics — a DAG node reaches an ancestor once per DISTINCT PATH
+    * (pinned in HierarchySpec; the q56 oracle replays it). That
+    * multiplicity is also the scale hazard: on diamond-heavy DAGs the
+    * frontier grows with path count, exponential in stacked diamonds.
+    * `dedupPaths = true` switches to SET semantics — each level is
+    * distinct-ed, the frontier is bounded by (node, anc, depth) triples,
+    * and a row means "reachable at this depth", not "one path". Choose it
+    * for BOM/category DAGs where reachability, not path count, is the
+    * question. */
+  def ancestors(edges: DataFrame, maxDepth: Int = 64,
+                dedupPaths: Boolean = false): DataFrame = {
+    def lvl(df: DataFrame): DataFrame = if (dedupPaths) df.distinct() else df
     require(edges.columns.length >= 2, "edges needs (child, parent) columns")
     val e = Checkpoints.stage(
       edges.select(col(edges.columns(0)).cast("long").as("child"),
         col(edges.columns(1)).cast("long").as("parent")))
-    val base = Checkpoints.stage(
+    val base = Checkpoints.stage(lvl(
       e.select(col("child").as("node"), col("parent").as("anc"),
-        lit(1L).as("depth")))
+        lit(1L).as("depth"))))
     // one emptiness probe per level, exactly; depth == maxDepth is legal
     // (the cap rejects only a level BEYOND it); every failure path frees
     // what it checkpointed — a cyclic input must not also leak 64 levels
@@ -42,10 +55,10 @@ object Hierarchy {
     var done = levels.isEmpty
     var d = 1
     while (!done) {
-      val next = Checkpoints.stage(
+      val next = Checkpoints.stage(lvl(
         frontier.join(e, frontier("anc") === e("child"))
           .select(frontier("node"), e("parent").as("anc"),
-            (frontier("depth") + 1).as("depth")))
+            (frontier("depth") + 1).as("depth"))))
       if (next.isEmpty) {
         Components.releaseCheckpoint(next) // terminal, never in the result
         done = true

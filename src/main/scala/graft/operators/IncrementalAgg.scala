@@ -58,8 +58,26 @@ object IncrementalAgg {
     * declared via the explicit overload. */
   def merge(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state frame")
+    val schema = states.head.schema
     val keys = states.head.columns.filterNot(isMetric).toSeq
     require(keys.nonEmpty, "state has no key columns")
+    // the promised refusal: a column inference classifies as a metric must
+    // LOOK like build()'s output — numeric, and for sum_ carrying the
+    // __<scale> suffix build() always appends. A natural key named
+    // `sum_type` (string) or `sum_parts` (no scale suffix) trips this
+    // instead of being silently aggregated away.
+    val suspect = states.head.columns.filter(isMetric).filterNot { c =>
+      val numeric = schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val shape = c == "cnt_rows" || c.matches("sum_.*__\\d+") ||
+        c.startsWith("min_") || c.startsWith("max_")
+      numeric && shape
+    }
+    require(suspect.isEmpty,
+      s"columns carry a metric prefix but do not look like build() state " +
+        s"(numeric; sum_ with a __<scale> suffix): ${suspect.mkString(", ")}" +
+        " — these are probably natural keys; use merge(keys, states*) to " +
+        "declare the key set explicitly")
     merge(keys, states: _*)
   }
 

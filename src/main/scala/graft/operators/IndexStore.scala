@@ -67,6 +67,19 @@ object IndexStore {
 
   private def jsonStr(s: String): String = graft.io.Jsons.str(s)
 
+  /** Invalidate the commit marker BEFORE touching frames: overwriting a
+    * LIVE index would otherwise leave the old, still-valid meta standing
+    * while frame directories are mid-rewrite, and a loader racing (or a
+    * save dying) between the frame writes would be served a torn mix of
+    * old and new frames under the old stamp. Deleting the meta first
+    * makes a torn RE-save look exactly like a torn first save: invisible.
+    */
+  private def invalidateMeta(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
   private def writeMeta(spark: SparkSession, dir: String,
                         fields: Seq[(String, String)]): Unit = {
     val p = new Path(dir, MetaFile)
@@ -144,6 +157,7 @@ object IndexStore {
 
   def saveSignatureIndex(spark: SparkSession, idx: Dedup.SignatureIndex,
                          dir: String, corpusVersion: String): Unit = {
+    invalidateMeta(spark, dir)
     idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     idx.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
     writeMeta(spark, dir, Seq(
@@ -180,6 +194,7 @@ object IndexStore {
   def saveIvfIndex(spark: SparkSession, idx: Similarity.IvfIndex,
                    dir: String, corpusVersion: String): Unit = {
     import spark.implicits._
+    invalidateMeta(spark, dir)
     idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
     idx.centroids.zipWithIndex
       .map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -220,6 +235,7 @@ object IndexStore {
   def savePqIndex(spark: SparkSession, idx: Similarity.PqIndex,
                   dir: String, corpusVersion: String): Unit = {
     import spark.implicits._
+    invalidateMeta(spark, dir)
     idx.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
     (for {
       (book, ms) <- idx.codebooks.zipWithIndex
@@ -260,6 +276,7 @@ object IndexStore {
   def saveClusterLabels(spark: SparkSession, labels: DataFrame,
                         dir: String, corpusVersion: String,
                         params: Map[String, String] = Map.empty): Unit = {
+    invalidateMeta(spark, dir)
     labels.write.mode("overwrite").parquet(s"$dir/labels")
     writeMeta(spark, dir, Seq("kind" -> "cluster", "corpus_version" -> corpusVersion,
       "labels_schema" -> labels.schema.json) ++ params.toSeq.sorted)

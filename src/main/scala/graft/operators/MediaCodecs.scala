@@ -280,8 +280,10 @@ object VideoCodec {
 
   /** Every `every`-th frame's raw JPEG bytes (frame sampling without
     * decode — the cheap tier). */
-  def sampleFrames(bytes: Array[Byte], every: Int): Iterator[Array[Byte]] =
+  def sampleFrames(bytes: Array[Byte], every: Int): Iterator[Array[Byte]] = {
+    require(every >= 1, s"every must be >= 1, got $every")
     splitFrames(bytes).grouped(every).map(_.head)
+  }
 
   /** Decoded pixel frames, sampled every `every`-th (the expensive tier). */
   def decodeFrames(bytes: Array[Byte], every: Int): Iterator[BufferedImage] =

@@ -201,10 +201,18 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Even out task sizes by payload bytes: media blobs are wildly variable,
-    * so row-count partitioning skews executors. One column scan (length
-    * only — the blob itself isn't shuffled until the repartition moves it). */
+  /** Size the partition COUNT by payload bytes: media blobs are wildly
+    * variable, so a row-count-derived partition count under- or
+    * over-shoots executor memory. One column scan (length only — the blob
+    * itself isn't shuffled until the repartition moves it). Rows are then
+    * hash-distributed by media_id, which evens bytes out in EXPECTATION —
+    * one blob far larger than `targetBytesPerPartition` still lands whole
+    * in one partition (a single row is unsplittable); for hard per-task
+    * byte bounds, pack by cumulative size upstream
+    * ([[Splits.packByBudget]]) and repartition on the bin id. */
   def repartitionBySize(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    require(targetBytesPerPartition > 0,
+      s"targetBytesPerPartition must be positive, got $targetBytesPerPartition")
     val totalBytes = Option(df.select(sum(length(col("media")))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L) // sum over zero rows is NULL
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
@@ -222,7 +230,8 @@ object Multimodal {
     * Per-row state is O(frame), never O(partition). `frames_sampled`
     * counts REAL MJPEG frames (every `frameEvery`-th) for video rows and
     * is 0 for other kinds — a non-video blob has no frames to sample. */
-  def extractFeatures(ds: Dataset[MediaRow], frameEvery: Int = 4): Dataset[MediaFeatures] =
+  def extractFeatures(ds: Dataset[MediaRow], frameEvery: Int = 4): Dataset[MediaFeatures] = {
+    require(frameEvery >= 1, s"frameEvery must be >= 1, got $frameEvery")
     ds.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
@@ -248,12 +257,14 @@ object Multimodal {
           mean, entropy, frames)
       }
     }
+  }
 
   /** REAL frame sampling as a generator: one output row per sampled MJPEG
     * frame (raw JPEG bytes, individually decodable by [[ImageCodec]]),
     * payload sliced executor-side (no driver involvement). Non-video rows
     * and non-MJPEG bytes contribute nothing — skip-don't-throw. */
   def sampleFrames(ds: Dataset[MediaRow], every: Int = 4): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       if (r.kind != "video") Iterator.empty

@@ -114,7 +114,7 @@ object Similarity {
     var centroids = init
     for (_ <- 1 to iters) {
       val stats = sample
-        .withColumn("cell", greatest(cellScores(col(vecCol), centroids): _*).getField("c"))
+        .withColumn("cell", nearestCell(col(vecCol), centroids))
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg((sum(round(col("x") * scale).cast("long")).cast("double")
@@ -138,6 +138,14 @@ object Similarity {
       struct((dot(v, centroidLit.getItem(c)) - lit(cNorm2 / 2)).as("s"),
              lit(c).as("c"))
     }
+  }
+
+  /** Arg-max cell of `v` under `centroids` — `greatest` needs ≥ 2 args,
+    * and a degenerate 1-centroid quantizer (corpus smaller than nCells)
+    * must still assign rather than fail analysis. */
+  private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    val ss = cellScores(v, centroids)
+    (if (ss.size == 1) ss.head else greatest(ss: _*)).getField("c")
   }
 
   /** A built IVF index: the trained coarse quantizer plus the cell-assigned
@@ -187,11 +195,14 @@ object Similarity {
 
     val assigned = {
       val a = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
-        .withColumn("cell", greatest(cellScores(col("nv"), centroids): _*).getField("c"))
+        .withColumn("cell", nearestCell(col("nv"), centroids))
         .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
       if (persist) a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else a
     }
-    IvfIndex(centroids, nCells, assigned,
+    // the ACTUAL centroid count, not the requested nCells: a corpus
+    // smaller than nCells trains fewer cells, and recording the request
+    // would make every durable-store load fail its centroid-count check
+    IvfIndex(centroids, centroids.length, assigned,
       () => { if (persist) { assigned.unpersist(); () } })
   }
 
@@ -258,7 +269,7 @@ object Similarity {
                 persist: Boolean = true): IvfIndex = {
     graft.plans.FloatDotProduct.register(batch.sparkSession)
     val a = batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
-      .withColumn("cell", greatest(cellScores(col("nv"), index.centroids): _*).getField("c"))
+      .withColumn("cell", nearestCell(col("nv"), index.centroids))
       .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
     val appended =
       if (persist) a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -400,13 +411,14 @@ object Similarity {
         corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))) {
         (a, ms) =>
           a.withColumn(s"code_$ms",
-            greatest(cellScores(slice(col("nv"), ms * subDim + 1, subDim),
-              codebooks(ms)): _*).getField("c"))
+            nearestCell(slice(col("nv"), ms * subDim + 1, subDim), codebooks(ms)))
       }.drop("nv")
       if (persist) withCodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else withCodes
     }
-    PqIndex(codebooks, m, k, subDim, encoded,
+    // actual per-subspace codebook size (see the IvfIndex note): a tiny
+    // corpus trains fewer than k codes per subspace
+    PqIndex(codebooks, m, codebooks.head.length, subDim, encoded,
       () => { if (persist) { encoded.unpersist(); () } })
   }
 

@@ -136,12 +136,18 @@ object Splits {
           .iterator.flatMap(_.iterator.map(g => (id, sp, g)))
       })
       .toDF("id", "split", "g")
-    grams
+    // Per-gram verdict as an AGGREGATE (map-side partial max collapses a
+    // hot gram's rows before the shuffle), then a join-back of the target
+    // rows — never a collect_list of doc ids per gram: a boilerplate gram
+    // carried by 50M docs would otherwise materialize one 50M-element
+    // aggregation buffer on a single reducer (the OOM shape every capped
+    // Dedup kernel refuses). The join's build side is one row per gram,
+    // so a hot gram costs streaming lookups, not memory.
+    val perGram = grams
       .groupBy("g")
-      .agg(
-        max(when(col("split") === sourceSplit, 1).otherwise(0)).as("in_src"),
-        collect_list(when(col("split") === targetSplit, col("id"))).as("tids"))
-      .select(explode(col("tids")).as("id"), col("in_src"))
+      .agg(max(when(col("split") === sourceSplit, 1).otherwise(0)).as("in_src"))
+    grams.filter(col("split") === targetSplit)
+      .join(perGram, "g")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         sum(col("in_src")).cast("long").as("n_contaminated"))
@@ -206,15 +212,15 @@ object Splits {
           .cast("int")
       case None => lit(0)
     }
-    grams
+    // Same skew-safe shape as [[contamination]]: per-gram verdicts as an
+    // aggregate (and the Bloom probe once per DISTINCT gram, on the
+    // aggregated row), then a join-back — no per-gram doc-id list buffer.
+    val perGram = grams
       .groupBy("g")
-      .agg(
-        max(when(col("split") === benchSplit, 1).otherwise(0)).as("in_bench"),
-        collect_list(when(col("split") === corpusSplit, col("id"))).as("cids"))
-      // Probe once per DISTINCT gram, after the dedup the gram groupBy
-      // already paid for, then fan hits out to the docs carrying the gram.
+      .agg(max(when(col("split") === benchSplit, 1).otherwise(0)).as("in_bench"))
       .withColumn("bloom_hit", bloomHit)
-      .select(explode(col("cids")).as("id"), col("in_bench"), col("bloom_hit"))
+    grams.filter(col("split") === corpusSplit)
+      .join(perGram, "g")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         sum(col("in_bench")).cast("long").as("n_true_hits"),

@@ -34,6 +34,22 @@ class HierarchySpec extends SparkSpec {
     assert(out.count(_ == ((4L, 1L, 2L))) === 2)
   }
 
+  test("dedupPaths: set semantics bound the frontier on diamond DAGs") {
+    // two stacked diamonds: 6 → {4,5} → 3 → {1,2} → 0 — wait, build it
+    // explicitly: 6→4, 6→5, 4→3, 5→3, 3→1, 3→2, 1→0, 2→0. Node 6 reaches
+    // 0 along 4 distinct paths (2×2); UNION ALL semantics emit 4 rows,
+    // set semantics exactly 1.
+    val edges = Seq((6L, 4L), (6L, 5L), (4L, 3L), (5L, 3L),
+      (3L, 1L), (3L, 2L), (1L, 0L), (2L, 0L)).toDF("c", "p")
+    val all = Hierarchy.ancestors(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.count(_ == ((6L, 0L, 4L))) === 4, "UNION ALL: one per path")
+    val dd = Hierarchy.ancestors(edges, dedupPaths = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dd.count(_ == ((6L, 0L, 4L))) === 1, "set semantics: one row")
+    assert(dd.distinct.length === dd.length, "no duplicate rows at all")
+  }
+
   test("a cycle fails loudly at the depth cap AND leaks no checkpoints") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
