@@ -1316,11 +1316,75 @@ object CoreQueries {
       graft.operators.Merge.upsert(target, updates, Seq("user_id"),
           orderBy = Seq("ts_us", "event_id"))
         .orderBy("user_id")
+    },
+
+    // Iterative graph ranking: fixed-point integer PageRank over the part
+    // co-purchase graph (parts sharing an order are linked, both
+    // directions, distinct). The graph family's ranking member beside
+    // q56's closure and d05's components. Exactness: every rank is a LONG
+    // in 1e-9 units, per-edge contributions are floor divisions, damping
+    // is integer — order-independent under any partitioning, so 5
+    // iterations replay bit-identically in the oracle's unrolled CTEs.
+    // Scale shape: the within-order self-join's fan-out is bounded by
+    // order size (≤7 lineitems/order in TPC-H-shaped data), so |E| =
+    // O(|lineitem| · parts-per-order); PageRank.ranks persists the edge
+    // list src-clustered once and shuffles only the |V|-row rank frame
+    // per iteration. Output is the top-20 profile — bounded driver data,
+    // collected so the persisted leaves can be freed (the q56 pattern).
+    "q65_copurchase_pagerank" -> { (s, dir) =>
+      val ip = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+        .distinct()
+      val mr = graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
+      val top = mr.ranks
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
+      val rows = top.collect().toSeq
+      mr.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     }
   )
 
+  // q65: the fixed-point PageRank iterations replay as unrolled CTEs —
+  // same constants, same floor divisions (`//` ≡ Spark's `div` for the
+  // nonnegative operands here), same LEFT JOIN base-only fallback for
+  // nodes with no inflow. Generated from the SAME Scala constants the
+  // Spark side uses, so the two can never drift.
+  private def q65Oracle(iters: Int, scale: Long): String = {
+    val base = scale * 15 / 100
+    val steps = (1 to iters).map { i =>
+      s"""  c$i AS (SELECT e.dst AS node, CAST(sum(p.r // d.outdeg) AS BIGINT) AS m
+         |          FROM e JOIN r${i - 1} p ON p.node = e.src
+         |                 JOIN deg d ON d.src = e.src
+         |          GROUP BY e.dst),
+         |  r$i AS (SELECT n.node,
+         |            CAST($base + (COALESCE(c.m, 0) * 85) // 100 AS BIGINT) AS r
+         |          FROM n LEFT JOIN c$i c ON c.node = n.node),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |  e AS MATERIALIZED (
+       |    SELECT DISTINCT a.p AS src, b.p AS dst
+       |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p),
+       |  deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |  n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |  r0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM n),
+       |$steps
+       |  fin AS (SELECT r.node, r.r AS rank_fp,
+       |            COALESCE(d.outdeg, 0) AS outdeg
+       |          FROM r$iters r LEFT JOIN deg d ON d.src = r.node)
+       |SELECT node, rank_fp, outdeg FROM fin
+       |ORDER BY rank_fp DESC, node
+       |LIMIT 20""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val oracle: Map[String, String] = Map(
+    "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

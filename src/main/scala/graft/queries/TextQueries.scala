@@ -987,6 +987,47 @@ object TextQueries {
         .withColumn("sampled_tokens",
           call_function("div", col("n_tokens") * col("rate_ppm"), lit(1000000L)))
         .orderBy("source")
+    },
+
+    // Bigram-LM quality scoring — the CCNet/KenLM perplexity-filter SHAPE
+    // in exact fixed-point: train Laplace-smoothed bigram probabilities on
+    // the corpus itself, score each document by its mean bigram
+    // probability (low mean ⇒ token sequences the corpus LM finds
+    // improbable ⇒ the perplexity-style quality signal, inverted). No
+    // libm log anywhere: each bigram's smoothed probability is ONE floor
+    // division of exact integers scaled to 1e-9 units —
+    // (c2+1)·1e9 div (c1+V) — and the doc score is an integer sum with a
+    // terminal rounded division, so the report hash-matches a sequential
+    // oracle. Scale shape: one tokenize pass feeds instances; counts are
+    // two partial aggregates (bigram key, unigram key); the per-doc join
+    // works on the AGGREGATED (doc,bigram) rows, never re-exploding; V is
+    // the broadcast single-row scalar idiom.
+    "t32_bigram_lm" -> { (s, dir) =>
+      val scale = 1000000000L
+      val tk = docs(s, dir).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      val bg = tk.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val vocab = tk.select(explode(col("t")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("n"),
+          call_function("div", (col("n2") + 1) * scale, col("n1") + col("v"))
+            .as("p"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("p")).as("sum_scaled"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_scaled"),
+          round(col("sum_scaled").cast("double") / col("n_bigrams")
+            / scale.toDouble, 8).as("mean_p"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1319,6 +1360,34 @@ object TextQueries {
         |  n_tokens * rate_ppm // 1000000 AS sampled_tokens
         |FROM r
         |ORDER BY source""".stripMargin,
+
+    // t32: identical fixed-point arithmetic — (c2+1)*1e9 // (c1+V) per
+    // bigram (`//` ≡ Spark's `div` on these nonnegative integers), integer
+    // doc sums, one terminal rounded division in the same order.
+    "t32_bigram_lm" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |  b AS MATERIALIZED (
+        |    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |          FROM tk WHERE len(t) >= 2)),
+        |  db AS (SELECT doc_id, w1, w2, count(*) AS n FROM b GROUP BY ALL),
+        |  c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
+        |  c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
+        |  v AS (SELECT count(DISTINCT tok) AS v
+        |        FROM (SELECT unnest(t) AS tok FROM tk)),
+        |  sc AS (SELECT db.doc_id, db.n,
+        |           ((c2.n2 + 1) * 1000000000) // (c1.n1 + v.v) AS p
+        |         FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |              CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(n * p) AS BIGINT) AS sum_scaled,
+        |  round(CAST(sum(n * p) AS BIGINT) / CAST(sum(n) AS BIGINT)
+        |          / 1000000000.0, 8) AS mean_p
+        |FROM sc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // t25: distinct 8-gram windows per doc (t18's window CTE), min doc_id
     // per gram as the first holder, per-doc novelty share.

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.operators.Similarity
 
@@ -423,6 +424,50 @@ object VectorQueries {
           e, "vec_id", "embedding", k = 5, dim = 64, preK = 32)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of a LEXICAL leg (token-set
+    // Jaccard, d02's arithmetic) and a VECTOR leg (v01's exact cosine) —
+    // the fusion step every modern search stack runs over its BM25 and
+    // embedding retrievers. Practical top-k semantics: each leg
+    // contributes its top-50 ranked list; a candidate absent from a leg
+    // takes the fixed worst-rank penalty (1000), so fusion is an outer
+    // join of two BOUNDED lists — at 100 TB each leg is its own index
+    // probe and the fuse moves only k rows per query. Deterministic
+    // despite the doubles: each rrf term is one division of exact
+    // integers, the two-term sum is written in fixed order, ties break on
+    // nid — so DuckDB replays both legs and the fusion bit-for-bit.
+    "v18_rrf_fusion" -> { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("ts"))
+      val q = t.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), col("ts").as("qts"))
+      val lp = broadcast(q).join(t, col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("nid"),
+          (size(array_intersect(col("qts"), col("ts"))).cast("double") /
+            size(array_union(col("qts"), col("ts")))).as("jac"))
+      val wl = Window.partitionBy("qid").orderBy(col("jac").desc, col("nid"))
+      val la = graft.plans.TopK.perKey(lp,
+          Seq("qid"), Seq("jac" -> false, "nid" -> true), 50)
+        .withColumn("rank_a", row_number().over(wl))
+        .select("qid", "nid", "rank_a")
+      val e = emb(s, dir)
+      val va = Similarity.cosineTopK(e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", e, "vec_id", "embedding", k = 50)
+        .select(col("qid"), col("nid"), col("rank").as("rank_b"))
+      val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+      la.join(va, Seq("qid", "nid"), "full")
+        .select(col("qid"), col("nid"),
+          round(lit(1.0) / (lit(60) + coalesce(col("rank_a"), lit(1000))) +
+            lit(1.0) / (lit(60) + coalesce(col("rank_b"), lit(1000))), 8)
+            .as("rrf"),
+          coalesce(col("rank_a"), lit(0)).as("lex_rank"),
+          coalesce(col("rank_b"), lit(0)).as("vec_rank"))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "nid", "rrf", "lex_rank", "vec_rank")
+        .orderBy("qid", "rank")
     }
   )
 
@@ -839,6 +884,51 @@ object VectorQueries {
        |ORDER BY cluster""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // v18: lexical leg = d02's token-set Jaccard arithmetic, vector leg =
+    // v01's cosine CTEs, both ranked full then cut at 50; fusion = outer
+    // join with the 1000 worst-rank penalty, two rrf terms summed in the
+    // same written order as the Spark side.
+    "v18_rrf_fusion" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |  FROM documents),
+        |  lp AS (SELECT q.doc_id AS qid, c.doc_id AS nid,
+        |           len(list_intersect(q.ts, c.ts)) /
+        |             CAST(len(list_distinct(q.ts || c.ts)) AS DOUBLE) AS jac
+        |         FROM t q JOIN t c ON c.doc_id <> q.doc_id
+        |         WHERE q.doc_id < 8),
+        |  la AS (SELECT qid, nid, rank_a FROM (
+        |           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY jac DESC, nid) AS rank_a
+        |           FROM lp)
+        |         WHERE rank_a <= 50),
+        |  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |  vp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |           list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |         FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 8),
+        |  va AS (SELECT qid, nid, rank_b FROM (
+        |           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY sim DESC, nid) AS rank_b
+        |           FROM vp)
+        |         WHERE rank_b <= 50),
+        |  f AS (SELECT COALESCE(la.qid, va.qid) AS qid,
+        |          COALESCE(la.nid, va.nid) AS nid,
+        |          round(1.0 / (60 + COALESCE(la.rank_a, 1000)) +
+        |                1.0 / (60 + COALESCE(va.rank_b, 1000)), 8) AS rrf,
+        |          COALESCE(la.rank_a, 0) AS lex_rank,
+        |          COALESCE(va.rank_b, 0) AS vec_rank
+        |        FROM la FULL JOIN va
+        |          ON la.qid = va.qid AND la.nid = va.nid),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY rrf DESC, nid) AS rank
+        |        FROM f)
+        |SELECT qid, rank, nid, rrf, lex_rank, vec_rank
+        |FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     // Mirrors hammingRerankTopK: sign bits (x >= 0), hamming via the 0/1
     // identity |a|+|b|-2·a·b, pre-rank top-32 by (hamming, nid), exact
     // cosine re-rank of the candidates — v01's arithmetic on the survivors.

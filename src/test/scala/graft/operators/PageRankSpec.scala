@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val Scale = 1000000000L
+
+  /** Single-threaded reference of the exact fixed-point semantics the
+    * distributed operator pins: floor-division contributions, integer
+    * damping, dangling mass leaks. */
+  private def brute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> Scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) => inflow(d) += r(s) / out(s) }
+      r = nodes.map(n => n -> (Scale * 15 / 100 + inflow(n) * 85 / 100)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val mr = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters)
+    val got = mr.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mr.release()
+    got
+  }
+
+  test("uniform cycle is a fixed point: every rank stays at scale") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(cycle, 5) === Map(1L -> Scale, 2L -> Scale, 3L -> Scale))
+  }
+
+  test("dangling node receives but never emits (hand-computed)") {
+    // a -> b, b dangling. r1(a)=0.15e9; r1(b)=0.15e9+0.85e9=1e9.
+    // r2(a)=0.15e9; r2(b)=0.15e9 + (0.15e9*85)//100 = 277500000.
+    val e = Seq((1L, 2L))
+    assert(run(e, 2) === Map(1L -> 150000000L, 2L -> 277500000L))
+  }
+
+  test("matches brute-force fixed-point replay on seeded random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      assert(run(edges, 4) === brute(edges, 4), s"seed=$seed")
+    }
+  }
+
+  test("outdeg column reports 0 for dangling nodes") {
+    val mr = PageRank.ranks(Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"),
+      "src", "dst", iters = 1)
+    val deg = mr.ranks.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    mr.release()
+    assert(deg === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("parameter guards reject degenerate configs") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 0))
+    intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 3, scale = 50L))
+    intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 3, scale = 101L))
+  }
+
+  test("release drops the persisted leaves (no cached-RDD accumulation)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val mr = PageRank.ranks(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 2)
+    mr.ranks.count()
+    mr.release()
+    assert(sc.getPersistentRDDs.size === before)
+  }
+}
