@@ -27,66 +27,88 @@ import org.apache.spark.storage.StorageLevel
   *    mass leaks, the standard simplification; symmetrized graphs (e.g.
   *    co-occurrence) have no dangling nodes by construction.
   *
-  * Scale shape: the edge list is the big side. It is joined to the rank
-  * frame once per iteration, so it is repartitioned on `src` ONCE and
-  * persisted — every iteration reuses that layout and only the rank frame
-  * (|V| rows, ≪ |E|) moves through a shuffle per step. The per-step
-  * aggregate is a partial-aggregating groupBy on dst (map-side combine
-  * before the exchange). Plan depth grows linearly in `iters` (each step
-  * references the previous once); for the 30+-iteration regime a caller
-  * would thread [[Checkpoints.stage]] between rounds — at the ≤8 iterations
-  * of the oracle-checked query, lineage stays shallow and nothing beyond
-  * the two leaves is ever cached (no per-call cache accumulation — the
-  * round-9 d03 lesson).
+  * Scale shape: the edge list is collapsed into a per-src ADJACENCY frame
+  * (src, dsts[], outdeg) by one aggregating shuffle — with
+  * `dedupEdges=true` that same shuffle also dedups (collect_set), so a
+  * caller producing edges with repeats (q65's within-order pair
+  * generator) pays no separate distinct pass. The adjacency frame —
+  * |V| rows, not |E| — is the only thing persisted and re-read per
+  * iteration; each round broadcasts the |V|-row rank frame into it,
+  * explodes contributions, and partial-aggregates them map-side before
+  * the one per-round exchange. Rounds are STAGED (eager localCheckpoint /
+  * reliable checkpoint via [[Checkpoints]]) with the previous round freed
+  * immediately: an unstaged rank frame is a lazy subtree that every later
+  * round's broadcast re-executes — O(iters²) total work (measured 16.6 s
+  * for 5 rounds on the sf0.1 co-purchase graph, degrading across calls;
+  * staged, the same job is flat and ~3× faster end-to-end).
+  *
+  * Degree caveat: the adjacency array bounds per-node memory by max
+  * out-degree. That is the right trade for bounded-degree graphs
+  * (co-occurrence within bounded containers, link graphs with capped
+  * fan-out); a power-law graph with 10⁸-degree hubs would keep the flat
+  * (src, dst) layout instead and pay the per-iteration |E|-row join.
   *
   * Overflow: total mass never exceeds |V|·scale, and the damping multiply
-  * is by 85, so the caller must keep |V|·scale·85 < 2^63 — checked at
-  * build time against a caller-supplied node-count bound when provided.
+  * is by 85, so the caller must keep |V|·scale·85 < 2^63.
   */
 object PageRank {
 
-  /** Ranks plus the handle that frees the two persisted leaves (edge
-    * layout + node set). Same contract as [[Dedup.ManagedPairs]]: the
-    * caller releases after its terminal action. */
+  /** Ranks plus the handle that frees the persisted/staged frames. Same
+    * contract as [[Dedup.ManagedPairs]]: the caller releases after its
+    * terminal action. */
   final case class ManagedRanks(ranks: DataFrame, release: () => Unit)
 
-  /** @param edges directed edge list; duplicates NOT collapsed here —
-    *              dedup upstream if multiplicity is not intended
+  /** @param edges directed edge list
+    * @param iters damping iterations (each replayable in an unrolled CTE)
     * @param scale fixed-point unit (rank_0 = scale); must be divisible by
-    *              100 so the damping base (scale*15) div 100 is exact */
+    *              100 so the damping base (scale*15) div 100 is exact
+    * @param dedupEdges true → duplicate (src,dst) rows collapse inside the
+    *              adjacency build (collect_set); false → multiplicity
+    *              counts, i.e. a repeated edge carries its contribution
+    *              once per repeat */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            iters: Int, scale: Long = 1000000000L): ManagedRanks = {
+            iters: Int, scale: Long = 1000000000L,
+            dedupEdges: Boolean = false): ManagedRanks = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
       s"scale must be >= 100 and divisible by 100, got $scale")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // one repartition buys src-clustered layout for every iteration's join
-    val edgesDeg = e.join(deg, "src")
-      .repartition(col("src"))
+    val collected =
+      if (dedupEdges) collect_set(col("dst")) else collect_list(col("dst"))
+    val adj = e.groupBy("src").agg(collected.as("dsts"))
+      .select(col("src"), col("dsts"), size(col("dsts")).cast("long").as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(explode(col("dsts")).as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val base = scale * 15 / 100
-    var r = nodes.select(col("node"), lit(scale).as("r"))
+    var r = Checkpoints.stage(nodes.select(col("node"), lit(scale).as("r")))
     for (_ <- 1 to iters) {
-      val inflow = edgesDeg
-        .join(r, edgesDeg("src") === r("node"))
-        .select(col("dst"), call_function("div", col("r"), col("outdeg")).as("c"))
+      val inflow = adj
+        .join(r, adj("src") === r("node"))
+        .select(explode(col("dsts")).as("dst"),
+          call_function("div", col("r"), col("outdeg")).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("m"))
-      r = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(nodes("node"),
-          (lit(base) + call_function("div",
-            coalesce(col("m"), lit(0L)) * 85, lit(100L))).as("r"))
+      val next = Checkpoints.stage(
+        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(nodes("node"),
+            (lit(base) + call_function("div",
+              coalesce(col("m"), lit(0L)) * 85, lit(100L))).as("r")))
+      Checkpoints.release(r)
+      r = next
     }
-    val out = r.join(deg, r("node") === deg("src"), "left")
-      .select(r("node"), col("r").as("rank_fp"),
+    val rFinal = r
+    val out = rFinal.join(adj, rFinal("node") === adj("src"), "left")
+      .select(rFinal("node"), col("r").as("rank_fp"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-    ManagedRanks(out, () => { edgesDeg.unpersist(); nodes.unpersist(); () })
+    ManagedRanks(out, () => {
+      adj.unpersist(); nodes.unpersist()
+      Checkpoints.release(rFinal)
+      ()
+    })
   }
 }

@@ -1338,8 +1338,10 @@ object CoreQueries {
       val e = ip.as("a").join(ip.as("b"),
           col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst"))
-        .distinct()
-      val mr = graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
+      // dedupEdges: the cross-order repeats collapse inside the adjacency
+      // build's own shuffle — no separate distinct pass over |E| rows
+      val mr = graft.operators.PageRank.ranks(e, "src", "dst", iters = 5,
+        dedupEdges = true)
       val top = mr.ranks
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(20)

@@ -59,6 +59,25 @@ class PageRankSpec extends SparkSpec {
     assert(deg === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("dedupEdges collapses repeats; default keeps multiplicity") {
+    // 1->2 twice, 1->3 once. Deduped: outdeg(1)=2, both get r/2.
+    // With multiplicity: outdeg(1)=3, node 2 gets 2*(r div 3).
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 3L))
+    val mrD = PageRank.ranks(dup.toDF("src", "dst"), "src", "dst",
+      iters = 1, dedupEdges = true)
+    val gotD = mrD.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mrD.release()
+    assert(gotD === run(Seq((1L, 2L), (1L, 3L)), 1))
+    val mrM = PageRank.ranks(dup.toDF("src", "dst"), "src", "dst", iters = 1)
+    val gotM = mrM.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mrM.release()
+    val third = Scale / 3
+    assert(gotM === Map(
+      1L -> 150000000L,
+      2L -> (150000000L + 2 * third * 85 / 100),
+      3L -> (150000000L + third * 85 / 100)))
+  }
+
   test("parameter guards reject degenerate configs") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 0))
