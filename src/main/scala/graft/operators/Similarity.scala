@@ -297,6 +297,43 @@ object Similarity {
     ivfProbe(index.copy(assigned = live), queries, qid, qvec, k, nProbe)
   }
 
+  /** Centroid-drift audit — the REBUILD TRIGGER the [[ivfAppend]] contract
+    * promises ("production re-trains at a drift threshold") but nothing
+    * measured until now. A fresh arrival batch is assigned to the EXISTING
+    * centroids (one broadcast-map pass, no training), and each cell
+    * compares its share of the batch against its share of the index: a
+    * cell whose new-data share deviates from its index share by more than
+    * 50% relative is `drifted` — integer cross-multiplication
+    * (2·|n_new·N_idx − n_idx·N_new| > n_idx·N_new), no float thresholds,
+    * so the verdict replays exactly in a SQL oracle. Cost: one pass over
+    * the batch + one aggregate over the (persisted) assignment; totals
+    * ride the broadcast single-row scalar idiom. A maintenance job runs
+    * this per ingest and triggers retraining when drifted cells pass a
+    * count threshold. */
+  def driftAudit(index: IvfIndex, batch: DataFrame,
+                 nid: String, nvec: String): DataFrame = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    val b = batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .withColumn("cell", nearestCell(col("nv"), index.centroids))
+    val idx = index.assigned.groupBy("cell").agg(count(lit(1)).as("n_idx"))
+    val bat = b.groupBy("cell").agg(count(lit(1)).as("n_new"))
+    val tot = index.assigned.agg(count(lit(1)).as("n_tot"))
+    val btot = batch.agg(count(lit(1)).as("n_btot"))
+    idx.join(bat, Seq("cell"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_idx"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        call_function("div", col("n_idx") * 1000, col("n_tot"))
+          .as("idx_share_pm"),
+        call_function("div", coalesce(col("n_new"), lit(0L)) * 1000,
+          col("n_btot")).as("new_share_pm"),
+        (lit(2) * abs(coalesce(col("n_new"), lit(0L)) * col("n_tot") -
+          col("n_idx") * col("n_btot")) > col("n_idx") * col("n_btot"))
+          .as("drifted"))
+      .orderBy("cell")
+  }
+
   /** Metadata-FILTERED IVF probe — the approximate counterpart of
     * [[filteredCosineTopK]] and the path a 100-TB per-tenant/per-language
     * ANN actually runs: each query probes its `nProbe` nearest cells and

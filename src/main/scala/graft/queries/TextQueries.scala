@@ -1006,17 +1006,24 @@ object TextQueries {
       val scale = 1000000000L
       val tk = docs(s, dir).select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      // ONE tokenize+explode pass: the corpus-level bigram count (n2) and
+      // the bigram-start count (n1) are WINDOW sums over the per-doc
+      // aggregate — three separate groupBys over `bg` would re-tokenize
+      // the corpus once each (t16's df-over-window lesson; measured 4
+      // parquet scans → 2). The w1 window rides the (w1,w2) exchange's
+      // prefix ordering at 100 TB just as it does here.
+      import org.apache.spark.sql.expressions.Window
       val bg = tk.filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), " +
             "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+        .withColumn("n2", sum(col("n")).over(Window.partitionBy("w1", "w2")))
+        .withColumn("n1", sum(col("n")).over(Window.partitionBy("w1")))
       val vocab = tk.select(explode(col("t")).as("tok"))
         .agg(countDistinct(col("tok")).as("v"))
-      docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      docBg
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"), col("n"),
           call_function("div", (col("n2") + 1) * scale, col("n1") + col("v"))
@@ -1028,6 +1035,34 @@ object TextQueries {
           round(col("sum_scaled").cast("double") / col("n_bigrams")
             / scale.toDouble, 8).as("mean_p"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer-fertility audit per (lang, source) — the budget-planning
+    // numbers a multilingual mix needs before training: subword pieces
+    // per whitespace word (fertility — t05's BPE-shaped segmenter over
+    // t01's word count) and bytes per word (how much raw storage a token
+    // budget buys per language). High-fertility slices cost more compute
+    // per word; both ratios are integer-hundredths (floor div, zero-token
+    // groups guarded by greatest(,1) identically in both engines), so the
+    // report is hash-exact. One scan, one aggregate.
+    "t33_tokenizer_fertility" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long")
+            .as("nt"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("np"),
+          octet_length(col("text")).cast("long").as("nb"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("np")).as("n_pieces"), sum(col("nb")).as("n_bytes"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("n_pieces"), col("n_bytes"),
+          call_function("div", col("n_pieces") * 100,
+            greatest(col("n_tokens"), lit(1L))).as("fertility_x100"),
+          call_function("div", col("n_bytes") * 100,
+            greatest(col("n_tokens"), lit(1L))).as("bytes_per_tok_x100"))
+        .orderBy("lang", "source")
     }
   )
 
@@ -1388,6 +1423,23 @@ object TextQueries {
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // t33: strlen = BYTE length in DuckDB (Spark octet_length); piece
+    // segmenter is t05's regex; ratios floor-div with the same
+    // greatest(,1) guard.
+    "t33_tokenizer_fertility" ->
+      """WITH a AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |                             x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(regexp_extract_all(text,
+        |                   '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_pieces,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens, n_pieces, n_bytes,
+        |  (n_pieces * 100) // greatest(n_tokens, 1) AS fertility_x100,
+        |  (n_bytes * 100) // greatest(n_tokens, 1) AS bytes_per_tok_x100
+        |FROM a
+        |ORDER BY lang, source""".stripMargin,
 
     // t25: distinct 8-gram windows per doc (t18's window CTE), min doc_id
     // per gram as the first holder, per-doc novelty share.

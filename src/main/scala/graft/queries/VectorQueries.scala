@@ -468,6 +468,20 @@ object VectorQueries {
         .filter(col("rank") <= 10)
         .select("qid", "rank", "nid", "rrf", "lex_rank", "vec_rank")
         .orderBy("qid", "rank")
+    },
+
+    // Index-maintenance lifecycle, closed: v04 builds, v12 appends, v16
+    // deletes — v19 is the REBUILD TRIGGER: a drift audit of fresh
+    // arrivals against the standing index's cell distribution. The
+    // simulated arrival batch is a single-domain slice (label = 3), the
+    // realistic shift shape: new data concentrating in a few cells flips
+    // their `drifted` verdicts. Per-cell verdicts are integer
+    // cross-multiplications, so the whole audit replays in the oracle's
+    // k-means CTEs.
+    "v19_centroid_drift" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.driftAudit(ivfIndexFor(s, dir),
+        e.filter(col("label") === 3), "vec_id", "embedding")
     }
   )
 
@@ -1008,6 +1022,27 @@ object VectorQueries {
         |ORDER BY f.qid""".stripMargin,
     "v02_lsh_ann" -> v02Oracle,
     "v04_ivf_ann" -> v04Oracle(),
+    // v19: the index side reuses the training replay's `corpus` CTE; the
+    // batch's cells come from joining it back on nid — sound because
+    // assignment under fixed centroids is deterministic (the ivfAppend
+    // parity SimilaritySpec pins), so reassigning the label-3 slice gives
+    // exactly its original cells.
+    "v19_centroid_drift" ->
+      s"""${ivfTrainingCtes(16, 8, 10000, 64)},
+         |  idx AS (SELECT cell, count(*) AS n_idx FROM corpus GROUP BY cell),
+         |  tot AS (SELECT count(*) AS n_tot FROM corpus),
+         |  bat AS (SELECT c.cell, count(*) AS n_new
+         |          FROM corpus c JOIN embeddings b ON b.vec_id = c.nid
+         |          WHERE b.label = 3 GROUP BY c.cell),
+         |  btot AS (SELECT count(*) AS n_btot FROM embeddings WHERE label = 3)
+         |SELECT i.cell, i.n_idx, COALESCE(b.n_new, 0) AS n_new,
+         |  (i.n_idx * 1000) // t.n_tot AS idx_share_pm,
+         |  (COALESCE(b.n_new, 0) * 1000) // bt.n_btot AS new_share_pm,
+         |  2 * abs(COALESCE(b.n_new, 0) * t.n_tot - i.n_idx * bt.n_btot)
+         |    > i.n_idx * bt.n_btot AS drifted
+         |FROM idx i LEFT JOIN bat b USING (cell)
+         |     CROSS JOIN tot t CROSS JOIN btot bt
+         |ORDER BY cell""".stripMargin,
     "v12_ivf_append" -> v12Oracle(),
     // v16 = v12's appended-index probe with tombstoned nids excluded at
     // the candidate stage (exactly where the engine anti-joins).

@@ -72,6 +72,55 @@ class HybridRankSpec extends SparkSpec {
     assert(out.length === expect.size, "every doc with >= 1 bigram is scored")
   }
 
+  test("v19: cell counts conserve both populations and the drift verdict " +
+       "is exactly the integer cross-multiplication") {
+    val out = VectorQueries.queries("v19_centroid_drift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nTot = out.map(_.getLong(1)).sum
+    val nBtot = out.map(_.getLong(2)).sum
+    assert(nTot === spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(nBtot === spark.read.parquet(s"$sf/embeddings.parquet")
+      .where("label = 3").count(),
+      "batch cells are a subset of index cells, so the emitted n_new " +
+        "column must sum to the whole batch")
+    out.foreach { r =>
+      val (nIdx, nNew) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === nIdx * 1000 / nTot, "idx_share_pm")
+      assert(r.getLong(4) === nNew * 1000 / nBtot, "new_share_pm")
+      assert(r.getBoolean(5) ===
+        (2 * math.abs(nNew * nTot - nIdx * nBtot) > nIdx * nBtot),
+        s"drift verdict of cell ${r.getLong(0)}")
+    }
+    assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)),
+      "the single-domain batch must flip some cells and not others, or " +
+        "the audit demonstrates nothing")
+  }
+
+  test("t33: fertility report matches a driver-side recompute") {
+    val out = TextQueries.queries("t33_tokenizer_fertility")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+    val piece = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val expect = docs.groupBy(_._1).map { case (k, rows) =>
+      val texts = rows.map(_._2)
+      val nt = texts.map(_.split(" ").count(_.nonEmpty).toLong).sum
+      val np = texts.map(t => piece.findAllIn(t).size.toLong).sum
+      val nb = texts.map(_.getBytes("UTF-8").length.toLong).sum
+      k -> (texts.length.toLong, nt, np, nb)
+    }
+    assert(out.length === expect.size)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (nd, nt, np, nb) = expect(k)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((nd, nt, np, nb)), s"counts of $k")
+      assert(r.getLong(6) === np * 100 / math.max(nt, 1L), s"fertility of $k")
+      assert(r.getLong(7) === nb * 100 / math.max(nt, 1L), s"bytes/tok of $k")
+    }
+  }
+
   test("v18: rrf is recomputable from the emitted leg ranks and each " +
        "query's fused list is a dense rank 1..10") {
     val out = VectorQueries.queries("v18_rrf_fusion")(spark, sf).collect()
