@@ -324,10 +324,14 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"),
         col("n_idx"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
-        call_function("div", col("n_idx") * 1000, col("n_tot"))
-          .as("idx_share_pm"),
+        // greatest(,1): an EMPTY index/batch reports zero shares instead
+        // of NULL-from-division; with n_btot=0 every n_new is 0 too, so
+        // no verdict can fire — the audit degrades to all-clear, loudly
+        // visible via n_new=0 everywhere
+        call_function("div", col("n_idx") * 1000,
+          greatest(col("n_tot"), lit(1L))).as("idx_share_pm"),
         call_function("div", coalesce(col("n_new"), lit(0L)) * 1000,
-          col("n_btot")).as("new_share_pm"),
+          greatest(col("n_btot"), lit(1L))).as("new_share_pm"),
         (lit(2) * abs(coalesce(col("n_new"), lit(0L)) * col("n_tot") -
           col("n_idx") * col("n_btot")) > col("n_idx") * col("n_btot"))
           .as("drifted"))

@@ -1348,6 +1348,50 @@ object CoreQueries {
       val rows = top.collect().toSeq
       mr.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+    },
+
+    // Sketch SET ALGEBRA — the q40 rollup's missing operation: mergeable
+    // sketches union natively, but year-over-year customer OVERLAP
+    // (retention) needs intersection, estimated by inclusion-exclusion
+    // over three HLL estimates (|A|+|B|−|A∪B|). At 100 TB the per-year
+    // sketches are built once at ingest and every pairwise overlap is two
+    // sketch merges — no re-scan, no shuffle of raw keys; the exact
+    // distinct-pair join exists here as the audit. All verdicts are
+    // integer cross-multiplications (hll_sketch_estimate returns bigint),
+    // so the report is deterministic and the oracle pins the expected-true
+    // verdict columns (q40's pattern) beside its own exact counts.
+    "q66_hll_set_ops" -> { (s, dir) =>
+      val dist = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), year(col("o_orderdate")).as("yr"))
+        .distinct()
+      val perYear = dist.groupBy("yr")
+        .agg(hll_sketch_agg(col("ck"), lit(14)).as("sk"),
+          count(lit(1)).as("n"))
+      val a = perYear.select(col("yr").as("yr_a"), col("sk").as("sk_a"),
+        col("n").as("exact_a"))
+      val b = perYear.select(col("yr").as("yr_b"), col("sk").as("sk_b"),
+        col("n").as("exact_b"))
+      val inter = dist.as("x").join(dist.as("y"),
+          col("x.ck") === col("y.ck") && col("x.yr") + 1 === col("y.yr"))
+        .groupBy(col("x.yr").as("yr_i"))
+        .agg(count(lit(1)).as("exact_i"))
+      a.join(b, col("yr_a") + 1 === col("yr_b"))
+        .join(inter, col("yr_a") === col("yr_i"), "left")
+        .select(col("yr_a"), col("yr_b"), col("exact_a"), col("exact_b"),
+          (col("exact_a") + col("exact_b") -
+            coalesce(col("exact_i"), lit(0L))).as("exact_union"),
+          coalesce(col("exact_i"), lit(0L)).as("exact_inter"),
+          hll_sketch_estimate(col("sk_a")).as("est_a"),
+          hll_sketch_estimate(col("sk_b")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_u"))
+        .withColumn("est_i", col("est_a") + col("est_b") - col("est_u"))
+        .select(col("yr_a"), col("yr_b"), col("exact_a"), col("exact_b"),
+          col("exact_union"), col("exact_inter"),
+          (abs(col("est_u") - col("exact_union")) * 50 <= col("exact_union"))
+            .as("union_within_2pct"),
+          (abs(col("est_i") - col("exact_inter")) * 10 <= col("exact_inter"))
+            .as("inter_within_10pct"))
+        .orderBy("yr_a")
     }
   )
 
@@ -1387,6 +1431,27 @@ object CoreQueries {
   // -------------------------------------------------------------------------
   val oracle: Map[String, String] = Map(
     "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
+
+    // q66: exact counts recomputed; the sketch-path verdicts are pinned
+    // expected-true (q40's pattern — DuckDB cannot replay DataSketches
+    // HLL, so the oracle certifies the exact columns and the CLAIM that
+    // the estimates landed inside their tolerance).
+    "q66_hll_set_ops" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS ck, year(o_orderdate) AS yr
+        |  FROM orders),
+        |  n AS (SELECT yr, count(*) AS n FROM d GROUP BY yr),
+        |  i AS (SELECT x.yr AS yr_i, count(*) AS exact_i
+        |        FROM d x JOIN d y ON y.ck = x.ck AND y.yr = x.yr + 1
+        |        GROUP BY x.yr)
+        |SELECT a.yr AS yr_a, b.yr AS yr_b, a.n AS exact_a, b.n AS exact_b,
+        |  a.n + b.n - COALESCE(i.exact_i, 0) AS exact_union,
+        |  COALESCE(i.exact_i, 0) AS exact_inter,
+        |  true AS union_within_2pct,
+        |  true AS inter_within_10pct
+        |FROM n a JOIN n b ON b.yr = a.yr + 1
+        |     LEFT JOIN i ON i.yr_i = a.yr
+        |ORDER BY yr_a""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

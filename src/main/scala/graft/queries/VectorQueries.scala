@@ -1036,8 +1036,9 @@ object VectorQueries {
          |          WHERE b.label = 3 GROUP BY c.cell),
          |  btot AS (SELECT count(*) AS n_btot FROM embeddings WHERE label = 3)
          |SELECT i.cell, i.n_idx, COALESCE(b.n_new, 0) AS n_new,
-         |  (i.n_idx * 1000) // t.n_tot AS idx_share_pm,
-         |  (COALESCE(b.n_new, 0) * 1000) // bt.n_btot AS new_share_pm,
+         |  (i.n_idx * 1000) // greatest(t.n_tot, 1) AS idx_share_pm,
+         |  (COALESCE(b.n_new, 0) * 1000)
+         |    // greatest(bt.n_btot, 1) AS new_share_pm,
          |  2 * abs(COALESCE(b.n_new, 0) * t.n_tot - i.n_idx * bt.n_btot)
          |    > i.n_idx * bt.n_btot AS drifted
          |FROM idx i LEFT JOIN bat b USING (cell)

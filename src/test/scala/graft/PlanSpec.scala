@@ -200,4 +200,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(600))
   }
+
+  test("t32 bigram LM: one tokenize pass for all three count levels") {
+    // the (w1,w2) and (w1) corpus counts are window sums over the single
+    // per-doc aggregate — a groupBy per count level would re-tokenize the
+    // corpus once each (4 scans measured before the restructure; 2 after:
+    // the bigram path + the vocabulary scalar)
+    val df = graft.queries.TextQueries.queries("t32_bigram_lm")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).size <= 2,
+      "bigram counts must not re-tokenize per level\n" + finalPlan.take(1500))
+  }
+
+  test("v19 drift audit: batch assignment is map-only over broadcast " +
+       "centroids; totals ride broadcast scalars") {
+    val df = graft.queries.VectorQueries.queries("v19_centroid_drift")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the two cross joins must be the broadcast 1-row scalar idiom (never
+    // a shuffled cartesian), and the cell join itself hash/broadcast
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "the two scalar totals must broadcast\n" + p.take(1200))
+  }
 }

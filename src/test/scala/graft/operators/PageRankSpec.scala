@@ -78,6 +78,10 @@ class PageRankSpec extends SparkSpec {
       3L -> (150000000L + third * 85 / 100)))
   }
 
+  test("empty edge set yields an empty rank frame") {
+    assert(run(Seq.empty[(Long, Long)], 3) === Map.empty[Long, Long])
+  }
+
   test("parameter guards reject degenerate configs") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 0))

@@ -152,4 +152,21 @@ class SketchQueriesSpec extends SparkSpec {
       assert(rarities === rarities.sorted(Ordering[Double].reverse))
     }
   }
+
+  test("q66: inclusion-exclusion identity holds on the exact columns and " +
+       "both sketch verdicts land inside tolerance") {
+    val rows = CoreQueries.queries("q66_hll_set_ops")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) + r.getLong(3) - r.getLong(5),
+        s"|A∪B| = |A|+|B|−|A∩B| for ${r.getInt(0)}")
+      assert(r.getLong(5) > 0, "consecutive order years share customers")
+      assert(r.getBoolean(6), s"union estimate off for year ${r.getInt(0)}")
+      assert(r.getBoolean(7), s"intersection estimate off for year ${r.getInt(0)}")
+    }
+    // year pairs are consecutive and unique
+    val pairs = rows.map(r => (r.getInt(0), r.getInt(1)))
+    assert(pairs.forall { case (a, b) => b == a + 1 })
+    assert(pairs.map(_._1).distinct.length === pairs.length)
+  }
 }
