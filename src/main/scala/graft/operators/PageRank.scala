@@ -65,10 +65,15 @@ object PageRank {
     * @param dedupEdges true → duplicate (src,dst) rows collapse inside the
     *              adjacency build (collect_set); false → multiplicity
     *              counts, i.e. a repeated edge carries its contribution
-    *              once per repeat */
+    *              once per repeat
+    * @param symmetric caller asserts every node occurs as a src (true for
+    *              symmetrized / co-occurrence graphs) — the node set then
+    *              reads straight off the adjacency frame instead of
+    *              exploding and distinct-ing every dst array */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int, scale: Long = 1000000000L,
-            dedupEdges: Boolean = false): ManagedRanks = {
+            dedupEdges: Boolean = false,
+            symmetric: Boolean = false): ManagedRanks = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
       s"scale must be >= 100 and divisible by 100, got $scale")
@@ -79,13 +84,32 @@ object PageRank {
     val adj = e.groupBy("src").agg(collected.as("dsts"))
       .select(col("src"), col("dsts"), size(col("dsts")).cast("long").as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.select(col("src").as("node"))
-      .union(adj.select(explode(col("dsts")).as("node")))
-      .distinct()
+    val nodes = (if (symmetric) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .union(adj.select(explode(col("dsts")).as("node")))
+        .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val base = scale * 15 / 100
-    var r = Checkpoints.stage(nodes.select(col("node"), lit(scale).as("r")))
+    var r: DataFrame = null
+    // staging is eager, so a mid-build failure (e.g. the overflow guard
+    // firing) must not strand persisted frames in a long-lived session —
+    // including the FAILED round's half-created localCheckpoint RDD, which
+    // stays registered even though its job never finished and which no
+    // DataFrame handle can reach. Sweep everything this call registered
+    // (failure path only; a concurrent builder in the same session could
+    // in principle register an id inside our window, the same documented
+    // trade the test-scoped sweep tools make).
+    val sc = edges.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    def failCleanup(): Unit =
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) {
+          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
+        }
+      }
+    try {
+    r = Checkpoints.stage(nodes.select(col("node"), lit(scale).as("r")))
     for (_ <- 1 to iters) {
       val inflow = adj
         .join(r, adj("src") === r("node"))
@@ -93,11 +117,19 @@ object PageRank {
           call_function("div", col("r"), col("outdeg")).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("m"))
+      // overflow is a hard error, not silent wrap: the damping multiply is
+      // the first place |V|·scale·85 ≥ 2^63 manifests (a wrapped inflow
+      // also shows up here as m < 0). The guard is part of the rank
+      // expression, so column pruning can never drop it.
+      val mSafe = coalesce(col("m"), lit(0L))
+      val guarded = when(mSafe < 0 || mSafe > lit(Long.MaxValue / 85),
+        raise_error(concat(lit("PageRank overflow: inflow "),
+          col("m").cast("string"),
+          lit(s" breaks |V|*scale*85 < 2^63 at scale=$scale — lower scale"))))
+        .otherwise(lit(base) + call_function("div", mSafe * 85, lit(100L)))
       val next = Checkpoints.stage(
         nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-          .select(nodes("node"),
-            (lit(base) + call_function("div",
-              coalesce(col("m"), lit(0L)) * 85, lit(100L))).as("r")))
+          .select(nodes("node"), guarded.as("r")))
       Checkpoints.release(r)
       r = next
     }
@@ -110,5 +142,6 @@ object PageRank {
       Checkpoints.release(rFinal)
       ()
     })
+    } catch { case t: Throwable => failCleanup(); throw t }
   }
 }

@@ -319,21 +319,27 @@ object Similarity {
     val bat = b.groupBy("cell").agg(count(lit(1)).as("n_new"))
     val tot = index.assigned.agg(count(lit(1)).as("n_tot"))
     val btot = batch.agg(count(lit(1)).as("n_btot"))
-    idx.join(bat, Seq("cell"), "left")
+    // FULL join: a cell empty in the standing index but receiving batch
+    // mass is the STRONGEST drift signal — a left join from the index
+    // side would silently drop exactly those rows (review catch)
+    idx.join(bat, Seq("cell"), "full")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
       .select(col("cell").cast("long").as("cell"),
-        col("n_idx"),
+        coalesce(col("n_idx"), lit(0L)).as("n_idx"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         // greatest(,1): an EMPTY index/batch reports zero shares instead
         // of NULL-from-division; with n_btot=0 every n_new is 0 too, so
         // no verdict can fire — the audit degrades to all-clear, loudly
         // visible via n_new=0 everywhere
-        call_function("div", col("n_idx") * 1000,
+        call_function("div", coalesce(col("n_idx"), lit(0L)) * 1000,
           greatest(col("n_tot"), lit(1L))).as("idx_share_pm"),
         call_function("div", coalesce(col("n_new"), lit(0L)) * 1000,
           greatest(col("n_btot"), lit(1L))).as("new_share_pm"),
+        // n_idx=0 with n_new>0 ⇒ LHS positive, RHS 0 ⇒ drifted, as it
+        // must be: fresh mass in an index-empty cell is definitional drift
         (lit(2) * abs(coalesce(col("n_new"), lit(0L)) * col("n_tot") -
-          col("n_idx") * col("n_btot")) > col("n_idx") * col("n_btot"))
+          coalesce(col("n_idx"), lit(0L)) * col("n_btot")) >
+          coalesce(col("n_idx"), lit(0L)) * col("n_btot"))
           .as("drifted"))
       .orderBy("cell")
   }

@@ -1035,13 +1035,16 @@ object VectorQueries {
          |          FROM corpus c JOIN embeddings b ON b.vec_id = c.nid
          |          WHERE b.label = 3 GROUP BY c.cell),
          |  btot AS (SELECT count(*) AS n_btot FROM embeddings WHERE label = 3)
-         |SELECT i.cell, i.n_idx, COALESCE(b.n_new, 0) AS n_new,
-         |  (i.n_idx * 1000) // greatest(t.n_tot, 1) AS idx_share_pm,
+         |SELECT COALESCE(i.cell, b.cell) AS cell,
+         |  COALESCE(i.n_idx, 0) AS n_idx, COALESCE(b.n_new, 0) AS n_new,
+         |  (COALESCE(i.n_idx, 0) * 1000) // greatest(t.n_tot, 1)
+         |    AS idx_share_pm,
          |  (COALESCE(b.n_new, 0) * 1000)
          |    // greatest(bt.n_btot, 1) AS new_share_pm,
-         |  2 * abs(COALESCE(b.n_new, 0) * t.n_tot - i.n_idx * bt.n_btot)
-         |    > i.n_idx * bt.n_btot AS drifted
-         |FROM idx i LEFT JOIN bat b USING (cell)
+         |  2 * abs(COALESCE(b.n_new, 0) * t.n_tot
+         |          - COALESCE(i.n_idx, 0) * bt.n_btot)
+         |    > COALESCE(i.n_idx, 0) * bt.n_btot AS drifted
+         |FROM idx i FULL JOIN bat b ON b.cell = i.cell
          |     CROSS JOIN tot t CROSS JOIN btot bt
          |ORDER BY cell""".stripMargin,
     "v12_ivf_append" -> v12Oracle(),

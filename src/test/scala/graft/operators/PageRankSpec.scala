@@ -7,20 +7,8 @@ class PageRankSpec extends SparkSpec {
 
   private val Scale = 1000000000L
 
-  /** Single-threaded reference of the exact fixed-point semantics the
-    * distributed operator pins: floor-division contributions, integer
-    * damping, dangling mass leaks. */
-  private def brute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var r = nodes.map(_ -> Scale).toMap
-    for (_ <- 1 to iters) {
-      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
-      edges.foreach { case (s, d) => inflow(d) += r(s) / out(s) }
-      r = nodes.map(n => n -> (Scale * 15 / 100 + inflow(n) * 85 / 100)).toMap
-    }
-    r
-  }
+  private def brute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    BrutePageRank.ranks(edges, iters)
 
   private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val mr = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters)
@@ -78,8 +66,33 @@ class PageRankSpec extends SparkSpec {
       3L -> (150000000L + third * 85 / 100)))
   }
 
+  test("symmetric contract gives the general path's exact result on a " +
+       "symmetrized graph") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 5L), (5L, 3L))
+    val mrS = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, symmetric = true)
+    val gotS = mrS.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mrS.release()
+    assert(gotS === run(edges, 3))
+  }
+
   test("empty edge set yields an empty rank frame") {
     assert(run(Seq.empty[(Long, Long)], 3) === Map.empty[Long, Long])
+  }
+
+  test("overflow raises a readable error instead of wrapping negative") {
+    // scale near 2^63: round 1's inflow (9e18) breaks the m*85 headroom
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ex = intercept[Exception](
+      PageRank.ranks(e, "src", "dst", iters = 1,
+        scale = 9000000000000000000L))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("PageRank overflow")),
+      chain(ex).mkString(" | "))
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "a failed build must not strand persisted frames")
   }
 
   test("parameter guards reject degenerate configs") {

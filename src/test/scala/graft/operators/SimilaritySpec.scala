@@ -406,4 +406,28 @@ class SimilaritySpec extends SparkSpec {
       assert(healed == exact)
     } finally idx.release()
   }
+
+  test("driftAudit: batch mass landing in an index-empty cell is reported " +
+       "and drifted (full-join contract)") {
+    // hand-built index: two centroids, but the standing assignment only
+    // populates cell 0 — the review-found left-join bug dropped exactly
+    // the batch rows assigned to cell 1
+    val assigned = Seq((10L, Seq(1f, 0f), 0))
+      .toDF("nid", "nv", "cell")
+      .select(col("nid"), col("nv").cast("array<float>").as("nv"), col("cell"))
+    val idx = Similarity.IvfIndex(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), 2, assigned, () => ())
+    val batch = Seq((100L, Seq(0f, 1f)), (101L, Seq(0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.driftAudit(idx, batch, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5)))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(1L) === ((0L, 2L, true)),
+      "the index-empty cell must surface its batch mass and read drifted")
+    assert(out(0L) === ((1L, 0L, true)),
+      "the index-only cell lost its whole share of the new data")
+    // population conservation across the full join
+    assert(out.values.map(_._2).sum === 2L)
+  }
 }

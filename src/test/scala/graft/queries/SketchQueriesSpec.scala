@@ -162,7 +162,9 @@ class SketchQueriesSpec extends SparkSpec {
         s"|A∪B| = |A|+|B|−|A∩B| for ${r.getInt(0)}")
       assert(r.getLong(5) > 0, "consecutive order years share customers")
       assert(r.getBoolean(6), s"union estimate off for year ${r.getInt(0)}")
-      assert(r.getBoolean(7), s"intersection estimate off for year ${r.getInt(0)}")
+      assert(r.getBoolean(7),
+        s"intersection estimate outside its union-conditioned tolerance " +
+          s"for year ${r.getInt(0)}")
     }
     // year pairs are consecutive and unique
     val pairs = rows.map(r => (r.getInt(0), r.getInt(1)))
