@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate ADMISSION filter — the production front door
+  * of a continuously-ingesting corpus: every arriving micro-batch of
+  * documents is probed against the standing corpus
+  * [[Dedup.SignatureIndex]] (built once per corpus epoch, possibly served
+  * from the durable [[graft.operators.IndexStore]] form), and only
+  * documents that near-duplicate neither the corpus nor an
+  * earlier-admitted document of their own batch reach the accept log.
+  *
+  * Composition, not new machinery: the per-batch decision is EXACTLY
+  * [[Dedup.incrementalExactPairsIndexed]] (batch signatures only, corpus
+  * side served from the index frames, capped buckets, exact Jaccard
+  * verify), wrapped in `foreachBatch` because the candidate join + verify
+  * is a batch plan — a stream-stream formulation would have to buffer the
+  * entire corpus as state.
+  *
+  * Snapshot semantics (documented, deliberate): admission is exact
+  * against the index EPOCH the filter was started with, plus within-batch
+  * (min-id survives, the engine-wide survivor contract). A document
+  * duplicating a doc ADMITTED EARLIER IN THIS RUN but not yet folded into
+  * the index is not rejected — production periodically rolls admitted
+  * docs into the next index epoch (signatureBuild or ivfAppend-style
+  * growth), the same staleness contract as [[graft.operators.Similarity]]
+  * index maintenance, now measurable with v19's drift-audit shape.
+  *
+  * Exactly-once: each batch writes to its own `batch=<id>` partition
+  * directory with dynamic overwrite, so a replayed batch rewrites its own
+  * output instead of double-appending (the idempotent-file-sink contract;
+  * [[ExactlyOnceSink]] covers the keyed-upsert variant).
+  */
+object NearDupAdmission {
+
+  /** One batch's admission decision: the documents of `batch` that
+    * near-dup neither the index corpus nor a smaller-id batch sibling.
+    * Pure batch plan — unit-testable without a stream. */
+  def admit(batch: DataFrame, index: Dedup.SignatureIndex,
+            idCol: String, textCol: String,
+            threshold: Double = 0.8): DataFrame = {
+    val mp = Dedup.incrementalExactPairsIndexedManaged(
+      batch, index, idCol, textCol, threshold)
+    val bids = batch.select(col(idCol).as("__bid"))
+    // pairs are (id_a < id_b); corpus×corpus pairs never occur. Reject the
+    // batch-side doc of a batch×corpus pair, the larger id of a
+    // batch×batch pair.
+    val rejected = mp.pairs
+      .join(bids.select(col("__bid").as("id_a"), lit(true).as("a_in")),
+        Seq("id_a"), "left")
+      .join(bids.select(col("__bid").as("id_b"), lit(true).as("b_in")),
+        Seq("id_b"), "left")
+      .select(
+        when(col("a_in").isNotNull && col("b_in").isNull, col("id_a"))
+          .otherwise(col("id_b")).as(idCol))
+      .distinct()
+    val kept = batch.join(rejected, Seq(idCol), "left_anti")
+    // the batch-side signature cache must not outlive the decision
+    val out = kept.persist()
+    out.count()
+    mp.release()
+    out
+  }
+
+  /** Start the admission stream: `docs` (a streaming DataFrame of
+    * documents) → per-batch [[admit]] → `batch=<id>` partitions under
+    * `outDir`. */
+  def start(docs: DataFrame, index: Dedup.SignatureIndex,
+            idCol: String, textCol: String,
+            outDir: String, checkpointDir: String,
+            threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = admit(batch, index, idCol, textCol, threshold)
+        try {
+          val dir = new Path(outDir, s"batch=$batchId")
+          kept.write.mode("overwrite").parquet(dir.toString)
+        } finally { kept.unpersist(); () }
+      }
+      .start()
+
+  /** Read back the full accept log (all batch partitions). */
+  def acceptLog(spark: SparkSession, outDir: String): DataFrame =
+    spark.read
+      .option("basePath", outDir)
+      .parquet(outDir + "/batch=*")
+}
