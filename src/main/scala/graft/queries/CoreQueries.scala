@@ -1398,6 +1398,38 @@ object CoreQueries {
           (abs(col("est_i") - col("exact_inter")) * 10 <= col("exact_union"))
             .as("inter_within_10pct_of_union"))
         .orderBy("yr_a")
+    },
+
+    // Incremental JOIN-view maintenance (the join twin of q58's
+    // incremental aggregates): the orders⋈lineitem revenue view is
+    // refreshed from the post-2000 arrivals via the delta identity
+    // ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — three joins whose one side is
+    // delta-sized, never a re-join of the standing tables. The split is
+    // by EVENT TIME (order date / ship date), not by the join key, so all
+    // three delta terms are real: old orders keep receiving late
+    // shipments (A_old⋈ΔB), new orders bring their own lineitems (ΔA⋈ΔB).
+    // Because inner equi-join is monotone over inserts, the maintained
+    // view must equal the recomputed join EXACTLY — which is what the
+    // oracle computes, so hash equality certifies the identity. Output is
+    // the per-(year, status) revenue rollup of the maintained rows.
+    "q67_ivm_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_shipdate"))
+      val (aOld, dA) = (o.filter(year(col("o_orderdate")) <= 2000),
+        o.filter(year(col("o_orderdate")) > 2000))
+      val (bOld, dB) = (li.filter(year(col("l_shipdate")) <= 2000),
+        li.filter(year(col("l_shipdate")) > 2000))
+      val viewOld = aOld.join(bOld, Seq("o_orderkey"))
+      graft.operators.IncrementalJoin
+        .insertOnlyInner(viewOld, aOld, bOld, dA, dB, Seq("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("yr", "o_orderstatus")
     }
   )
 
@@ -1458,6 +1490,16 @@ object CoreQueries {
         |FROM n a JOIN n b ON b.yr = a.yr + 1
         |     LEFT JOIN i ON i.yr_i = a.yr
         |ORDER BY yr_a""".stripMargin,
+
+    // q67: the maintained view must equal the recomputed full join — the
+    // oracle IS the recompute.
+    "q67_ivm_join" ->
+      s"""SELECT year(o_orderdate) AS yr, o_orderstatus,
+         |  count(*) AS n_rows,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY year(o_orderdate), o_orderstatus
+         |ORDER BY yr, o_orderstatus""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

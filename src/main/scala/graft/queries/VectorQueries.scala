@@ -482,6 +482,37 @@ object VectorQueries {
       val e = emb(s, dir)
       Similarity.driftAudit(ivfIndexFor(s, dir),
         e.filter(col("label") === 3), "vec_id", "embedding")
+    },
+
+    // The IVF TUNING CURVE — what a deployment actually reads before
+    // fixing nProbe: recall@5 against the exact top-5 for nProbe ∈
+    // {1,2,4}, one row each. The exact leg is brute-forced ONCE and
+    // re-enters the three probe comparisons as a literal 40-row frame
+    // (bounded model-class data, the q56/q65 collect contract) — three
+    // lazy references to the cosine subtree would re-run the brute force
+    // per sweep point. Probes are pure plan construction against the
+    // session IVF index (zero re-training).
+    "v20_nprobe_sweep" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exactDf = Similarity.cosineTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val exactRows = exactDf.collect().toSeq
+      val exact = s.createDataFrame(
+        s.sparkContext.parallelize(exactRows, 1), exactDf.schema)
+      val sweeps = Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfProbe(ivfIndexFor(s, dir), q,
+            "vec_id", "embedding", k = 5, nProbe = np)
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+        exact.join(ivf, Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(lit(np).as("n_probe"), col("n_pairs"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_pairs"), 4)
+              .as("recall"))
+      }
+      sweeps.reduce(_ unionByName _).orderBy("n_probe")
     }
   )
 
@@ -694,6 +725,51 @@ object VectorQueries {
     * v01 brute-force formulation (over the same `corpus` CTE) for the
     * exact leg, then the per-query intersection count. Rank ties on both
     * legs break by (sim DESC, nid) exactly as the engine's rankTopK. */
+  /** v20: v09's replay at three probe widths, each reduced to one
+    * (n_probe, n_pairs, n_hits, recall) row. */
+  private def v20Oracle(nCells: Int = 16, k: Int = 5, iters: Int = 8,
+                        trainSample: Int = 10000, dim: Int = 64): String = {
+    val per = Seq(1, 2, 4).map { np =>
+      s"""  probe$np AS (SELECT vec_id AS qid, c AS cell FROM (
+         |              SELECT vec_id, c, row_number() OVER (
+         |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+         |              FROM cscore WHERE vec_id < 8) WHERE rn <= $np),
+         |  cand$np AS (SELECT DISTINCT p.qid, c.nid
+         |           FROM probe$np p JOIN corpus c ON c.cell = p.cell
+         |           WHERE p.qid <> c.nid),
+         |  sims$np AS (SELECT cd.qid, cd.nid,
+         |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
+         |           FROM cand$np cd JOIN q ON q.qid = cd.qid
+         |                     JOIN corpus c ON c.nid = cd.nid),
+         |  ivf$np AS (SELECT qid, nid FROM (
+         |            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |              ORDER BY sim DESC, nid) AS rank FROM sims$np)
+         |          WHERE rank <= $k),
+         |  r$np AS (SELECT $np AS n_probe, count(*) AS n_pairs,
+         |            CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS n_hits
+         |          FROM ex LEFT JOIN ivf$np i
+         |            ON i.qid = ex.qid AND i.nid = ex.nid)""".stripMargin
+    }.mkString(",\n")
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)},
+       |  q AS (SELECT e.vec_id AS qid, e.v AS qv,
+       |          sqrt(list_inner_product(e.v, e.v)) AS qn
+       |        FROM e WHERE e.vec_id < 8),
+       |  ex AS (SELECT qid, nid FROM (
+       |           SELECT q.qid, c.nid,
+       |             row_number() OVER (PARTITION BY q.qid
+       |               ORDER BY list_inner_product(q.qv, c.nv) / (q.qn * c.nn)
+       |                 DESC, c.nid) AS rank
+       |           FROM q JOIN corpus c ON c.nid <> q.qid)
+       |         WHERE rank <= $k),
+       |$per
+       |SELECT n_probe, n_pairs, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / n_pairs, 4) AS recall
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |      UNION ALL SELECT * FROM r4)
+       |ORDER BY n_probe""".stripMargin
+  }
+
   private def v09Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
                         iters: Int = 8, trainSample: Int = 10000,
                         dim: Int = 64): String =
@@ -1052,6 +1128,7 @@ object VectorQueries {
     // the candidate stage (exactly where the engine anti-joins).
     "v16_ivf_tombstones" -> v12Oracle(excludeNid = " AND c.nid % 97 <> 0"),
     "v09_recall_audit" -> v09Oracle(),
+    "v20_nprobe_sweep" -> v20Oracle(),
     "v17_filtered_recall_audit" -> v17Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
 

@@ -121,6 +121,18 @@ class HybridRankSpec extends SparkSpec {
     }
   }
 
+  test("v20: recall is nondecreasing in nProbe and the widest sweep " +
+       "point reproduces v09's audit") {
+    val out = VectorQueries.queries("v20_nprobe_sweep")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    val recalls = out.map(_.getDouble(3)).toSeq
+    assert(recalls === recalls.sorted, "more probed cells can't lose recall")
+    out.foreach(r => assert(r.getLong(1) === 40L, "8 queries x k=5 pairs"))
+    val v09 = VectorQueries.queries("v09_recall_audit")(spark, sf).collect()
+    assert(out.last.getLong(2) === v09.map(_.getLong(2)).sum,
+      "nProbe=4 sweep hits must equal v09's per-query hits summed")
+  }
+
   test("v18: rrf is recomputable from the emitted leg ranks and each " +
        "query's fused list is a dense rank 1..10") {
     val out = VectorQueries.queries("v18_rrf_fusion")(spark, sf).collect()
