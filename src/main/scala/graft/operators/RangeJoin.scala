@@ -47,4 +47,39 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join — [[pointInInterval]]'s two-sided
+    * sibling (temporal co-occurrence, validity-window intersection): emit
+    * every (a, b) pair whose half-open intervals intersect
+    * (`aStart < bEnd && bStart < aEnd` — touching intervals do NOT
+    * overlap). Same banding discipline on BOTH sides; a pair sharing
+    * several buckets is emitted exactly once WITHOUT a distinct pass —
+    * only the bucket containing the overlap's left edge
+    * (max(aStart, bStart)) emits it, the classic replicate-filter trick,
+    * so no O(pairs) dedup shuffle exists in the plan. Shuffle cost is
+    * O((na + nb) · avgSpan/bucketWidth); pick `bucketWidth` ≈ the typical
+    * span. Column names must be disjoint across the two sides (checked) —
+    * alias upstream. */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"column names must be disjoint across sides, both have: $shared")
+    def bucketOf(c: Column): Column =
+      call_function("div", c.cast("long"), lit(bucketWidth))
+    def banded(df: DataFrame, s: String, e: String) = df
+      // empty intervals overlap nothing — and sequence(b0, b1) with
+      // b1 < b0 would fabricate a DESCENDING bucket range
+      .filter(col(e) > col(s))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(s)), bucketOf(col(e) - 1))))
+    banded(a, aStart, aEnd).join(banded(b, bStart, bEnd), Seq("__bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(aStart), col(bStart))))
+      .drop("__bucket")
+  }
 }

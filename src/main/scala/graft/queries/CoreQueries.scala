@@ -1430,6 +1430,37 @@ object CoreQueries {
           exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("revenue"))
         .orderBy("yr", "o_orderstatus")
+    },
+
+    // Interval × interval OVERLAP join (q24 is point-in-interval; this is
+    // the two-sided temporal co-occurrence): every purchase's 30-minute
+    // attribution window against every signup's 2-hour activation window,
+    // keyless. Naively a BroadcastNestedLoopJoin; RangeJoin.intervalOverlap
+    // bands BOTH sides to 1-hour buckets → equi-join + exact predicate,
+    // each pair emitted once by the left-edge-bucket rule (no distinct
+    // pass in the plan). Output is the overlaps-per-purchase histogram
+    // with exact integer overlap durations.
+    "q68_interval_overlap" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("a_id"), col("us").as("a_s"),
+          (col("us") + 1800000000L).as("a_e"))
+      val b = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("b_id"), col("us").as("b_s"),
+          (col("us") + 7200000000L).as("b_e"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 3600000000L)
+        .select(col("a_id"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("ov_us"))
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_ov"), sum(col("ov_us")).as("ov_us"))
+        .groupBy("n_ov")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("ov_us")).as("sum_ov_us"))
+        .orderBy("n_ov")
     }
   )
 
@@ -1500,6 +1531,26 @@ object CoreQueries {
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY year(o_orderdate), o_orderstatus
          |ORDER BY yr, o_orderstatus""".stripMargin,
+
+    // q68: DuckDB evaluates the overlap as a plain inequality join —
+    // banding is the engine's scale path, invisible in the result.
+    "q68_interval_overlap" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events),
+        |  a AS (SELECT event_id AS a_id, us AS a_s, us + 1800000000 AS a_e
+        |        FROM e WHERE event_type = 'purchase'),
+        |  b AS (SELECT event_id AS b_id, us AS b_s, us + 7200000000 AS b_e
+        |        FROM e WHERE event_type = 'signup'),
+        |  p AS (SELECT a_id, least(a_e, b_e) - greatest(a_s, b_s) AS ov
+        |        FROM a JOIN b ON a_s < b_e AND b_s < a_e),
+        |  pa AS (SELECT a_id, count(*) AS n_ov,
+        |           CAST(sum(ov) AS BIGINT) AS ov_us
+        |         FROM p GROUP BY a_id)
+        |SELECT n_ov, count(*) AS n_purchases,
+        |  CAST(sum(ov_us) AS BIGINT) AS sum_ov_us
+        |FROM pa GROUP BY n_ov
+        |ORDER BY n_ov""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
