@@ -226,4 +226,25 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2,
       "the two scalar totals must broadcast\n" + p.take(1200))
   }
+
+  test("q68 interval overlap: banded equi-join, never a nested-loop " +
+       "over the pair space") {
+    val df = graft.queries.CoreQueries.queries("q68_interval_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "keyless overlap must ride the bucket equi-join\n" + p.take(1500))
+  }
+
+  test("q67 IVM: the three delta joins never rescan via nested loops and " +
+       "the standing-view leg is a plain join of the filtered scans") {
+    val df = graft.queries.CoreQueries.queries("q67_ivm_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+  }
 }

@@ -76,6 +76,21 @@ class PageRankSpec extends SparkSpec {
     assert(gotS === run(edges, 3))
   }
 
+  test("hub stress: a 20k-degree star (the documented adjacency worst " +
+       "case) completes and matches the sequential replay") {
+    val n = 20000
+    val star = (1 to n).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    val mr = PageRank.ranks(star.toDF("src", "dst"), "src", "dst",
+      iters = 2, symmetric = true)
+    val got = mr.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mr.release()
+    val expect = BrutePageRank.ranks(star, 2)
+    assert(got.size === n + 1)
+    assert(got(0L) === expect(0L))
+    assert(got(5L) === expect(5L))
+    assert(got === expect)
+  }
+
   test("empty edge set yields an empty rank frame") {
     assert(run(Seq.empty[(Long, Long)], 3) === Map.empty[Long, Long])
   }
