@@ -108,40 +108,41 @@ object PageRank {
           try rdd.unpersist(blocking = true) catch { case _: Exception => () }
         }
       }
-    try {
-    r = Checkpoints.stage(nodes.select(col("node"), lit(scale).as("r")))
-    for (_ <- 1 to iters) {
-      val inflow = adj
-        .join(r, adj("src") === r("node"))
-        .select(explode(col("dsts")).as("dst"),
-          call_function("div", col("r"), col("outdeg")).as("c"))
-        .groupBy("dst")
-        .agg(sum(col("c")).as("m"))
-      // overflow is a hard error, not silent wrap: the damping multiply is
-      // the first place |V|·scale·85 ≥ 2^63 manifests (a wrapped inflow
-      // also shows up here as m < 0). The guard is part of the rank
-      // expression, so column pruning can never drop it.
-      val mSafe = coalesce(col("m"), lit(0L))
-      val guarded = when(mSafe < 0 || mSafe > lit(Long.MaxValue / 85),
-        raise_error(concat(lit("PageRank overflow: inflow "),
-          col("m").cast("string"),
-          lit(s" breaks |V|*scale*85 < 2^63 at scale=$scale — lower scale"))))
-        .otherwise(lit(base) + call_function("div", mSafe * 85, lit(100L)))
-      val next = Checkpoints.stage(
-        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-          .select(nodes("node"), guarded.as("r")))
-      Checkpoints.release(r)
-      r = next
+    def build(): ManagedRanks = {
+      r = Checkpoints.stage(nodes.select(col("node"), lit(scale).as("r")))
+      for (_ <- 1 to iters) {
+        val inflow = adj
+          .join(r, adj("src") === r("node"))
+          .select(explode(col("dsts")).as("dst"),
+            call_function("div", col("r"), col("outdeg")).as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("m"))
+        // overflow is a hard error, not silent wrap: the damping multiply
+        // is the first place |V|·scale·85 ≥ 2^63 manifests (a wrapped
+        // inflow also shows up here as m < 0). The guard is part of the
+        // rank expression, so column pruning can never drop it.
+        val mSafe = coalesce(col("m"), lit(0L))
+        val guarded = when(mSafe < 0 || mSafe > lit(Long.MaxValue / 85),
+          raise_error(concat(lit("PageRank overflow: inflow "),
+            col("m").cast("string"),
+            lit(s" breaks |V|*scale*85 < 2^63 at scale=$scale — lower scale"))))
+          .otherwise(lit(base) + call_function("div", mSafe * 85, lit(100L)))
+        val next = Checkpoints.stage(
+          nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+            .select(nodes("node"), guarded.as("r")))
+        Checkpoints.release(r)
+        r = next
+      }
+      val rFinal = r
+      val out = rFinal.join(adj, rFinal("node") === adj("src"), "left")
+        .select(rFinal("node"), col("r").as("rank_fp"),
+          coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      ManagedRanks(out, () => {
+        adj.unpersist(); nodes.unpersist()
+        Checkpoints.release(rFinal)
+        ()
+      })
     }
-    val rFinal = r
-    val out = rFinal.join(adj, rFinal("node") === adj("src"), "left")
-      .select(rFinal("node"), col("r").as("rank_fp"),
-        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-    ManagedRanks(out, () => {
-      adj.unpersist(); nodes.unpersist()
-      Checkpoints.release(rFinal)
-      ()
-    })
-    } catch { case t: Throwable => failCleanup(); throw t }
+    try build() catch { case t: Throwable => failCleanup(); throw t }
   }
 }
