@@ -77,6 +77,11 @@ object PageRank {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
       s"scale must be >= 100 and divisible by 100, got $scale")
+    // scale*15 (the damping base) and per-node inflow*85 both run in Long:
+    // bound scale so the DRIVER-side base can never wrap (the review-found
+    // hole in the runtime guard, which only watches the inflow column)
+    require(scale <= Long.MaxValue / 85,
+      s"scale must be <= 2^63/85 so damping arithmetic cannot wrap, got $scale")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val collected =
@@ -117,10 +122,13 @@ object PageRank {
             call_function("div", col("r"), col("outdeg")).as("c"))
           .groupBy("dst")
           .agg(sum(col("c")).as("m"))
-        // overflow is a hard error, not silent wrap: the damping multiply
-        // is the first place |V|·scale·85 ≥ 2^63 manifests (a wrapped
-        // inflow also shows up here as m < 0). The guard is part of the
-        // rank expression, so column pruning can never drop it.
+        // overflow is a hard error, not silent wrap — two layers: the
+        // session's ANSI mode (Spark 4 default) already throws on an
+        // overflowing inflow SUM, and this guard turns the remaining case
+        // (m representable, m*85 not) into a domain-specific message
+        // before the multiply. The guard is part of the rank expression,
+        // so column pruning can never drop it; m < 0 additionally covers
+        // a non-ANSI session's wrapped sum.
         val mSafe = coalesce(col("m"), lit(0L))
         val guarded = when(mSafe < 0 || mSafe > lit(Long.MaxValue / 85),
           raise_error(concat(lit("PageRank overflow: inflow "),

@@ -24,10 +24,27 @@ object RangeJoin {
     * @param startCol    interval start (inclusive)
     * @param endCol      interval end (exclusive)
     * @param bucketWidth banding width in the domain's units */
+  /** Banding arithmetic is integral (`div`, `- 1`): a fractional domain
+    * would round into the WRONG bucket and silently drop matches (e.g. a
+    * double interval end 10.5 truncating to bucket(9) while a point 10.2
+    * lands in bucket(1 at width 10)). Refuse non-integral columns rather
+    * than mis-join — callers scale fractional domains to integer units
+    * first (the engine-wide fixed-point discipline). */
+  private def requireIntegral(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("long", "integer", "short", "byte", "date")
+        .contains(dt.typeName),
+        s"range-join column $c must be integral (got ${dt.typeName}); " +
+          "scale fractional domains to integer units first")
+    }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
+    requireIntegral(points, Seq(pointCol))
+    requireIntegral(intervals, Seq(startCol, endCol))
     // Integer `div`, not fractional `/`: the fractional form computes the
     // quotient in double, which rounds for |x| > 2^53 (epoch nanos) and can
     // map a point and its interval to different buckets, silently dropping
@@ -65,6 +82,8 @@ object RangeJoin {
                       bStart: String, bEnd: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
+    requireIntegral(a, Seq(aStart, aEnd))
+    requireIntegral(b, Seq(bStart, bEnd))
     val shared = a.columns.toSet.intersect(b.columns.toSet)
     require(shared.isEmpty,
       s"column names must be disjoint across sides, both have: $shared")

@@ -1363,9 +1363,14 @@ object CoreQueries {
     // so the report is deterministic and the oracle pins the expected-true
     // verdict columns (q40's pattern) beside its own exact counts.
     "q66_hll_set_ops" -> { (s, dir) =>
+      // (ck, yr) feeds three consumers (per-year sketches + both sides of
+      // the intersection self-join): persist it or pay the orders scan +
+      // distinct shuffle 3×; the bounded output is collected so the
+      // cached frame can be freed (the q56/q65 pattern)
       val dist = t(s, dir, "orders")
         .select(col("o_custkey").as("ck"), year(col("o_orderdate")).as("yr"))
         .distinct()
+        .persist()
       val perYear = dist.groupBy("yr")
         .agg(hll_sketch_agg(col("ck"), lit(14)).as("sk"),
           count(lit(1)).as("n"))
@@ -1377,7 +1382,7 @@ object CoreQueries {
           col("x.ck") === col("y.ck") && col("x.yr") + 1 === col("y.yr"))
         .groupBy(col("x.yr").as("yr_i"))
         .agg(count(lit(1)).as("exact_i"))
-      a.join(b, col("yr_a") + 1 === col("yr_b"))
+      val out = a.join(b, col("yr_a") + 1 === col("yr_b"))
         .join(inter, col("yr_a") === col("yr_i"), "left")
         .select(col("yr_a"), col("yr_b"), col("exact_a"), col("exact_b"),
           (col("exact_a") + col("exact_b") -
@@ -1398,6 +1403,9 @@ object CoreQueries {
           (abs(col("est_i") - col("exact_inter")) * 10 <= col("exact_union"))
             .as("inter_within_10pct_of_union"))
         .orderBy("yr_a")
+      val rows = out.collect().toSeq
+      dist.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     },
 
     // Incremental JOIN-view maintenance (the join twin of q58's

@@ -998,7 +998,12 @@ object TextQueries {
     // division of exact integers scaled to 1e-9 units —
     // (c2+1)·1e9 div (c1+V) — and the doc score is an integer sum with a
     // terminal rounded division, so the report hash-matches a sequential
-    // oracle. Scale shape: one tokenize pass feeds instances; counts are
+    // oracle. Headroom: the (c2+1)·scale product needs bigram counts
+    // < 2^63/scale ≈ 9.2e9 (past that the session's ANSI mode fails the
+    // job loudly, never silently); a trillion-token corpus whose top
+    // bigrams exceed that runs the same plan at a lower scale (1e6 still
+    // gives 6 exact digits with 9.2e12-count headroom).
+    // Scale shape: one tokenize pass feeds instances; counts are
     // two partial aggregates (bigram key, unigram key); the per-doc join
     // works on the AGGREGATED (doc,bigram) rows, never re-exploding; V is
     // the broadcast single-row scalar idiom.

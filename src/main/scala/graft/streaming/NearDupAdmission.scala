@@ -12,8 +12,14 @@ import graft.operators.Dedup
   * documents is probed against the standing corpus
   * [[Dedup.SignatureIndex]] (built once per corpus epoch, possibly served
   * from the durable [[graft.operators.IndexStore]] form), and only
-  * documents that near-duplicate neither the corpus nor an
-  * earlier-admitted document of their own batch reach the accept log.
+  * documents that near-duplicate neither the corpus nor a smaller-id
+  * sibling of their own batch reach the accept log. The batch rule is by
+  * PAIR, not by survivorship: a doc whose only smaller-id witness was
+  * itself rejected as a corpus duplicate is still rejected — the
+  * conservative choice (near-duplication is not transitive, but a doc
+  * near-dupping a corpus-dup is overwhelmingly corpus-shaped too), and
+  * the one that keeps each batch decision embarrassingly parallel — no
+  * sequential within-batch survivor cascade.
   *
   * Composition, not new machinery: the per-batch decision is EXACTLY
   * [[Dedup.incrementalExactPairsIndexed]] (batch signatures only, corpus
@@ -69,14 +75,20 @@ object NearDupAdmission {
 
   /** Start the admission stream: `docs` (a streaming DataFrame of
     * documents) → per-batch [[admit]] → `batch=<id>` partitions under
-    * `outDir`. */
+    * `outDir`.
+    *
+    * @param trigger AvailableNow (default) drains what exists and stops —
+    *                the replay/backfill shape; a continuously-ingesting
+    *                deployment passes `Trigger.ProcessingTime(...)` to
+    *                stay up between file drops */
   def start(docs: DataFrame, index: Dedup.SignatureIndex,
             idCol: String, textCol: String,
             outDir: String, checkpointDir: String,
-            threshold: Double = 0.8): StreamingQuery =
+            threshold: Double = 0.8,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val kept = admit(batch, index, idCol, textCol, threshold)
         try {

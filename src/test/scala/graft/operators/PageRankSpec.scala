@@ -96,16 +96,22 @@ class PageRankSpec extends SparkSpec {
   }
 
   test("overflow raises a readable error instead of wrapping negative") {
-    // scale near 2^63: round 1's inflow (9e18) breaks the m*85 headroom
+    // legal scale (1e17 < 2^63/85), but 95 spokes feeding one hub push the
+    // inflow sum past 2^63 — it wraps negative and the m<0 guard fires
     val before = spark.sparkContext.getPersistentRDDs.size
-    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val spokes = (1 to 95).flatMap(i => Seq((i.toLong, 0L), (0L, i.toLong)))
+    val e = spokes.toDF("src", "dst")
     val ex = intercept[Exception](
       PageRank.ranks(e, "src", "dst", iters = 1,
-        scale = 9000000000000000000L))
+        scale = 100000000000000000L))
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(ex).exists(_.contains("PageRank overflow")),
-      chain(ex).mkString(" | "))
+    // two hard-error layers, either satisfies the no-silent-wrap contract:
+    // the engine's ANSI mode throws on the inflow SUM itself
+    // (ARITHMETIC_OVERFLOW); the in-plan guard catches the damping
+    // multiply with the domain-specific message
+    assert(chain(ex).exists(m => m.contains("PageRank overflow") ||
+      m.contains("ARITHMETIC_OVERFLOW")), chain(ex).mkString(" | "))
     assert(spark.sparkContext.getPersistentRDDs.size === before,
       "a failed build must not strand persisted frames")
   }
@@ -115,6 +121,9 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 0))
     intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 3, scale = 50L))
     intercept[IllegalArgumentException](PageRank.ranks(e, "src", "dst", 3, scale = 101L))
+    // a scale whose damping base would wrap driver-side is refused up front
+    intercept[IllegalArgumentException](
+      PageRank.ranks(e, "src", "dst", 3, scale = 9000000000000000000L))
   }
 
   test("release drops the persisted leaves (no cached-RDD accumulation)") {

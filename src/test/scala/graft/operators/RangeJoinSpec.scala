@@ -62,4 +62,16 @@ class RangeJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RangeJoin.intervalOverlap(a, a, "a_s", "a_e", "a_s", "a_e", 8))
   }
+
+  test("fractional columns are refused: integral banding would bucket " +
+       "them wrong and silently drop matches") {
+    val fa = Seq((1L, 5.0, 10.5)).toDF("a_id", "a_s", "a_e")
+    val fb = Seq((1L, 10.2, 30.0)).toDF("b_id", "b_s", "b_e")
+    intercept[IllegalArgumentException](
+      RangeJoin.intervalOverlap(fa, fb, "a_s", "a_e", "b_s", "b_e", 10))
+    val pts = Seq(10.2).toDF("x")
+    val ivs = Seq((5L, 20L, "i")).toDF("s", "e", "iid")
+    intercept[IllegalArgumentException](
+      RangeJoin.pointInInterval(pts, ivs, "x", "s", "e", 10))
+  }
 }

@@ -27,14 +27,7 @@ class HybridRankSpec extends SparkSpec {
       val parts = ps.map(_._2).toSeq
       for (a <- parts; b <- parts if a != b) yield (a, b)
     }.toSeq.distinct
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var r = nodes.map(_ -> Scale).toMap
-    for (_ <- 1 to 5) {
-      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
-      edges.foreach { case (s, d) => inflow(d) += r(s) / outdeg(s) }
-      r = nodes.map(n => n -> (Scale * 15 / 100 + inflow(n) * 85 / 100)).toMap
-    }
+    val r = graft.operators.BrutePageRank.ranks(edges, 5)
     val expect = r.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(20)
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq === expect)
     // co-purchase edges are symmetric, so nothing in the top-20 dangles
