@@ -73,7 +73,43 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int, scale: Long = 1000000000L,
             dedupEdges: Boolean = false,
-            symmetric: Boolean = false): ManagedRanks = {
+            symmetric: Boolean = false): ManagedRanks =
+    buildRanks(edges, srcCol, dstCol, iters, scale, dedupEdges, symmetric,
+      nodes => nodes.select(col("node"),
+        lit(scale * 15 / 100).as("base"), lit(scale).as("r0")))
+
+  /** PERSONALIZED PageRank — the "related items" variant: teleport mass
+    * restarts only at the `seeds` (rank_0 = scale and per-round base
+    * (scale·15) div 100 for seed nodes; BOTH zero elsewhere), so rank
+    * measures damped reachability FROM the seed set and the top
+    * non-seeds are the recommendations. Same exact fixed-point
+    * arithmetic, same adjacency/staging machinery, same oracle
+    * replayability — the only delta is the seed-conditional base, joined
+    * onto the node set once via broadcast (seed sets are small by
+    * definition). Seeds absent from the graph are ignored (they occur in
+    * no edge, so they can neither receive nor emit). */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, seedCol: String,
+                        iters: Int, scale: Long = 1000000000L,
+                        dedupEdges: Boolean = false,
+                        symmetric: Boolean = false): ManagedRanks = {
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    buildRanks(edges, srcCol, dstCol, iters, scale, dedupEdges, symmetric,
+      nodes => nodes
+        .join(broadcast(sd.withColumn("__seed", lit(true))), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__seed"), lit(scale * 15 / 100)).otherwise(lit(0L))
+            .as("base"),
+          when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("r0")))
+  }
+
+  /** Shared core: `nodeBase` decorates the node set with its per-node
+    * teleport (`base`) and initial rank (`r0`) — a constant for global
+    * PageRank, seed-conditional for the personalized form. */
+  private def buildRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int, scale: Long, dedupEdges: Boolean,
+                         symmetric: Boolean,
+                         nodeBase: DataFrame => DataFrame): ManagedRanks = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
       s"scale must be >= 100 and divisible by 100, got $scale")
@@ -89,13 +125,13 @@ object PageRank {
     val adj = e.groupBy("src").agg(collected.as("dsts"))
       .select(col("src"), col("dsts"), size(col("dsts")).cast("long").as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = (if (symmetric) adj.select(col("src").as("node"))
+    val nodes = nodeBase(
+      if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
         .union(adj.select(explode(col("dsts")).as("node")))
         .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val base = scale * 15 / 100
     var r: DataFrame = null
     // staging is eager, so a mid-build failure (e.g. the overflow guard
     // firing) must not strand persisted frames in a long-lived session —
@@ -114,7 +150,7 @@ object PageRank {
         }
       }
     def build(): ManagedRanks = {
-      r = Checkpoints.stage(nodes.select(col("node"), lit(scale).as("r")))
+      r = Checkpoints.stage(nodes.select(col("node"), col("r0").as("r")))
       for (_ <- 1 to iters) {
         val inflow = adj
           .join(r, adj("src") === r("node"))
@@ -134,7 +170,7 @@ object PageRank {
           raise_error(concat(lit("PageRank overflow: inflow "),
             col("m").cast("string"),
             lit(s" breaks |V|*scale*85 < 2^63 at scale=$scale — lower scale"))))
-          .otherwise(lit(base) + call_function("div", mSafe * 85, lit(100L)))
+          .otherwise(col("base") + call_function("div", mSafe * 85, lit(100L)))
         val next = Checkpoints.stage(
           nodes.join(inflow, nodes("node") === inflow("dst"), "left")
             .select(nodes("node"), guarded.as("r")))

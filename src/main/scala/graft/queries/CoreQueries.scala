@@ -1469,6 +1469,40 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("ov_us")).as("sum_ov_us"))
         .orderBy("n_ov")
+    },
+
+    // Personalized PageRank — the "related items" member of the graph
+    // family (q65 ranks globally; this ranks damped reachability FROM a
+    // seed set): teleport mass restarts only at the parts a customer
+    // cohort actually bought, so the top NON-seeds are the
+    // recommendations. Graph scoped to one ship-quarter (the analysis
+    // window); same adjacency/staged machinery and exact fixed-point
+    // arithmetic as q65, seed-conditional base the only delta — replayed
+    // by the oracle's unrolled CTEs with the same CASE.
+    "q69_personalized_pagerank" -> { (s, dir) =>
+      val li97 = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997 &&
+          month(col("l_shipdate")) <= 3)
+      val ip = li97.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val seeds = li97
+        .join(t(s, dir, "orders").filter(col("o_custkey") % 10 === 1),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("node"))
+      val mr = graft.operators.PageRank.personalizedRanks(e, "src", "dst",
+        seeds, "node", iters = 4, dedupEdges = true, symmetric = true)
+      val top = mr.ranks
+        .join(broadcast(seeds.distinct().withColumn("__seed", lit(true))),
+          Seq("node"), "left")
+        .select(col("node"), col("rank_fp"), col("outdeg"),
+          coalesce(col("__seed"), lit(false)).as("is_seed"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
+      val rows = top.collect().toSeq
+      mr.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     }
   )
 
@@ -1505,9 +1539,52 @@ object CoreQueries {
        |LIMIT 20""".stripMargin
   }
 
+  // q69: q65's unrolled replay with the seed-conditional base/r0 CASE —
+  // generated from the same constants as the Spark side.
+  private def q69Oracle(iters: Int, scale: Long): String = {
+    val base = scale * 15 / 100
+    val steps = (1 to iters).map { i =>
+      s"""  c$i AS (SELECT e.dst AS node, CAST(sum(p.r // d.outdeg) AS BIGINT) AS m
+         |          FROM e JOIN r${i - 1} p ON p.node = e.src
+         |                 JOIN deg d ON d.src = e.src
+         |          GROUP BY e.dst),
+         |  r$i AS (SELECT n.node,
+         |            CAST(CASE WHEN s.node IS NOT NULL THEN $base ELSE 0 END
+         |                 + (COALESCE(c.m, 0) * 85) // 100 AS BIGINT) AS r
+         |          FROM n LEFT JOIN sd s ON s.node = n.node
+         |               LEFT JOIN c$i c ON c.node = n.node),""".stripMargin
+    }.mkString("\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 3),
+       |  e AS MATERIALIZED (
+       |    SELECT DISTINCT a.p AS src, b.p AS dst
+       |    FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |  deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |  n AS (SELECT DISTINCT src AS node FROM e),
+       |  sd AS (SELECT DISTINCT l_partkey AS node
+       |         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |         WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 3
+       |           AND o_custkey % 10 = 1),
+       |  r0 AS (SELECT n.node,
+       |           CAST(CASE WHEN s.node IS NOT NULL THEN $scale ELSE 0 END
+       |                AS BIGINT) AS r
+       |         FROM n LEFT JOIN sd s ON s.node = n.node),
+       |$steps
+       |  fin AS (SELECT r.node, r.r AS rank_fp,
+       |            COALESCE(d.outdeg, 0) AS outdeg,
+       |            s.node IS NOT NULL AS is_seed
+       |          FROM r$iters r LEFT JOIN deg d ON d.src = r.node
+       |               LEFT JOIN sd s ON s.node = r.node)
+       |SELECT node, rank_fp, outdeg, is_seed FROM fin
+       |ORDER BY rank_fp DESC, node
+       |LIMIT 20""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val oracle: Map[String, String] = Map(
     "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
+    "q69_personalized_pagerank" -> q69Oracle(4, 1000000000L),
 
     // q66: exact counts recomputed; the sketch-path verdicts are pinned
     // expected-true (q40's pattern — DuckDB cannot replay DataSketches

@@ -76,6 +76,33 @@ class PageRankSpec extends SparkSpec {
     assert(gotS === run(edges, 3))
   }
 
+  test("personalized: teleport restarts only at the seeds (hand-computed " +
+       "cycle) and matches the shared brute replay on random graphs") {
+    // cycle 1->2->3->1, seed {1}: r0 = (1e9, 0, 0);
+    // r1(1) = 0.15e9 + 0.85*r0(3) = 0.15e9; r1(2) = 0 + 0.85e9; r1(3) = 0
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val seeds1 = Seq(1L).toDF("node")
+    val mr = PageRank.personalizedRanks(cycle.toDF("src", "dst"),
+      "src", "dst", seeds1, "node", iters = 1)
+    val got = mr.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mr.release()
+    assert(got === Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L))
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val ss = Set(1L, 2L, 3L)
+      val mrp = PageRank.personalizedRanks(edges.toDF("src", "dst"),
+        "src", "dst", (ss + 999L).toSeq.toDF("node"), "node", iters = 4)
+      val gp = mrp.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      mrp.release()
+      assert(gp === BrutePageRank.personalized(edges, 4, seeds = Some(ss)),
+        s"seed=$seed")
+      // a seed absent from the graph is ignored, not invented
+      assert(!gp.contains(999L))
+    }
+  }
+
   test("hub stress: a 20k-degree star (the documented adjacency worst " +
        "case) completes and matches the sequential replay") {
     val n = 20000
