@@ -1503,6 +1503,90 @@ object CoreQueries {
       val rows = top.collect().toSeq
       mr.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+    },
+
+    // Community detection — synchronous label propagation over the 1997
+    // co-purchase graph (the graph family's clustering member; q65 ranks,
+    // d05 connects, this partitions). Classic LPA is nondeterministic;
+    // LabelPropagation pins synchronous rounds + (max count, min label)
+    // tie-breaks, so 4 rounds replay exactly as the oracle's unrolled
+    // count+argmax CTEs. The year scope keeps a community structure worth
+    // reporting (the full graph is near-complete and collapses to one
+    // label); output is the top-20 community profile — bounded driver
+    // data, collected so the staged frames can be freed (q65 pattern).
+    "q70_label_propagation" -> { (s, dir) =>
+      val ip = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val ml = graft.operators.LabelPropagation.labels(e, "src", "dst",
+        iters = 4, dedupEdges = true, symmetric = true)
+      val top = ml.labels
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("sz"), min(col("node")).as("min_node"))
+        .orderBy(col("sz").desc, col("community"))
+        .limit(20)
+      val rows = top.collect().toSeq
+      ml.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+    },
+
+    // Triangle census — degree-ordered orientation over an ORDER-sampled
+    // co-purchase graph (l_orderkey % 4: cluster sampling keeps whole
+    // orders, so within-order clique structure — the thing being measured
+    // — survives the sample intact; the full graph's 41M wedges are the
+    // bench-budget reason for sampling, not a capability limit). The
+    // oriented wedge join bounds the blow-up at O(|E|^1.5) regardless of
+    // hub skew; the oracle certifies it with the plain a<b<c triple join,
+    // which counts the SAME triangle set by a different algorithm — an
+    // algebraic identity, not a replay. Output: per-node participation
+    // histogram (how many nodes sit in n triangles).
+    "q71_triangle_count" -> { (s, dir) =>
+      val ip = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val mt = graft.operators.Triangles.perNode(e, "src", "dst")
+      val hist = mt.counts
+        .groupBy("n_tri")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("n_tri")
+      val rows = hist.collect().toSeq
+      mt.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
+    },
+
+    // k-core extraction — iterative peeling on the customer–part bipartite
+    // purchase graph (degrees there are scale-INVARIANT — a TPC-H-shaped
+    // customer buys ~35 distinct parts and a part serves ~30 customers at
+    // every SF — so one k threshold peels meaningfully at sf0.001 and
+    // sf0.1 alike, unlike the near-complete co-purchase projection). The
+    // 1996–97 order-date scope trims the analysis window (and the bench
+    // cost: per-round time is round-count-dominated, so the scoped graph
+    // at 5 rounds is the same demonstration at a third of the edges). The
+    // two id spaces interleave as 2p / 2c+1, pure integer arithmetic the
+    // oracle repeats. 5 peel rounds at k=8, each an unrolled CTE; the
+    // output is the surviving-degree histogram per side. Convergence is
+    // NOT assumed — the result is defined as the round-5 survivor set,
+    // which is what the oracle replays (KCore scaladoc).
+    "q72_kcore" -> { (s, dir) =>
+      val bp = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst"))
+      val mc = graft.operators.KCore.core(bp, "src", "dst", k = 8, rounds = 5)
+      val hist = mc.core
+        .groupBy(pmod(col("node"), lit(2)).as("side"), col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("side", "deg")
+      val rows = hist.collect().toSeq
+      mc.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
     }
   )
 
@@ -1581,10 +1665,106 @@ object CoreQueries {
        |LIMIT 20""".stripMargin
   }
 
+  // q70: synchronous LPA replays as unrolled count+argmax CTEs — the
+  // row_number argmax ORDER BY (count DESC, label ASC) is exactly the
+  // operator's min(struct(-count, label)). Generated from the same iters
+  // constant the Spark side uses. The graph is symmetric (both directions
+  // emitted), so every node has in-votes and the LEFT JOIN keep-previous
+  // fallback never fires on either engine; it is written anyway to mirror
+  // the operator's shape.
+  private def q70Oracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      // each l CTE is referenced twice (votes + keep-previous fallback):
+      // MATERIALIZED stops DuckDB inlining the chain into 2^iters copies
+      s"""  v$i AS (SELECT e.dst AS node, l.lab, count(*) AS c
+         |          FROM e JOIN l${i - 1} l ON l.node = e.src
+         |          GROUP BY e.dst, l.lab),
+         |  a$i AS (SELECT node, lab FROM (
+         |            SELECT node, lab,
+         |              row_number() OVER (PARTITION BY node
+         |                                 ORDER BY c DESC, lab) AS rn
+         |            FROM v$i) WHERE rn = 1),
+         |  l$i AS MATERIALIZED (
+         |          SELECT p.node, COALESCE(a.lab, p.lab) AS lab
+         |          FROM l${i - 1} p LEFT JOIN a$i a ON a.node = p.node),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE year(l_shipdate) = 1997),
+       |  e AS MATERIALIZED (
+       |    SELECT DISTINCT a.p AS src, b.p AS dst
+       |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p),
+       |  l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |$steps
+       |  fin AS (SELECT lab AS community, count(*) AS sz,
+       |            min(node) AS min_node
+       |          FROM l$iters GROUP BY lab)
+       |SELECT community, sz, min_node FROM fin
+       |ORDER BY sz DESC, community
+       |LIMIT 20""".stripMargin
+  }
+
+  // q72: the peel rounds replay as unrolled CTEs — round 0 thresholds the
+  // full-graph degree, each later round recounts inside the previous
+  // survivor set. Generated from the same (k, rounds) constants.
+  private def q72Oracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      // e references s twice and s references e twice — without
+      // MATERIALIZED DuckDB inlines the chain into 4^rounds copies
+      s"""  e$i AS MATERIALIZED (
+         |          SELECT e.a, e.b FROM und e
+         |          JOIN s${i - 1} x ON x.node = e.a
+         |          JOIN s${i - 1} y ON y.node = e.b),
+         |  s$i AS MATERIALIZED (
+         |          SELECT node, count(*) AS deg FROM (
+         |            SELECT a AS node FROM e$i
+         |            UNION ALL SELECT b FROM e$i)
+         |          GROUP BY node HAVING count(*) >= $k),""".stripMargin
+    }.mkString("\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 + 1 AS a, l_partkey * 2 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE year(o_orderdate) IN (1996, 1997)),
+       |  s0 AS MATERIALIZED (
+       |         SELECT node, count(*) AS deg FROM (
+       |           SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |         GROUP BY node HAVING count(*) >= $k),
+       |$steps
+       |  fin AS (SELECT node % 2 AS side, deg FROM s$rounds)
+       |SELECT side, deg, count(*) AS n_nodes FROM fin
+       |GROUP BY side, deg
+       |ORDER BY side, deg""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val oracle: Map[String, String] = Map(
     "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
     "q69_personalized_pagerank" -> q69Oracle(4, 1000000000L),
+    "q70_label_propagation" -> q70Oracle(4),
+
+    // q71: the oracle counts the SAME triangle set by the a<b<c triple
+    // join — a different algorithm certifying the degree-ordered
+    // orientation through an algebraic identity rather than a replay.
+    "q71_triangle_count" ->
+      """WITH ip AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
+        |  und AS MATERIALIZED (
+        |    SELECT DISTINCT a.p AS a, b.p AS b
+        |    FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p),
+        |  tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |          FROM und e1
+        |          JOIN und e2 ON e2.a = e1.b
+        |          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |  pn AS (SELECT node, count(*) AS n_tri FROM (
+        |           SELECT x AS node FROM tri
+        |           UNION ALL SELECT y FROM tri
+        |           UNION ALL SELECT z FROM tri)
+        |         GROUP BY node)
+        |SELECT n_tri, count(*) AS n_nodes FROM pn
+        |GROUP BY n_tri ORDER BY n_tri""".stripMargin,
+
+    "q72_kcore" -> q72Oracle(8, 5),
 
     // q66: exact counts recomputed; the sketch-path verdicts are pinned
     // expected-true (q40's pattern — DuckDB cannot replay DataSketches
