@@ -1587,6 +1587,46 @@ object CoreQueries {
       val rows = hist.collect().toSeq
       mc.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
+    },
+
+    // Rolling-median / MAD anomaly detection on inter-event gaps — the
+    // robust-statistics member of the window family (q25 rolls a mean;
+    // median+MAD is what real monitoring uses because one outlier
+    // poisons a mean but not a median). Everything is INTEGER: gaps are
+    // epoch-micro differences, the rolling lower median picks an EXISTING
+    // element of the 11-gap frame (sorted-array index (n+1) div 2 — no
+    // averaging, no floats), MAD is the lower median of |gap−med|, and
+    // the flag is gap > med + 3·MAD with a ≥5-gap warm-up guard — so the
+    // whole pipeline replays hash-exactly in SQL. Plan shape: the lag
+    // window and the frame window share (event_type, us, event_id)
+    // partitioning+order, so Spark sorts once; the median/MAD arithmetic
+    // is per-row array expressions inside codegen, no second shuffle.
+    "q73_gap_anomaly" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val ord = Window.partitionBy("event_type").orderBy("us", "event_id")
+      val g = ev
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
+        .filter(col("gap").isNotNull)
+      val frame = Window.partitionBy("event_type").orderBy("us", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+      val lowerMed = (a: Column) =>
+        element_at(a, ((size(a) + 1) / 2).cast("int"))
+      val armed = g
+        .withColumn("arr", sort_array(collect_list(col("gap")).over(frame)))
+        .withColumn("med", lowerMed(col("arr")))
+        .withColumn("mad", lowerMed(sort_array(
+          transform(col("arr"), x => abs(x - col("med"))))))
+        .withColumn("n", size(col("arr")))
+      armed.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("n") >= 5 &&
+              col("gap") > col("med") + col("mad") * 3, 1L)
+            .otherwise(0L)).as("n_anom"),
+          max(col("gap")).as("max_gap"),
+          sum(col("med")).as("sum_med"))
+        .orderBy("event_type")
     }
   )
 
@@ -1765,6 +1805,39 @@ object CoreQueries {
         |GROUP BY n_tri ORDER BY n_tri""".stripMargin,
 
     "q72_kcore" -> q72Oracle(8, 5),
+
+    // q73: full replay — DuckDB's list() window aggregate over the same
+    // 11-row frame, list_sort + 1-based (n+1)//2 index for the lower
+    // median, list_transform for the MAD leg. The gap frame is
+    // MATERIALIZED so the window runs over the filtered rows exactly as
+    // Spark's post-filter window does.
+    "q73_gap_anomaly" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |              CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |  g AS MATERIALIZED (
+        |    SELECT * FROM (
+        |      SELECT event_type, event_id, us,
+        |        us - lag(us) OVER (PARTITION BY event_type
+        |                           ORDER BY us, event_id) AS gap
+        |      FROM ev) WHERE gap IS NOT NULL),
+        |  wins AS (SELECT event_type, gap,
+        |             list_sort(list(gap) OVER (PARTITION BY event_type
+        |               ORDER BY us, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS arr
+        |           FROM g),
+        |  m AS (SELECT event_type, gap, arr,
+        |          arr[(len(arr) + 1) // 2] AS med FROM wins),
+        |  mm AS (SELECT event_type, gap, med, len(arr) AS n,
+        |           list_sort(list_transform(arr, x -> abs(x - med)))
+        |             [(len(arr) + 1) // 2] AS mad
+        |         FROM m)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(count(*) FILTER (WHERE n >= 5 AND gap > med + 3 * mad)
+        |       AS BIGINT) AS n_anom,
+        |  max(gap) AS max_gap,
+        |  CAST(sum(med) AS BIGINT) AS sum_med
+        |FROM mm GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // q66: exact counts recomputed; the sketch-path verdicts are pinned
     // expected-true (q40's pattern — DuckDB cannot replay DataSketches

@@ -1068,6 +1068,54 @@ object TextQueries {
           call_function("div", col("n_bytes") * 100,
             greatest(col("n_tokens"), lit(1L))).as("bytes_per_tok_x100"))
         .orderBy("lang", "source")
+    },
+
+    // DSIR-shaped importance weighting (Data Selection via Importance
+    // Resampling): score every document by how target-like its hashed
+    // unigram distribution is — the standard cheap alternative to a
+    // trained quality classifier when composing a pretraining mix toward
+    // a target domain (here: the English slice). Exact fixed-point form
+    // of the log-likelihood-ratio family: per hash bucket b,
+    //   lr(b) = ((ct_tgt(b)+1)·(N_raw+B)·1e4) div ((ct_raw(b)+1)·(N_tgt+B))
+    // (add-one smoothed rate ratio, ONE floor division at 1e4 scale — no
+    // libm log, so the oracle replays it bit-exactly), and
+    //   weight(doc) = Σ_tok lr(bucket(tok)).
+    // Buckets are the first 8 md5 hex chars mod B=1024 — the engines'
+    // shared hash (t24's md5 idiom). Scale shape: ONE shuffle builds the
+    // B-row bucket-stat table with target and raw counts in the same
+    // pass; totals ride a broadcast single-row crossJoin (q35 idiom); the
+    // tiny lr table broadcasts into the per-(doc,bucket) aggregate. The
+    // exploded-token frame feeds both passes: persisted for the call's
+    // scope, released after the bounded report is collected.
+    "t34_dsir_weights" -> { (s, dir) =>
+      val B = 1024L
+      val S = 10000L
+      val tb = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % B)
+        .persist()
+      val stats = tb.groupBy("b").agg(
+        count(lit(1)).as("ct_r"),
+        count(when(col("lang") === "en", 1)).as("ct_t"))
+      val tot = stats.agg(sum(col("ct_r")).as("nr"), sum(col("ct_t")).as("nt"))
+      val lr = stats.crossJoin(broadcast(tot))
+        .select(col("b"), call_function("div",
+          (col("ct_t") + 1) * (col("nr") + B) * S,
+          (col("ct_r") + 1) * (col("nt") + B)).as("lr"))
+      val docB = tb.groupBy("doc_id", "lang", "source", "b")
+        .agg(count(lit(1)).as("c"))
+      val w = docB.join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(sum(col("c") * col("lr")).as("w"))
+      val out = w.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_w"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy("lang", "source")
+      val rows = out.collect().toSeq
+      tb.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     }
   )
 
@@ -1444,6 +1492,37 @@ object TextQueries {
         |  (n_pieces * 100) // greatest(n_tokens, 1) AS fertility_x100,
         |  (n_bytes * 100) // greatest(n_tokens, 1) AS bytes_per_tok_x100
         |FROM a
+        |ORDER BY lang, source""".stripMargin,
+
+    // t34: full replay — same md5-prefix buckets (('0x'||hex)::BIGINT ≡
+    // Spark's conv(,16,10)), same add-one smoothed floor-div ratio.
+    // Totals cast to BIGINT so the arithmetic stays in the same domain
+    // (DuckDB sum() widens to HUGEINT).
+    "t34_dsir_weights" ->
+      """WITH tb AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, lang, source,
+        |          unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |  stats AS MATERIALIZED (
+        |    SELECT b, count(*) AS ct_r,
+        |      count(*) FILTER (WHERE lang = 'en') AS ct_t
+        |    FROM tb GROUP BY b),
+        |  tot AS (SELECT CAST(sum(ct_r) AS BIGINT) AS nr,
+        |                 CAST(sum(ct_t) AS BIGINT) AS nt FROM stats),
+        |  lr AS MATERIALIZED (
+        |    SELECT b, ((ct_t + 1) * (nr + 1024) * 10000)
+        |               // ((ct_r + 1) * (nt + 1024)) AS lr
+        |    FROM stats, tot),
+        |  db AS (SELECT doc_id, lang, source, b, count(*) AS c
+        |         FROM tb GROUP BY 1, 2, 3, 4),
+        |  w AS (SELECT doc_id, lang, source,
+        |          CAST(sum(c * lr.lr) AS BIGINT) AS w
+        |        FROM db JOIN lr USING (b) GROUP BY 1, 2, 3)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  min(w) AS min_w, max(w) AS max_w
+        |FROM w GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
     // t25: distinct 8-gram windows per doc (t18's window CTE), min doc_id

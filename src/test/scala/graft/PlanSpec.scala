@@ -247,4 +247,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q73 anomaly: the lag window and the rolling-median frame share " +
+       "ONE (event_type) exchange and ONE sort") {
+    // both windows partition+order on (event_type, us, event_id); the
+    // second must ride the first's sort through the gap filter, and the
+    // median/MAD arithmetic is per-row array expressions — so the only
+    // other exchange in the plan is the final ORDER BY (the aggregate
+    // rides AQE's local reuse of the window partitioning)
+    val df = graft.queries.CoreQueries.queries("q73_gap_anomaly")(spark, sf)
+    val p = plan(df)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).size
+    assert(exchanges <= 3 && sorts <= 2,
+      s"windows must share the sort: $exchanges exchanges, $sorts sorts\n" +
+        p.take(1500))
+  }
 }
