@@ -1627,6 +1627,36 @@ object CoreQueries {
           max(col("gap")).as("max_gap"),
           sum(col("med")).as("sum_med"))
         .orderBy("event_type")
+    },
+
+    // Multi-source BFS hop rings — the graph family's distance member
+    // (q56 asks reachable-or-not, q69 ranks damped reachability; this
+    // reports exact hop distance): how many co-purchase hops separate
+    // the catalogue from the parts a small customer cohort actually
+    // bought. Frontier iteration shuffles only the newly-reached ring
+    // each round (O(|E|) total across all rounds — the 100-TB property),
+    // with the known-set anti-join broadcast below the measured-count
+    // limit. Output: nodes-per-ring histogram; parts not reached within
+    // 6 hops are absent by contract (BfsHops scaladoc).
+    "q74_bfs_hops" -> { (s, dir) =>
+      val li97 = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+      val ip = li97.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val seeds = li97
+        .join(t(s, dir, "orders").filter(col("o_custkey") % 499 === 7),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("node"))
+      val md = graft.operators.BfsHops.hops(e, "src", "dst",
+        seeds, "node", maxHops = 6)
+      val hist = md.dists
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+        .orderBy("dist")
+      val rows = hist.collect().toSeq
+      md.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
     }
   )
 
@@ -1776,8 +1806,43 @@ object CoreQueries {
        |ORDER BY side, deg""".stripMargin
   }
 
+  // q74: the frontier rounds replay as unrolled CTEs — f_i is the ring
+  // reached at hop i (neighbors of f_{i-1} minus the known set), k_i the
+  // accumulated distance table. Each f/k is referenced twice →
+  // MATERIALIZED (the q72 lesson).
+  private def q74Oracle(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""  f$i AS MATERIALIZED (
+         |    SELECT DISTINCT e.dst AS node
+         |    FROM e JOIN f${i - 1} f ON f.node = e.src
+         |    LEFT JOIN k${i - 1} k ON k.node = e.dst
+         |    WHERE k.node IS NULL),
+         |  k$i AS MATERIALIZED (
+         |    SELECT node, dist FROM k${i - 1}
+         |    UNION ALL SELECT node, $i AS dist FROM f$i),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE year(l_shipdate) = 1997),
+       |  e AS MATERIALIZED (
+       |    SELECT DISTINCT a.p AS src, b.p AS dst
+       |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p),
+       |  sd AS MATERIALIZED (
+       |    SELECT DISTINCT l_partkey AS node
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE year(l_shipdate) = 1997 AND o_custkey % 499 = 7),
+       |  k0 AS MATERIALIZED (SELECT node, 0 AS dist FROM sd),
+       |  f0 AS MATERIALIZED (SELECT node FROM sd),
+       |$steps
+       |  fin AS (SELECT dist, count(*) AS n_nodes, min(node) AS min_node
+       |          FROM k$maxHops GROUP BY dist)
+       |SELECT dist, n_nodes, min_node FROM fin
+       |ORDER BY dist""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val oracle: Map[String, String] = Map(
+    "q74_bfs_hops" -> q74Oracle(6),
     "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
     "q69_personalized_pagerank" -> q69Oracle(4, 1000000000L),
     "q70_label_propagation" -> q70Oracle(4),

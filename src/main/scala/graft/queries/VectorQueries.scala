@@ -513,6 +513,34 @@ object VectorQueries {
               .as("recall"))
       }
       sweeps.reduce(_ unionByName _).orderBy("n_probe")
+    },
+
+    // Semantic CLUSTER extraction — the composition closing the embedding
+    // dedup family: v05's IVF-cell-blocked exact-cosine pairs fed through
+    // Components' large-star/small-star min-id resolution, so every
+    // vector carries its semantic-cluster id, the canonical flag, and the
+    // cluster size (d05 is this shape over text Jaccard pairs; d12 keeps
+    // per-vector verdicts but no transitive grouping — this is the
+    // grouping). Per-call lifecycle: labels are localCheckpoint-ed, the
+    // component loop's edge checkpoint and the lazy label plan released
+    // before return, the bounded membership table collected so nothing
+    // persists past the call (the q65 pattern).
+    "v21_semantic_clusters" -> { (s, dir) =>
+      val pairs = graft.operators.Dedup
+        .embeddingNearDupPairs(ivfIndexFor(s, dir), V05Threshold)
+        .select(col("id_a"), col("id_b"))
+      val lazyLabels = graft.operators.Components.connectedComponents(pairs)
+      val labels = lazyLabels.localCheckpoint()
+      graft.operators.Components.releaseCheckpoint(lazyLabels)
+      val out = graft.operators.Components
+        .dupClustersFromLabels(emb(s, dir).select("vec_id"), "vec_id", labels)
+        .select(col("id").as("vec_id"), col("cluster"), col("is_canonical"))
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy("vec_id")
+      val rows = out.collect().toSeq
+      graft.operators.Components.releaseCheckpoint(labels)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     }
   )
 
@@ -871,6 +899,36 @@ object VectorQueries {
 
   private val V05Threshold = 0.3
 
+  /** DuckDB twin of v21 — v05's pair replay (k-means training + cell
+    * blocking + exact-cosine tail), then min-id connected components as a
+    * recursive label walk (the d05 oracle's construction), then the
+    * membership join with window size. The leading WITH becomes
+    * WITH RECURSIVE for the walk; the non-recursive training CTEs are
+    * unaffected. */
+  private def v21Oracle(threshold: Double, nCells: Int = 16, iters: Int = 8,
+                        trainSample: Int = 10000, dim: Int = 64): String =
+    s"""${ivfTrainingCtes(nCells, iters, trainSample, dim)
+           .replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |  p AS (SELECT a.nid AS ia, b.nid AS ib
+       |        FROM corpus a JOIN corpus b
+       |          ON a.cell = b.cell AND a.nid < b.nid
+       |        WHERE list_inner_product(a.nv, b.nv) / (a.nn * b.nn)
+       |              >= $threshold),
+       |  eg AS (SELECT ia AS src, ib AS dst FROM p
+       |         UNION SELECT ib, ia FROM p),
+       |  walk(id, lbl) AS (
+       |    SELECT src, src FROM eg
+       |    UNION
+       |    SELECT eg.dst, walk.lbl FROM walk JOIN eg ON eg.src = walk.id),
+       |  cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+       |  mem AS (SELECT CAST(em.vec_id AS BIGINT) AS vec_id,
+       |            COALESCE(cc.cluster, CAST(em.vec_id AS BIGINT)) AS cluster
+       |          FROM embeddings em
+       |          LEFT JOIN cc ON cc.id = CAST(em.vec_id AS BIGINT))
+       |SELECT vec_id, cluster, vec_id = cluster AS is_canonical,
+       |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS sz
+       |FROM mem ORDER BY vec_id""".stripMargin
+
   /** DuckDB twin of v08 — replays all four subspace k-means trainings
     * (same arithmetic contract as v04's, see [[kmeansCtes]]), encodes the
     * corpus per subspace, then scores ADC = Σ_m q_m·c_{m,code_m} with the
@@ -1129,6 +1187,7 @@ object VectorQueries {
     "v16_ivf_tombstones" -> v12Oracle(excludeNid = " AND c.nid % 97 <> 0"),
     "v09_recall_audit" -> v09Oracle(),
     "v20_nprobe_sweep" -> v20Oracle(),
+    "v21_semantic_clusters" -> v21Oracle(V05Threshold),
     "v17_filtered_recall_audit" -> v17Oracle(),
     "v05_embedding_dedup" -> v05Oracle(V05Threshold),
 
