@@ -1657,6 +1657,69 @@ object CoreQueries {
       val rows = hist.collect().toSeq
       md.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
+    },
+
+    // BOM-style SUBTREE ROLLUP — the aggregation half of the recursive-
+    // hierarchy story (q56 profiles the closure; this answers the question
+    // hierarchies exist for: total cost under each assembly). Every part
+    // rolls its retail price up the decimal-digit tree to all ancestors
+    // (self included, the BOM convention), exact cents. Closure via
+    // Hierarchy.ancestors' frontier joins; prices ride ONE join against
+    // the pair set, then one aggregate per ancestor — at 100 TB the
+    // closure is |pairs| = O(|V|·depth) rows, never re-walked per level.
+    "q75_bom_rollup" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val edges = parts
+        .filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("child"),
+          call_function("div", col("p_partkey"), lit(10L)).as("parent"))
+      val anc = graft.operators.Hierarchy.ancestors(edges)
+      val pairs = anc.select(col("node"), col("anc"))
+        .union(parts.select(col("p_partkey").as("node"),
+          col("p_partkey").as("anc")))
+      val out = pairs
+        .join(parts.withColumnRenamed("p_partkey", "node"), Seq("node"))
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_members"),
+          exactSum(col("p_retailprice"), 2).as("subtree_cost"))
+        .orderBy("anc")
+      // bounded (|parts| rows): collect, then free the closure's level
+      // checkpoints (the q56 lifecycle)
+      val rows = out.collect().toSeq
+      graft.operators.Components.releaseCheckpoint(anc)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
+    // Weighted CHEAPEST PATH (min-plus / Bellman-Ford, bounded rounds) —
+    // the weighted generalization of q74's hop rings: edge cost is
+    // 1e6 div co-occurrence-count, so strong associations are cheap and
+    // the 6-round relaxation finds the strongest association CHAIN from
+    // the cohort's parts to everything nearby. Exact integer min-plus
+    // (CheapestPaths scaladoc): cost after round i = cheapest path using
+    // ≤ i edges, which is precisely what the oracle's unrolled full
+    // relaxation computes; the operator's improved-only frontier is the
+    // exact SPFA optimization of the same quantity.
+    "q76_cheapest_path" -> { (s, dir) =>
+      val li97 = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+      val ip = li97.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"),
+          call_function("div", lit(1000000L), col("cnt")).as("w"))
+      val seeds = li97
+        .join(t(s, dir, "orders").filter(col("o_custkey") % 499 === 7),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("node"))
+      val mc = graft.operators.CheapestPaths.relax(e, "src", "dst", "w",
+        seeds, "node", rounds = 6)
+      val top = mc.costs.orderBy("cost", "node").limit(20)
+      val rows = top.collect().toSeq
+      mc.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     }
   )
 
@@ -1840,9 +1903,63 @@ object CoreQueries {
        |ORDER BY dist""".stripMargin
   }
 
+  // q76: unrolled FULL relaxation — cost after round i = cheapest path
+  // over ≤ i edges, the invariant the operator's frontier form preserves
+  // (CheapestPathsSpec). Each c CTE is referenced twice → MATERIALIZED.
+  private def q76Oracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""  c$i AS MATERIALIZED (
+         |    SELECT node, min(cost) AS cost FROM (
+         |      SELECT node, cost FROM c${i - 1}
+         |      UNION ALL
+         |      SELECT e.dst AS node, c.cost + e.w AS cost
+         |      FROM e JOIN c${i - 1} c ON c.node = e.src)
+         |    GROUP BY node),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE year(l_shipdate) = 1997),
+       |  e AS MATERIALIZED (
+       |    SELECT a.p AS src, b.p AS dst,
+       |      1000000 // count(*) AS w
+       |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p
+       |    GROUP BY a.p, b.p),
+       |  sd AS MATERIALIZED (
+       |    SELECT DISTINCT l_partkey AS node
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE year(l_shipdate) = 1997 AND o_custkey % 499 = 7),
+       |  c0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS cost FROM sd),
+       |$steps
+       |  fin AS (SELECT node, cost FROM c$rounds)
+       |SELECT node, cost FROM fin
+       |ORDER BY cost, node
+       |LIMIT 20""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val oracle: Map[String, String] = Map(
     "q74_bfs_hops" -> q74Oracle(6),
+
+    // q75: q56's recursive closure + the self rows, one price join, one
+    // rollup — the oracle IS the textbook WITH RECURSIVE BOM query.
+    "q75_bom_rollup" ->
+      s"""WITH RECURSIVE
+         |  e AS MATERIALIZED (SELECT p_partkey AS child,
+         |                            p_partkey // 10 AS parent
+         |                     FROM part WHERE p_partkey >= 10),
+         |  anc(node, anc) AS (
+         |    SELECT child, parent FROM e
+         |    UNION ALL
+         |    SELECT a.node, e.parent FROM anc a JOIN e ON e.child = a.anc),
+         |  pairs AS (SELECT node, anc FROM anc
+         |            UNION ALL SELECT p_partkey, p_partkey FROM part)
+         |SELECT anc, count(*) AS n_members,
+         |  ${sqlExactSum("p.p_retailprice", 2)} AS subtree_cost
+         |FROM pairs JOIN part p ON p.p_partkey = pairs.node
+         |GROUP BY anc
+         |ORDER BY anc""".stripMargin,
+
+    "q76_cheapest_path" -> q76Oracle(6),
     "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
     "q69_personalized_pagerank" -> q69Oracle(4, 1000000000L),
     "q70_label_propagation" -> q70Oracle(4),
