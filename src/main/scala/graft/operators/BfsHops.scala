@@ -26,10 +26,12 @@ import org.apache.spark.storage.StorageLevel
   * set) into it, explodes neighbors, and anti-joins the known set — so
   * per-round shuffle work is O(|frontier| · avg-degree), and total work
   * across all rounds is O(|E|) amortized, the property that makes BFS
-  * viable on a 100-TB graph. Frontier and known frames are STAGED
-  * ([[Checkpoints]]) with the previous round freed. The anti-join
-  * broadcasts the known set below `broadcastLimit` (measured count, the
-  * [[KCore]] adaptivity) and shuffles above it.
+  * viable on a 100-TB graph. Each RING (nodes first reached at hop d) is
+  * STAGED once ([[Checkpoints]]) and never rewritten; the known set the
+  * anti-join consumes is the lazy union of the staged rings, so
+  * checkpoint writes total O(|known|), not O(rounds·|known|). The
+  * anti-join broadcasts the known set below `broadcastLimit` (measured
+  * count, the [[KCore]] adaptivity) and shuffles above it.
   *
   * Early exit on an empty frontier is exact: once nothing new is
   * reached, later rounds are identities, so a fixed-budget oracle replay
@@ -49,29 +51,25 @@ object BfsHops {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val sc = edges.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    def failCleanup(): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
-        }
-      }
     def build(): ManagedDists = {
       val adj = e.groupBy("src").agg(collect_set(col("dst")).as("dsts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var known = Checkpoints.stage(
-        seeds.select(col(seedCol).cast("long").as("node")).distinct()
-          .withColumn("dist", lit(0)))
-      // the initial frontier is staged in its own right so every round's
-      // release logic is uniform (each frontier/known frame is always a
-      // checkpoint with its own blocks)
-      var frontier = Checkpoints.stage(known.select("node"))
-      var knownCount = known.count()
-      var frontierCount = knownCount
+      // each RING (the nodes first reached at hop d) is staged exactly
+      // once and never rewritten; the accumulated known set is the LAZY
+      // union of the staged rings — re-staging the whole known frame per
+      // round would rewrite every already-reached node's checkpoint
+      // blocks once per round, O(maxHops·|known|) write amplification on
+      // top of the O(|E|) join work (review finding)
+      val ring0 = Checkpoints.stage(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct())
+      var rings = List((ring0, 0))
+      var frontier = ring0
+      var frontierCount = ring0.count()
+      var knownCount = frontierCount
       var d = 0
       while (d < maxHops && frontierCount > 0) {
         d += 1
-        val kn = known.select("node")
+        val kn = rings.map(_._1).reduce(_ union _)
         val knHinted = if (knownCount <= broadcastLimit) broadcast(kn) else kn
         val reached = adj
           .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
@@ -80,23 +78,21 @@ object BfsHops {
           .join(knHinted, Seq("node"), "left_anti")
         val nextFrontier = Checkpoints.stage(reached)
         frontierCount = nextFrontier.count()
-        val nextKnown = Checkpoints.stage(
-          known.union(nextFrontier.withColumn("dist", lit(d))))
-        Checkpoints.release(known)
-        Checkpoints.release(frontier)
-        known = nextKnown
+        if (frontierCount > 0) rings = (nextFrontier, d) :: rings
+        else Checkpoints.release(nextFrontier)
         frontier = nextFrontier
         knownCount += frontierCount
       }
-      val fin = known
-      val lastFrontier = frontier
       adj.unpersist()
-      ManagedDists(fin, () => {
-        Checkpoints.release(fin)
-        Checkpoints.release(lastFrontier)
+      val allRings = rings
+      val dists = allRings
+        .map { case (ring, dd) => ring.withColumn("dist", lit(dd)) }
+        .reduce(_ union _)
+      ManagedDists(dists, () => {
+        allRings.foreach { case (ring, _) => Checkpoints.release(ring) }
         ()
       })
     }
-    try build() catch { case t: Throwable => failCleanup(); throw t }
+    Checkpoints.sweepingOnFailure(sc)(build())
   }
 }

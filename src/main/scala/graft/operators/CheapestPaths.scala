@@ -48,13 +48,6 @@ object CheapestPaths {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
     val sc = edges.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    def failCleanup(): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
-        }
-      }
     def build(): ManagedCosts = {
       // the weight guard rides the adjacency build — raise_error inside
       // the aggregated struct, so pruning can never drop it
@@ -65,6 +58,12 @@ object CheapestPaths {
       val adj = e.select(col("src"), struct(col("dst"), guardedW.as("w")).as("dw"))
         .groupBy("src").agg(collect_list(col("dw")).as("dws"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize the adjacency NOW: the guard must fire even when the
+      // seed set is empty and the relaxation loop never runs (review
+      // finding — "REFUSED" can't depend on the caller's seeds), and
+      // every round reads the persisted frame anyway, so this only moves
+      // the build cost to a defined place
+      adj.count()
       var costs = Checkpoints.stage(
         seeds.select(col(seedCol).cast("long").as("node")).distinct()
           .withColumn("cost", lit(0L)))
@@ -109,6 +108,6 @@ object CheapestPaths {
         ()
       })
     }
-    try build() catch { case t: Throwable => failCleanup(); throw t }
+    Checkpoints.sweepingOnFailure(sc)(build())
   }
 }

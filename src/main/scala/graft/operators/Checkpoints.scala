@@ -77,4 +77,28 @@ object Checkpoints {
         p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
+
+  /** Failure-path sweep for eager iterative builds (the ONE shared copy of
+    * what PageRank/LabelPropagation/KCore/BfsHops/CheapestPaths/Triangles
+    * each previously inlined): staging is eager, so an error mid-build —
+    * e.g. an overflow guard firing — must not strand the frames this call
+    * persisted/staged, including a FAILED round's half-created checkpoint
+    * RDD, which stays registered even though its job never finished and
+    * which no DataFrame handle can reach. On Throwable, every RDD
+    * registered since entry is unpersisted. Documented trade (same as the
+    * test-scoped sweep tools): a concurrent builder in the same session
+    * could in principle register an id inside the failure window and be
+    * swept with it. */
+  def sweepingOnFailure[A](sc: org.apache.spark.SparkContext)(build: => A): A = {
+    val preexisting = sc.getPersistentRDDs.keySet
+    try build catch {
+      case t: Throwable =>
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) {
+            try rdd.unpersist(blocking = true) catch { case _: Exception => () }
+          }
+        }
+        throw t
+    }
+  }
 }

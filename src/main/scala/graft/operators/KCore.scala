@@ -58,13 +58,6 @@ object KCore {
     val s = col(srcCol).cast("long")
     val d = col(dstCol).cast("long")
     val sc = edges.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    def failCleanup(): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
-        }
-      }
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
@@ -100,6 +93,6 @@ object KCore {
       und.unpersist()
       ManagedCore(fin, converged, () => { Checkpoints.release(fin); () })
     }
-    try build() catch { case t: Throwable => failCleanup(); throw t }
+    Checkpoints.sweepingOnFailure(sc)(build())
   }
 }

@@ -77,16 +77,7 @@ object LabelPropagation {
         .union(adj.select(explode(col("dsts")).as("node")))
         .distinct()
 
-    // failure-path sweep: staging is eager, so an error mid-build must not
-    // strand this call's persisted frames (PageRank's documented trade).
     val sc = edges.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    def failCleanup(): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
-        }
-      }
     def build(): ManagedLabels = {
       var r = Checkpoints.stage(nodes.select(col("node"), col("node").as("lab")))
       for (_ <- 1 to iters) {
@@ -109,10 +100,13 @@ object LabelPropagation {
         r = next
       }
       val rFinal = r
-      ManagedLabels(rFinal, () => {
-        adj.unpersist(); Checkpoints.release(rFinal); ()
-      })
+      // rFinal is a staged checkpoint with no dependency on adj — free the
+      // |V|-row adjacency cache NOW, not at the caller's release (review
+      // finding: holding it through the consume phase evicts blocks other
+      // queries need; the sibling operators all free it here)
+      adj.unpersist()
+      ManagedLabels(rFinal, () => { Checkpoints.release(rFinal); () })
     }
-    try build() catch { case t: Throwable => failCleanup(); throw t }
+    Checkpoints.sweepingOnFailure(sc)(build())
   }
 }

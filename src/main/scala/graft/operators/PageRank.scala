@@ -133,22 +133,8 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var r: DataFrame = null
-    // staging is eager, so a mid-build failure (e.g. the overflow guard
-    // firing) must not strand persisted frames in a long-lived session —
-    // including the FAILED round's half-created localCheckpoint RDD, which
-    // stays registered even though its job never finished and which no
-    // DataFrame handle can reach. Sweep everything this call registered
-    // (failure path only; a concurrent builder in the same session could
-    // in principle register an id inside our window, the same documented
-    // trade the test-scoped sweep tools make).
+    // mid-build failures sweep this call's frames — Checkpoints.sweepingOnFailure
     val sc = edges.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    def failCleanup(): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
-        }
-      }
     def build(): ManagedRanks = {
       r = Checkpoints.stage(nodes.select(col("node"), col("r0").as("r")))
       for (_ <- 1 to iters) {
@@ -187,6 +173,6 @@ object PageRank {
         ()
       })
     }
-    try build() catch { case t: Throwable => failCleanup(); throw t }
+    Checkpoints.sweepingOnFailure(sc)(build())
   }
 }

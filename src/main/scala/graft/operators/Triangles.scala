@@ -43,16 +43,7 @@ object Triangles {
   def perNode(edges: DataFrame, srcCol: String, dstCol: String): ManagedCounts = {
     val s = col(srcCol).cast("long")
     val d = col(dstCol).cast("long")
-    // failure-path sweep (the PageRank pattern): the build is eager at the
-    // end, so an error mid-way must not strand this call's persisted frames
     val sc = edges.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
-    def failCleanup(): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) {
-          try rdd.unpersist(blocking = true) catch { case _: Exception => () }
-        }
-      }
     def build(): ManagedCounts = {
       val und = edges.select(least(s, d).as("a"), greatest(s, d).as("b"))
         .filter(col("a") =!= col("b"))
@@ -102,6 +93,6 @@ object Triangles {
       oriented.unpersist()
       ManagedCounts(out, () => { Checkpoints.release(out); () })
     }
-    try build() catch { case t: Throwable => failCleanup(); throw t }
+    Checkpoints.sweepingOnFailure(sc)(build())
   }
 }

@@ -1515,6 +1515,12 @@ object CoreQueries {
     // label); output is the top-20 community profile — bounded driver
     // data, collected so the staged frames can be freed (q65 pattern).
     "q70_label_propagation" -> { (s, dir) =>
+      // no pre-distinct (q65's documented choice): duplicate (o,p) rows
+      // would multiply the self-join output before the adjacency build's
+      // collect_set collapses them, but the testdata measures a dup ratio
+      // of exactly 1.0 (pairs are unique), so a distinct here is a pure
+      // extra shuffle; q76 differs because its per-pair count(*) NEEDS
+      // the distinct for correctness, not performance
       val ip = t(s, dir, "lineitem")
         .filter(year(col("l_shipdate")) === 1997)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

@@ -1075,20 +1075,28 @@ object TextQueries {
     // unigram distribution is — the standard cheap alternative to a
     // trained quality classifier when composing a pretraining mix toward
     // a target domain (here: the English slice). Exact fixed-point form
-    // of the log-likelihood-ratio family: per hash bucket b,
-    //   lr(b) = ((ct_tgt(b)+1)·(N_raw+B)·1e4) div ((ct_raw(b)+1)·(N_tgt+B))
-    // (add-one smoothed rate ratio, ONE floor division at 1e4 scale — no
-    // libm log, so the oracle replays it bit-exactly), and
-    //   weight(doc) = Σ_tok lr(bucket(tok)).
-    // Buckets are the first 8 md5 hex chars mod B=1024 — the engines'
-    // shared hash (t24's md5 idiom). Scale shape: ONE shuffle builds the
-    // B-row bucket-stat table with target and raw counts in the same
-    // pass; totals ride a broadcast single-row crossJoin (q35 idiom); the
-    // tiny lr table broadcasts into the per-(doc,bucket) aggregate. The
-    // exploded-token frame feeds both passes: persisted for the call's
-    // scope, released after the bounded report is collected.
+    // of the log-likelihood-ratio family: per hash bucket b, smoothed
+    // PPM RATES first, then their ratio —
+    //   rt(b) = ((ct_tgt(b)+1)·1e6) div (N_tgt+B)
+    //   rr(b) = ((ct_raw(b)+1)·1e6) div (N_raw+B)
+    //   lr(b) = (rt·1e4) div max(rr, 1)
+    // (two bounded floor divisions, no libm log, so the oracle replays it
+    // bit-exactly), and weight(doc) = Σ_tok lr(bucket(tok)). The
+    // rate-first factoring is the OVERFLOW bound (review finding: the
+    // single-division form multiplies per-bucket count × corpus tokens ×
+    // scale and wraps Long near a 1e9-token corpus): here every product
+    // is ≤ (N+1)·1e6, safe to ~9.2e12 tokens (≈ 40 PB of text), and
+    // rt·1e4 ≤ 1e10. Buckets are the first 8 md5 hex chars mod B=1024 —
+    // the engines' shared hash (t24's md5 idiom). Scale shape: ONE
+    // shuffle builds the B-row bucket-stat table with target and raw
+    // counts in the same pass; totals ride a broadcast single-row
+    // crossJoin (q35 idiom); the tiny lr table broadcasts into the
+    // per-(doc,bucket) aggregate. The exploded-token frame feeds both
+    // passes: persisted for the call's scope, released after the bounded
+    // report is collected.
     "t34_dsir_weights" -> { (s, dir) =>
       val B = 1024L
+      val RS = 1000000L
       val S = 10000L
       val tb = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
@@ -1101,9 +1109,11 @@ object TextQueries {
         count(when(col("lang") === "en", 1)).as("ct_t"))
       val tot = stats.agg(sum(col("ct_r")).as("nr"), sum(col("ct_t")).as("nt"))
       val lr = stats.crossJoin(broadcast(tot))
+        .select(col("b"),
+          call_function("div", (col("ct_t") + 1) * RS, col("nt") + B).as("rt"),
+          call_function("div", (col("ct_r") + 1) * RS, col("nr") + B).as("rr"))
         .select(col("b"), call_function("div",
-          (col("ct_t") + 1) * (col("nr") + B) * S,
-          (col("ct_r") + 1) * (col("nt") + B)).as("lr"))
+          col("rt") * S, greatest(col("rr"), lit(1L))).as("lr"))
       val docB = tb.groupBy("doc_id", "lang", "source", "b")
         .agg(count(lit(1)).as("c"))
       val w = docB.join(broadcast(lr), Seq("b"))
@@ -1495,9 +1505,10 @@ object TextQueries {
         |ORDER BY lang, source""".stripMargin,
 
     // t34: full replay — same md5-prefix buckets (('0x'||hex)::BIGINT ≡
-    // Spark's conv(,16,10)), same add-one smoothed floor-div ratio.
-    // Totals cast to BIGINT so the arithmetic stays in the same domain
-    // (DuckDB sum() widens to HUGEINT).
+    // Spark's conv(,16,10)), same rate-first smoothed floor-div ratio
+    // (the overflow-bounded factoring the Spark side uses). Totals cast
+    // to BIGINT so the arithmetic stays in the same domain (DuckDB sum()
+    // widens to HUGEINT).
     "t34_dsir_weights" ->
       """WITH tb AS MATERIALIZED (
         |  SELECT doc_id, lang, source,
@@ -1511,9 +1522,10 @@ object TextQueries {
         |  tot AS (SELECT CAST(sum(ct_r) AS BIGINT) AS nr,
         |                 CAST(sum(ct_t) AS BIGINT) AS nt FROM stats),
         |  lr AS MATERIALIZED (
-        |    SELECT b, ((ct_t + 1) * (nr + 1024) * 10000)
-        |               // ((ct_r + 1) * (nt + 1024)) AS lr
-        |    FROM stats, tot),
+        |    SELECT b, (rt * 10000) // greatest(rr, 1) AS lr FROM (
+        |      SELECT b, ((ct_t + 1) * 1000000) // (nt + 1024) AS rt,
+        |                ((ct_r + 1) * 1000000) // (nr + 1024) AS rr
+        |      FROM stats, tot)),
         |  db AS (SELECT doc_id, lang, source, b, count(*) AS c
         |         FROM tb GROUP BY 1, 2, 3, 4),
         |  w AS (SELECT doc_id, lang, source,

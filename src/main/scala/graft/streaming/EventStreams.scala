@@ -256,7 +256,14 @@ object EventStreams {
           val pending = st.pending ++
             ls.map(t => AsOfPendingLeft(tsUs(t.ts), t.event_id))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (emit, hold) = pending.partition(_.tsUs <= wmUs)
+          // STRICTLY below the watermark: the engine admits rows AT the
+          // watermark (only ts < watermark is late), so a reference with
+          // ts equal to a pending query's ts can still arrive after the
+          // watermark reaches that instant — emitting at == would miss it
+          // (same boundary as GapAnomaly; reference compaction below may
+          // keep <=, since a later-arriving equal-ts higher-id reference
+          // coexists with the compacted one and still wins the pick)
+          val (emit, hold) = pending.partition(_.tsUs < wmUs)
           val out = emit.sortBy(p => (p.tsUs, p.eventId)).map { p =>
             val m = rights.filter(_.tsUs <= p.tsUs)
               .sortBy(r => (r.tsUs, r.eventId)).lastOption

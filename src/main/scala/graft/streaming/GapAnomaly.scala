@@ -88,7 +88,12 @@ object GapAnomaly {
           val pending = st0.pending ++
             rows.map(e => GapPending(tsUs(e.ts), e.event_id))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (drain, hold) = pending.partition(_.tsUs <= wmUs)
+          // STRICTLY below the watermark: Spark only drops rows with
+          // ts < watermark, so an equal-timestamp sibling (same ts,
+          // different event_id) can still arrive after the watermark
+          // reaches ts — draining at == would process out of the
+          // (ts, event_id) total order and diverge from the batch replay
+          val (drain, hold) = pending.partition(_.tsUs < wmUs)
           var lastUs = st0.lastUs; var lastId = st0.lastId
           var haveLast = st0.haveLast; var gaps = st0.gaps
           val out = drain.sortBy(p => (p.tsUs, p.eventId)).flatMap { p =>

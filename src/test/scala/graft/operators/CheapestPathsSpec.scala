@@ -73,6 +73,15 @@ class CheapestPathsSpec extends SparkSpec {
     assert(chain(ex).exists(_.contains("negative weight")), chain(ex).mkString(" | "))
     assert(spark.sparkContext.getPersistentRDDs.size === before,
       "a failed build must not strand persisted frames")
+    // the refusal must not depend on the seeds reaching the adjacency:
+    // an EMPTY seed set skips the relaxation loop entirely, but the
+    // eager adjacency materialization still fires the guard
+    val ex2 = intercept[Exception] {
+      run(Seq((1L, 2L, -5L)), Seq.empty[Long], 2)
+    }
+    assert(chain(ex2).exists(_.contains("negative weight")),
+      chain(ex2).mkString(" | "))
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
   test("early exit on a quiet frontier equals the full-budget replay") {

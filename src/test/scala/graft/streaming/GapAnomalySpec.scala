@@ -88,6 +88,39 @@ class GapAnomalySpec extends SparkSpec {
       ids.map(i => s"$i: got ${got.get(i)} want ${brute(rows)(i)}").mkString("\n"))
   }
 
+  test("an equal-timestamp sibling arriving after the watermark reaches " +
+       "that instant is still ordered by (ts, event_id), not by arrival") {
+    // events at t=0 (id 0) and t=100 (id 5); sentinel at t=110 puts the
+    // watermark EXACTLY at 100. Under a <= drain boundary id 5 would
+    // process now; the strict boundary holds it, so the sibling (t=100,
+    // id 3) arriving in the next trigger is still sequenced before it.
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val q = GapAnomaly.detect(
+        mem.toDF().toDF("event_type", "ts", "event_id"), delay = "10 seconds")
+      .writeStream.format("memory").queryName("gap_sink4")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(("a", at(0), 0L), ("a", at(100), 5L))
+    q.processAllAvailable()
+    mem.addData(("a", at(110), 90L)) // watermark -> exactly 100
+    q.processAllAvailable()
+    mem.addData(("a", at(100), 3L)) // equal-ts sibling, lower id
+    q.processAllAvailable()
+    mem.addData(("a", at(500), 99L)) // flush everything
+    q.processAllAvailable()
+    val got = collectSink("gap_sink4")
+    q.stop()
+    if (got.contains(3L)) {
+      // engine admitted the ts==watermark sibling: verdicts must match
+      // the batch total order (id 3 before id 5 → gaps 100s then 0s)
+      assert(got(3L)._1 === 100000000L, s"got ${got(3L)}")
+      assert(got(5L)._1 === 0L, s"got ${got(5L)}")
+    } else {
+      // engine dropped it as late: id 5's gap is then 100s from id 0 —
+      // the batch replay over the ADMITTED rows, still order-consistent
+      assert(got(5L)._1 === 100000000L, s"got ${got(5L)}")
+    }
+  }
+
   test("held events drain by event-time timeout when only the OTHER key " +
        "advances the watermark") {
     val mem = MemoryStream[(String, Timestamp, Long)]
