@@ -54,14 +54,20 @@ object BfsHops {
     def build(): ManagedDists = {
       val adj = e.groupBy("src").agg(collect_set(col("dst")).as("dsts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // no round-partition override (see LabelPropagation note): BFS
+      // rounds move frontier-sized frames, measured too small for the
+      // task-count saving to beat the measuring job's cost
+      val ring0 = Checkpoints.stage(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct())
+      buildRounds(adj, ring0)
+    }
+    def buildRounds(adj: DataFrame, ring0: DataFrame): ManagedDists = {
       // each RING (the nodes first reached at hop d) is staged exactly
       // once and never rewritten; the accumulated known set is the LAZY
       // union of the staged rings — re-staging the whole known frame per
       // round would rewrite every already-reached node's checkpoint
       // blocks once per round, O(maxHops·|known|) write amplification on
       // top of the O(|E|) join work (review finding)
-      val ring0 = Checkpoints.stage(
-        seeds.select(col(seedCol).cast("long").as("node")).distinct())
       var rings = List((ring0, 0))
       var frontier = ring0
       var frontierCount = ring0.count()

@@ -61,12 +61,17 @@ object CheapestPaths {
       // materialize the adjacency NOW: the guard must fire even when the
       // seed set is empty and the relaxation loop never runs (review
       // finding — "REFUSED" can't depend on the caller's seeds), and
-      // every round reads the persisted frame anyway, so this only moves
-      // the build cost to a defined place
+      // every round reads the persisted frame anyway. No round-partition
+      // override (see LabelPropagation note): relaxation rounds move
+      // frontier-sized frames, too small for the trick to pay here.
       adj.count()
-      var costs = Checkpoints.stage(
+      val costs0 = Checkpoints.stage(
         seeds.select(col(seedCol).cast("long").as("node")).distinct()
           .withColumn("cost", lit(0L)))
+      buildRounds(adj, costs0)
+    }
+    def buildRounds(adj: DataFrame, costs0: DataFrame): ManagedCosts = {
+      var costs = costs0
       var frontier = Checkpoints.stage(costs)
       var frontierCount = costs.count()
       var r = 0

@@ -78,6 +78,35 @@ object Checkpoints {
       }
     }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily LOWERED to
+    * fit a measured row volume, then restore it — the iterative graph
+    * operators' answer to the measured per-round floor: on tiny per-round
+    * frames the cost is pure task-count overhead (probed at sf0.1: a
+    * k-core round is 0.68 s at 32 shuffle partitions and 0.34 s at 8,
+    * with AQE size-first coalescing NOT recovering it — join-stage
+    * symmetry keeps the map sides wide). The override only ever lowers:
+    * `n >= session conf` is a no-op, so a 10k-partition cluster session
+    * keeps its parallelism on a 100-TB graph and a small scoped graph
+    * stops paying 32-task scheduling per stage. Caveat (documented
+    * trade): the conf is session-scoped, so a concurrent query planned in
+    * the same session inside this window sees the lowered value. */
+  def withShufflePartitions[A](spark: org.apache.spark.sql.SparkSession,
+                               n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (n >= prev.toInt) f
+    else {
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, prev)
+    }
+  }
+
+  /** Partition count for a measured per-round row volume: one partition
+    * per ~500k rows, floor 4 (keep a few cores busy), capped by the
+    * session conf inside [[withShufflePartitions]] itself. */
+  def partitionsForRows(rows: Long, rowsPerPartition: Long = 500000L): Int =
+    math.max(4L, (rows + rowsPerPartition - 1) / rowsPerPartition).toInt
+
   /** Failure-path sweep for eager iterative builds (the ONE shared copy of
     * what PageRank/LabelPropagation/KCore/BfsHops/CheapestPaths/Triangles
     * each previously inlined): staging is eager, so an error mid-build —

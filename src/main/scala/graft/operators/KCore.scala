@@ -67,6 +67,17 @@ object KCore {
         .filter(col("a") =!= col("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // measured-size round partitioning: per-round frames carry ≤ 2|E|
+      // rows, and on small graphs the round cost is task-count overhead,
+      // not data (Checkpoints.withShufflePartitions scaladoc — the
+      // override only ever LOWERS the session conf)
+      val undCount = und.count()
+      Checkpoints.withShufflePartitions(edges.sparkSession,
+        Checkpoints.partitionsForRows(2 * undCount)) {
+        buildRounds(und)
+      }
+    }
+    def buildRounds(und: DataFrame): ManagedCore = {
       // round 0: everyone with initial degree >= k survives
       var surv = Checkpoints.stage(
         degreesOf(und).filter(col("deg") >= k).select(col("node"), col("deg")))

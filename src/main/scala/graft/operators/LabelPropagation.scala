@@ -78,6 +78,11 @@ object LabelPropagation {
         .distinct()
 
     val sc = edges.sparkSession.sparkContext
+    // no measured-size round-partition override here (KCore's trick):
+    // probed at sf0.1 — LPA/BFS/min-plus rounds move frontier-sized or
+    // carrier-sized frames small enough that the extra measuring job
+    // costs more than the task-count saving; KCore's rounds re-scan the
+    // full 2|E|-row degree union, which is where the override pays.
     def build(): ManagedLabels = {
       var r = Checkpoints.stage(nodes.select(col("node"), col("node").as("lab")))
       for (_ <- 1 to iters) {
