@@ -71,6 +71,16 @@ class BfsHopsSpec extends SparkSpec {
     assert(run(e, Seq(1L, 3L), 10) === brute(e, Set(1L, 3L), 10))
   }
 
+  test("hub stress: one frontier round fans out to 20k spokes and the " +
+       "ring histogram is exact") {
+    val n = 20000
+    val star = (1 to n).map(i => (0L, i.toLong))
+    val got = run(star, Seq(0L), 3)
+    assert(got.size === n + 1)
+    assert(got(0L) === 0 && got(n.toLong) === 1)
+    assert(got.values.count(_ == 1) === n)
+  }
+
   test("release drops the persisted leaves (no cached-RDD accumulation)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size

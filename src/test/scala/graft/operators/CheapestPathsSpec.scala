@@ -89,6 +89,18 @@ class CheapestPathsSpec extends SparkSpec {
     assert(run(e, Seq(1L), 10) === brute(e, Set(1L), 10))
   }
 
+  test("hub stress: relaxation through a 5k-degree hub matches the " +
+       "sequential replay") {
+    // spoke 1 -> hub 0 (w=1) -> every spoke (w=1): all other spokes cost
+    // 2 through the hub; the duplicate-free closed form checks the replay
+    val n = 5000
+    val star = (1 to n).flatMap(i => Seq((0L, i.toLong, 1L), (i.toLong, 0L, 1L)))
+    val got = run(star, Seq(1L), 3)
+    assert(got(1L) === 0L && got(0L) === 1L && got(2L) === 2L)
+    assert(got.size === n + 1)
+    assert(got === brute(star, Set(1L), 3))
+  }
+
   test("release drops the persisted leaves (no cached-RDD accumulation)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size

@@ -79,6 +79,16 @@ class KCoreSpec extends SparkSpec {
     assert(!conv)
   }
 
+  test("skew stress: 5000 degree-1 spokes peel in one round, the clique " +
+       "core survives exactly") {
+    val spokes = (1 to 5000).map(i => (0L, 10000L + i))
+    val clique = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val (got, conv) = run(clique ++ spokes, 3, 6)
+    assert(conv)
+    // node 0 carries the 5000 spokes but only its 4 clique edges survive
+    assert(got === (0L to 4L).map(_ -> 4L).toMap)
+  }
+
   test("release drops the persisted leaves (no cached-RDD accumulation)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size

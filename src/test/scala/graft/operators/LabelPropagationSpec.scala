@@ -92,6 +92,18 @@ class LabelPropagationSpec extends SparkSpec {
     assert(got === brute(e, 3))
   }
 
+  test("hub stress: a 20k-degree star (the documented adjacency worst " +
+       "case) completes and matches the sequential replay") {
+    // symmetrized star: round 1 gives every spoke the hub's label (their
+    // only voter) and the hub the min spoke label; round 2 re-floods.
+    val n = 20000
+    val star = (1 to n).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    val got = run(star, 2)
+    assert(got.size === n + 1)
+    assert(got(1L) === brute(star, 2)(1L))
+    assert(got === brute(star, 2))
+  }
+
   test("release drops the persisted leaves (no cached-RDD accumulation)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
