@@ -61,16 +61,24 @@ object BfsHops {
         seeds.select(col(seedCol).cast("long").as("node")).distinct())
       buildRounds(adj, ring0)
     }
-    def buildRounds(adj: DataFrame, ring0: DataFrame): ManagedDists = {
+    // a staged ring keeps the full shuffle-partition count of the
+    // anti-join that produced it regardless of its size; the known set is
+    // a union of ALL rings, so without this the per-round task count
+    // grows linearly with d — coalesce each ring to its measured size
+    // (narrow op on the checkpoint, no data movement)
+    def sized(ring: DataFrame, rows: Long): DataFrame =
+      ring.coalesce(math.min(100000L, rows / 500000L + 1L).toInt)
+    def buildRounds(adj: DataFrame, ring0Raw: DataFrame): ManagedDists = {
       // each RING (the nodes first reached at hop d) is staged exactly
       // once and never rewritten; the accumulated known set is the LAZY
       // union of the staged rings — re-staging the whole known frame per
       // round would rewrite every already-reached node's checkpoint
       // blocks once per round, O(maxHops·|known|) write amplification on
       // top of the O(|E|) join work (review finding)
+      var frontierCount = ring0Raw.count()
+      val ring0 = sized(ring0Raw, frontierCount)
       var rings = List((ring0, 0))
       var frontier = ring0
-      var frontierCount = ring0.count()
       var knownCount = frontierCount
       var d = 0
       while (d < maxHops && frontierCount > 0) {
@@ -82,22 +90,21 @@ object BfsHops {
           .select(explode(col("dsts")).as("node"))
           .distinct()
           .join(knHinted, Seq("node"), "left_anti")
-        val nextFrontier = Checkpoints.stage(reached)
-        frontierCount = nextFrontier.count()
+        val nextFrontierRaw = Checkpoints.stage(reached)
+        frontierCount = nextFrontierRaw.count()
+        val nextFrontier = sized(nextFrontierRaw, frontierCount)
         if (frontierCount > 0) rings = (nextFrontier, d) :: rings
-        else Checkpoints.release(nextFrontier)
+        else Checkpoints.release(nextFrontierRaw)
         frontier = nextFrontier
         knownCount += frontierCount
       }
       adj.unpersist()
-      val allRings = rings
-      val dists = allRings
+      val dists = rings
         .map { case (ring, dd) => ring.withColumn("dist", lit(dd)) }
         .reduce(_ union _)
-      ManagedDists(dists, () => {
-        allRings.foreach { case (ring, _) => Checkpoints.release(ring) }
-        ()
-      })
+      // ONE release call frees every ring: Checkpoints.release digs all
+      // LogicalRDD leaves out of the union plan (its documented contract)
+      ManagedDists(dists, () => { Checkpoints.release(dists); () })
     }
     Checkpoints.sweepingOnFailure(sc)(build())
   }

@@ -103,9 +103,12 @@ object Checkpoints {
 
   /** Partition count for a measured per-round row volume: one partition
     * per ~500k rows, floor 4 (keep a few cores busy), capped by the
-    * session conf inside [[withShufflePartitions]] itself. */
+    * session conf inside [[withShufflePartitions]] itself. Clamped to
+    * Int range BEFORE the narrowing cast — an extreme row count must
+    * degrade to the no-op path, never wrap negative into the conf. */
   def partitionsForRows(rows: Long, rowsPerPartition: Long = 500000L): Int =
-    math.max(4L, (rows + rowsPerPartition - 1) / rowsPerPartition).toInt
+    math.min(Int.MaxValue.toLong,
+      math.max(4L, (rows + rowsPerPartition - 1) / rowsPerPartition)).toInt
 
   /** Failure-path sweep for eager iterative builds (the ONE shared copy of
     * what PageRank/LabelPropagation/KCore/BfsHops/CheapestPaths/Triangles

@@ -286,9 +286,11 @@ object EventStreams {
             state.update(AsOfState(latest,
               ahead.sortBy(r => (r.tsUs, r.eventId)).toList, hold.toList))
             // drain held queries by timeout even on an idle key; the
-            // target must sit beyond the current watermark (+1ms does it:
-            // held queries satisfy tsUs > wmUs). With no holds, an idle
-            // TTL (when configured) arms the expiry clock instead.
+            // target must sit beyond the current watermark, and +1ms does
+            // it: held queries satisfy tsUs >= wmUs (the strict drain
+            // keeps ==), so tsMs+1 > wmMs in every case — do NOT drop the
+            // +1, the == case would throw from setTimeoutTimestamp. With
+            // no holds, an idle TTL (when configured) arms expiry instead.
             if (hold.nonEmpty)
               state.setTimeoutTimestamp(hold.map(_.tsUs).min / 1000L + 1L)
             else idleTtlMs.foreach(ttl =>

@@ -60,10 +60,12 @@ object RoundFloor {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     tmed("E: round plan, plain count, AQE OFF") { roundPlan.count(); () }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // fewer shuffle partitions
+    // fewer shuffle partitions (restore the SAVED value, not a literal —
+    // the session default is max(cores, 4), not 32 everywhere)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     tmed("F: round plan, plain count, 8 shuffle partitions") { roundPlan.count(); () }
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // AQE coalescing with size-first (parallelismFirst=false): tiny
     // shuffles collapse toward the 64MB advisory target
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
