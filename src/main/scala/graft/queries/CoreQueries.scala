@@ -1726,6 +1726,65 @@ object CoreQueries {
       val rows = top.collect().toSeq
       mc.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+    },
+
+    // MODULARITY AUDIT for q70's communities — the quality-measurement
+    // half of community detection, the way v09 audits ANN recall and v19
+    // audits IVF drift: LPA is a heuristic, so the partition it emits
+    // needs a number saying whether it beats random. Newman modularity in
+    // EXACT integers over the directed symmetric edge set: per community,
+    //   contrib_num = intra_edges · E − d_c²   (Q = Σ contrib_num / E²)
+    // — positive means denser than the configuration-model expectation.
+    // Same graph, same 4 LPA rounds as q70 (the oracle shares the ONE
+    // lpaCtes generator, so the two queries can never audit different
+    // labellings). Integer bound: E < ~3e9 directed edges keeps d_c² in
+    // Long — beyond that the audit needs decimal; documented, same class
+    // as PageRank's |V|·scale·85 bound.
+    "q77_modularity_audit" -> { (s, dir) =>
+      val ip = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val eRaw = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      // ONE pair-generation for both the labelling and the audit (the t25
+      // lesson — don't compute the expensive subplan twice): the distinct
+      // directed graph is persisted, LPA consumes it with dedupEdges off
+      // (already distinct — collect_list ≡ collect_set here), and the
+      // audit's four consumers (count, degrees, both intra ends) read the
+      // same cache
+      val e = eRaw.distinct().persist()
+      val ml = graft.operators.LabelPropagation.labels(e, "src", "dst",
+        iters = 4, dedupEdges = false, symmetric = true)
+      // the audit is ~6 jobs over |E|-and-smaller frames — run them at a
+      // task count fit to the measured edge volume (the KCore trick; the
+      // count below is the same E the modularity formula needs anyway)
+      val em = e.count()
+      val (rows, outSchema) = graft.operators.Checkpoints.withShufflePartitions(s,
+        graft.operators.Checkpoints.partitionsForRows(em)) {
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("dg"))
+        val comm = ml.labels.join(deg, Seq("node"))
+          .groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("sz"), sum(col("dg")).as("d_c"))
+        val la = ml.labels.select(col("node").as("src"), col("lab").as("ls"))
+        val lb = ml.labels.select(col("node").as("dst"), col("lab").as("ld"))
+        val intra = e.join(la, Seq("src")).join(lb, Seq("dst"))
+          .filter(col("ls") === col("ld"))
+          .groupBy(col("ls").as("community"))
+          .agg(count(lit(1)).as("intra_e"))
+        val outF = comm.join(intra, Seq("community"), "left")
+          .select(col("community"), col("sz"), col("d_c"),
+            coalesce(col("intra_e"), lit(0L)).as("intra_e"),
+            (coalesce(col("intra_e"), lit(0L)) * em -
+              col("d_c") * col("d_c")).as("contrib_num"))
+          .orderBy(col("sz").desc, col("community"))
+          .limit(20)
+        (outF.collect().toSeq, outF.schema)
+      }
+      e.unpersist()
+      ml.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), outSchema)
     }
   )
 
@@ -1811,7 +1870,11 @@ object CoreQueries {
   // emitted), so every node has in-votes and the LEFT JOIN keep-previous
   // fallback never fires on either engine; it is written anyway to mirror
   // the operator's shape.
-  private def q70Oracle(iters: Int): String = {
+  /** The shared LPA replay prefix (graph build + `iters` unrolled
+    * count/argmax rounds, final labels in CTE `l<iters>`) — q70 profiles
+    * the communities, q77 audits their modularity, and both must run the
+    * SAME labelling, so they share one generator. */
+  private def lpaCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       // each l CTE is referenced twice (votes + keep-previous fallback):
       // MATERIALIZED stops DuckDB inlining the chain into 2^iters copies
@@ -1834,14 +1897,42 @@ object CoreQueries {
        |    SELECT DISTINCT a.p AS src, b.p AS dst
        |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p),
        |  l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def q70Oracle(iters: Int): String =
+    s"""${lpaCtes(iters)}
        |  fin AS (SELECT lab AS community, count(*) AS sz,
        |            min(node) AS min_node
        |          FROM l$iters GROUP BY lab)
        |SELECT community, sz, min_node FROM fin
        |ORDER BY sz DESC, community
        |LIMIT 20""".stripMargin
-  }
+
+  // q77: same labelling as q70 (shared lpaCtes), then the exact
+  // modularity arithmetic — per community, contrib_num = intra·E − d_c²
+  // over the DIRECTED symmetric edge set (Q = Σ contrib_num / E²).
+  private def q77Oracle(iters: Int): String =
+    s"""${lpaCtes(iters)}
+       |  m AS (SELECT count(*) AS em FROM e),
+       |  deg AS (SELECT src AS node, count(*) AS dg FROM e GROUP BY src),
+       |  nl AS (SELECT l.node, l.lab, d.dg
+       |         FROM l$iters l JOIN deg d ON d.node = l.node),
+       |  comm AS (SELECT lab AS community, count(*) AS sz,
+       |             CAST(sum(dg) AS BIGINT) AS d_c
+       |           FROM nl GROUP BY lab),
+       |  intra AS (SELECT la.lab AS community,
+       |              CAST(count(*) AS BIGINT) AS intra_e
+       |            FROM e JOIN l$iters la ON la.node = e.src
+       |                   JOIN l$iters lb ON lb.node = e.dst
+       |            WHERE la.lab = lb.lab
+       |            GROUP BY la.lab)
+       |SELECT community, sz, d_c,
+       |  COALESCE(intra_e, 0) AS intra_e,
+       |  COALESCE(intra_e, 0) * em - d_c * d_c AS contrib_num
+       |FROM comm LEFT JOIN intra USING (community), m
+       |ORDER BY sz DESC, community
+       |LIMIT 20""".stripMargin
 
   // q72: the peel rounds replay as unrolled CTEs — round 0 thresholds the
   // full-graph degree, each later round recounts inside the previous
@@ -1969,6 +2060,7 @@ object CoreQueries {
     "q65_copurchase_pagerank" -> q65Oracle(5, 1000000000L),
     "q69_personalized_pagerank" -> q69Oracle(4, 1000000000L),
     "q70_label_propagation" -> q70Oracle(4),
+    "q77_modularity_audit" -> q77Oracle(4),
 
     // q71: the oracle counts the SAME triangle set by the a<b<c triple
     // join — a different algorithm certifying the degree-ordered
