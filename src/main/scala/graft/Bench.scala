@@ -191,6 +191,27 @@ object Bench {
       System.err.println(s"[bench] wrote $outFile")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // COMPACT summary as the FINAL stdout line: the tail capture truncated
+    // the wide artifact two rounds running (BENCH_r08/r09 parsed:null —
+    // only the query_spin_min map survived), so the machine-readable story
+    // must fit in the tail. Per-query secs rounded to ms keep the whole
+    // line a few KB; the wide line above / bench.json stay the full-fidelity
+    // copies (per-query steal + spin, index builds, persisted-rdd census).
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val worst5 = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jsonStr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val qsCompact = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n":${results.size},"queries":$qsCompact,"worst5":$worst5,""" +
+      s""""index_build_sec":${r3(idxSec)},"index_build_failed":$anyBuildFailed,""" +
+      s""""load_warning":$loaded,""" +
+      s""""steal_pct_queries":${math.round(stealQueriesPct * 10) / 10.0},""" +
+      s""""steal_warning":${stealQueriesPct > 5.0},""" +
+      (if (spinSamples.nonEmpty)
+         s""""cpu_spin_sampled_min":${spinSamples.min},""" else "") +
+      s""""full":${jsonStr(outFile)},"sf":"$sfDir"}"""
+    println(compact)
     queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
     queries.TextQueries.releaseClusterLabels(spark)
     queries.TextQueries.releaseSignatureIndexes(spark)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Multi-source BFS hop distance — the reachability-with-distance member
   * of the graph family ([[Components]] answers "connected to what",
@@ -20,18 +19,21 @@ import org.apache.spark.storage.StorageLevel
   * ROUND it is first reached, identical under any partitioning — so the
   * result is bit-exact and replayable by unrolled frontier CTEs (q74).
   *
-  * Scale shape: the textbook frontier iteration. The edge list collapses
-  * once into a persisted per-src adjacency frame; each round joins ONLY
-  * the current frontier (the newly-reached nodes, not the accumulated
-  * set) into it, explodes neighbors, and anti-joins the known set — so
-  * per-round shuffle work is O(|frontier| · avg-degree), and total work
-  * across all rounds is O(|E|) amortized, the property that makes BFS
-  * viable on a 100-TB graph. Each RING (nodes first reached at hop d) is
-  * STAGED once ([[Checkpoints]]) and never rewritten; the known set the
-  * anti-join consumes is the lazy union of the staged rings, so
-  * checkpoint writes total O(|known|), not O(rounds·|known|). The
-  * anti-join broadcasts the known set below `broadcastLimit` (measured
-  * count, the [[KCore]] adaptivity) and shuffles above it.
+  * Scale shape: the textbook frontier iteration. The edge list goes
+  * through [[Adjacency.build]] (dedup'd array layout for bounded-degree
+  * sources, auto-routed flat layout for extreme-degree hubs — a planted
+  * hub frontier node no longer materializes its whole neighborhood as one
+  * array row); each round expands ONLY the current frontier (the
+  * newly-reached nodes, not the accumulated set) through both layouts,
+  * and anti-joins the known set — so per-round shuffle work is
+  * O(|frontier| · avg-degree), and total work across all rounds is O(|E|)
+  * amortized, the property that makes BFS viable on a 100-TB graph. Each
+  * RING (nodes first reached at hop d) is STAGED once ([[Checkpoints]])
+  * and never rewritten; the known set the anti-join consumes is the lazy
+  * union of the staged rings, so checkpoint writes total O(|known|), not
+  * O(rounds·|known|). The anti-join broadcasts the known set below
+  * `broadcastLimit` (measured count, the [[KCore]] adaptivity) and
+  * shuffles above it.
   *
   * Early exit on an empty frontier is exact: once nothing new is
   * reached, later rounds are identities, so a fixed-budget oracle replay
@@ -45,21 +47,23 @@ object BfsHops {
 
   def hops(edges: DataFrame, srcCol: String, dstCol: String,
            seeds: DataFrame, seedCol: String, maxHops: Int,
-           broadcastLimit: Long = 5000000L): ManagedDists = {
+           broadcastLimit: Long = 5000000L,
+           hubLimit: Long = Adjacency.DefaultHubLimit): ManagedDists = {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1,64], got $maxHops")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val sc = edges.sparkSession.sparkContext
     def build(): ManagedDists = {
-      val adj = e.groupBy("src").agg(collect_set(col("dst")).as("dsts"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // neighbor sets are deduped (BFS only cares about reachability) —
+      // dedup=true collapses duplicates in both layouts
+      val hyb = Adjacency.build(e, dedup = true, hubLimit = hubLimit)
       // no round-partition override (see LabelPropagation note): BFS
       // rounds move frontier-sized frames, measured too small for the
       // task-count saving to beat the measuring job's cost
       val ring0 = Checkpoints.stage(
         seeds.select(col(seedCol).cast("long").as("node")).distinct())
-      buildRounds(adj, ring0)
+      buildRounds(hyb, ring0)
     }
     // a staged ring keeps the full shuffle-partition count of the
     // anti-join that produced it regardless of its size; the known set is
@@ -68,7 +72,7 @@ object BfsHops {
     // (narrow op on the checkpoint, no data movement)
     def sized(ring: DataFrame, rows: Long): DataFrame =
       ring.coalesce(math.min(100000L, rows / 500000L + 1L).toInt)
-    def buildRounds(adj: DataFrame, ring0Raw: DataFrame): ManagedDists = {
+    def buildRounds(hyb: Adjacency.Hybrid, ring0Raw: DataFrame): ManagedDists = {
       // each RING (the nodes first reached at hop d) is staged exactly
       // once and never rewritten; the accumulated known set is the LAZY
       // union of the staged rings — re-staging the whole known frame per
@@ -85,9 +89,8 @@ object BfsHops {
         d += 1
         val kn = rings.map(_._1).reduce(_ union _)
         val knHinted = if (knownCount <= broadcastLimit) broadcast(kn) else kn
-        val reached = adj
-          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-          .select(explode(col("dsts")).as("node"))
+        val reached = hyb.expand(frontier.withColumnRenamed("node", "src"))
+          .select(col("dst").as("node"))
           .distinct()
           .join(knHinted, Seq("node"), "left_anti")
         val nextFrontierRaw = Checkpoints.stage(reached)
@@ -98,7 +101,7 @@ object BfsHops {
         frontier = nextFrontier
         knownCount += frontierCount
       }
-      adj.unpersist()
+      hyb.release()
       val dists = rings
         .map { case (ring, dd) => ring.withColumn("dist", lit(dd)) }
         .reduce(_ union _)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Multi-source WEIGHTED shortest paths (min-plus relaxation, bounded
   * rounds) — the weighted generalization of [[BfsHops]]: where BFS counts
@@ -28,12 +27,14 @@ import org.apache.spark.storage.StorageLevel
   * invariant above (pinned against a sequential replay in
   * CheapestPathsSpec).
   *
-  * Scale shape: edges persist once as a per-src adjacency of (dst, w)
-  * structs; each round joins the improved-frontier cost frame into it,
-  * explodes candidate relaxations, min-aggregates per dst, and merges
-  * with the standing cost frame (min of old and new — a full-outer
-  * shuffle join: new nodes enter, old nodes may improve). Cost frames
-  * are STAGED with the previous round freed ([[Checkpoints]]).
+  * Scale shape: the edge list goes through [[Adjacency.build]] in its
+  * weighted form — (dst, w) struct arrays for bounded-degree sources, an
+  * auto-routed flat (src, dst, w) layout for extreme-degree hubs (see
+  * [[Adjacency]]); each round expands the improved-frontier cost frame
+  * through both layouts, min-aggregates candidate relaxations per dst,
+  * and merges with the standing cost frame (min of old and new — a
+  * full-outer shuffle join: new nodes enter, old nodes may improve). Cost
+  * frames are STAGED with the previous round freed ([[Checkpoints]]).
   */
 object CheapestPaths {
 
@@ -42,47 +43,43 @@ object CheapestPaths {
   final case class ManagedCosts(costs: DataFrame, release: () => Unit)
 
   def relax(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
-            seeds: DataFrame, seedCol: String, rounds: Int): ManagedCosts = {
+            seeds: DataFrame, seedCol: String, rounds: Int,
+            hubLimit: Long = Adjacency.DefaultHubLimit): ManagedCosts = {
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1,64], got $rounds")
+    // the weight guard rides the normalized edge frame — raise_error in
+    // the persisted select, so it fires for EVERY edge (both layouts) at
+    // the hybrid build's eager materialization, even when the seed set is
+    // empty and the relaxation loop never runs ("REFUSED" can't depend on
+    // the caller's seeds)
+    val guardedW = when(col(wCol).cast("long") < 0, raise_error(concat(
+      lit("CheapestPaths: negative weight "), col(wCol).cast("string"),
+      lit(" on edge "), col(srcCol).cast("string"), lit("->"),
+      col(dstCol).cast("string")))).otherwise(col(wCol).cast("long"))
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      col(dstCol).cast("long").as("dst"), guardedW.as("w"))
     val sc = edges.sparkSession.sparkContext
     def build(): ManagedCosts = {
-      // the weight guard rides the adjacency build — raise_error inside
-      // the aggregated struct, so pruning can never drop it
-      val guardedW = when(col("w") < 0, raise_error(concat(
-        lit("CheapestPaths: negative weight "), col("w").cast("string"),
-        lit(" on edge "), col("src").cast("string"), lit("->"),
-        col("dst").cast("string")))).otherwise(col("w"))
-      val adj = e.select(col("src"), struct(col("dst"), guardedW.as("w")).as("dw"))
-        .groupBy("src").agg(collect_list(col("dw")).as("dws"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize the adjacency NOW: the guard must fire even when the
-      // seed set is empty and the relaxation loop never runs (review
-      // finding — "REFUSED" can't depend on the caller's seeds), and
-      // every round reads the persisted frame anyway. No round-partition
-      // override (see LabelPropagation note): relaxation rounds move
-      // frontier-sized frames, too small for the trick to pay here.
-      adj.count()
+      // weighted build: multiplicity kept (dedup never applies to
+      // weighted edges); eager — the weight guard fires here. No
+      // round-partition override (see LabelPropagation note): relaxation
+      // rounds move frontier-sized frames, too small for the trick to pay.
+      val hyb = Adjacency.build(e, dedup = false, hubLimit = hubLimit)
       val costs0 = Checkpoints.stage(
         seeds.select(col(seedCol).cast("long").as("node")).distinct()
           .withColumn("cost", lit(0L)))
-      buildRounds(adj, costs0)
+      buildRounds(hyb, costs0)
     }
-    def buildRounds(adj: DataFrame, costs0: DataFrame): ManagedCosts = {
+    def buildRounds(hyb: Adjacency.Hybrid, costs0: DataFrame): ManagedCosts = {
       var costs = costs0
       var frontier = Checkpoints.stage(costs)
       var frontierCount = costs.count()
       var r = 0
       while (r < rounds && frontierCount > 0) {
         r += 1
-        val cand = adj
-          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-          .select(explode(col("dws")).as("dw"),
-            col("cost").as("base"))
-          .select(col("dw.dst").as("node"),
-            (col("base") + col("dw.w")).as("cand"))
+        val cand = hyb.expand(frontier.withColumnRenamed("node", "src"))
+          .select(col("dst").as("node"),
+            (col("cost") + col("w")).as("cand"))
           .groupBy("node").agg(min(col("cand")).as("cand"))
         // the merge is a FULL OUTER join (new nodes enter, old nodes may
         // improve) — full outer cannot broadcast in Spark, so it shuffles
@@ -106,7 +103,7 @@ object CheapestPaths {
       }
       val fin = costs
       val lastFrontier = frontier
-      adj.unpersist()
+      hyb.release()
       ManagedCosts(fin.select("node", "cost"), () => {
         Checkpoints.release(fin)
         Checkpoints.release(lastFrontier)

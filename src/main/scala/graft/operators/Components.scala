@@ -149,6 +149,70 @@ object Components {
     x.join(y, Seq("a", "b"), "left_anti").isEmpty &&
       y.join(x, Seq("a", "b"), "left_anti").isEmpty
 
+  /** INCREMENTAL component maintenance: fold a batch of NEW edges into a
+    * standing labelling without re-running CC over the full graph — the
+    * missing half of [[graft.streaming.NearDupAdmission]]'s epoch contract
+    * (aggregates fold via q58's identity, joins via q67's; this is the
+    * monotone identity for components).
+    *
+    * New edges can only MERGE components — never split them — so the fold
+    * is exact: contract each new edge's endpoints to their standing labels
+    * (identity for nodes the standing labelling has never seen), drop the
+    * edges that contract to self-loops (both endpoints already share a
+    * component — the common case for a near-dup batch), and run
+    * [[connectedComponents]] over the CONTRACTED delta graph only. That CC
+    * yields a label→label remap whose labels compose: every standing label
+    * is the min node id of its old component, so the min over merged old
+    * labels ∪ new node ids IS the min node id of the merged component —
+    * bit-identical to a full rebuild over old ∪ new edges (certified by
+    * d13's oracle, which replays the full rebuild, and pinned in
+    * ComponentsSpec on adversarial merge chains).
+    *
+    * Cost shape: two broadcast-or-shuffle joins of the delta against the
+    * label table, a CC over |Δ|-sized contracted edges (not |E|), and ONE
+    * remap join over the standing labels — a continuously-ingesting corpus
+    * pays per-epoch work proportional to the batch, not the corpus.
+    *
+    * Contract matches [[connectedComponents]]: returns `(id, cluster)` for
+    * every standing node plus every delta-incident node; singletons the
+    * graph has never seen stay absent (callers coalesce). The result is
+    * LAZY and references the delta CC's final checkpoint — callers stage
+    * and release like any other CC consumer (see d13). */
+  def foldEdges(labels: DataFrame, newEdges: DataFrame,
+                maxIter: Int = 64): DataFrame = {
+    val Seq(src, dst) = newEdges.columns.take(2).toSeq.map(col)
+    val e = newEdges
+      .select(src.cast("long").as("na"), dst.cast("long").as("nb"))
+      .filter(col("na") =!= col("nb"))
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("cluster").cast("long").as("cluster"))
+    val contracted = e
+      .join(lab.select(col("id").as("na"), col("cluster").as("la")),
+        Seq("na"), "left")
+      .join(lab.select(col("id").as("nb"), col("cluster").as("lb")),
+        Seq("nb"), "left")
+      .select(coalesce(col("la"), col("na")).as("x"),
+        coalesce(col("lb"), col("nb")).as("y"))
+      .filter(col("x") =!= col("y"))
+    // CC over the contracted delta: ids here are standing LABELS and new
+    // node ids; its output is the remap old-label → merged min
+    val remap = connectedComponents(contracted, maxIter)
+    val updated = lab
+      .join(remap.select(col("id").as("cluster"), col("cluster").as("newc")),
+        Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("newc"), col("cluster")).as("cluster"))
+    // delta-incident nodes the standing labelling has never seen: they
+    // appear in the contracted CC under their own ids (a new node can
+    // never contract away — its "label" is itself); the coalesce covers
+    // only the theoretical all-self-loop case the filter already drops
+    val newNodes = e.select(col("na").as("id"))
+      .union(e.select(col("nb").as("id"))).distinct()
+      .join(lab.select("id"), Seq("id"), "left_anti")
+    val newLabels = newNodes.join(remap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    updated.union(newLabels)
+  }
+
   /** Dup-cluster resolution over a node frame: every node gets its component
     * min as `cluster` (its own id when it is a singleton or the canonical
     * representative) and `is_canonical` marks the survivor — the keep-list

@@ -34,9 +34,13 @@ object KCore {
 
   /** Survivors plus the release handle ([[PageRank.ManagedRanks]]
     * contract). `core` has columns (node LONG, deg LONG) — the surviving
-    * nodes with their degree INSIDE the surviving subgraph — and
-    * `converged` reports whether the last round peeled nothing (i.e. the
-    * frame IS the k-core, not just an R-round prefix). */
+    * nodes with the degree MEASURED IN THE ROUND-(R-1) SURVIVOR SUBGRAPH
+    * (the degree that admitted them to the final round): when
+    * `converged=true` the last peel removed nothing, so that subgraph IS
+    * the survivor set and deg is exact within it; when the budget stopped
+    * mid-peel (`converged=false`) deg still counts edges to nodes peeled
+    * in the final round. `converged` reports whether the frame is the
+    * true k-core or just an R-round prefix. */
   final case class ManagedCore(core: DataFrame, converged: Boolean,
                                release: () => Unit)
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Community detection by synchronous label propagation (LPA) in EXACT,
   * replayable semantics — the clustering member of the graph family beside
@@ -33,19 +32,16 @@ import org.apache.spark.storage.StorageLevel
   *    converging — `iters` is therefore a FIXED budget, not a convergence
   *    loop, and the oracle replays exactly that budget.
   *
-  * Scale shape: identical to [[PageRank]] — the edge list collapses into a
-  * persisted per-src adjacency frame (|V| rows) by one aggregating shuffle
-  * (`dedupEdges` dedups inside that same pass); each round joins the |V|-row
-  * label frame into it, explodes (dst, label) carriers, counts them with
-  * map-side partial aggregation, and argmaxes per dst. Rounds are STAGED
-  * (eager [[Checkpoints]]) with the previous round freed immediately —
-  * unstaged rounds are lazy subtrees every later round re-executes,
-  * O(iters²) total work (measured on PageRank, same machinery).
-  *
-  * Degree caveat: as with [[PageRank]], the adjacency array bounds per-node
-  * memory by max out-degree — right for bounded-degree graphs; a power-law
-  * graph with extreme hubs would keep the flat (src, dst) layout and pay
-  * the per-round |E|-row join instead.
+  * Scale shape: identical to [[PageRank]] — the edge list goes through
+  * [[Adjacency.build]] (per-src array layout for bounded-degree sources,
+  * auto-routed flat (src,dst) layout for extreme-degree hubs, dedup inside
+  * the same pass); each round expands the |V|-row label frame through both
+  * layouts, counts (dst, label) carriers with map-side partial
+  * aggregation, and argmaxes per dst — identical integer arithmetic over
+  * either layout (GraphHubSpec). Rounds are STAGED (eager [[Checkpoints]])
+  * with the previous round freed immediately — unstaged rounds are lazy
+  * subtrees every later round re-executes, O(iters²) total work (measured
+  * on PageRank, same machinery).
   */
 object LabelPropagation {
 
@@ -60,36 +56,36 @@ object LabelPropagation {
     *              adjacency build; false → a repeated edge carries its
     *              label once per repeat
     * @param symmetric caller asserts every node occurs as a src — the node
-    *              set then reads off the adjacency frame directly */
+    *              set then reads off the adjacency sources directly;
+    *              verified (loudly) when [[Adjacency.SymmetryCheckConf]]
+    *              is set
+    * @param hubLimit sources with more raw out-edges than this keep the
+    *              flat (src,dst) layout — see [[Adjacency]] */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
              iters: Int, dedupEdges: Boolean = false,
-             symmetric: Boolean = false): ManagedLabels = {
+             symmetric: Boolean = false,
+             hubLimit: Long = Adjacency.DefaultHubLimit): ManagedLabels = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val collected =
-      if (dedupEdges) collect_set(col("dst")) else collect_list(col("dst"))
-    val adj = e.groupBy("src").agg(collected.as("dsts"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes =
-      if (symmetric) adj.select(col("src").as("node"))
-      else adj.select(col("src").as("node"))
-        .union(adj.select(explode(col("dsts")).as("node")))
-        .distinct()
 
-    val sc = edges.sparkSession.sparkContext
+    val sc = spark.sparkContext
     // no measured-size round-partition override here (KCore's trick):
-    // probed at sf0.1 — LPA/BFS/min-plus rounds move frontier-sized or
-    // carrier-sized frames small enough that the extra measuring job
-    // costs more than the task-count saving; KCore's rounds re-scan the
-    // full 2|E|-row degree union, which is where the override pays.
+    // probed at sf0.1 — LPA carrier frames are small enough that the extra
+    // measuring job costs more than the task-count saving; KCore's rounds
+    // re-scan the full 2|E|-row degree union, which is where the override
+    // pays. (PageRank now applies it too — its rounds re-scan the |V|-row
+    // adjacency — using the counts the hybrid build measures anyway.)
     def build(): ManagedLabels = {
+      val hyb = Adjacency.build(e, dedup = dedupEdges, hubLimit = hubLimit)
+      if (symmetric && Adjacency.symmetryCheckEnabled(spark))
+        hyb.requireSymmetric()
+      val nodes = if (symmetric) hyb.srcs else hyb.allNodes
       var r = Checkpoints.stage(nodes.select(col("node"), col("node").as("lab")))
       for (_ <- 1 to iters) {
         // carriers: every in-edge delivers its src's round-(i-1) label
-        val votes = adj
-          .join(r, adj("src") === r("node"))
-          .select(explode(col("dsts")).as("dst"), col("lab"))
+        val votes = hyb.expand(r.withColumnRenamed("node", "src"))
           .groupBy("dst", "lab")
           .agg(count(lit(1)).as("c"))
         // argmax by (count desc, label asc) as one order-independent
@@ -105,11 +101,11 @@ object LabelPropagation {
         r = next
       }
       val rFinal = r
-      // rFinal is a staged checkpoint with no dependency on adj — free the
-      // |V|-row adjacency cache NOW, not at the caller's release (review
-      // finding: holding it through the consume phase evicts blocks other
-      // queries need; the sibling operators all free it here)
-      adj.unpersist()
+      // rFinal is a staged checkpoint with no dependency on the adjacency —
+      // free the layout frames NOW, not at the caller's release (review
+      // finding: holding them through the consume phase evicts blocks other
+      // queries need; the sibling operators all free them here)
+      hyb.release()
       ManagedLabels(rFinal, () => { Checkpoints.release(rFinal); () })
     }
     Checkpoints.sweepingOnFailure(sc)(build())

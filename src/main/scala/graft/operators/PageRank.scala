@@ -27,26 +27,25 @@ import org.apache.spark.storage.StorageLevel
   *    mass leaks, the standard simplification; symmetrized graphs (e.g.
   *    co-occurrence) have no dangling nodes by construction.
   *
-  * Scale shape: the edge list is collapsed into a per-src ADJACENCY frame
-  * (src, dsts[], outdeg) by one aggregating shuffle — with
-  * `dedupEdges=true` that same shuffle also dedups (collect_set), so a
-  * caller producing edges with repeats (q65's within-order pair
-  * generator) pays no separate distinct pass. The adjacency frame —
-  * |V| rows, not |E| — is the only thing persisted and re-read per
-  * iteration; each round broadcasts the |V|-row rank frame into it,
-  * explodes contributions, and partial-aggregates them map-side before
-  * the one per-round exchange. Rounds are STAGED (eager localCheckpoint /
-  * reliable checkpoint via [[Checkpoints]]) with the previous round freed
-  * immediately: an unstaged rank frame is a lazy subtree that every later
-  * round's broadcast re-executes — O(iters²) total work (measured 16.6 s
-  * for 5 rounds on the sf0.1 co-purchase graph, degrading across calls;
-  * staged, the same job is flat and ~3× faster end-to-end).
-  *
-  * Degree caveat: the adjacency array bounds per-node memory by max
-  * out-degree. That is the right trade for bounded-degree graphs
-  * (co-occurrence within bounded containers, link graphs with capped
-  * fan-out); a power-law graph with 10⁸-degree hubs would keep the flat
-  * (src, dst) layout instead and pay the per-iteration |E|-row join.
+  * Scale shape: the edge list goes through [[Adjacency.build]] — bounded-
+  * degree sources collapse into a per-src ADJACENCY frame (|V| rows, built
+  * by one aggregating shuffle that also dedups under `dedupEdges`), and
+  * sources above `hubLimit` are auto-routed to a flat (src, dst) layout
+  * whose per-row memory is bounded regardless of degree (a 10⁸-degree
+  * power-law hub would OOM the array layout; measured in the same count
+  * pre-pass that sizes the frames). Each round expands the |V|-row rank
+  * frame through both layouts ([[Adjacency.Hybrid.expand]]) and
+  * partial-aggregates contributions map-side before the one per-round
+  * exchange — identical integer arithmetic either way, so routing cannot
+  * change a single bit (pinned in GraphHubSpec). Rounds are STAGED (eager
+  * localCheckpoint / reliable checkpoint via [[Checkpoints]]) with the
+  * previous round freed immediately: an unstaged rank frame is a lazy
+  * subtree that every later round's broadcast re-executes — O(iters²)
+  * total work (measured 16.6 s for 5 rounds on the sf0.1 co-purchase
+  * graph, degrading across calls; staged, the same job is flat and ~3×
+  * faster end-to-end). Round exchanges run at the measured-size partition
+  * count ([[Checkpoints.withShufflePartitions]], lower-only — a cluster
+  * session keeps its width).
   *
   * Overflow: total mass never exceeds |V|·scale, and the damping multiply
   * is by 85, so the caller must keep |V|·scale·85 < 2^63.
@@ -68,13 +67,18 @@ object PageRank {
     *              once per repeat
     * @param symmetric caller asserts every node occurs as a src (true for
     *              symmetrized / co-occurrence graphs) — the node set then
-    *              reads straight off the adjacency frame instead of
-    *              exploding and distinct-ing every dst array */
+    *              reads straight off the adjacency sources instead of
+    *              exploding and distinct-ing every dst; verified (loudly)
+    *              when [[Adjacency.SymmetryCheckConf]] is set
+    * @param hubLimit sources with more raw out-edges than this keep the
+    *              flat (src,dst) layout — see [[Adjacency]] */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int, scale: Long = 1000000000L,
             dedupEdges: Boolean = false,
-            symmetric: Boolean = false): ManagedRanks =
+            symmetric: Boolean = false,
+            hubLimit: Long = Adjacency.DefaultHubLimit): ManagedRanks =
     buildRanks(edges, srcCol, dstCol, iters, scale, dedupEdges, symmetric,
+      hubLimit,
       nodes => nodes.select(col("node"),
         lit(scale * 15 / 100).as("base"), lit(scale).as("r0")))
 
@@ -92,9 +96,11 @@ object PageRank {
                         seeds: DataFrame, seedCol: String,
                         iters: Int, scale: Long = 1000000000L,
                         dedupEdges: Boolean = false,
-                        symmetric: Boolean = false): ManagedRanks = {
+                        symmetric: Boolean = false,
+                        hubLimit: Long = Adjacency.DefaultHubLimit): ManagedRanks = {
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     buildRanks(edges, srcCol, dstCol, iters, scale, dedupEdges, symmetric,
+      hubLimit,
       nodes => nodes
         .join(broadcast(sd.withColumn("__seed", lit(true))), Seq("node"), "left")
         .select(col("node"),
@@ -108,7 +114,7 @@ object PageRank {
     * PageRank, seed-conditional for the personalized form. */
   private def buildRanks(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int, scale: Long, dedupEdges: Boolean,
-                         symmetric: Boolean,
+                         symmetric: Boolean, hubLimit: Long,
                          nodeBase: DataFrame => DataFrame): ManagedRanks = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
@@ -118,57 +124,58 @@ object PageRank {
     // hole in the runtime guard, which only watches the inflow column)
     require(scale <= Long.MaxValue / 85,
       s"scale must be <= 2^63/85 so damping arithmetic cannot wrap, got $scale")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val collected =
-      if (dedupEdges) collect_set(col("dst")) else collect_list(col("dst"))
-    val adj = e.groupBy("src").agg(collected.as("dsts"))
-      .select(col("src"), col("dsts"), size(col("dsts")).cast("long").as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodeBase(
-      if (symmetric) adj.select(col("src").as("node"))
-      else adj.select(col("src").as("node"))
-        .union(adj.select(explode(col("dsts")).as("node")))
-        .distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var r: DataFrame = null
     // mid-build failures sweep this call's frames — Checkpoints.sweepingOnFailure
-    val sc = edges.sparkSession.sparkContext
+    val sc = spark.sparkContext
     def build(): ManagedRanks = {
-      r = Checkpoints.stage(nodes.select(col("node"), col("r0").as("r")))
-      for (_ <- 1 to iters) {
-        val inflow = adj
-          .join(r, adj("src") === r("node"))
-          .select(explode(col("dsts")).as("dst"),
-            call_function("div", col("r"), col("outdeg")).as("c"))
-          .groupBy("dst")
-          .agg(sum(col("c")).as("m"))
-        // overflow is a hard error, not silent wrap — two layers: the
-        // session's ANSI mode (Spark 4 default) already throws on an
-        // overflowing inflow SUM, and this guard turns the remaining case
-        // (m representable, m*85 not) into a domain-specific message
-        // before the multiply. The guard is part of the rank expression,
-        // so column pruning can never drop it; m < 0 additionally covers
-        // a non-ANSI session's wrapped sum.
-        val mSafe = coalesce(col("m"), lit(0L))
-        val guarded = when(mSafe < 0 || mSafe > lit(Long.MaxValue / 85),
-          raise_error(concat(lit("PageRank overflow: inflow "),
-            col("m").cast("string"),
-            lit(s" breaks |V|*scale*85 < 2^63 at scale=$scale — lower scale"))))
-          .otherwise(col("base") + call_function("div", mSafe * 85, lit(100L)))
-        val next = Checkpoints.stage(
-          nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-            .select(nodes("node"), guarded.as("r")))
-        Checkpoints.release(r)
-        r = next
+      val hyb = Adjacency.build(e, dedup = dedupEdges, hubLimit = hubLimit)
+      if (symmetric && Adjacency.symmetryCheckEnabled(spark))
+        hyb.requireSymmetric()
+      val nodes = nodeBase(if (symmetric) hyb.srcs else hyb.allNodes)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // size the round exchanges to the measured carrier volume (|E| rows
+      // pre-combine — conservative: map-side partial agg shrinks it toward
+      // |V|); lower-only, so a cluster session keeps its width
+      val roundParts = Checkpoints.partitionsForRows(hyb.edgeCount)
+      var r: DataFrame = null
+      Checkpoints.withShufflePartitions(spark, roundParts) {
+        r = Checkpoints.stage(nodes.select(col("node"), col("r0").as("r")))
+        for (_ <- 1 to iters) {
+          val inflow = hyb.expand(r.withColumnRenamed("node", "src"))
+            .select(col("dst"),
+              call_function("div", col("r"), col("outdeg")).as("c"))
+            .groupBy("dst")
+            .agg(sum(col("c")).as("m"))
+          // overflow is a hard error, not silent wrap — two layers: the
+          // session's ANSI mode (Spark 4 default) already throws on an
+          // overflowing inflow SUM, and this guard turns the remaining case
+          // (m representable, m*85 not) into a domain-specific message
+          // before the multiply. The guard is part of the rank expression,
+          // so column pruning can never drop it; m < 0 additionally covers
+          // a non-ANSI session's wrapped sum.
+          val mSafe = coalesce(col("m"), lit(0L))
+          val guarded = when(mSafe < 0 || mSafe > lit(Long.MaxValue / 85),
+            raise_error(concat(lit("PageRank overflow: inflow "),
+              col("m").cast("string"),
+              lit(s" breaks |V|*scale*85 < 2^63 at scale=$scale — lower scale"))))
+            .otherwise(col("base") + call_function("div", mSafe * 85, lit(100L)))
+          val next = Checkpoints.stage(
+            nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+              .select(nodes("node"), guarded.as("r")))
+          Checkpoints.release(r)
+          r = next
+        }
       }
       val rFinal = r
-      val out = rFinal.join(adj, rFinal("node") === adj("src"), "left")
+      val deg = hyb.outDegrees
+      val out = rFinal.join(deg, rFinal("node") === deg("src"), "left")
         .select(rFinal("node"), col("r").as("rank_fp"),
           coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       ManagedRanks(out, () => {
-        adj.unpersist(); nodes.unpersist()
+        hyb.release(); nodes.unpersist()
         Checkpoints.release(rFinal)
         ()
       })

@@ -33,10 +33,16 @@ object RangeJoin {
   private def requireIntegral(df: DataFrame, cols: Seq[String]): Unit =
     cols.foreach { c =>
       val dt = df.schema(c).dataType
-      require(Seq("long", "integer", "short", "byte", "date")
+      // "date" deliberately NOT allowed: both bucket paths (`div` on the
+      // raw column / cast("long")) fail analysis for DateType in Spark, so
+      // allowing it would only trade this readable message for an obscure
+      // analysis error — convert dates to day numbers (datediff/unix_date)
+      // before bucketing.
+      require(Seq("long", "integer", "short", "byte")
         .contains(dt.typeName),
         s"range-join column $c must be integral (got ${dt.typeName}); " +
-          "scale fractional domains to integer units first")
+          "scale fractional domains to integer units first " +
+          "(dates: convert to day numbers, e.g. datediff)")
     }
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,

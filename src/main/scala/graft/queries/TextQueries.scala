@@ -290,6 +290,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental cluster maintenance — the edge-delta fold that closes
+    // NearDupAdmission's epoch loop: standing labels are CC over the
+    // settled corpus's own pairs (even×even, the structure d06 never
+    // re-pays), the delta is every pair touching the odd-id batch;
+    // Components.foldEdges merges the delta into the standing labelling at
+    // |Δ|-sized cost (contract endpoints to labels → CC over the tiny
+    // contracted graph → ONE remap join), instead of re-running CC over
+    // the full pair set per epoch. The oracle replays the FULL REBUILD
+    // (d05's recursive walk over all pairs), so hash equality certifies
+    // fold ≡ rebuild — the q58/q63/q67 incremental-identity pattern
+    // applied to graph clustering.
+    "d13_incremental_clusters" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mp = Dedup.minhashExactPairsManaged(d, "doc_id", "text",
+        k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+      val folded = try {
+        val pairs = mp.pairs.select(col("id_a"), col("id_b"))
+        val standing = pairs
+          .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+        val delta = pairs
+          .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+        val labels0 = Components.connectedComponents(standing)
+        val lazyFold = Components.foldEdges(labels0, delta)
+        // one materialization, then free BOTH upstream CC checkpoints
+        // (labels0's final round and the remap's) in one dig through the
+        // lazy plan — Checkpoints.release's documented contract
+        val cp = lazyFold.localCheckpoint()
+        Components.releaseCheckpoint(lazyFold)
+        cp
+      } finally mp.release()
+      swapRelease(s, s"d13|$dir", () => Components.releaseCheckpoint(folded))
+      Components.dupClustersFromLabels(d, "doc_id", folded)
+        .select(col("id").as("doc_id"), col("cluster"), col("is_canonical"))
+        .orderBy("doc_id")
+    },
+
     // Token statistics per document.
     "t01_token_stats" -> { (s, dir) =>
       val toks = split(col("text"), " ")
@@ -1344,6 +1380,20 @@ object TextQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d04_simhash" -> d04Oracle,
+
+    // d13: the fold's certificate IS the full rebuild — the oracle
+    // recomputes connected components over the COMPLETE pair set (exactly
+    // d05's replay); the Spark side only ever runs CC on the even×even
+    // standing graph plus the contracted delta, so a hash match proves
+    // fold ≡ rebuild.
+    "d13_incremental_clusters" ->
+      s"""$dupClusterCtes
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
+        |  COALESCE(cc.cluster, CAST(d.doc_id AS BIGINT)) = CAST(d.doc_id AS BIGINT)
+        |    AS is_canonical
+        |FROM documents d LEFT JOIN cc ON cc.id = CAST(d.doc_id AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     // d05: d03's brute-force pair set (same shingle CTEs), then connected
     // components as a recursive label walk — walk(id, lbl) holds every

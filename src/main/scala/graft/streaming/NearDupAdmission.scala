@@ -35,7 +35,12 @@ import graft.operators.Dedup
   * the index is not rejected — production periodically rolls admitted
   * docs into the next index epoch (signatureBuild or ivfAppend-style
   * growth), the same staleness contract as [[graft.operators.Similarity]]
-  * index maintenance, now measurable with v19's drift-audit shape.
+  * index maintenance, now measurable with v19's drift-audit shape. The
+  * CLUSTER side of the roll is incremental too: the batch's witness pairs
+  * fold into the standing dup-cluster labels via
+  * [[graft.operators.Components.foldEdges]] (fold ≡ full rebuild — d13's
+  * oracle identity), so an epoch pays |Δ|-sized cluster maintenance, not
+  * a corpus-sized CC re-run (pinned in NearDupAdmissionSpec).
   *
   * Exactly-once: each batch writes to its own `batch=<id>` partition
   * directory with dynamic overwrite, so a replayed batch rewrites its own
@@ -66,10 +71,15 @@ object NearDupAdmission {
           .otherwise(col("id_b")).as(idCol))
       .distinct()
     val kept = batch.join(rejected, Seq(idCol), "left_anti")
-    // the batch-side signature cache must not outlive the decision
+    // the batch-side signature cache must not outlive the decision — and
+    // must not outlive a FAILED decision either: without the finally, a
+    // candidate join throwing mid-batch would skip the release and leak
+    // the signature frames across every later foreachBatch invocation of
+    // a long-running stream (advice finding)
     val out = kept.persist()
-    out.count()
-    mp.release()
+    try { out.count() }
+    catch { case t: Throwable => out.unpersist(); throw t }
+    finally { mp.release() }
     out
   }
 

@@ -134,4 +134,56 @@ class ComponentsSpec extends SparkSpec {
     assert((persistedIds -- before).isEmpty,
       "releaseCheckpoint must drop the checkpoint's persisted RDD")
   }
+
+  /** Fold ≡ full rebuild: the incremental identity. */
+  private def foldVsRebuild(standing: Seq[(Long, Long)],
+                            delta: Seq[(Long, Long)]): Unit = {
+    val labels0 = Components.connectedComponents(standing.toDF("src", "dst"))
+    val folded = Components.foldEdges(labels0, delta.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded === bruteComponents(standing ++ delta),
+      s"standing=$standing delta=$delta")
+  }
+
+  test("foldEdges: a delta edge merging two standing components relabels " +
+       "every member of the larger-label side") {
+    foldVsRebuild(Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)),
+      Seq((3L, 12L)))
+  }
+
+  test("foldEdges: delta introduces brand-new nodes (new-new and new-old edges)") {
+    foldVsRebuild(Seq((1L, 2L), (7L, 8L)),
+      Seq((100L, 101L), (101L, 2L), (200L, 201L)))
+  }
+
+  test("foldEdges: delta edges inside one standing component are no-ops " +
+       "(contract to self-loops, zero relabelling)") {
+    foldVsRebuild(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq((2L, 4L), (1L, 3L)))
+  }
+
+  test("foldEdges: empty delta returns the standing labelling unchanged") {
+    foldVsRebuild(Seq((5L, 2L), (30L, 10L)), Seq.empty)
+  }
+
+  test("foldEdges: adversarial merge chain — one delta batch strings every " +
+       "standing component together through fresh nodes") {
+    // standing: 10 disjoint pairs; delta: a chain of NEW nodes welding all
+    // of them into one component (the transitively-composed remap case:
+    // the contracted CC must converge across the whole chain, not one hop)
+    val standing = (0 until 10).map(i => (100L * i + 1, 100L * i + 2))
+    val delta = (0 until 9).map(i => (100L * i + 2, 1000L + i)) ++
+      (0 until 9).map(i => (1000L + i, 100L * (i + 1) + 1))
+    foldVsRebuild(standing, delta)
+  }
+
+  test("foldEdges matches full rebuild on seeded random standing/delta splits") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val all = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (standing, delta) = all.partition(_ => rnd.nextBoolean())
+      foldVsRebuild(standing, delta)
+    }
+  }
 }

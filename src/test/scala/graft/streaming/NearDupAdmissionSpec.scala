@@ -87,4 +87,39 @@ class NearDupAdmissionSpec extends SparkSpec {
       assert(after === expected.flatten.toSet)
     } finally index.release()
   }
+
+  test("epoch roll: folding an admitted batch's pairs into the standing " +
+       "cluster labels equals a full CC rebuild — the epoch pays |Δ|, " +
+       "not a corpus-sized re-run") {
+    import graft.operators.Components
+    val corpus = docs().filter(col("doc_id") % 2 === 0)
+    val batch = docs().filter(col("doc_id") % 2 === 1)
+    val index = Dedup.signatureBuild(corpus, "doc_id", "text")
+    try {
+      // standing epoch: the corpus's own duplicate structure, resolved once
+      val mp = Dedup.minhashExactPairsManaged(corpus, "doc_id", "text")
+      try {
+        val corpusPairs = mp.pairs.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // the admission filter's own probe IS the delta pair source —
+        // exactly what foreachBatch computes per micro-batch
+        val deltaPairs = Dedup.incrementalExactPairsIndexed(
+            batch, index, "doc_id", "text")
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(deltaPairs.nonEmpty, "the sf corpus has cross-parity dups")
+        import sqlImplicits._
+        val standing = Components.connectedComponents(
+          corpusPairs.toDF("src", "dst"))
+        val folded = Components.foldEdges(standing,
+            deltaPairs.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val rebuilt = Components.connectedComponents(
+            (corpusPairs ++ deltaPairs).toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(folded === rebuilt,
+          "epoch fold must be bit-identical to the full rebuild")
+      } finally mp.release()
+    } finally index.release()
+  }
 }
