@@ -179,7 +179,7 @@ object Bench {
            s""""cpu_spin_sampled_med":${spinSamples.sorted.apply(spinSamples.size / 2)},"""
        else "") +
       s""""query_steal_pct":$stealJson,"query_spin_min":$spinMinJson,""" +
-      s""""sf":"$sfDir"}"""
+      s""""sf":${jsonStr(sfDir)}}"""
     println(json)
     // Also persist the line: the stdout channel is a log-tail capture that
     // has truncated this (single, ~100-query-wide) JSON line in practice —
@@ -197,20 +197,21 @@ object Bench {
     // must fit in the tail. Per-query secs rounded to ms keep the whole
     // line a few KB; the wide line above / bench.json stay the full-fidelity
     // copies (per-query steal + spin, index builds, persisted-rdd census).
+    // Summary-only: the full 145-query map (~4 KB) overflowed the driver's
+    // ~2 KB tail window three rounds running (BENCH_r08/r09/r10 parsed:null).
+    // total/n/worst5/health is ~400 bytes; bench.json keeps full fidelity.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val worst5 = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${jsonStr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    val qsCompact = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jsonStr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""n":${results.size},"queries":$qsCompact,"worst5":$worst5,""" +
+      s""""n":${results.size},"worst5":$worst5,""" +
       s""""index_build_sec":${r3(idxSec)},"index_build_failed":$anyBuildFailed,""" +
       s""""load_warning":$loaded,""" +
       s""""steal_pct_queries":${math.round(stealQueriesPct * 10) / 10.0},""" +
       s""""steal_warning":${stealQueriesPct > 5.0},""" +
       (if (spinSamples.nonEmpty)
          s""""cpu_spin_sampled_min":${spinSamples.min},""" else "") +
-      s""""full":${jsonStr(outFile)},"sf":"$sfDir"}"""
+      s""""full":${jsonStr(outFile)},"sf":${jsonStr(sfDir)}}"""
     println(compact)
     queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
     queries.TextQueries.releaseClusterLabels(spark)

@@ -52,6 +52,15 @@ object Adjacency {
     * hubs of web/social graphs. */
   val DefaultHubLimit: Long = 131072L
 
+  /** Measured-count bar under which a (node)/(src, outdeg)-shaped frame
+    * gets a broadcast hint. 10^6 single-long rows ≈ 8 MB serialized —
+    * inside Spark's default 10 MB autoBroadcastJoinThreshold, so the hint
+    * never forces a broadcast the planner's own bar would refuse. Shared
+    * by this build, [[Hybrid.expand]], [[KCore]] and [[BfsHops]] so the
+    * whole graph family routes through one constant; above it the joins
+    * fall back to shuffle (exercised in GraphHubSpec). */
+  val BroadcastRowLimit: Long = 1000000L
+
   /** Conf flag: when true, operators taking a `symmetric` caller
     * assertion verify it ([[Hybrid.requireSymmetric]]) instead of
     * trusting it — a lying caller fails loudly rather than silently
@@ -78,7 +87,8 @@ object Adjacency {
       hubCount: Long,
       srcCount: Long,
       edgeCount: Long,
-      release: () => Unit) {
+      release: () => Unit,
+      bcastLimit: Long = BroadcastRowLimit) {
 
     /** Join a per-source frame (must carry a `src` column; every other
       * column is payload) into both layouts: returns flat rows
@@ -89,6 +99,12 @@ object Adjacency {
       * exist the union is skipped entirely, keeping the common-case plan
       * identical to the pure-array form. */
     def expand(per: DataFrame): DataFrame = {
+      val reserved = Set("dst", "w", "outdeg", "dsts", "__e")
+      val clash = per.columns.filter(c => c != "src" && reserved(c))
+      require(clash.isEmpty,
+        s"expand payload column(s) ${clash.mkString(", ")} collide with " +
+          "the columns expand produces (dst/w/outdeg) — rename them " +
+          "before joining")
       val payload = per.columns.filter(_ != "src").toSeq.map(col)
       val arr =
         if (weighted)
@@ -103,7 +119,12 @@ object Adjacency {
               payload): _*)
       if (hubCount == 0) arr
       else {
-        val base = flat.join(broadcast(hubDeg), Seq("src"))
+        // hubDeg has hubCount rows (up to |E|/hubLimit) — hint only under
+        // the same measured bar the build uses; a graph pathological
+        // enough to exceed it must shuffle, not OOM the driver
+        val hd = if (hubCount <= bcastLimit) broadcast(hubDeg)
+                 else hubDeg
+        val base = flat.join(hd, Seq("src"))
           .join(per, Seq("src"))
         val fl =
           if (weighted)
@@ -166,7 +187,8 @@ object Adjacency {
     * [[Checkpoints.sweepingOnFailure]] like every other eager iterative
     * build. */
   def build(edges: DataFrame, dedup: Boolean,
-            hubLimit: Long = DefaultHubLimit): Hybrid = {
+            hubLimit: Long = DefaultHubLimit,
+            broadcastRowLimit: Long = BroadcastRowLimit): Hybrid = {
     require(hubLimit >= 1, s"hubLimit must be >= 1, got $hubLimit")
     val weighted = edges.columns.contains("w")
     require(!(weighted && dedup), "dedup applies to unweighted edges only")
@@ -182,7 +204,8 @@ object Adjacency {
     val hubCount = hubSrcs.count()
     // the hub source LIST is ≤ |E|/hubLimit rows — broadcast it below the
     // same measured-count bar the operators' semi-joins use
-    val hub = if (hubCount > 0 && hubCount <= 5000000L) broadcast(hubSrcs)
+    val hub = if (hubCount > 0 && hubCount <= broadcastRowLimit)
+                broadcast(hubSrcs)
               else hubSrcs
     val collected =
       if (weighted) collect_list(struct(col("dst"), col("w")))
@@ -217,6 +240,7 @@ object Adjacency {
         arrayAdj.unpersist()
         if (hubCount > 0) { flat.unpersist(); hubDeg.unpersist() }
         ()
-      })
+      },
+      bcastLimit = broadcastRowLimit)
   }
 }

@@ -47,7 +47,7 @@ object BfsHops {
 
   def hops(edges: DataFrame, srcCol: String, dstCol: String,
            seeds: DataFrame, seedCol: String, maxHops: Int,
-           broadcastLimit: Long = 5000000L,
+           broadcastLimit: Long = Adjacency.BroadcastRowLimit,
            hubLimit: Long = Adjacency.DefaultHubLimit): ManagedDists = {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1,64], got $maxHops")

@@ -67,9 +67,21 @@ object Checkpoints {
     * (reliable). Works on the checkpointed frame itself AND on any frame
     * whose plan still references one — pass an operator's RESULT and every
     * level/round it retained is freed in one call. */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = releaseExcept(df)
+
+  /** [[release]], but any `LogicalRDD` leaf that also appears in one of
+    * `keep` is left alone — for plans that compose per-call checkpoint
+    * chains OVER a long-lived cached frame (d13's fold stages away from
+    * the delta-CC remap checkpoint while the standing label index it
+    * joined must keep serving other queries). Matching is by RDD id, so
+    * any frame whose plan references the kept checkpoint protects it. */
+  def releaseExcept(df: DataFrame, keep: DataFrame*): Unit = {
+    val keepIds: Set[Int] = keep.flatMap(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }).toSet
     df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if !keepIds.contains(lr.rdd.id) => lr.rdd
     }.foreach { rdd =>
       rdd.unpersist(false)
       rdd.getCheckpointFile.foreach { f =>
@@ -77,6 +89,7 @@ object Checkpoints {
         p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
+  }
 
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily LOWERED to
     * fit a measured row volume, then restore it — the iterative graph

@@ -392,9 +392,13 @@ object IndexStore {
     withStore(spark, "pq", sourcePath)(
       dir => pqIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
 
+  /** `kind` distinguishes label tables over the SAME source parquet —
+    * "cluster" (full-corpus labels) and "standing_cluster" (even-id
+    * standing labels d13 folds deltas into) store side by side. */
   def clusterLabelsFromConf(spark: SparkSession, sourcePath: String,
-                            params: Map[String, String] = Map.empty)
+                            params: Map[String, String] = Map.empty,
+                            kind: String = "cluster")
                            (build: => DataFrame): DataFrame =
-    withStore(spark, "cluster", sourcePath)(
+    withStore(spark, kind, sourcePath)(
       dir => clusterLabelsOrBuild(spark, dir, sourcePath, params)(build))(build)
 }

@@ -50,13 +50,14 @@ object KCore {
     *        (convergence detection), so this is measured-stats adaptivity,
     *        not a guess: a 100-TB graph's early rounds (|V| ~ 1e9) shuffle,
     *        and the tail rounds — where the survivor set has collapsed to
-    *        the dense core — switch to two map-side joins. 5M nodes × 8 B
-    *        ≈ 40 MB broadcast, safe on any real executor. Measured on the
-    *        sf0.1 bipartite graph (33k survivors, 6 rounds): 7.3 s
-    *        all-shuffle → ~2 s broadcast. */
+    *        the dense core — switch to two map-side joins. The default
+    *        is the family-shared [[Adjacency.BroadcastRowLimit]] (1M
+    *        longs ≈ 8 MB, inside Spark's 10 MB autoBroadcast bar).
+    *        Measured on the sf0.1 bipartite graph (33k survivors,
+    *        6 rounds): 7.3 s all-shuffle → ~2 s broadcast. */
   def core(edges: DataFrame, srcCol: String, dstCol: String,
            k: Int, rounds: Int,
-           broadcastLimit: Long = 5000000L): ManagedCore = {
+           broadcastLimit: Long = Adjacency.BroadcastRowLimit): ManagedCore = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     val s = col(srcCol).cast("long")

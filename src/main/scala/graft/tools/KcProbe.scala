@@ -27,7 +27,7 @@ object KcProbe {
     }
     for (r <- Seq(1, 2, 6)) {
       tmed(s"kcore rounds=$r") {
-        val mc = graft.operators.KCore.core(bp, "src", "dst", 8, r, broadcastLimit = args.lift(1).map(_.toLong).getOrElse(5000000L))
+        val mc = graft.operators.KCore.core(bp, "src", "dst", 8, r, broadcastLimit = args.lift(1).map(_.toLong).getOrElse(graft.operators.Adjacency.BroadcastRowLimit))
         mc.core.count(); mc.release()
       }
     }

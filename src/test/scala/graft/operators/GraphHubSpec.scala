@@ -48,6 +48,28 @@ class GraphHubSpec extends SparkSpec {
     } finally hyb.release()
   }
 
+  test("Adjacency: shuffle fallback above the broadcast bar is " +
+       "bit-identical to the hinted path, and payload collisions refuse") {
+    val e = star(5000).toDF("src", "dst")
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // broadcastRowLimit=0 forces the hub-list semi-join AND expand's
+    // hubDeg join onto the shuffle path the >1M-hub regime would take
+    val shuffled = Adjacency.build(e, dedup = false, hubLimit = 1000L,
+      broadcastRowLimit = 0L)
+    val hinted = Adjacency.build(e, dedup = false, hubLimit = 1000L)
+    try {
+      assert(shuffled.hubCount === 1L && hinted.hubCount === 1L)
+      val per = Seq((1L, 7L), (2L, 9L)).toDF("src", "payload")
+      def rows(h: Adjacency.Hybrid) = h.expand(per)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(rows(shuffled) === rows(hinted))
+      val badPayload = Seq((1L, 7L)).toDF("src", "dst")
+      val ex = intercept[IllegalArgumentException](hinted.expand(badPayload))
+      assert(ex.getMessage.contains("collide"))
+    } finally { shuffled.release(); hinted.release() }
+  }
+
   test("PageRank: flat-routed hub is bit-identical to the array layout") {
     val edges = star(20000).toDF("src", "dst")
     val viaFlat = collectRanks(PageRank.ranks(edges, "src", "dst",
@@ -101,7 +123,7 @@ class GraphHubSpec extends SparkSpec {
 
   test("BfsHops: rings through a hub frontier are bit-identical") {
     // seed -> hub -> 8000 spokes; one spoke continues to a tail
-    val edges = (Seq((100L, 1L)) ++ star(8000) ++ Seq((2L, 99L)))
+    val edges = (Seq((100L, 1L)) ++ star(8000) ++ Seq((2L, 9999L)))
       .toDF("src", "dst")
     val seeds = Seq(100L).toDF("seed")
     def run(lim: Long): Map[Long, Int] = {
@@ -114,7 +136,7 @@ class GraphHubSpec extends SparkSpec {
     val flatGot = run(100L)
     assert(flatGot === run(Long.MaxValue))
     assert(flatGot(100L) === 0 && flatGot(1L) === 1 && flatGot(2L) === 2 &&
-      flatGot(99L) === 3)
+      flatGot(9999L) === 3)
   }
 
   test("CheapestPaths: weighted hub relaxation is bit-identical") {

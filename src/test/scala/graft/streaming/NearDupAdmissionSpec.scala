@@ -111,14 +111,24 @@ class NearDupAdmissionSpec extends SparkSpec {
         import sqlImplicits._
         val standing = Components.connectedComponents(
           corpusPairs.toDF("src", "dst"))
-        val folded = Components.foldEdges(standing,
-            deltaPairs.toDF("src", "dst"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val rebuilt = Components.connectedComponents(
-            (corpusPairs ++ deltaPairs).toDF("src", "dst"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(folded === rebuilt,
-          "epoch fold must be bit-identical to the full rebuild")
+        val foldedDf = Components.foldEdges(standing,
+          deltaPairs.toDF("src", "dst"))
+        val rebuiltDf = Components.connectedComponents(
+          (corpusPairs ++ deltaPairs).toDF("src", "dst"))
+        try {
+          val folded = foldedDf
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val rebuilt = rebuiltDf
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(folded === rebuilt,
+            "epoch fold must be bit-identical to the full rebuild")
+        } finally {
+          // foldedDf's lazy plan reaches BOTH standing's final checkpoint
+          // and the delta-CC remap's — one release covers them (the
+          // LEAKCHECK discipline every other spec follows)
+          Components.releaseCheckpoint(foldedDf)
+          Components.releaseCheckpoint(rebuiltDf)
+        }
       } finally mp.release()
     } finally index.release()
   }
