@@ -91,6 +91,13 @@ object Checkpoints {
     }
   }
 
+  // One thread per session may hold a lowered-conf window at a time:
+  // interleaved set/restore from two threads would restore a STALE value
+  // and leave the session permanently mis-configured. Same-thread nesting
+  // is fine (inner window restores to the outer's value in LIFO order).
+  private val shuffleWindowOwner =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Thread]()
+
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily LOWERED to
     * fit a measured row volume, then restore it — the iterative graph
     * operators' answer to the measured per-round floor: on tiny per-round
@@ -100,17 +107,32 @@ object Checkpoints {
     * symmetry keeps the map sides wide). The override only ever lowers:
     * `n >= session conf` is a no-op, so a 10k-partition cluster session
     * keeps its parallelism on a 100-TB graph and a small scoped graph
-    * stops paying 32-task scheduling per stage. Caveat (documented
-    * trade): the conf is session-scoped, so a concurrent query planned in
-    * the same session inside this window sees the lowered value. */
+    * stops paying 32-task scheduling per stage.
+    *
+    * Concurrency contract (enforced, not just documented): only the
+    * thread that OPENED a session's window mutates the conf; a second
+    * thread arriving while a window is open runs `f` WITHOUT lowering —
+    * correctness is unaffected (the override is purely a task-count
+    * optimization) and the conf can never be restored to a stale value by
+    * interleaved windows. Residual (inherent to session-scoped conf): a
+    * concurrent query planned inside someone else's window may still SEE
+    * the lowered value — performance-only. */
   def withShufflePartitions[A](spark: org.apache.spark.sql.SparkSession,
                                n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (n >= prev.toInt) f
+    val me = Thread.currentThread()
+    val owner = shuffleWindowOwner.putIfAbsent(spark, me)
+    if (owner != null && (owner ne me)) f // contended: skip the optimization
     else {
-      spark.conf.set(key, n.toString)
-      try f finally spark.conf.set(key, prev)
+      val opened = owner == null
+      try {
+        val prev = spark.conf.get(key)
+        if (n >= prev.toInt) f
+        else {
+          spark.conf.set(key, n.toString)
+          try f finally spark.conf.set(key, prev)
+        }
+      } finally if (opened) shuffleWindowOwner.remove(spark, me)
     }
   }
 
@@ -123,6 +145,20 @@ object Checkpoints {
     math.min(Int.MaxValue.toLong,
       math.max(4L, (rows + rowsPerPartition - 1) / rowsPerPartition)).toInt
 
+  private val sweepLog = org.slf4j.LoggerFactory.getLogger("graft.operators.Checkpoints")
+
+  // Per-context overlap ledger for sweepingOnFailure: `active` counts
+  // in-flight builds, `started` counts entries ever — together they
+  // detect overlap in EITHER direction (a builder already running at our
+  // entry, or one that entered during our window, even if it exited
+  // before our failure).
+  private final class BuildLedger {
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+  private val buildLedgers =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, BuildLedger]()
+
   /** Failure-path sweep for eager iterative builds (the ONE shared copy of
     * what PageRank/LabelPropagation/KCore/BfsHops/CheapestPaths/Triangles
     * each previously inlined): staging is eager, so an error mid-build —
@@ -130,20 +166,39 @@ object Checkpoints {
     * persisted/staged, including a FAILED round's half-created checkpoint
     * RDD, which stays registered even though its job never finished and
     * which no DataFrame handle can reach. On Throwable, every RDD
-    * registered since entry is unpersisted. Documented trade (same as the
-    * test-scoped sweep tools): a concurrent builder in the same session
-    * could in principle register an id inside the failure window and be
-    * swept with it. */
+    * registered since entry is unpersisted.
+    *
+    * Concurrency contract (enforced): RDD registrations carry no owner, so
+    * a sweep cannot distinguish this build's frames from a concurrent
+    * builder's. The ledger detects ANY overlapping build in the same
+    * context (running at entry, or entered during the window); on failure
+    * under overlap the sweep is SKIPPED with a WARN — a leaked frame is
+    * recoverable (session teardown / explicit release), unpersisting a
+    * live sibling's rounds mid-run is not. Single-builder sessions (every
+    * current caller) sweep exactly as before. */
   def sweepingOnFailure[A](sc: org.apache.spark.SparkContext)(build: => A): A = {
+    val ledger = buildLedgers.computeIfAbsent(sc, _ => new BuildLedger)
+    val overlapAtEntry = ledger.active.get() > 0
+    val startedSnapshot = ledger.started.incrementAndGet()
+    ledger.active.incrementAndGet()
     val preexisting = sc.getPersistentRDDs.keySet
     try build catch {
       case t: Throwable =>
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!preexisting.contains(id)) {
-            try rdd.unpersist(blocking = true) catch { case _: Exception => () }
+        val overlapped = overlapAtEntry || ledger.active.get() > 1 ||
+          ledger.started.get() > startedSnapshot
+        if (overlapped) {
+          sweepLog.warn("sweepingOnFailure: overlapping builds detected in " +
+            "this context — skipping the failure sweep (cannot attribute " +
+            "newly registered RDDs to this build); release leaked frames " +
+            "via the operators' handles or session teardown")
+        } else {
+          sc.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) {
+              try rdd.unpersist(blocking = true) catch { case _: Exception => () }
+            }
           }
         }
         throw t
-    }
+    } finally ledger.active.decrementAndGet()
   }
 }

@@ -1785,6 +1785,76 @@ object CoreQueries {
       e.unpersist()
       ml.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), outSchema)
+    },
+
+    // GRAPH-FAMILY COMPOSITION — the managed-handle contract under
+    // chaining (t28 composes the text family; this composes the graph
+    // family): k-core trim densifies the 1997 co-purchase graph, PageRank
+    // ranks the core, LPA labels it, and the modularity audit scores the
+    // labelling — FOUR iterative operators over one persisted edge cache,
+    // each releasing its staged rounds before the next starts
+    // (GraphComposeSpec pins zero persisted RDDs after the final
+    // release). All arithmetic is the exact-integer kind the individual
+    // oracles already certify, so the whole chain replays as one unrolled
+    // CTE pipeline: peel rounds → trimmed edges → PR fixed-point rounds +
+    // LPA vote rounds → per-community rank mass beside the modularity
+    // contribution.
+    "q78_core_communities" -> { (s, dir) =>
+      val ip = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val eRaw = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      // one pair-generation, four consumers (q77's persist discipline)
+      val e = eRaw.distinct().persist()
+      val mc = graft.operators.KCore.core(e, "src", "dst", k = 3, rounds = 4)
+      // trim the DIRECTED symmetric graph to the survivor set: two
+      // semi-joins, symmetry preserved (both directions share endpoints)
+      val keep = mc.core.select("node")
+      val ce = e
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .persist()
+      val cem = ce.count() // materializes ce; em for the modularity formula
+      val mr = graft.operators.PageRank.ranks(ce, "src", "dst", iters = 3,
+        dedupEdges = false, symmetric = true)
+      val ml = graft.operators.LabelPropagation.labels(ce, "src", "dst",
+        iters = 3, dedupEdges = false, symmetric = true)
+      val (rows, outSchema) = graft.operators.Checkpoints.withShufflePartitions(s,
+        graft.operators.Checkpoints.partitionsForRows(cem)) {
+        val deg = ce.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("dg"))
+        val nl = ml.labels.join(deg, Seq("node"))
+          .join(mr.ranks.select(col("node"), col("rank_fp")), Seq("node"))
+        val comm = nl.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("sz"), sum(col("dg")).as("d_c"),
+            sum(col("rank_fp")).as("rank_mass"))
+        val la = ml.labels.select(col("node").as("src"), col("lab").as("ls"))
+        val lb = ml.labels.select(col("node").as("dst"), col("lab").as("ld"))
+        val intra = ce.join(la, Seq("src")).join(lb, Seq("dst"))
+          .filter(col("ls") === col("ld"))
+          .groupBy(col("ls").as("community"))
+          .agg(count(lit(1)).as("intra_e"))
+        val outF = comm.join(intra, Seq("community"), "left")
+          .select(col("community"), col("sz"), col("d_c"),
+            coalesce(col("intra_e"), lit(0L)).as("intra_e"),
+            (coalesce(col("intra_e"), lit(0L)) * cem -
+              col("d_c") * col("d_c")).as("contrib_num"),
+            col("rank_mass"))
+          .orderBy(col("sz").desc, col("community"))
+          .limit(20)
+        (outF.collect().toSeq, outF.schema)
+      }
+      // release ONLY after the terminal collect (the family convention:
+      // ce's lazy plan references the core's staged checkpoint, so a
+      // cache-evicted recompute must still find it)
+      ml.release()
+      mr.release()
+      mc.release()
+      ce.unpersist()
+      e.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), outSchema)
     }
   )
 
@@ -1934,6 +2004,97 @@ object CoreQueries {
        |ORDER BY sz DESC, community
        |LIMIT 20""".stripMargin
 
+  // q78: the full composition replays as ONE unrolled CTE pipeline —
+  // q72-style peel rounds over the canonicalized co-purchase graph, the
+  // trimmed directed core, q65's PR fixed-point rounds + q70's LPA vote
+  // rounds over it, and q77's modularity arithmetic with the rank mass
+  // joined in. Generated from the SAME constants as the Spark side.
+  private def q78Oracle(k: Int, peelRounds: Int, prIters: Int,
+                        lpaIters: Int, scale: Long): String = {
+    val base = scale * 15 / 100
+    val peel = (1 to peelRounds).map { i =>
+      s"""  pe$i AS MATERIALIZED (
+         |          SELECT e.a, e.b FROM und e
+         |          JOIN s${i - 1} x ON x.node = e.a
+         |          JOIN s${i - 1} y ON y.node = e.b),
+         |  s$i AS MATERIALIZED (
+         |          SELECT node FROM (
+         |            SELECT node, count(*) AS deg FROM (
+         |              SELECT a AS node FROM pe$i
+         |              UNION ALL SELECT b FROM pe$i)
+         |            GROUP BY node HAVING count(*) >= $k)),""".stripMargin
+    }.mkString("\n")
+    val pr = (1 to prIters).map { i =>
+      s"""  c$i AS (SELECT ce.dst AS node, CAST(sum(p.r // d.outdeg) AS BIGINT) AS m
+         |          FROM ce JOIN r${i - 1} p ON p.node = ce.src
+         |                 JOIN cdeg d ON d.src = ce.src
+         |          GROUP BY ce.dst),
+         |  r$i AS (SELECT n.node,
+         |            CAST($base + (COALESCE(c.m, 0) * 85) // 100 AS BIGINT) AS r
+         |          FROM cn n LEFT JOIN c$i c ON c.node = n.node),""".stripMargin
+    }.mkString("\n")
+    val lpa = (1 to lpaIters).map { i =>
+      s"""  v$i AS (SELECT ce.dst AS node, l.lab, count(*) AS c
+         |          FROM ce JOIN l${i - 1} l ON l.node = ce.src
+         |          GROUP BY ce.dst, l.lab),
+         |  a$i AS (SELECT node, lab FROM (
+         |            SELECT node, lab,
+         |              row_number() OVER (PARTITION BY node
+         |                                 ORDER BY c DESC, lab) AS rn
+         |            FROM v$i) WHERE rn = 1),
+         |  l$i AS MATERIALIZED (
+         |          SELECT p.node, COALESCE(a.lab, p.lab) AS lab
+         |          FROM l${i - 1} p LEFT JOIN a$i a ON a.node = p.node),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE year(l_shipdate) = 1997),
+       |  e AS MATERIALIZED (
+       |    SELECT DISTINCT a.p AS src, b.p AS dst
+       |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p),
+       |  und AS MATERIALIZED (
+       |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |    FROM e),
+       |  s0 AS MATERIALIZED (
+       |         SELECT node FROM (
+       |           SELECT node, count(*) AS deg FROM (
+       |             SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |           GROUP BY node HAVING count(*) >= $k)),
+       |$peel
+       |  ce AS MATERIALIZED (
+       |    SELECT e.src, e.dst FROM e
+       |    JOIN s$peelRounds x ON x.node = e.src
+       |    JOIN s$peelRounds y ON y.node = e.dst),
+       |  cdeg AS MATERIALIZED (
+       |    SELECT src, count(*) AS outdeg FROM ce GROUP BY src),
+       |  cn AS MATERIALIZED (SELECT DISTINCT src AS node FROM ce),
+       |  r0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM cn),
+       |$pr
+       |  l0 AS MATERIALIZED (SELECT node, node AS lab FROM cn),
+       |$lpa
+       |  m AS (SELECT count(*) AS em FROM ce),
+       |  nl AS (SELECT l.node, l.lab, d.outdeg AS dg, r.r AS rank_fp
+       |         FROM l$lpaIters l JOIN cdeg d ON d.src = l.node
+       |                JOIN r$prIters r ON r.node = l.node),
+       |  comm AS (SELECT lab AS community, count(*) AS sz,
+       |             CAST(sum(dg) AS BIGINT) AS d_c,
+       |             CAST(sum(rank_fp) AS BIGINT) AS rank_mass
+       |           FROM nl GROUP BY lab),
+       |  intra AS (SELECT la.lab AS community,
+       |              CAST(count(*) AS BIGINT) AS intra_e
+       |            FROM ce JOIN l$lpaIters la ON la.node = ce.src
+       |                   JOIN l$lpaIters lb ON lb.node = ce.dst
+       |            WHERE la.lab = lb.lab
+       |            GROUP BY la.lab)
+       |SELECT community, sz, d_c,
+       |  COALESCE(intra_e, 0) AS intra_e,
+       |  COALESCE(intra_e, 0) * em - d_c * d_c AS contrib_num,
+       |  rank_mass
+       |FROM comm LEFT JOIN intra USING (community), m
+       |ORDER BY sz DESC, community
+       |LIMIT 20""".stripMargin
+  }
+
   // q72: the peel rounds replay as unrolled CTEs — round 0 thresholds the
   // full-graph degree, each later round recounts inside the previous
   // survivor set. Generated from the same (k, rounds) constants.
@@ -2061,6 +2222,7 @@ object CoreQueries {
     "q69_personalized_pagerank" -> q69Oracle(4, 1000000000L),
     "q70_label_propagation" -> q70Oracle(4),
     "q77_modularity_audit" -> q77Oracle(4),
+    "q78_core_communities" -> q78Oracle(3, 4, 3, 3, 1000000000L),
 
     // q71: the oracle counts the SAME triangle set by the a<b<c triple
     // join — a different algorithm certifying the degree-ordered

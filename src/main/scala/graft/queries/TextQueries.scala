@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{Components, Dedup, Splits}
+import graft.operators.{Checkpoints, Components, Dedup, Splits}
 import graft.functions.TextFunctions._
 
 /** LLM-data-pipeline text surface over the `documents` table: dedup
@@ -88,6 +88,42 @@ object TextQueries {
     }
   }
 
+  // STANDING-corpus labels (even doc_ids — the settled side of the
+  // d06/d13 daily-ingest framing): CC over the standing corpus's own
+  // near-dup pairs, built once per corpus version (durable under
+  // spark.graft.indexDir like the full labels) so d13's per-epoch cost is
+  // the |Δ| fold alone. Cached in ccCache under a "#standing"-suffixed
+  // key — releaseClusterLabels covers both generations.
+  private def standingClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val key = s"$dir#standing"
+    graft.operators.IndexStats.lookup("standing_cluster",
+      hit = ccCache.containsKey((s, key)))
+    ccCache.computeIfAbsent((s, key), { _ =>
+      graft.operators.IndexStore.clusterLabelsFromConf(
+        s, s"$dir/documents.parquet",
+        Map("pair_k" -> "128", "pair_bands" -> "32",
+            "pair_shingle_width" -> "3", "pair_threshold" -> "0.8",
+            "corpus" -> "standing_even"),
+        kind = "standing_cluster")(buildStandingClusterLabels(s, dir))
+    })
+  }
+
+  private def buildStandingClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // pmod, not %: with Spark's signed modulo a negative odd id would fall
+    // in NEITHER the standing (===0) nor the batch (===1) frame — pmod
+    // makes the two filters a true partition of any id domain
+    val standing = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+    val mp = Dedup.minhashExactPairsManaged(standing, "doc_id", "text",
+      k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+    try {
+      val lazyLabels = Components.connectedComponents(
+        mp.pairs.select("id_a", "id_b"))
+      val cp = lazyLabels.localCheckpoint()
+      Components.releaseCheckpoint(lazyLabels)
+      cp
+    } finally mp.release()
+  }
+
   /** Drop cached cluster labels of `s` and release their checkpoint
     * blocks — session-teardown hygiene, same lifecycle as
     * [[VectorQueries.releaseIvfIndexes]]. */
@@ -120,6 +156,9 @@ object TextQueries {
     // d05/d08 query would absorb the scan+persist cost the prepare step
     // exists to take.
     dupClusterLabels(s, dir).count()
+    // the standing (even-id) labels d13 folds into — same once-per-corpus
+    // lifecycle, so d13 times the |Δ| fold, not the standing CC
+    standingClusterLabels(s, dir).count()
     ()
   }
 
@@ -133,7 +172,10 @@ object TextQueries {
   private def corpusSignatureIndex(s: SparkSession, dir: String): Dedup.SignatureIndex = {
     graft.operators.IndexStats.lookup("signature", hit = sigCache.containsKey((s, dir)))
     sigCache.computeIfAbsent((s, dir), { _ =>
-      def build = Dedup.signatureBuild(docs(s, dir).filter(col("doc_id") % 2 === 0),
+      // pmod so corpus (===0) and batch (===1) partition ANY id domain —
+      // signed % leaves negative odd ids in neither frame
+      def build = Dedup.signatureBuild(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", k = 128, bands = 32, shingleWidth = 3)
       // With spark.graft.indexDir set, the index survives the session: a
       // fresh session loads the parquet form (stamped with the corpus
@@ -223,8 +265,8 @@ object TextQueries {
     "d06_incremental_dedup" -> { (s, dir) =>
       val d = docs(s, dir)
       val mp = Dedup.incrementalExactPairsIndexedManaged(
-        d.filter(col("doc_id") % 2 === 1), corpusSignatureIndex(s, dir),
-        "doc_id", "text", threshold = 0.8)
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        corpusSignatureIndex(s, dir), "doc_id", "text", threshold = 0.8)
       swapRelease(s, s"d06|$dir", mp.release)
       mp.pairs
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -291,33 +333,30 @@ object TextQueries {
     },
 
     // Incremental cluster maintenance — the edge-delta fold that closes
-    // NearDupAdmission's epoch loop: standing labels are CC over the
-    // settled corpus's own pairs (even×even, the structure d06 never
-    // re-pays), the delta is every pair touching the odd-id batch;
-    // Components.foldEdges merges the delta into the standing labelling at
-    // |Δ|-sized cost (contract endpoints to labels → CC over the tiny
-    // contracted graph → ONE remap join), instead of re-running CC over
-    // the full pair set per epoch. The oracle replays the FULL REBUILD
-    // (d05's recursive walk over all pairs), so hash equality certifies
-    // fold ≡ rebuild — the q58/q63/q67 incremental-identity pattern
-    // applied to graph clustering.
+    // NearDupAdmission's epoch loop, in its PRODUCTION shape: the standing
+    // labelling is served from the durable standing-cluster index (built
+    // once per corpus version, the d06/d12 build-probe pattern) and the
+    // delta — every near-dup pair touching the odd-id batch, batch×corpus
+    // + batch×batch — probes the cached corpus SignatureIndex, so the
+    // per-epoch cost is |Δ|-sized: contract delta endpoints to labels →
+    // CC over the tiny contracted graph → ONE remap join. The oracle
+    // replays the FULL REBUILD (d05's recursive walk over all pairs), so
+    // hash equality certifies fold ≡ rebuild — the q58/q63/q67
+    // incremental-identity pattern applied to graph clustering.
     "d13_incremental_clusters" -> { (s, dir) =>
       val d = docs(s, dir)
-      val mp = Dedup.minhashExactPairsManaged(d, "doc_id", "text",
-        k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+      val labels0 = standingClusterLabels(s, dir)
+      val mp = Dedup.incrementalExactPairsIndexedManaged(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        corpusSignatureIndex(s, dir), "doc_id", "text", threshold = 0.8)
       val folded = try {
-        val pairs = mp.pairs.select(col("id_a"), col("id_b"))
-        val standing = pairs
-          .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
-        val delta = pairs
-          .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
-        val labels0 = Components.connectedComponents(standing)
-        val lazyFold = Components.foldEdges(labels0, delta)
-        // one materialization, then free BOTH upstream CC checkpoints
-        // (labels0's final round and the remap's) in one dig through the
-        // lazy plan — Checkpoints.release's documented contract
+        val lazyFold = Components.foldEdges(labels0,
+          mp.pairs.select(col("id_a"), col("id_b")))
+        // one materialization, then free the checkpoints the FOLD created
+        // (the delta-CC remap) — but NOT the standing label index's, which
+        // keeps serving this and other queries (releaseExcept contract)
         val cp = lazyFold.localCheckpoint()
-        Components.releaseCheckpoint(lazyFold)
+        Checkpoints.releaseExcept(lazyFold, labels0)
         cp
       } finally mp.release()
       swapRelease(s, s"d13|$dir", () => Components.releaseCheckpoint(folded))
@@ -560,6 +599,66 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    // FULL BPE VOCABULARY TRAINER — t14's merge step iterated to a target
+    // vocabulary (K merges), the real tokenizer-training loop. The classic
+    // contraction makes it scale: the corpus is read ONCE (word-frequency
+    // aggregate — the merge rounds then operate on the vocab-bounded
+    // (word, n) table, billions of rows at web scale but never
+    // corpus-sized). Each round is: weighted adjacent-pair counts (one
+    // partial-aggregating shuffle), argmax with the pinned (count DESC,
+    // pair ASC) total order (a 1-row collect — the k-centroids pattern),
+    // and ONE literal replace applying the merge greedily left-to-right.
+    // Greedy-left BPE semantics ride a string invariant: a word's symbols
+    // are DOUBLE-space separated with single-space sentinels, and the
+    // pattern ' pa  pb ' → ' papb ' consumes one boundary space per side,
+    // so adjacent merge sites keep their own boundaries and plain
+    // non-overlapping replace (same scan order in Spark and DuckDB) IS the
+    // greedy merge — proven against a driver-side reference trainer in
+    // BpeTrainerSpec and replayed per-merge by the oracle's unrolled CTEs.
+    "t35_bpe_trainer" -> { (s, dir) =>
+      val K = 10
+      val w0 = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(concat(lit(" "),
+          array_join(split(col("w"), ""), "  "), lit(" ")).as("repr"),
+          col("n"))
+      var cur = w0.persist()
+      cur.count()
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      try {
+        for (r <- 1 to K) {
+          val syms = split(trim(col("repr")), "  ")
+          val best = cur
+            .select(col("n"), explode(zip_with(
+              slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+              slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+              (a, b) => concat(a, lit("  "), b))).as("pair"))
+            .groupBy("pair").agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(1).collect()
+          // exhaustion can't happen at any tested SF; guard for fixtures
+          if (best.nonEmpty) {
+            val pair = best(0).getString(0)
+            val cnt = best(0).getLong(1)
+            val parts = pair.split("  ", 2)
+            val (pa, pb) = (parts(0), parts(1))
+            merges += ((r, pa, pb, pa + pb, cnt))
+            val next = cur.withColumn("repr",
+              replace(col("repr"), lit(s" $pa  $pb "), lit(s" $pa$pb ")))
+              .persist()
+            next.count() // stage the round, then free the previous one
+            cur.unpersist()
+            cur = next
+          }
+        }
+      } finally cur.unpersist()
+      import s.implicits._
+      merges.result().toDF("rank", "pa", "pb", "merged", "n")
+        .orderBy("rank")
     },
 
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
@@ -1301,6 +1400,43 @@ object TextQueries {
        |ORDER BY t.exact_n DESC, t.tok""".stripMargin
   }
 
+  // t35: per-merge unrolled CTEs — b{r} picks round r's merge (count
+  // DESC, pair ASC over the double-space pair string), w{r} applies it
+  // with ONE literal replace on the invariant representation. Generated
+  // from the same K the Spark side uses.
+  private def t35Oracle(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""  b$r AS MATERIALIZED (
+         |    SELECT pair, cnt FROM (
+         |      SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |        SELECT n, unnest(list_transform(range(1, len(sy)),
+         |          i -> sy[i] || '  ' || sy[i+1])) AS pair
+         |        FROM (SELECT n, string_split(trim(repr), '  ') AS sy
+         |              FROM w${r - 1}))
+         |      GROUP BY pair)
+         |    ORDER BY cnt DESC, pair LIMIT 1),
+         |  w$r AS MATERIALIZED (
+         |    SELECT replace(w.repr, ' ' || b.pair || ' ',
+         |                   ' ' || replace(b.pair, '  ', '') || ' ') AS repr,
+         |           w.n
+         |    FROM w${r - 1} w, b$r b),""".stripMargin
+    }.mkString("\n")
+    val fin = (1 to k).map { r =>
+      s"""SELECT $r AS rank, string_split(pair, '  ')[1] AS pa,
+         |      string_split(pair, '  ')[2] AS pb,
+         |      replace(pair, '  ', '') AS merged, cnt AS n FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(regexp_extract_all(w, '[\\s\\S]'), '  ')
+       |           || ' ' AS repr,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$rounds
+       |  fin AS ($fin)
+       |SELECT rank, pa, pb, merged, n FROM fin ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t15_cms_heavy" -> t15Oracle,
 
@@ -1712,6 +1848,13 @@ object TextQueries {
         |GROUP BY pair
         |ORDER BY n DESC, pair
         |LIMIT 20""".stripMargin,
+
+    // t35: each merge replays as a (b{r} pick, w{r} apply) CTE pair over
+    // the same double-space string invariant the engine uses — replace's
+    // left-to-right non-overlapping scan is identical in both engines, so
+    // the whole K-merge trainer hash-matches. w/b CTEs are referenced
+    // twice → MATERIALIZED (the q72 lesson).
+    "t35_bpe_trainer" -> t35Oracle(10),
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then
