@@ -87,7 +87,8 @@ object Bench {
     val indexBuilds = Seq[(String, () => Unit)](
       "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
       "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
-      "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir))
+      "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
+      "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
       val err = try { build(); None } catch { case e: Throwable =>
@@ -216,6 +217,7 @@ object Bench {
     queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
     queries.TextQueries.releaseClusterLabels(spark)
     queries.TextQueries.releaseSignatureIndexes(spark)
+    queries.CoreQueries.releaseGraphIndexes(spark)
     spark.stop()
   }
 }

@@ -151,10 +151,20 @@ object Checkpoints {
   // in-flight builds, `started` counts entries ever — together they
   // detect overlap in EITHER direction (a builder already running at our
   // entry, or one that entered during our window, even if it exited
-  // before our failure).
+  // before our failure). The per-thread twins subtract SAME-THREAD
+  // nesting (an operator building inside another operator's build is one
+  // logical build — its RDDs belong to the outer window, and both sweeps
+  // fire on the shared failure path), so only genuinely concurrent
+  // threads read as overlap.
   private final class BuildLedger {
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val started = new java.util.concurrent.atomic.AtomicLong(0L)
+    val myDepth = new ThreadLocal[Integer] {
+      override def initialValue(): Integer = 0
+    }
+    val myStarted = new ThreadLocal[java.lang.Long] {
+      override def initialValue(): java.lang.Long = 0L
+    }
   }
   private val buildLedgers =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, BuildLedger]()
@@ -178,14 +188,20 @@ object Checkpoints {
     * current caller) sweep exactly as before. */
   def sweepingOnFailure[A](sc: org.apache.spark.SparkContext)(build: => A): A = {
     val ledger = buildLedgers.computeIfAbsent(sc, _ => new BuildLedger)
-    val overlapAtEntry = ledger.active.get() > 0
-    val startedSnapshot = ledger.started.incrementAndGet()
+    // overlap = activity NOT attributable to this thread's own nesting
+    val overlapAtEntry = ledger.active.get() - ledger.myDepth.get() > 0
+    val globalSnapshot = ledger.started.incrementAndGet()
+    ledger.myStarted.set(ledger.myStarted.get() + 1L)
+    val mySnapshot = ledger.myStarted.get()
     ledger.active.incrementAndGet()
+    ledger.myDepth.set(ledger.myDepth.get() + 1)
     val preexisting = sc.getPersistentRDDs.keySet
     try build catch {
       case t: Throwable =>
-        val overlapped = overlapAtEntry || ledger.active.get() > 1 ||
-          ledger.started.get() > startedSnapshot
+        val othersActive = ledger.active.get() - ledger.myDepth.get() > 0
+        val othersStartedSince = (ledger.started.get() - globalSnapshot) >
+          (ledger.myStarted.get() - mySnapshot)
+        val overlapped = overlapAtEntry || othersActive || othersStartedSince
         if (overlapped) {
           sweepLog.warn("sweepingOnFailure: overlapping builds detected in " +
             "this context — skipping the failure sweep (cannot attribute " +
@@ -199,6 +215,9 @@ object Checkpoints {
           }
         }
         throw t
-    } finally ledger.active.decrementAndGet()
+    } finally {
+      ledger.active.decrementAndGet()
+      ledger.myDepth.set(ledger.myDepth.get() - 1)
+    }
   }
 }

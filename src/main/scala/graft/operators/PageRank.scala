@@ -109,12 +109,42 @@ object PageRank {
           when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("r0")))
   }
 
+  /** Global PageRank over a CALLER-OWNED prebuilt adjacency — the
+    * build/probe split for rank consumers (the IVF/cluster/signature
+    * index lifecycle applied to the graph family): build the hybrid
+    * adjacency once per corpus version, then every rank query pays only
+    * its rounds. The returned handle frees ONLY this call's frames
+    * (node-base, staged rounds); `adj` stays alive for the next probe and
+    * its release stays with whoever built it. */
+  def ranksOverAdjacency(adj: Adjacency.Hybrid, iters: Int,
+                         scale: Long = 1000000000L,
+                         symmetric: Boolean = false): ManagedRanks =
+    rankRounds(adj, iters, scale, symmetric, ownsAdj = false,
+      nodes => nodes.select(col("node"),
+        lit(scale * 15 / 100).as("base"), lit(scale).as("r0")))
+
   /** Shared core: `nodeBase` decorates the node set with its per-node
     * teleport (`base`) and initial rank (`r0`) — a constant for global
     * PageRank, seed-conditional for the personalized form. */
   private def buildRanks(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int, scale: Long, dedupEdges: Boolean,
                          symmetric: Boolean, hubLimit: Long,
+                         nodeBase: DataFrame => DataFrame): ManagedRanks = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // mid-build failures sweep this call's frames — Checkpoints.sweepingOnFailure
+    Checkpoints.sweepingOnFailure(edges.sparkSession.sparkContext) {
+      val hyb = Adjacency.build(e, dedup = dedupEdges, hubLimit = hubLimit)
+      rankRounds(hyb, iters, scale, symmetric, ownsAdj = true, nodeBase)
+    }
+  }
+
+  /** The round engine over an existing adjacency. `ownsAdj` decides
+    * whether the returned release also frees the adjacency (true for the
+    * edge-list entry points that built it; false for
+    * [[ranksOverAdjacency]], whose caller owns the index). */
+  private def rankRounds(hyb: Adjacency.Hybrid, iters: Int, scale: Long,
+                         symmetric: Boolean, ownsAdj: Boolean,
                          nodeBase: DataFrame => DataFrame): ManagedRanks = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
@@ -124,14 +154,9 @@ object PageRank {
     // hole in the runtime guard, which only watches the inflow column)
     require(scale <= Long.MaxValue / 85,
       s"scale must be <= 2^63/85 so damping arithmetic cannot wrap, got $scale")
-    val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-
-    // mid-build failures sweep this call's frames — Checkpoints.sweepingOnFailure
+    val spark = hyb.arrayAdj.sparkSession
     val sc = spark.sparkContext
     def build(): ManagedRanks = {
-      val hyb = Adjacency.build(e, dedup = dedupEdges, hubLimit = hubLimit)
       if (symmetric && Adjacency.symmetryCheckEnabled(spark))
         hyb.requireSymmetric()
       val nodes = nodeBase(if (symmetric) hyb.srcs else hyb.allNodes)
@@ -175,7 +200,8 @@ object PageRank {
         .select(rFinal("node"), col("r").as("rank_fp"),
           coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       ManagedRanks(out, () => {
-        hyb.release(); nodes.unpersist()
+        if (ownsAdj) hyb.release()
+        nodes.unpersist()
         Checkpoints.release(rFinal)
         ()
       })

@@ -39,6 +39,57 @@ object CoreQueries {
     s"sum(CAST(round(($e) * $f) AS BIGINT)) / $f.0"
   }
 
+  // FULL-CORPUS co-purchase adjacency index — the build/probe split the
+  // IVF/cluster/signature caches give the vector/text families, applied
+  // to the graph family's biggest build: the all-orders co-purchase
+  // self-join plus the hub-safe adjacency aggregation happen ONCE per
+  // (session, table dir); rank probes (q65) pay only their rounds. Same
+  // lifecycle as the other session indexes: Bench/MedianBench call
+  // [[prepareGraphIndex]] so the one-time build is timed with the index
+  // builds, and [[releaseGraphIndexes]] is session-teardown hygiene.
+  // (In-session cache: a durable on-disk form would store
+  // arrayAdj/flat/hubDeg parquet — the IndexStore pattern — left until a
+  // consumer needs cross-session reuse.)
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.Adjacency.Hybrid]()
+  private def copurchaseAdjacency(s: SparkSession, dir: String): graft.operators.Adjacency.Hybrid = {
+    graft.operators.IndexStats.lookup("graph",
+      hit = graphCache.containsKey((s, dir)))
+    graphCache.computeIfAbsent((s, dir), { _ =>
+      val ip = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = ip.as("a").join(ip.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").cast("long").as("src"),
+          col("b.p").cast("long").as("dst"))
+      // dedup=true: duplicate (o,p) line items and cross-order pair
+      // repeats collapse inside the build's ONE collect_set shuffle
+      graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+        graft.operators.Adjacency.build(e, dedup = true))
+    })
+  }
+
+  /** Build AND materialize the co-purchase graph index for
+    * (session, dir) — the explicit once-per-corpus-version step; the
+    * build is eager (Adjacency.build materializes both layouts). */
+  def prepareGraphIndex(s: SparkSession, dir: String): Unit = {
+    copurchaseAdjacency(s, dir)
+    ()
+  }
+
+  /** Drop cached graph indexes of `s` and release their persisted
+    * frames — session-teardown hygiene. */
+  def releaseGraphIndexes(s: SparkSession): Unit = {
+    val it = graphCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release() catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1332,23 +1383,18 @@ object CoreQueries {
     // per iteration. Output is the top-20 profile — bounded driver data,
     // collected so the persisted leaves can be freed (the q56 pattern).
     "q65_copurchase_pagerank" -> { (s, dir) =>
-      // no pre-distinct anywhere: duplicate (o,p) line items and
-      // cross-order pair repeats all collapse inside the adjacency
-      // build's ONE collect_set shuffle (dedupEdges); the within-order
-      // generator emits both directions, so the graph is symmetric and
-      // the node set reads off the adjacency frame directly
-      val ip = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val e = ip.as("a").join(ip.as("b"),
-          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      val mr = graft.operators.PageRank.ranks(e, "src", "dst", iters = 5,
-        dedupEdges = true, symmetric = true)
+      // probes the session co-purchase adjacency index (built once per
+      // corpus version — pair-gen self-join + collect_set shuffle live
+      // there); the query itself is 5 rank rounds + the top-20. The
+      // within-order generator emits both directions, so the graph is
+      // symmetric and the node set reads off the adjacency frame directly
+      val mr = graft.operators.PageRank.ranksOverAdjacency(
+        copurchaseAdjacency(s, dir), iters = 5, symmetric = true)
       val top = mr.ranks
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(20)
       val rows = top.collect().toSeq
-      mr.release()
+      mr.release() // frees this probe's rounds; the index stays cached
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     },
 

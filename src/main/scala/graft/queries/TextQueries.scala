@@ -217,6 +217,63 @@ object TextQueries {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Merge budget shared by the t35 trainer and t36 encoder (and their
+    * oracles — change it in ONE place). */
+  private val BpeMerges = 10
+
+  /** The BPE training loop shared by t35/t36: ONE corpus-scale pass
+    * builds the word-frequency table, then each merge round is a weighted
+    * adjacent-pair count (partial-aggregating shuffle over the
+    * vocab-bounded word table), a 1-row argmax collect with the pinned
+    * (count DESC, pair ASC) total order, and a single literal replace on
+    * the double-space symbol invariant (single-space sentinels,
+    * double-space separators: the pattern ' pa  pb ' consumes one
+    * boundary space per side, so neighbors keep theirs and plain
+    * non-overlapping left-to-right replace IS the greedy merge —
+    * BpeTrainerSpec proves equality with a reference trainer). Returns
+    * the final PERSISTED (w, repr, n) table — the trained segmentation of
+    * every corpus word — plus the merge list; the caller owns the
+    * frame's release. */
+  private def trainBpe(s: SparkSession, dir: String, k: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val w0 = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w"), concat(lit(" "),
+        array_join(split(col("w"), ""), "  "), lit(" ")).as("repr"),
+        col("n"))
+    var cur = w0.persist()
+    cur.count()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    try for (r <- 1 to k) {
+      val syms = split(trim(col("repr")), "  ")
+      val best = cur
+        .select(col("n"), explode(zip_with(
+          slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+          (a, b) => concat(a, lit("  "), b))).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      // exhaustion can't happen at any tested SF; guard for tiny fixtures
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val parts = pair.split("  ", 2)
+        val (pa, pb) = (parts(0), parts(1))
+        merges += ((r, pa, pb, pa + pb, cnt))
+        val next = cur.withColumn("repr",
+          replace(col("repr"), lit(s" $pa  $pb "), lit(s" $pa$pb ")))
+          .persist()
+        next.count() // stage the round, then free the previous one
+        cur.unpersist()
+        cur = next
+      }
+    } catch { case t: Throwable => cur.unpersist(); throw t }
+    (cur, merges.result())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup by content key (3-token prefix — the sf data has real
@@ -618,47 +675,38 @@ object TextQueries {
     // greedy merge — proven against a driver-side reference trainer in
     // BpeTrainerSpec and replayed per-merge by the oracle's unrolled CTEs.
     "t35_bpe_trainer" -> { (s, dir) =>
-      val K = 10
-      val w0 = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .select(concat(lit(" "),
-          array_join(split(col("w"), ""), "  "), lit(" ")).as("repr"),
-          col("n"))
-      var cur = w0.persist()
-      cur.count()
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      try {
-        for (r <- 1 to K) {
-          val syms = split(trim(col("repr")), "  ")
-          val best = cur
-            .select(col("n"), explode(zip_with(
-              slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
-              slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-              (a, b) => concat(a, lit("  "), b))).as("pair"))
-            .groupBy("pair").agg(sum(col("n")).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair"))
-            .limit(1).collect()
-          // exhaustion can't happen at any tested SF; guard for fixtures
-          if (best.nonEmpty) {
-            val pair = best(0).getString(0)
-            val cnt = best(0).getLong(1)
-            val parts = pair.split("  ", 2)
-            val (pa, pb) = (parts(0), parts(1))
-            merges += ((r, pa, pb, pa + pb, cnt))
-            val next = cur.withColumn("repr",
-              replace(col("repr"), lit(s" $pa  $pb "), lit(s" $pa$pb ")))
-              .persist()
-            next.count() // stage the round, then free the previous one
-            cur.unpersist()
-            cur = next
-          }
-        }
-      } finally cur.unpersist()
+      val (trained, merges) = trainBpe(s, dir, BpeMerges)
+      trained.unpersist() // the trainer's product IS the merge table
       import s.implicits._
-      merges.result().toDF("rank", "pa", "pb", "merged", "n")
-        .orderBy("rank")
+      merges.toDF("rank", "pa", "pb", "merged", "n").orderBy("rank")
+    },
+
+    // BPE ENCODER — the trainer's consumer: apply the K trained merges to
+    // the corpus and report per-doc subword counts (the tokenized-length
+    // accounting every batch-size/packing decision needs, t33's fertility
+    // framing at the trained-vocab level). The encode is FREE at corpus
+    // scale: the final (word, repr) table from training already holds
+    // every word's merged segmentation, so encoding is one vocab join —
+    // no per-doc merge replay. The vocab is word-distinct-bounded
+    // (broadcast here; at web scale the hint drops and it's a plain
+    // shuffle join on the token column).
+    "t36_bpe_encode" -> { (s, dir) =>
+      val (trained, _) = trainBpe(s, dir, BpeMerges)
+      swapRelease(s, s"t36|$dir", () => { trained.unpersist(); () })
+      val vocab = trained.select(col("w"),
+        size(split(trim(col("repr")), "  ")).cast("long").as("n_sym"))
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      docs(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     },
 
     // Order-sensitive rolling-hash fingerprint (oracle: closed-form double
@@ -1400,11 +1448,13 @@ object TextQueries {
        |ORDER BY t.exact_n DESC, t.tok""".stripMargin
   }
 
-  // t35: per-merge unrolled CTEs — b{r} picks round r's merge (count
+  // t35/t36: per-merge unrolled CTEs — b{r} picks round r's merge (count
   // DESC, pair ASC over the double-space pair string), w{r} applies it
-  // with ONE literal replace on the invariant representation. Generated
-  // from the same K the Spark side uses.
-  private def t35Oracle(k: Int): String = {
+  // with ONE literal replace on the invariant representation. The word
+  // column rides along so the encoder oracle can join the trained
+  // segmentation back to the corpus. Generated from the same K the Spark
+  // side uses (BpeMerges).
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""  b$r AS MATERIALIZED (
          |    SELECT pair, cnt FROM (
@@ -1416,26 +1466,52 @@ object TextQueries {
          |      GROUP BY pair)
          |    ORDER BY cnt DESC, pair LIMIT 1),
          |  w$r AS MATERIALIZED (
-         |    SELECT replace(w.repr, ' ' || b.pair || ' ',
+         |    SELECT w.w,
+         |           replace(w.repr, ' ' || b.pair || ' ',
          |                   ' ' || replace(b.pair, '  ', '') || ' ') AS repr,
          |           w.n
          |    FROM w${r - 1} w, b$r b),""".stripMargin
     }.mkString("\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w,
+       |         ' ' || array_to_string(regexp_extract_all(w, '[\\s\\S]'), '  ')
+       |           || ' ' AS repr,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  // NB: bpeCtes' output contains '||' concatenations — never re-interpolate
+  // it into another .stripMargin string (the second strip eats one pipe);
+  // concatenate the pre-stripped pieces instead.
+  private def t35Oracle(k: Int): String = {
     val fin = (1 to k).map { r =>
       s"""SELECT $r AS rank, string_split(pair, '  ')[1] AS pa,
          |      string_split(pair, '  ')[2] AS pb,
          |      replace(pair, '  ', '') AS merged, cnt AS n FROM b$r""".stripMargin
     }.mkString("\n  UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT ' ' || array_to_string(regexp_extract_all(w, '[\\s\\S]'), '  ')
-       |           || ' ' AS repr,
-       |         CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY w),
-       |$rounds
-       |  fin AS ($fin)
-       |SELECT rank, pa, pb, merged, n FROM fin ORDER BY rank""".stripMargin
+    bpeCtes(k) + "\n" +
+      s"""  fin AS ($fin)
+         |SELECT rank, pa, pb, merged, n FROM fin ORDER BY rank""".stripMargin
   }
+
+  private def t36Oracle(k: Int): String =
+    bpeCtes(k) + "\n" +
+      s"""  vocab AS (SELECT w,
+         |              CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sym
+         |            FROM w$k),
+         |  toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |           FROM documents),
+         |  agg AS (SELECT t.doc_id, count(*) AS n_words,
+         |            CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens
+         |          FROM toks t JOIN vocab v ON v.w = t.w
+         |          WHERE t.w <> '' GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_words, 0) AS n_words,
+         |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t15_cms_heavy" -> t15Oracle,
@@ -1854,7 +1930,11 @@ object TextQueries {
     // left-to-right non-overlapping scan is identical in both engines, so
     // the whole K-merge trainer hash-matches. w/b CTEs are referenced
     // twice → MATERIALIZED (the q72 lesson).
-    "t35_bpe_trainer" -> t35Oracle(10),
+    "t35_bpe_trainer" -> t35Oracle(BpeMerges),
+
+    // t36: the encoder reads the trained segmentation straight off w{K}
+    // (one vocab join + per-doc aggregate — no merge replay per doc).
+    "t36_bpe_encode" -> t36Oracle(BpeMerges),
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then

@@ -30,6 +30,7 @@ object MedianBench {
     graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)
     graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)
     graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)
+    graft.queries.CoreQueries.prepareGraphIndex(spark, sfDir)
 
     // Each rep carries the host-steal share of its own window (HostCpu):
     // on this shared-host guest, identical reps swing up to 6× under

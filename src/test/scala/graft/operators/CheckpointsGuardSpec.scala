@@ -76,6 +76,25 @@ class CheckpointsGuardSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.size === before, "solo sweep must fire")
   }
 
+  test("sweepingOnFailure: same-thread nesting is ONE logical build — " +
+       "the sweep still fires (nesting must not read as overlap)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    intercept[RuntimeException] {
+      Checkpoints.sweepingOnFailure(sc) {
+        val outer = Seq(1L).toDF("x").persist()
+        outer.count()
+        Checkpoints.sweepingOnFailure(sc) {
+          val inner = Seq(2L).toDF("y").persist()
+          inner.count()
+          throw new RuntimeException("boom")
+        }
+      }
+    }
+    assert(sc.getPersistentRDDs.size === before,
+      "nested failure must sweep both the inner and outer builds' frames")
+  }
+
   test("sweepingOnFailure: overlapping builds skip the sweep — a live " +
        "sibling's frames survive the other's failure") {
     val sc = spark.sparkContext

@@ -66,6 +66,41 @@ class BpeTrainerSpec extends SparkSpec {
     assert(run(dir) === reference(wordsOf(spark, dir), K))
   }
 
+  test("t36 encoder equals the reference trainer's final segmentation") {
+    val dir = "/root/testdata/sf0.001"
+    // reference: train K merges, then count each word's final symbols
+    val words = wordsOf(spark, dir)
+    var segs: Map[String, Vector[String]] =
+      words.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    reference(words, K).foreach { case (_, pa, pb, merged, _) =>
+      def apply1(syms: Vector[String]): Vector[String] = {
+        val acc = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            acc += merged; i += 2
+          } else { acc += syms(i); i += 1 }
+        }
+        acc.result()
+      }
+      segs = segs.map { case (w, s) => w -> apply1(s) }
+    }
+    val expected = graft.io.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), toks.length.toLong,
+          toks.map(w => segs(w).length.toLong).sum)
+      }.sortBy(_._1).toSeq
+    val got = TextQueries.queries("t36_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // fertility sanity: subwords per word in [1, word length]
+    got.foreach { case (id, nw, nb) =>
+      assert(nb >= nw, s"doc $id: fewer subwords than words")
+    }
+  }
+
   test("t35 greedy-left semantics survive overlapping merge sites") {
     import sqlImplicits._
     // runs of one char (aaaa → [aa][aa], aaa → [aa]a), chain-adjacent
