@@ -271,6 +271,88 @@ object IndexStore {
     out
   }
 
+  // ---------- hybrid graph adjacency ([[Adjacency.Hybrid]])
+
+  /** Durable form of the graph family's build artifact: both layouts plus
+    * the hub degree frame as parquet, with the measured counts (src/edge/
+    * hub) in the meta — so a LOAD re-runs none of the build's count
+    * passes and, like every loader here, zero Spark jobs. The flat/hubDeg
+    * frames are written only when hubs exist; a hub-free graph stores one
+    * parquet directory and reconstructs the empty frames from their
+    * recorded schemas. At 100 TB the adjacency is an ingest-epoch
+    * artifact exactly like the signature/IVF indexes: the pair-generation
+    * self-join and the collect_set shuffle are hours of cluster time that
+    * a session cache silently re-pays per job. */
+  def saveGraphIndex(spark: SparkSession, hyb: Adjacency.Hybrid,
+                     dir: String, corpusVersion: String,
+                     params: Map[String, String] = Map.empty): Unit = {
+    invalidateMeta(spark, dir)
+    hyb.arrayAdj.write.mode("overwrite").parquet(s"$dir/array_adj")
+    if (hyb.hubCount > 0) {
+      hyb.flat.write.mode("overwrite").parquet(s"$dir/flat")
+      hyb.hubDeg.write.mode("overwrite").parquet(s"$dir/hub_deg")
+    }
+    writeMeta(spark, dir, Seq(
+      "kind" -> "graph", "corpus_version" -> corpusVersion,
+      "weighted" -> hyb.weighted.toString,
+      "hub_count" -> hyb.hubCount.toString,
+      "src_count" -> hyb.srcCount.toString,
+      "edge_count" -> hyb.edgeCount.toString,
+      "bcast_limit" -> hyb.bcastLimit.toString,
+      "array_adj_schema" -> hyb.arrayAdj.schema.json,
+      "flat_schema" -> hyb.flat.schema.json,
+      "hub_deg_schema" -> hyb.hubDeg.schema.json) ++ params.toSeq.sorted)
+    IndexStats.inc("graph.disk.save")
+  }
+
+  /** Load a hybrid adjacency; `None` on missing/torn/stale store. Lazy
+    * persisted parquet reads with the recorded schemas (zero jobs); the
+    * measured counts read off the meta, so operators size their round
+    * exchanges identically to the just-built form. */
+  def loadGraphIndex(spark: SparkSession, dir: String,
+                     expectedVersion: Option[String] = None,
+                     expectedParams: Map[String, String] = Map.empty)
+      : Option[Adjacency.Hybrid] = {
+    val out = validMeta(spark, dir, "graph", expectedVersion, expectedParams).map { m =>
+      val hubCount = m("hub_count").toLong
+      val arrayAdj = readFrame(spark, s"$dir/array_adj", m("array_adj_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def empty(schemaJson: String): DataFrame =
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val (flat, hubDeg) =
+        if (hubCount == 0)
+          (empty(m("flat_schema")), empty(m("hub_deg_schema")))
+        else
+          (readFrame(spark, s"$dir/flat", m("flat_schema"))
+             .persist(StorageLevel.MEMORY_AND_DISK),
+           readFrame(spark, s"$dir/hub_deg", m("hub_deg_schema"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+      Adjacency.Hybrid(m("weighted").toBoolean, arrayAdj, flat, hubDeg,
+        hubCount, m("src_count").toLong, m("edge_count").toLong,
+        () => {
+          arrayAdj.unpersist()
+          if (hubCount > 0) { flat.unpersist(); hubDeg.unpersist() }
+          ()
+        },
+        bcastLimit = m("bcast_limit").toLong)
+    }
+    IndexStats.inc(s"graph.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
+  def graphIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                        params: Map[String, String] = Map.empty)
+                       (build: => Adjacency.Hybrid): Adjacency.Hybrid = {
+    val v = corpusVersion(spark, sourcePath)
+    loadGraphIndex(spark, dir, Some(v), params).getOrElse {
+      val hyb = build
+      saveGraphIndex(spark, hyb, dir, v, params)
+      hyb
+    }
+  }
+
   // ---------- duplicate-cluster labels (a plain keyed frame)
 
   def saveClusterLabels(spark: SparkSession, labels: DataFrame,
@@ -391,6 +473,16 @@ object IndexStore {
                      (build: => Similarity.PqIndex): Similarity.PqIndex =
     withStore(spark, "pq", sourcePath)(
       dir => pqIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
+
+  /** `graphKind` names the graph over its source table (one corpus can
+    * carry several graphs — co-purchase, bipartite, weighted) so their
+    * stores never collide under one root. */
+  def graphIndexFromConf(spark: SparkSession, sourcePath: String,
+                         params: Map[String, String] = Map.empty,
+                         graphKind: String = "graph")
+                        (build: => Adjacency.Hybrid): Adjacency.Hybrid =
+    withStore(spark, graphKind, sourcePath)(
+      dir => graphIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
 
   /** `kind` distinguishes label tables over the SAME source parquet —
     * "cluster" (full-corpus labels) and "standing_cluster" (even-id

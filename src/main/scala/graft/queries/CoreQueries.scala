@@ -47,25 +47,33 @@ object CoreQueries {
   // lifecycle as the other session indexes: Bench/MedianBench call
   // [[prepareGraphIndex]] so the one-time build is timed with the index
   // builds, and [[releaseGraphIndexes]] is session-teardown hygiene.
-  // (In-session cache: a durable on-disk form would store
-  // arrayAdj/flat/hubDeg parquet — the IndexStore pattern — left until a
-  // consumer needs cross-session reuse.)
+  // With `spark.graft.indexDir` set, the adjacency also round-trips
+  // through its durable parquet form (IndexStore "copurchase" kind): a
+  // fresh session loads both layouts lazily — zero rebuild jobs — and
+  // the measured counts ride the meta, the 100-TB ingest-epoch shape.
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.Adjacency.Hybrid]()
   private def copurchaseAdjacency(s: SparkSession, dir: String): graft.operators.Adjacency.Hybrid = {
     graft.operators.IndexStats.lookup("graph",
       hit = graphCache.containsKey((s, dir)))
     graphCache.computeIfAbsent((s, dir), { _ =>
-      val ip = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val e = ip.as("a").join(ip.as("b"),
-          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").cast("long").as("src"),
-          col("b.p").cast("long").as("dst"))
-      // dedup=true: duplicate (o,p) line items and cross-order pair
-      // repeats collapse inside the build's ONE collect_set shuffle
-      graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
-        graft.operators.Adjacency.build(e, dedup = true))
+      def build = {
+        val ip = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val e = ip.as("a").join(ip.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").cast("long").as("src"),
+            col("b.p").cast("long").as("dst"))
+        // dedup=true: duplicate (o,p) line items and cross-order pair
+        // repeats collapse inside the build's ONE collect_set shuffle
+        graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+          graft.operators.Adjacency.build(e, dedup = true))
+      }
+      graft.operators.IndexStore.graphIndexFromConf(
+        s, s"$dir/lineitem.parquet",
+        Map("dedup" -> "true",
+          "hub_limit" -> graft.operators.Adjacency.DefaultHubLimit.toString),
+        graphKind = "copurchase")(build)
     })
   }
 

@@ -203,6 +203,90 @@ class IndexStoreSpec extends SparkSpec {
     } finally built.release()
   }
 
+  test("graph index: fresh-session disk load expands bit-identically with zero rebuild jobs") {
+    import sqlImplicits._
+    // a planted hub (src 1 → 600 dsts) at hubLimit=512 exercises the flat
+    // layout through the round trip; 2..40 stay on the array layout
+    val edges = ((1L to 600L).map(d => (1L, d + 1000L)) ++
+      (2L to 40L).flatMap(s => Seq((s, s + 1), (s, s + 2)))).toDF("src", "dst")
+    val built = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+      Adjacency.build(edges, dedup = true, hubLimit = 512))
+    assert(built.hubCount == 1, "fixture must route src 1 to the flat layout")
+    val store = tmp("graphstore")
+    val version = IndexStore.corpusVersion(spark, dir) // any stable stamp source
+    try {
+      val per = (1L to 40L).map(s => (s, s * 10L)).toDF("src", "pay")
+      val expected = sortedRows(built.expand(per))
+
+      IndexStore.saveGraphIndex(spark, built, store, version,
+        Map("dedup" -> "true", "hub_limit" -> "512"))
+
+      val s2 = spark.newSession()
+      val (loadedOpt, loadJobs) = jobsDuring {
+        IndexStore.loadGraphIndex(s2, store, Some(version),
+          Map("dedup" -> "true", "hub_limit" -> "512"))
+      }
+      assert(loadJobs == 0, s"graph index LOAD ran $loadJobs Spark jobs — rebuild leak")
+      val loaded = loadedOpt.getOrElse(fail("stored graph index did not load"))
+      // measured counts ride the meta — operators size rounds identically
+      assert((loaded.hubCount, loaded.srcCount, loaded.edgeCount) ==
+        (built.hubCount, built.srcCount, built.edgeCount))
+      assert(loaded.arrayAdj.inputFiles.forall(_.contains(store)))
+      assert(loaded.flat.inputFiles.forall(_.contains(store)))
+      import s2.implicits._
+      val per2 = (1L to 40L).map(s => (s, s * 10L)).toDF("src", "pay")
+      assert(sortedRows(loaded.expand(per2)) === expected,
+        "disk-served expand diverged from built-adjacency expand")
+      loaded.release()
+
+      // stale stamp / parameter mismatch → refused, not served
+      assert(IndexStore.loadGraphIndex(s2, store, Some("0:deadbeef")).isEmpty)
+      assert(IndexStore.loadGraphIndex(s2, store, Some(version),
+        Map("hub_limit" -> "1024")).isEmpty)
+
+      // hub-free graph: one parquet dir, empty flat/hubDeg reconstructed
+      // from recorded schemas — still zero load jobs
+      val flatFree = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+        Adjacency.build(edges.filter(col("src") =!= 1L), dedup = true))
+      val store2 = tmp("graphstore0")
+      try {
+        IndexStore.saveGraphIndex(spark, flatFree, store2, version)
+        val (l2Opt, jobs2) = jobsDuring {
+          IndexStore.loadGraphIndex(s2, store2, Some(version))
+        }
+        assert(jobs2 == 0)
+        val l2 = l2Opt.getOrElse(fail("hub-free graph index did not load"))
+        assert(l2.hubCount == 0 && l2.flat.isEmpty)
+        assert(sortedRows(l2.expand(per2)) === sortedRows(flatFree.expand(per)))
+        l2.release()
+      } finally flatFree.release()
+    } finally built.release()
+  }
+
+  test("conf-wired graph cache: a second session serves the co-purchase adjacency from disk (q65 parity)") {
+    val root = tmp("graphroot")
+    val q65 = graft.queries.CoreQueries.queries("q65_copurchase_pagerank")
+    IndexStats.reset()
+    val s1 = spark.newSession()
+    s1.conf.set(IndexStore.IndexDirConf, root)
+    val first = sortedRows(q65(s1, dir)) // builds AND saves
+    val afterBuild = IndexStats.snapshot()
+    assert(afterBuild.getOrElse("graph.disk.save", 0L) == 1L,
+      s"expected one graph disk save, got: $afterBuild")
+
+    val s2 = spark.newSession() // cold cache — must hit the disk form
+    s2.conf.set(IndexStore.IndexDirConf, root)
+    val second = sortedRows(q65(s2, dir))
+    val afterLoad = IndexStats.snapshot()
+    assert(afterLoad.getOrElse("graph.disk.hit", 0L) >= 1L,
+      s"second session did not load the graph index from disk: $afterLoad")
+    assert(afterLoad.getOrElse("graph.disk.save", 0L) == 1L,
+      "second session re-built and re-saved — disk load was bypassed")
+    assert(second == first, "disk-served ranks diverged from built-index ranks")
+    graft.queries.CoreQueries.releaseGraphIndexes(s1)
+    graft.queries.CoreQueries.releaseGraphIndexes(s2)
+  }
+
   test("registered SQL functions reject wrong arity with a readable error") {
     val e = intercept[Exception] {
       spark.range(1).selectExpr("float_dot(array(1.0F))").collect()
