@@ -161,6 +161,22 @@ object Adjacency {
       if (hubCount == 0) a else a.union(hubDeg.select(col("src"), col("outdeg")))
     }
 
+    /** The stored edge multiset as flat `(src, dst[, w])` rows across both
+      * layouts — multiplicity per the build's `dedup` flag. The array side
+      * pays one explode; consumers that only need degrees should read
+      * [[outDegrees]] instead. */
+    def edges: DataFrame = {
+      val a =
+        if (weighted)
+          arrayAdj.select(col("src"), explode(col("dsts")).as("__e"))
+            .select(col("src"), col("__e.dst").as("dst"), col("__e.w").as("w"))
+        else arrayAdj.select(col("src"), explode(col("dsts")).as("dst"))
+      if (hubCount == 0) a
+      else a.unionByName(
+        if (weighted) flat.select("src", "dst", "w")
+        else flat.select("src", "dst"))
+    }
+
     /** Verify the `symmetric` caller assertion (every node occurs as a
       * src): counts dst-only nodes and refuses if any exist. Costs the
       * full node-set pass the assertion normally skips — run under
@@ -239,6 +255,130 @@ object Adjacency {
       () => {
         arrayAdj.unpersist()
         if (hubCount > 0) { flat.unpersist(); hubDeg.unpersist() }
+        ()
+      },
+      bcastLimit = broadcastRowLimit)
+  }
+
+  /** INCREMENTAL adjacency maintenance: fold a batch of NEW edges into a
+    * standing [[Hybrid]] without re-running the full build — the graph
+    * layer's twin of [[Components.foldEdges]] (labels) and the signature
+    * index's incremental probe (d06): a continuously-ingesting corpus pays
+    * per-epoch work proportional to the batch, not the corpus.
+    *
+    * Shape: the delta's source set (|Δ_src| rows) semi-joins each standing
+    * layout to RECOVER the stored edges of touched sources only — the
+    * semi-join sits BELOW the array explode, so recovery reads |Δ_src|
+    * array rows, not |V| — then a normal [[build]] over (recovered ∪
+    * delta) re-derives those sources' rows with the same hub routing, and
+    * the untouched standing rows pass through by anti-join. What the fold
+    * SKIPS vs a rebuild is everything |E|-shaped: the caller's edge
+    * generation (q65's pair-gen self-join), the degree pre-pass, and the
+    * collect_set shuffle over the full corpus. The merged frames are
+    * persisted and counted (the [[build]] eager contract), so the CALLER
+    * may release the standing hybrid as soon as the fold returns; epoch
+    * chains should periodically compact through
+    * [[IndexStore.saveGraphIndex]] — the durable form is also how a folded
+    * index outlives the session.
+    *
+    * Hub routing: the mini-build routes by the multiplicity of
+    * (recovered ∪ delta) — for a deduped standing index the recovered side
+    * is post-dedup, so a source whose RAW duplicates once exceeded
+    * `hubLimit` may re-route to the array layout after a fold where a full
+    * rebuild would keep it flat. That asymmetry is the documented
+    * conservative-routing freedom: layouts bound memory, never change
+    * results ([[Hybrid.expand]] is bit-identical either way, pinned in
+    * AdjacencyFoldSpec), and the fold's routing is the TIGHTER one.
+    *
+    * `edgeCount` of a folded hybrid counts STORED (post-dedup) edges —
+    * the same partition-sizing role as build's raw count.
+    *
+    * Wrap in [[Checkpoints.sweepingOnFailure]] like the build. */
+  def foldEdges(standing: Hybrid, delta: DataFrame, dedup: Boolean,
+                hubLimit: Long = DefaultHubLimit,
+                broadcastRowLimit: Long = BroadcastRowLimit): Hybrid = {
+    val weighted = delta.columns.contains("w")
+    require(weighted == standing.weighted,
+      s"delta weighted=$weighted, standing weighted=${standing.weighted}")
+    require(!(weighted && dedup), "dedup applies to unweighted edges only")
+    val cols = if (weighted) Seq("src", "dst", "w") else Seq("src", "dst")
+    val d = delta.select(cols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = d.select("src").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTouched = touched.count()
+    val tb = if (nTouched <= broadcastRowLimit) broadcast(touched) else touched
+
+    // recover the stored edges of touched sources — |Δ_src|-proportional
+    // (the semi-join sits below the explode; computed once, inside the
+    // mini-build's own edge persist)
+    val arrTouched = standing.arrayAdj.join(tb, Seq("src"), "left_semi")
+    val arrEdges =
+      if (weighted)
+        arrTouched.select(col("src"), explode(col("dsts")).as("__e"))
+          .select(col("src"), col("__e.dst").as("dst"), col("__e.w").as("w"))
+      else arrTouched.select(col("src"), explode(col("dsts")).as("dst"))
+    val flatTouched = standing.flat.join(tb, Seq("src"), "left_semi")
+    val mini = build(
+      arrEdges.select(cols.map(col): _*)
+        .unionByName(flatTouched.select(cols.map(col): _*))
+        .unionByName(d),
+      dedup, hubLimit, broadcastRowLimit)
+
+    // count bookkeeping: ONE pass per standing layout gathers total stored
+    // degree AND the touched subset's (count, degree) via a marker
+    // left-join — at scale the arrayAdj scan is the |V|-sized cost here,
+    // so it must not run twice
+    def layerStats(layer: DataFrame): (Long, Long, Long) = {
+      val r = layer.join(tb.withColumn("__t", lit(1)), Seq("src"), "left")
+        .agg(coalesce(sum(col("outdeg")), lit(0L)).as("all_out"),
+          count(col("__t")).as("t_cnt"),
+          coalesce(sum(when(col("__t").isNotNull, col("outdeg"))), lit(0L))
+            .as("t_out"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def firstLong(df: DataFrame): Long = df.collect()(0).getLong(0)
+    val (arrAllOut, arrTouchedCnt, arrTouchedOut) = layerStats(standing.arrayAdj)
+    val (hubAllOut, hubTouchedCnt, hubTouchedOut) =
+      if (standing.hubCount == 0) (0L, 0L, 0L) else layerStats(standing.hubDeg)
+    val miniStoredOut =
+      firstLong(mini.arrayAdj.agg(coalesce(sum(col("outdeg")), lit(0L)))) +
+        (if (mini.hubCount == 0) 0L
+         else firstLong(mini.hubDeg.agg(coalesce(sum(col("outdeg")), lit(0L)))))
+    val newSrcCount = standing.srcCount - arrTouchedCnt - hubTouchedCnt +
+      mini.srcCount
+    val newHubCount = standing.hubCount - hubTouchedCnt + mini.hubCount
+    val newEdgeCount =
+      arrAllOut + hubAllOut - arrTouchedOut - hubTouchedOut + miniStoredOut
+
+    // untouched standing rows pass through by anti-join; the merged frames
+    // are materialized so the folded hybrid owns its storage
+    val newArray = standing.arrayAdj.join(tb, Seq("src"), "left_anti")
+      .unionByName(mini.arrayAdj)
+      .coalesce(Checkpoints.partitionsForRows(newEdgeCount))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newArray.count()
+    val (newFlat, newHubDeg) =
+      if (newHubCount == 0) (standing.flat.limit(0), standing.hubDeg.limit(0))
+      else {
+        val f = standing.flat.join(tb, Seq("src"), "left_anti")
+          .unionByName(mini.flat)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hd = standing.hubDeg.join(tb, Seq("src"), "left_anti")
+          .unionByName(mini.hubDeg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        f.count(); hd.count()
+        (f, hd)
+      }
+    mini.release()
+    touched.unpersist()
+    d.unpersist()
+    Hybrid(weighted, newArray, newFlat, newHubDeg, newHubCount, newSrcCount,
+      newEdgeCount,
+      () => {
+        newArray.unpersist()
+        if (newHubCount > 0) { newFlat.unpersist(); newHubDeg.unpersist() }
         ()
       },
       bcastLimit = broadcastRowLimit)

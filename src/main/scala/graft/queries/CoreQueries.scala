@@ -1909,6 +1909,52 @@ object CoreQueries {
       ce.unpersist()
       e.unpersist()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), outSchema)
+    },
+
+    // q79: INCREMENTAL graph maintenance — the ingest-epoch contract for
+    // the graph family (the q58/q67/d13 identity applied to the adjacency
+    // itself). The standing co-purchase adjacency is built from 99% of
+    // orders; the remaining orders arrive as a delta epoch and FOLD in via
+    // Adjacency.foldEdges — per-epoch cost proportional to the delta's
+    // touched sources, skipping everything |E|-shaped (pair-gen self-join,
+    // degree pre-pass, collect_set shuffle). The output is a degree
+    // histogram with per-bucket source/dst checksums over the folded
+    // adjacency — every source's (outdeg, dst multiset sum) contributes,
+    // so hash equality against the oracle's FULL REBUILD (DuckDB never
+    // sees the split) certifies fold == rebuild.
+    "q79_incremental_adjacency" -> { (s, dir) =>
+      def pairs(li: org.apache.spark.sql.DataFrame) = {
+        val ip = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        ip.as("a").join(ip.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").cast("long").as("src"),
+            col("b.p").cast("long").as("dst"))
+      }
+      val li = t(s, dir, "lineitem")
+      val standing = graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+        graft.operators.Adjacency.build(
+          pairs(li.filter(pmod(col("l_orderkey"), lit(100)) =!= 0)),
+          dedup = true))
+      val folded = try {
+        graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+          graft.operators.Adjacency.foldEdges(standing,
+            pairs(li.filter(pmod(col("l_orderkey"), lit(100)) === 0)),
+            dedup = true))
+      } finally standing.release() // the fold owns its frames (AdjacencyFoldSpec)
+      val perSrc = {
+        val arr = folded.arrayAdj.select(col("src"), col("outdeg"),
+          aggregate(col("dsts"), lit(0L), (acc, x) => acc + x).as("dst_sum"))
+        if (folded.hubCount == 0) arr
+        else arr.unionByName(folded.flat.groupBy("src")
+          .agg(count(lit(1)).as("outdeg"), sum(col("dst")).as("dst_sum")))
+      }
+      val hist = perSrc.groupBy("outdeg")
+        .agg(count(lit(1)).as("n_srcs"), sum(col("src")).as("src_sum"),
+          sum(col("dst_sum")).as("dst_sum"))
+        .orderBy("outdeg")
+      val rows = hist.collect().toSeq
+      folded.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
     }
   )
 
@@ -2277,6 +2323,22 @@ object CoreQueries {
     "q70_label_propagation" -> q70Oracle(4),
     "q77_modularity_audit" -> q77Oracle(4),
     "q78_core_communities" -> q78Oracle(3, 4, 3, 3, 1000000000L),
+
+    // q79: the oracle REBUILDS the adjacency from every order in one shot
+    // (it never sees the standing/delta split), so hash equality certifies
+    // the fold against the rebuild — the d13 certification pattern at the
+    // graph layer.
+    "q79_incremental_adjacency" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+        |         CAST(b.l_partkey AS BIGINT) AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |  per AS (SELECT src, count(*) AS outdeg, sum(dst) AS dst_sum
+        |          FROM pairs GROUP BY src)
+        |SELECT outdeg, count(*) AS n_srcs, CAST(sum(src) AS BIGINT) AS src_sum,
+        |       CAST(sum(dst_sum) AS BIGINT) AS dst_sum
+        |FROM per GROUP BY outdeg ORDER BY outdeg""".stripMargin,
 
     // q71: the oracle counts the SAME triangle set by the a<b<c triple
     // join — a different algorithm certifying the degree-ordered

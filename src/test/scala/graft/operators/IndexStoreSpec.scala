@@ -263,6 +263,40 @@ class IndexStoreSpec extends SparkSpec {
     } finally built.release()
   }
 
+  test("graph index epoch roll: load v1 from disk, fold a delta, save v2 — v2 reload == full rebuild") {
+    import sqlImplicits._
+    val e0 = (1L to 40L).flatMap(s => Seq((s, s + 1), (s, s + 2))).toDF("src", "dst")
+    val d1 = Seq((3L, 99L), (3L, 100L), (50L, 1L)).toDF("src", "dst")
+    val v1 = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+      Adjacency.build(e0, dedup = true))
+    val store = tmp("graphepoch")
+    try {
+      IndexStore.saveGraphIndex(spark, v1, store, "epoch1")
+      val s2 = spark.newSession()
+      val loaded = IndexStore.loadGraphIndex(s2, store, Some("epoch1"))
+        .getOrElse(fail("v1 did not load"))
+      val folded = Checkpoints.sweepingOnFailure(s2.sparkContext)(
+        Adjacency.foldEdges(loaded, d1, dedup = true))
+      loaded.release()
+      IndexStore.saveGraphIndex(s2, folded, store, "epoch2")
+      folded.release()
+
+      val (v2Opt, jobs) = jobsDuring {
+        IndexStore.loadGraphIndex(s2, store, Some("epoch2"))
+      }
+      assert(jobs == 0, s"epoch-2 load ran $jobs jobs")
+      val v2 = v2Opt.getOrElse(fail("v2 did not load"))
+      val rebuilt = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+        Adjacency.build(e0.unionByName(d1), dedup = true))
+      try {
+        def es(h: Adjacency.Hybrid) = h.edges.select("src", "dst").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(es(v2) === es(rebuilt))
+        assert((v2.srcCount, v2.hubCount) === (rebuilt.srcCount, rebuilt.hubCount))
+      } finally { v2.release(); rebuilt.release() }
+    } finally v1.release()
+  }
+
   test("conf-wired graph cache: a second session serves the co-purchase adjacency from disk (q65 parity)") {
     val root = tmp("graphroot")
     val q65 = graft.queries.CoreQueries.queries("q65_copurchase_pagerank")
