@@ -342,6 +342,16 @@ object IndexStore {
     out
   }
 
+  /** The committed meta of a graph index directory, when present,
+    * well-formed, and parameter-matching — the lightweight peek the
+    * streaming epoch roll uses to pick the newest valid epoch and detect
+    * an already-folded batch without constructing (and persisting) the
+    * frames. Listing only, no Spark jobs. */
+  def graphIndexMeta(spark: SparkSession, dir: String,
+                     expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "graph", None, expectedParams)
+
   def graphIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
                         params: Map[String, String] = Map.empty)
                        (build: => Adjacency.Hybrid): Adjacency.Hybrid = {
