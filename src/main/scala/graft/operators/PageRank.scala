@@ -130,6 +130,7 @@ object PageRank {
                          iters: Int, scale: Long, dedupEdges: Boolean,
                          symmetric: Boolean, hubLimit: Long,
                          nodeBase: DataFrame => DataFrame): ManagedRanks = {
+    validate(iters, scale) // fail fast — BEFORE the eager O(|E|) build
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // mid-build failures sweep this call's frames — Checkpoints.sweepingOnFailure
@@ -139,13 +140,7 @@ object PageRank {
     }
   }
 
-  /** The round engine over an existing adjacency. `ownsAdj` decides
-    * whether the returned release also frees the adjacency (true for the
-    * edge-list entry points that built it; false for
-    * [[ranksOverAdjacency]], whose caller owns the index). */
-  private def rankRounds(hyb: Adjacency.Hybrid, iters: Int, scale: Long,
-                         symmetric: Boolean, ownsAdj: Boolean,
-                         nodeBase: DataFrame => DataFrame): ManagedRanks = {
+  private def validate(iters: Int, scale: Long): Unit = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(scale >= 100 && scale % 100 == 0,
       s"scale must be >= 100 and divisible by 100, got $scale")
@@ -154,6 +149,16 @@ object PageRank {
     // hole in the runtime guard, which only watches the inflow column)
     require(scale <= Long.MaxValue / 85,
       s"scale must be <= 2^63/85 so damping arithmetic cannot wrap, got $scale")
+  }
+
+  /** The round engine over an existing adjacency. `ownsAdj` decides
+    * whether the returned release also frees the adjacency (true for the
+    * edge-list entry points that built it; false for
+    * [[ranksOverAdjacency]], whose caller owns the index). */
+  private def rankRounds(hyb: Adjacency.Hybrid, iters: Int, scale: Long,
+                         symmetric: Boolean, ownsAdj: Boolean,
+                         nodeBase: DataFrame => DataFrame): ManagedRanks = {
+    validate(iters, scale)
     val spark = hyb.arrayAdj.sparkSession
     val sc = spark.sparkContext
     def build(): ManagedRanks = {

@@ -1880,15 +1880,18 @@ object CoreQueries {
     // CTE pipeline: peel rounds → trimmed edges → PR fixed-point rounds +
     // LPA vote rounds → per-community rank mass beside the modularity
     // contribution.
+    // The whole composition runs inside ONE failure sweep: a throw after
+    // e.persist() (e.g. PageRank's overflow guard firing in the terminal
+    // collect) would otherwise strand e/ce and three operators' staged
+    // rounds — the per-operator sweeps can't reach frames registered
+    // before their entry. Same-thread nesting of the inner sweeps is the
+    // ledger's supported shape (CheckpointsGuardSpec).
     "q78_core_communities" -> { (s, dir) =>
-      val ip = t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")) === 1997)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val eRaw = ip.as("a").join(ip.as("b"),
-          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      // one pair-generation, four consumers (q77's persist discipline)
-      val e = eRaw.distinct().persist()
+     graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext) {
+      // one pair-generation (the shared co-purchase generator, scoped to
+      // 1997 shipments), four consumers (q77's persist discipline)
+      val e = copurchasePairs(t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)).distinct().persist()
       val mc = graft.operators.KCore.core(e, "src", "dst", k = 3, rounds = 4)
       // trim the DIRECTED symmetric graph to the survivor set: two
       // semi-joins, symmetry preserved (both directions share endpoints)
@@ -1936,6 +1939,7 @@ object CoreQueries {
       ce.unpersist()
       e.unpersist()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), outSchema)
+     }
     },
 
     // q79: INCREMENTAL graph maintenance — the ingest-epoch contract for
@@ -1969,9 +1973,12 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_srcs"), sum(col("src")).as("src_sum"),
           sum(col("dst_sum")).as("dst_sum"))
         .orderBy("outdeg")
-      val rows = hist.collect().toSeq
-      folded.release()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), hist.schema)
+      // release in finally: on success this still runs AFTER the terminal
+      // collect (the family convention); on a failed collect it keeps the
+      // fold's frames from outliving the call
+      val (rows, histSchema) =
+        try (hist.collect().toSeq, hist.schema) finally folded.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
     }
   )
 

@@ -266,7 +266,10 @@ object TextQueries {
         val next = cur.withColumn("repr",
           replace(col("repr"), lit(s" $pa  $pb "), lit(s" $pa$pb ")))
           .persist()
-        next.count() // stage the round, then free the previous one
+        // stage the round, then free the previous one; a failed staging
+        // count must free NEXT here (the outer catch only reaches cur)
+        try next.count()
+        catch { case t: Throwable => next.unpersist(); throw t }
         cur.unpersist()
         cur = next
       }

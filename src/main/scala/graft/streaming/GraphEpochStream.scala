@@ -33,6 +33,16 @@ import graft.operators.{Adjacency, Checkpoints, IndexStore}
   *    fallback always survives a torn head) and prunes older directories
   *    after each successful commit.
   *
+  * Reader contract: [[loadCurrent]] hands out LAZY frames over the
+  * epoch's parquet files (the IndexStore zero-job contract), so a
+  * reader's hold on an epoch must not outlive `keepEpochs − 1`
+  * subsequent commits — after that, retention deletes the files under
+  * its not-yet-cached (or evicted) partitions and a scan throws
+  * FileNotFoundException. `keepEpochs` is therefore the reader GRACE
+  * WINDOW, not just crash fallback: size it to ceil(longest reader
+  * session / batch interval) + 1. Same single-writer ownership model as
+  * every IndexStore artifact; concurrent writers need an external lock.
+  *
   * Scale shape: the per-batch cost is the fold's (delta-sized shuffles +
   * one map-side pass over |V|) plus an O(|V|) parquet rewrite for the
   * epoch commit. The rewrite is the durability price — size micro-batches
