@@ -65,49 +65,74 @@ object LabelPropagation {
              iters: Int, dedupEdges: Boolean = false,
              symmetric: Boolean = false,
              hubLimit: Long = Adjacency.DefaultHubLimit): ManagedLabels = {
-    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
-    val spark = edges.sparkSession
+    validate(iters)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-
-    val sc = spark.sparkContext
-    // no measured-size round-partition override here (KCore's trick):
-    // probed at sf0.1 — LPA carrier frames are small enough that the extra
-    // measuring job costs more than the task-count saving; KCore's rounds
-    // re-scan the full 2|E|-row degree union, which is where the override
-    // pays. (PageRank now applies it too — its rounds re-scan the |V|-row
-    // adjacency — using the counts the hybrid build measures anyway.)
-    def build(): ManagedLabels = {
+    Checkpoints.sweepingOnFailure(edges.sparkSession.sparkContext) {
       val hyb = Adjacency.build(e, dedup = dedupEdges, hubLimit = hubLimit)
+      labelRounds(hyb, iters, symmetric, ownsAdj = true)
+    }
+  }
+
+  /** LPA over a CALLER-OWNED prebuilt adjacency — the build/probe split
+    * [[PageRank.ranksOverAdjacency]] gives ranking, for clustering: one
+    * hybrid build serves rank AND label probes (q78 chains both over the
+    * same trimmed core). The returned handle frees ONLY this call's staged
+    * rounds; `adj` stays alive and its release stays with whoever built
+    * it. */
+  def labelsOverAdjacency(adj: Adjacency.Hybrid, iters: Int,
+                          symmetric: Boolean = false): ManagedLabels =
+    labelRounds(adj, iters, symmetric, ownsAdj = false)
+
+  private def validate(iters: Int): Unit =
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+
+  /** The round engine over an existing adjacency. `ownsAdj` decides
+    * whether the adjacency is freed when the rounds complete (true for
+    * the edge-list entry point that built it; false for
+    * [[labelsOverAdjacency]], whose caller owns the index). */
+  private def labelRounds(hyb: Adjacency.Hybrid, iters: Int,
+                          symmetric: Boolean, ownsAdj: Boolean): ManagedLabels = {
+    validate(iters)
+    val spark = hyb.arrayAdj.sparkSession
+    def build(): ManagedLabels = {
       if (symmetric && Adjacency.symmetryCheckEnabled(spark))
         hyb.requireSymmetric()
       val nodes = if (symmetric) hyb.srcs else hyb.allNodes
-      var r = Checkpoints.stage(nodes.select(col("node"), col("node").as("lab")))
-      for (_ <- 1 to iters) {
-        // carriers: every in-edge delivers its src's round-(i-1) label
-        val votes = hyb.expand(r.withColumnRenamed("node", "src"))
-          .groupBy("dst", "lab")
-          .agg(count(lit(1)).as("c"))
-        // argmax by (count desc, label asc) as one order-independent
-        // integer argmin — no window, one exchange on dst (a prefix of the
-        // (dst,lab) count key, so AQE-local)
-        val upd = votes.groupBy("dst")
-          .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("m"))
-          .select(col("dst"), col("m.lab").as("newlab"))
-        val next = Checkpoints.stage(
-          r.join(upd, r("node") === upd("dst"), "left")
-            .select(r("node"), coalesce(col("newlab"), r("lab")).as("lab")))
-        Checkpoints.release(r)
-        r = next
+      // size the round exchanges to the measured carrier volume — the
+      // count is a field the hybrid build already measured, so unlike the
+      // old per-call probe this costs zero extra jobs (lower-only: a
+      // cluster session keeps its width)
+      val roundParts = Checkpoints.partitionsForRows(hyb.edgeCount)
+      var r: DataFrame = null
+      Checkpoints.withShufflePartitions(spark, roundParts) {
+        r = Checkpoints.stage(nodes.select(col("node"), col("node").as("lab")))
+        for (_ <- 1 to iters) {
+          // carriers: every in-edge delivers its src's round-(i-1) label
+          val votes = hyb.expand(r.withColumnRenamed("node", "src"))
+            .groupBy("dst", "lab")
+            .agg(count(lit(1)).as("c"))
+          // argmax by (count desc, label asc) as one order-independent
+          // integer argmin — no window, one exchange on dst (a prefix of the
+          // (dst,lab) count key, so AQE-local)
+          val upd = votes.groupBy("dst")
+            .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("m"))
+            .select(col("dst"), col("m.lab").as("newlab"))
+          val next = Checkpoints.stage(
+            r.join(upd, r("node") === upd("dst"), "left")
+              .select(r("node"), coalesce(col("newlab"), r("lab")).as("lab")))
+          Checkpoints.release(r)
+          r = next
+        }
       }
       val rFinal = r
       // rFinal is a staged checkpoint with no dependency on the adjacency —
-      // free the layout frames NOW, not at the caller's release (review
+      // free OWNED layout frames NOW, not at the caller's release (review
       // finding: holding them through the consume phase evicts blocks other
       // queries need; the sibling operators all free them here)
-      hyb.release()
+      if (ownsAdj) hyb.release()
       ManagedLabels(rFinal, () => { Checkpoints.release(rFinal); () })
     }
-    Checkpoints.sweepingOnFailure(sc)(build())
+    Checkpoints.sweepingOnFailure(spark.sparkContext)(build())
   }
 }

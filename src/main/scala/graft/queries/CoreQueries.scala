@@ -1901,10 +1901,16 @@ object CoreQueries {
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .persist()
       val cem = ce.count() // materializes ce; em for the modularity formula
-      val mr = graft.operators.PageRank.ranks(ce, "src", "dst", iters = 3,
-        dedupEdges = false, symmetric = true)
-      val ml = graft.operators.LabelPropagation.labels(ce, "src", "dst",
-        iters = 3, dedupEdges = false, symmetric = true)
+      // ONE hybrid adjacency serves both iterative consumers — PageRank
+      // and LPA expand the same layout frames (the over-adjacency
+      // build/probe split), saving a full O(|E|) collect_set build
+      val adj = graft.operators.Adjacency.build(
+        ce.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")), dedup = false)
+      val mr = graft.operators.PageRank.ranksOverAdjacency(adj, iters = 3,
+        symmetric = true)
+      val ml = graft.operators.LabelPropagation.labelsOverAdjacency(adj,
+        iters = 3, symmetric = true)
       val (rows, outSchema) = graft.operators.Checkpoints.withShufflePartitions(s,
         graft.operators.Checkpoints.partitionsForRows(cem)) {
         val deg = ce.groupBy(col("src").as("node"))
@@ -1935,6 +1941,7 @@ object CoreQueries {
       // cache-evicted recompute must still find it)
       ml.release()
       mr.release()
+      adj.release()
       mc.release()
       ce.unpersist()
       e.unpersist()
