@@ -192,7 +192,8 @@ object IndexStore {
   // ---------- IVF index
 
   def saveIvfIndex(spark: SparkSession, idx: Similarity.IvfIndex,
-                   dir: String, corpusVersion: String): Unit = {
+                   dir: String, corpusVersion: String,
+                   params: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     invalidateMeta(spark, dir)
     idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
@@ -203,9 +204,19 @@ object IndexStore {
     writeMeta(spark, dir, Seq(
       "kind" -> "ivf", "corpus_version" -> corpusVersion,
       "n_cells" -> idx.nCells.toString,
-      "assigned_schema" -> idx.assigned.schema.json))
+      "assigned_schema" -> idx.assigned.schema.json) ++ params.toSeq.sorted)
     IndexStats.inc("ivf.disk.save")
   }
+
+  /** The committed meta of an IVF index directory, when present,
+    * well-formed, and parameter-matching — the [[graphIndexMeta]] twin the
+    * vector epoch roll uses to pick the newest valid epoch and detect an
+    * already-folded batch without constructing (and persisting) the
+    * frames. Listing only, no Spark jobs. */
+  def ivfIndexMeta(spark: SparkSession, dir: String,
+                   expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "ivf", None, expectedParams)
 
   /** Load an IVF index. The centroid model is tiny (nCells × dim doubles)
     * and is collected eagerly; the assignment stays a lazy persisted

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Epoch-directory layout shared by the streaming index rolls
+  * ([[GraphEpochStream]], [[VectorEpochStream]]): `root/epoch=<batchId>`
+  * children, listed and pruned with filesystem metadata only. Validity
+  * (commit marker + parameter match) stays with each roll's own
+  * IndexStore meta peek — this object never reads a marker. */
+private[streaming] object EpochDirs {
+
+  def dir(root: String, id: Long): String = s"$root/epoch=$id"
+
+  /** Every `epoch=<id>` child id, in no particular order, valid or torn.
+    * Listing only — no Spark jobs. */
+  def rawIds(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("epoch="))
+        scala.util.Try(n.stripPrefix("epoch=").toLong).toOption
+      else None
+    }
+  }
+
+  /** Delete every epoch directory OLDER than the whole kept set, torn or
+    * valid. An id ABOVE any kept id is left alone — a torn head must
+    * survive retention so its replayed batch can overwrite it in place. */
+  def prune(spark: SparkSession, root: String, keep: Set[Long]): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("epoch=")) {
+        val id = scala.util.Try(n.stripPrefix("epoch=").toLong).toOption
+        if (id.exists(i => !keep.contains(i) && keep.forall(i < _))) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+  }
+}

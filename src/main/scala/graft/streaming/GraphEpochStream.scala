@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -51,7 +50,7 @@ import graft.operators.{Adjacency, Checkpoints, IndexStore}
   * save, so fold-chain lineage never outlives one batch. */
 object GraphEpochStream {
 
-  private def epochDir(root: String, id: Long): String = s"$root/epoch=$id"
+  private def epochDir(root: String, id: Long): String = EpochDirs.dir(root, id)
 
   private def params(dedup: Boolean, hubLimit: Long): Map[String, String] =
     Map("dedup" -> dedup.toString, "hub_limit" -> hubLimit.toString)
@@ -59,21 +58,11 @@ object GraphEpochStream {
   /** Ids of committed (valid-marker, matching-parameter) epochs,
     * NEWEST first. Listing only — no Spark jobs. */
   def epochs(spark: SparkSession, root: String,
-             dedup: Boolean, hubLimit: Long): Seq[Long] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .flatMap { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("epoch="))
-          scala.util.Try(n.stripPrefix("epoch=").toLong).toOption
-        else None
-      }
+             dedup: Boolean, hubLimit: Long): Seq[Long] =
+    EpochDirs.rawIds(spark, root)
       .filter(id => IndexStore.graphIndexMeta(spark,
         epochDir(root, id), params(dedup, hubLimit)).isDefined)
       .sorted(Ordering[Long].reverse)
-  }
 
   /** Load the newest committed epoch: `(epochId, hybrid)`, `None` when no
     * epoch has committed yet. Zero Spark jobs (the IndexStore load
@@ -116,18 +105,8 @@ object GraphEpochStream {
     finally next.release()
     // retention AFTER the commit: keep the newest keepEpochs valid epochs,
     // drop every older epoch directory (valid or torn)
-    val keep = epochs(spark, root, dedup, hubLimit).take(keepEpochs).toSet
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(rootPath).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("epoch=")) {
-        val id = scala.util.Try(n.stripPrefix("epoch=").toLong).toOption
-        if (id.exists(i => !keep.contains(i) && keep.forall(i < _))) {
-          fs.delete(st.getPath, true); ()
-        }
-      }
-    }
+    EpochDirs.prune(spark, root,
+      epochs(spark, root, dedup, hubLimit).take(keepEpochs).toSet)
   }
 
   /** Start the epoch-roll stream: `edges` (a streaming DataFrame of
