@@ -67,8 +67,10 @@ object CoreQueries {
   }
 
   /** Pair-generation shared by the co-purchase graphs: parts appearing in
-    * the same order, both directions, src/dst LONG. */
-  private def copurchasePairs(li: org.apache.spark.sql.DataFrame)
+    * the same order, both directions, src/dst LONG. `private[graft]` so
+    * tools (StreamBench's graph-roll path) can stage the same edge set
+    * the queries run on. */
+  private[graft] def copurchasePairs(li: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val ip = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     ip.as("a").join(ip.as("b"),

@@ -75,10 +75,59 @@ object StreamBench {
     require(stateRows == total,
       s"agg sink folded $stateRows rows, staged $total — lost or doubled a batch")
 
+    // --- graph epoch roll (durable index maintenance path): the 1997
+    // co-purchase edges staged as nChunks drops; each micro-batch folds
+    // into the newest committed epoch and pays the O(|V|) epoch rewrite —
+    // the measured rate is the full maintenance cost per edge, fold +
+    // durability, not just the fold
+    val edges = graft.queries.CoreQueries.copurchasePairs(
+      graft.io.Tables.load(spark, sfDir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)).distinct()
+    val eCnt = edges.count()
+    edges.repartition(nChunks).write.parquet(s"$tmp/edge_landing")
+    val grollSec = timed {
+      val q = graft.streaming.GraphEpochStream.start(
+        spark.readStream.schema(edges.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/edge_landing"),
+        s"$tmp/graph_epochs", s"$tmp/ckpt_groll")
+      q.awaitTermination(600000L)
+    }
+    val (_, hyb) = graft.streaming.GraphEpochStream.loadCurrent(spark,
+      s"$tmp/graph_epochs", dedup = true,
+      graft.operators.Adjacency.DefaultHubLimit)
+      .getOrElse(sys.error("graph roll committed no epoch"))
+    val foldedEdges = try hyb.edges.count() finally hyb.release()
+    require(foldedEdges == eCnt,
+      s"graph roll folded $foldedEdges edges, staged $eCnt")
+
+    // --- vector epoch roll (IVF maintenance path): the embeddings table
+    // as nChunks drops; batch 0 bootstrap-trains, the rest append — the
+    // rate includes per-epoch assignment + the O(|corpus|) epoch rewrite
+    val vecs = graft.io.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vCnt = vecs.count()
+    vecs.repartition(nChunks).write.parquet(s"$tmp/vec_landing")
+    val vrollSec = timed {
+      val q = graft.streaming.VectorEpochStream.start(
+        spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/vec_landing"),
+        "vec_id", "embedding", s"$tmp/vec_epochs", s"$tmp/ckpt_vroll",
+        nCells = 16)
+      q.awaitTermination(600000L)
+    }
+    val (_, ivf) = graft.streaming.VectorEpochStream.loadCurrent(spark,
+      s"$tmp/vec_epochs", nCells = 16)
+      .getOrElse(sys.error("vector roll committed no epoch"))
+    val foldedVecs = try ivf.assigned.count() finally ivf.release()
+    require(foldedVecs == vCnt,
+      s"vector roll folded $foldedVecs vectors, staged $vCnt")
+
     println(
       f"""{"metric":"stream_events_per_sec","events":$total,"chunks":$nChunks,""" +
         f""""windowed":{"sec":$winSec%.2f,"rate":${total / winSec}%.0f},""" +
-        f""""agg_sink":{"sec":$sinkSec%.2f,"rate":${total / sinkSec}%.0f}}""")
+        f""""agg_sink":{"sec":$sinkSec%.2f,"rate":${total / sinkSec}%.0f},""" +
+        f""""graph_roll":{"edges":$eCnt,"sec":$grollSec%.2f,"rate":${eCnt / grollSec}%.0f},""" +
+        f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f}}""")
     spark.stop()
   }
 }
