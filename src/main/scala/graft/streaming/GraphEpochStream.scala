@@ -90,6 +90,10 @@ object GraphEpochStream {
     val pm = params(dedup, hubLimit)
     if (IndexStore.graphIndexMeta(spark, epochDir(root, batchId), pm).isDefined)
       return // replayed after a committed save — the fold already applied
+    // an empty micro-batch (rate-limited sources emit them) folds to the
+    // standing adjacency unchanged — skip the content-free O(|V|) epoch
+    // rewrite instead of committing it; epoch ids need not be dense
+    if (edges.isEmpty) return
     val next = loadCurrent(spark, root, dedup, hubLimit) match {
       case Some((_, standing)) =>
         try Checkpoints.sweepingOnFailure(spark.sparkContext)(

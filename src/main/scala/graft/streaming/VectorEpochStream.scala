@@ -54,6 +54,7 @@ object VectorEpochStream {
     * the audit's jobs are not paid). */
   sealed trait BatchOutcome
   case object Skipped extends BatchOutcome
+  case object EmptyBatch extends BatchOutcome
   case object Bootstrapped extends BatchOutcome
   final case class Appended(driftedCells: Option[Long]) extends BatchOutcome
   final case class Retrained(driftedCells: Long) extends BatchOutcome
@@ -105,6 +106,12 @@ object VectorEpochStream {
     val dir = EpochDirs.dir(root, batchId)
     if (IndexStore.ivfIndexMeta(spark, dir, pm).isDefined)
       return Skipped // replayed after a committed save — already applied
+    // an empty micro-batch (rate-limited sources emit them) must not
+    // crash the bootstrap (ivfBuild requires a non-empty corpus) or pay
+    // a content-free O(|corpus|) epoch rewrite — commit nothing; epoch
+    // ids need not be dense, and a replay of the empty batch re-skips
+    // here identically
+    if (batch.isEmpty) return EmptyBatch
     def commit(idx: Similarity.IvfIndex, note: String): Unit =
       try IndexStore.saveIvfIndex(spark, idx, dir, s"batch:$batchId $note", pm)
       finally idx.release()

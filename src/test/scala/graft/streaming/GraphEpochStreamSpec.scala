@@ -83,6 +83,10 @@ class GraphEpochStreamSpec extends SparkSpec {
     import sqlImplicits._
     val root = Files.createTempDirectory("gep_boot").toString
     val e = (1L to 5L).map(s => (s, s + 1)).toDF("src", "dst")
+    // an empty batch before any epoch exists commits nothing
+    GraphEpochStream.foldBatch(e.limit(0), root, batchId = 7L)
+    assert(GraphEpochStream.epochs(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).isEmpty)
     GraphEpochStream.foldBatch(e, root, batchId = 0L)
     assert(GraphEpochStream.epochs(spark, root, dedup = true,
       Adjacency.DefaultHubLimit) === Seq(0L))

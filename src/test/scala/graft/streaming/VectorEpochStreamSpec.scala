@@ -121,6 +121,23 @@ class VectorEpochStreamSpec extends SparkSpec {
     try assert(idx.assigned.count() === 30L) finally idx.release()
   }
 
+  test("an empty micro-batch commits nothing — no bootstrap crash, no content-free epoch rewrite") {
+    val root = Files.createTempDirectory("vep_empty").toString
+    val none = vecs(1 until 1) // zero rows, right schema
+    // empty FIRST batch: must not crash ivfBuild's non-empty requirement
+    assert(VectorEpochStream.foldBatch(none, "vec_id", "emb", root, 0L,
+      N_CELLS, TRAIN, ITERS) === VectorEpochStream.EmptyBatch)
+    assert(VectorEpochStream.epochs(spark, root, N_CELLS, TRAIN, ITERS).isEmpty)
+    // real bootstrap under a later id, then another empty batch: the
+    // standing epoch must stay the newest (no rewrite committed)
+    VectorEpochStream.foldBatch(vecs(1 to 30), "vec_id", "emb", root, 1L,
+      N_CELLS, TRAIN, ITERS)
+    assert(VectorEpochStream.foldBatch(none, "vec_id", "emb", root, 2L,
+      N_CELLS, TRAIN, ITERS) === VectorEpochStream.EmptyBatch)
+    assert(VectorEpochStream.epochs(spark, root, N_CELLS, TRAIN, ITERS)
+      === Seq(1L))
+  }
+
   test("armed drift audit retrains over standing ∪ batch; default threshold appends without paying the audit") {
     import sqlImplicits._
     // standing: a tight cluster on the x axis; delta: far mass on y — the
