@@ -1312,8 +1312,73 @@ object TextQueries {
       val rows = out.collect().toSeq
       tb.unpersist()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
+    // BM25 lexical retrieval over an inverted-postings shape — the
+    // retriever leg v18's fusion abstracts as "rank_a". Okapi BM25 with
+    // k1 = 1.2, b = 0.75, and the RATIONAL idf core
+    // (N - df + 0.5)/(df + 0.5) — BM25's idf without the log wrapper,
+    // which preserves the ordering log would give (log is monotone) while
+    // keeping every arithmetic step an IEEE +,-,*,/ that Spark and DuckDB
+    // round identically (the t21 no-libm discipline; log's last-ulp
+    // divergence across engines would break hash parity). Determinism
+    // under distributed summation: each per-term contribution is scaled
+    // to a fixed-point LONG (floor(c·1e6)) before the per-(query, doc)
+    // sum, so the aggregate is exact integer addition — order-free —
+    // and the output carries the scaled long itself.
+    //
+    // Scale shape: the query set broadcasts; postings ⋈ broadcast(qterms)
+    // prunes the corpus to query-term postings MAP-SIDE (the inverted-
+    // index probe — no full-corpus shuffle); df over the hits and the
+    // 1-row corpus stats broadcast back; the only shuffles are the tf/dl
+    // aggregates (map-side partials) and the hits ⋈ dl doc-length join,
+    // all keyed on doc_id/token. Top-k per query rides the bounded-heap
+    // TopK (no per-query global sort).
+    "t37_bm25" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val qterms = Bm25Queries.toDF("qid", "qtext")
+        .select(col("qid"),
+          explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      val hits = tf.join(broadcast(qterms), Seq("tok"))
+      val dfq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = hits
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(dfq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("c",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("cs", floor(col("c") * lit(1e6)).cast("long"))
+      val agg = scored.groupBy("qid", "doc_id")
+        .agg(sum(col("cs")).as("score_scaled"), count(lit(1)).as("n_terms"))
+      graft.plans.TopK.perKey(agg, Seq("qid"),
+          Seq("score_scaled" -> false, "doc_id" -> true), 5)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("score_scaled").desc, col("doc_id"))))
+        .select(col("qid"), col("rank"), col("doc_id"),
+          col("score_scaled"), col("n_terms"))
+        .orderBy("qid", "rank")
     }
   )
+
+  /** t37's fixed query workload — multi-term queries over the corpus
+    * vocabulary, embedded as a VALUES list in the oracle. */
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash join table"),
+    (2L, "slow scan filter"),
+    (3L, "stream window batch"),
+    (4L, "customer order line"))
 
   /** Count-min sketch geometry: d=4 pairwise-independent row hashes over
     * w=1024 buckets (ε ≈ e/w ≈ 0.27% of total mass, δ ≈ e⁻⁴). Row hashes
@@ -1938,6 +2003,47 @@ object TextQueries {
     // t36: the encoder reads the trained segmentation straight off w{K}
     // (one vocab join + per-doc aggregate — no merge replay per doc).
     "t36_bpe_encode" -> t36Oracle(BpeMerges),
+
+    // t37: full BM25 replay — identical arithmetic tree (rational idf,
+    // fixed-point floor before the per-(qid, doc) sum), queries embedded
+    // from Bm25Queries. Integer score_scaled output, so the hash compare
+    // never touches a float aggregate.
+    "t37_bm25" -> {
+      val vals = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |         WHERE tok <> '' GROUP BY doc_id, tok),
+        |  dl AS (SELECT doc_id, count(*) AS dl FROM t
+        |         WHERE tok <> '' GROUP BY doc_id),
+        |  st AS (SELECT count(*) AS n_docs,
+        |           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |  q(qid, qtext) AS (VALUES $vals),
+        |  qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok
+        |         FROM q),
+        |  dfq AS (SELECT tok, count(*) AS df FROM tf
+        |          WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+        |  sc AS (SELECT qt.qid, tf.doc_id,
+        |           CAST(floor(
+        |             ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) *
+        |             1000000.0) AS BIGINT) AS cs
+        |         FROM tf JOIN qt USING (tok) JOIN dfq USING (tok)
+        |           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        |  agg AS (SELECT qid, doc_id,
+        |            CAST(sum(cs) AS BIGINT) AS score_scaled,
+        |            count(*) AS n_terms
+        |          FROM sc GROUP BY qid, doc_id),
+        |  r AS (SELECT *, row_number() OVER
+        |          (PARTITION BY qid ORDER BY score_scaled DESC, doc_id)
+        |          AS rank
+        |        FROM agg)
+        |SELECT qid, rank, doc_id, score_scaled, n_terms
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
+    },
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then
