@@ -93,6 +93,48 @@ object Similarity {
       "ip", k)
   }
 
+  /** SQ8 (int8 scalar-quantized) top-k by inner product — the remaining
+    * standard quantization tier beside PQ-ADC ([[ivfPqProbe]]) and binary
+    * Hamming ([[hammingRerankTopK]]): each vector is quantized ONCE to
+    * per-component integers q_i = round(x_i·127/maxabs) with its single
+    * per-vector scale, the candidate scan scores with an exact INTEGER
+    * dot (the SIMD-friendly kernel an SQ8 index runs), and the true
+    * inner-product estimate comes back from one per-pair rescale
+    * q_dot·s_a·s_c/127². 4 bytes/dim shrinks to 1 — the memory-bandwidth
+    * win that makes SQ8 the default middle tier between full-precision
+    * and PQ.
+    *
+    * Determinism: quantization is a map (round is away-from-zero on
+    * midpoints in both engines), the dot is exact long arithmetic
+    * (order-free), and the rescale is one fixed-shape double product, so
+    * the whole ranker replays bit-for-bit in the oracle. Same scale shape
+    * as [[mipsTopK]]: queries broadcast, corpus streams map-side, the
+    * bounded heap caps the shuffle at k rows per (partition × query).
+    * A zero vector quantizes to all-zero codes with scale 0 (no NaN). */
+  def sq8TopK(queries: DataFrame, qid: String, qvec: String,
+              corpus: DataFrame, nid: String, nvec: String, k: Int): DataFrame = {
+    def quant(df: DataFrame, id: String, vc: String,
+              idAs: String, qAs: String, sAs: String): DataFrame =
+      df.select(col(id).as(idAs), col(vc).cast("array<double>").as("__v"))
+        .withColumn(sAs, array_max(transform(col("__v"), x => abs(x))))
+        .withColumn(qAs,
+          when(col(sAs) === 0.0, transform(col("__v"), _ => lit(0L)))
+            .otherwise(transform(col("__v"),
+              x => round(x * lit(127.0) / col(sAs), 0).cast("long"))))
+        .drop("__v")
+    val q = quant(queries, qid, qvec, "qid", "qq", "qs")
+    val c = quant(corpus, nid, nvec, "nid", "nq", "ns")
+    rankTopK(
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("q_dot",
+          aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .withColumn("score",
+          col("q_dot").cast("double") * col("qs") * col("ns") / lit(16129.0))
+        .drop("qq", "nq"),
+      "score", k)
+  }
+
   /** Distributed Lloyd's iterations for a coarse k-means quantizer.
     *
     * Per iteration: every sample row is assigned to its nearest centroid

@@ -541,6 +541,22 @@ object VectorQueries {
       val rows = out.collect().toSeq
       graft.operators.Components.releaseCheckpoint(labels)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
+    // SQ8 (int8 scalar-quantized) retrieval — the memory-bandwidth tier
+    // between full-precision MIPS (v10) and PQ-ADC (v08): per-vector
+    // maxabs scales, exact integer dot over the codes, one per-pair
+    // rescale. Fully oracle-checkable (quantization, integer dot, and
+    // rescale all replay in SQL); recall and error bounds vs v10's exact
+    // inner product are pinned in Sq8Spec.
+    "v22_sq8_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.sq8TopK(
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("score"), 4).as("ip8"))
+        .orderBy("qid", "rank")
     }
   )
 
@@ -1210,6 +1226,37 @@ object VectorQueries {
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),
     "v11_pq_rerank" -> v11Oracle(),
+    // Mirrors sq8TopK bit-for-bit: per-vector maxabs scale, away-from-zero
+    // rounding to int8 codes, exact integer dot (computed on exact
+    // small-integer doubles, so summation order cannot matter), one
+    // fixed-shape rescale.
+    "v22_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |  m AS (SELECT vec_id, v,
+        |          list_max([abs(x) for x in v]) AS s FROM e),
+        |  q AS (SELECT vec_id, s,
+        |          CASE WHEN s = 0
+        |               THEN [CAST(0 AS DOUBLE) for x in v]
+        |               ELSE [CAST(CAST(round(x * 127.0 / s) AS BIGINT)
+        |                          AS DOUBLE) for x in v]
+        |          END AS qv
+        |        FROM m),
+        |  p AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |          CAST(list_inner_product(a.qv, c.qv) AS BIGINT) AS q_dot,
+        |          a.s AS qs, c.s AS ns
+        |        FROM q a JOIN q c ON a.vec_id <> c.vec_id
+        |        WHERE a.vec_id < 8),
+        |  r AS (SELECT qid, nid,
+        |          CAST(q_dot AS DOUBLE) * qs * ns / 16129.0 AS score,
+        |          row_number() OVER (PARTITION BY qid
+        |            ORDER BY CAST(q_dot AS DOUBLE) * qs * ns / 16129.0 DESC,
+        |                     nid) AS rank
+        |        FROM p)
+        |SELECT qid, rank, nid, round(score, 4) AS ip8
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
     // Mirrors mipsTopK: v01's brute force without the norm division.
     "v10_mips" ->
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
