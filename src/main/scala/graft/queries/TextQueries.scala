@@ -1337,30 +1337,10 @@ object TextQueries {
     "t37_bm25" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       val qterms = Bm25Queries.toDF("qid", "qtext")
         .select(col("qid"),
           explode(array_distinct(split(col("qtext"), " "))).as("tok"))
-      val hits = tf.join(broadcast(qterms), Seq("tok"))
-      val dfq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-      val scored = hits
-        .join(dl, Seq("doc_id"))
-        .join(broadcast(dfq), Seq("tok"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-        .withColumn("c",
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-        .withColumn("cs", floor(col("c") * lit(1e6)).cast("long"))
-      val agg = scored.groupBy("qid", "doc_id")
-        .agg(sum(col("cs")).as("score_scaled"), count(lit(1)).as("n_terms"))
+      val agg = bm25Scores(s, dir, qterms, excludeSelf = false)
       graft.plans.TopK.perKey(agg, Seq("qid"),
           Seq("score_scaled" -> false, "doc_id" -> true), 5)
         .withColumn("rank", row_number().over(
@@ -1371,6 +1351,44 @@ object TextQueries {
         .orderBy("qid", "rank")
     }
   )
+
+  /** BM25 scoring core shared by t37 (literal query workload) and v23
+    * (query-by-document hybrid): (qid, doc_id, score_scaled, n_terms)
+    * for every document matching ≥1 query term. `qterms` is the small
+    * (qid, tok) query frame — broadcast against the postings so the
+    * corpus prunes map-side; `excludeSelf` drops doc_id = qid hits for
+    * query-by-document workloads. Arithmetic contract documented at the
+    * t37 entry (rational idf, fixed-point floor, exact long sums). */
+  private[graft] def bm25Scores(s: SparkSession, dir: String,
+                                qterms: DataFrame,
+                                excludeSelf: Boolean): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits0 = tf.join(broadcast(qterms), Seq("tok"))
+    val hits = if (excludeSelf) hits0.filter(col("doc_id") =!= col("qid"))
+               else hits0
+    // df counts every document containing the term — self included, like
+    // any standing index (the df aggregate runs on the unexcluded hits)
+    val dfq = hits0.select("tok", "doc_id").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    hits
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("c",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("cs", floor(col("c") * lit(1e6)).cast("long"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("cs")).as("score_scaled"), count(lit(1)).as("n_terms"))
+  }
 
   /** t37's fixed query workload — multi-term queries over the corpus
     * vocabulary, embedded as a VALUES list in the oracle. */

@@ -543,6 +543,49 @@ object VectorQueries {
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     },
 
+    // Hybrid query-by-document retrieval: t37's BM25 core as the LEXICAL
+    // leg (query = each query-doc's distinct token set, self excluded)
+    // fused by reciprocal rank with v01's exact-cosine VECTOR leg over
+    // the aligned embedding — v18's fusion shape with a REAL BM25
+    // retriever where v18 abstracts one as token-set Jaccard. Each leg
+    // contributes its top-50; absent candidates take the fixed worst-rank
+    // penalty (1000); both leg ranks are total orders on exact integers
+    // (fixed-point BM25 longs / the deterministic cosine), each rrf term
+    // is one division, and the two-term sum is written in fixed order, so
+    // DuckDB replays legs and fusion bit-for-bit. Scale shape: legs are
+    // independent index probes (inverted postings / ANN index); the fuse
+    // is an outer join of two k-bounded lists — k rows per query move.
+    "v23_hybrid_bm25" -> { (s, dir) =>
+      val qdocs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val lexAgg = TextQueries.bm25Scores(s, dir, qdocs, excludeSelf = true)
+      val wl = Window.partitionBy("qid")
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+      val lex = graft.plans.TopK.perKey(lexAgg, Seq("qid"),
+          Seq("score_scaled" -> false, "doc_id" -> true), 50)
+        .withColumn("rank_a", row_number().over(wl))
+        .select(col("qid"), col("doc_id").as("nid"), col("rank_a"))
+      val e = emb(s, dir)
+      val vec = Similarity.cosineTopK(e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", e, "vec_id", "embedding", k = 50)
+        .select(col("qid"), col("nid"), col("rank").as("rank_b"))
+      val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+      lex.join(vec, Seq("qid", "nid"), "full")
+        .select(col("qid"), col("nid"),
+          round(lit(1.0) / (lit(60) + coalesce(col("rank_a"), lit(1000))) +
+            lit(1.0) / (lit(60) + coalesce(col("rank_b"), lit(1000))), 8)
+            .as("rrf"),
+          coalesce(col("rank_a"), lit(0)).as("lex_rank"),
+          coalesce(col("rank_b"), lit(0)).as("vec_rank"))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "nid", "rrf", "lex_rank", "vec_rank")
+        .orderBy("qid", "rank")
+    },
+
     // SQ8 (int8 scalar-quantized) retrieval — the memory-bandwidth tier
     // between full-precision MIPS (v10) and PQ-ADC (v08): per-vector
     // maxabs scales, exact integer dot over the codes, one per-pair
@@ -1226,6 +1269,66 @@ object VectorQueries {
     "v07_cluster_profile" -> v07Oracle(),
     "v08_pq_adc" -> v08Oracle(),
     "v11_pq_rerank" -> v11Oracle(),
+    // v23: t37's BM25 CTEs as the lexical leg (query-doc distinct token
+    // sets, self-excluded scoring over an UNEXCLUDED df — a standing
+    // index counts every document), v01's cosine CTEs as the vector leg,
+    // v18's fusion shape over both.
+    "v23_hybrid_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |         WHERE tok <> '' GROUP BY doc_id, tok),
+        |  dl AS (SELECT doc_id, count(*) AS dl FROM t
+        |         WHERE tok <> '' GROUP BY doc_id),
+        |  st AS (SELECT count(*) AS n_docs,
+        |           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |  qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf
+        |         WHERE doc_id < 8),
+        |  dfq AS (SELECT tok, count(*) AS df FROM tf
+        |          WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+        |  sc AS (SELECT qt.qid, tf.doc_id,
+        |           CAST(floor(
+        |             ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) *
+        |             1000000.0) AS BIGINT) AS cs
+        |         FROM tf JOIN qt USING (tok) JOIN dfq USING (tok)
+        |           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+        |         WHERE tf.doc_id <> qt.qid),
+        |  lagg AS (SELECT qid, doc_id AS nid,
+        |             CAST(sum(cs) AS BIGINT) AS score_scaled
+        |           FROM sc GROUP BY qid, doc_id),
+        |  la AS (SELECT qid, nid, rank_a FROM (
+        |           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY score_scaled DESC, nid) AS rank_a
+        |           FROM lagg)
+        |         WHERE rank_a <= 50),
+        |  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |  vp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |           list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |         FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 8),
+        |  va AS (SELECT qid, nid, rank_b FROM (
+        |           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY sim DESC, nid) AS rank_b
+        |           FROM vp)
+        |         WHERE rank_b <= 50),
+        |  f AS (SELECT COALESCE(la.qid, va.qid) AS qid,
+        |          COALESCE(la.nid, va.nid) AS nid,
+        |          round(1.0 / (60 + COALESCE(la.rank_a, 1000)) +
+        |                1.0 / (60 + COALESCE(va.rank_b, 1000)), 8) AS rrf,
+        |          COALESCE(la.rank_a, 0) AS lex_rank,
+        |          COALESCE(va.rank_b, 0) AS vec_rank
+        |        FROM la FULL JOIN va
+        |          ON la.qid = va.qid AND la.nid = va.nid),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY rrf DESC, nid) AS rank
+        |        FROM f)
+        |SELECT qid, rank, nid, rrf, lex_rank, vec_rank
+        |FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     // Mirrors sq8TopK bit-for-bit: per-vector maxabs scale, away-from-zero
     // rounding to int8 codes, exact integer dot (computed on exact
     // small-integer doubles, so summation order cannot matter), one

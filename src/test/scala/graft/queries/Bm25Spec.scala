@@ -59,6 +59,31 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("v23: hybrid fusion invariants — rrf reconstructs from the leg " +
+       "ranks, self never retrieved, 10 dense rrf-ordered rows per query") {
+    val out = VectorQueries.queries("v23_hybrid_bm25")(spark, sf).collect()
+    assert(out.groupBy(_.getLong(0)).size === 8)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to 10), s"q$qid ranks")
+      val rrfs = sorted.map(_.getDouble(3)).toSeq
+      assert(rrfs === rrfs.sorted.reverse, s"q$qid rrf-ordered")
+      rows.foreach { r =>
+        assert(r.getLong(2) !== qid, s"q$qid retrieved itself")
+        val la = if (r.getInt(4) == 0) 1000 else r.getInt(4)
+        val vb = if (r.getInt(5) == 0) 1000 else r.getInt(5)
+        val expect = BigDecimal(1.0 / (60 + la) + 1.0 / (60 + vb))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) === expect,
+          s"rrf of (q$qid, ${r.getLong(2)}) from legs ($la, $vb)")
+      }
+    }
+    // the fusion is genuinely hybrid on this corpus: some candidate is
+    // surfaced by both legs, and some by exactly one
+    assert(out.exists(r => r.getInt(4) > 0 && r.getInt(5) > 0))
+    assert(out.exists(r => r.getInt(4) == 0 ^ r.getInt(5) == 0))
+  }
+
   test("t37: retrieval invariants — dense per-query ranks, score-ordered, " +
        "every hit matches at least one query term") {
     val out = TextQueries.queries("t37_bm25")(spark, sf).collect()
