@@ -88,7 +88,8 @@ object Bench {
       "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
       "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
       "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
-      "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir))
+      "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
+      "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
       val err = try { build(); None } catch { case e: Throwable =>
@@ -218,6 +219,7 @@ object Bench {
     queries.TextQueries.releaseClusterLabels(spark)
     queries.TextQueries.releaseSignatureIndexes(spark)
     queries.CoreQueries.releaseGraphIndexes(spark)
+    queries.TextQueries.releasePostingsIndexes(spark)
     spark.stop()
   }
 }

@@ -397,6 +397,63 @@ object IndexStore {
     out
   }
 
+  // ---------- lexical postings ([[Postings.Index]])
+
+  /** Durable form of the BM25 postings index: tf + dl frames as parquet
+    * with the measured corpus stats (n_docs, sum_dl) in the meta — loads
+    * run zero Spark jobs and probes size their idf/avgdl off the meta
+    * exactly as a just-built index would. */
+  def savePostingsIndex(spark: SparkSession, idx: Postings.Index,
+                        dir: String, corpusVersion: String,
+                        params: Map[String, String] = Map.empty): Unit = {
+    invalidateMeta(spark, dir)
+    idx.tf.write.mode("overwrite").parquet(s"$dir/tf")
+    idx.dl.write.mode("overwrite").parquet(s"$dir/dl")
+    writeMeta(spark, dir, Seq(
+      "kind" -> "postings", "corpus_version" -> corpusVersion,
+      "n_docs" -> idx.nDocs.toString,
+      "sum_dl" -> idx.sumDl.toString,
+      "tf_schema" -> idx.tf.schema.json,
+      "dl_schema" -> idx.dl.schema.json) ++ params.toSeq.sorted)
+    IndexStats.inc("postings.disk.save")
+  }
+
+  def loadPostingsIndex(spark: SparkSession, dir: String,
+                        expectedVersion: Option[String] = None,
+                        expectedParams: Map[String, String] = Map.empty)
+      : Option[Postings.Index] = {
+    val out = validMeta(spark, dir, "postings", expectedVersion, expectedParams)
+      .map { m =>
+        val tf = readFrame(spark, s"$dir/tf", m("tf_schema"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dl = readFrame(spark, s"$dir/dl", m("dl_schema"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        Postings.Index(tf, dl, m("n_docs").toLong, m("sum_dl").toLong,
+          () => { tf.unpersist(); dl.unpersist(); () })
+      }
+    IndexStats.inc(s"postings.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
+  /** Committed meta of a postings index directory when present and
+    * parameter-matching — the zero-job peek the streaming epoch roll uses
+    * (graph/IVF parity). */
+  def postingsIndexMeta(spark: SparkSession, dir: String,
+                        expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "postings", None, expectedParams)
+
+  def postingsIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                           params: Map[String, String] = Map.empty)
+                          (build: => Postings.Index): Postings.Index = {
+    val v = corpusVersion(spark, sourcePath)
+    loadPostingsIndex(spark, dir, Some(v), params).getOrElse {
+      val idx = build
+      savePostingsIndex(spark, idx, dir, v, params)
+      idx
+    }
+  }
+
   /** Conf key consulted by the query-level caches: when set to a store
     * root, indexes are served from disk across sessions/jobs (and written
     * there on first build) instead of living only in the session cache. */
@@ -494,6 +551,12 @@ object IndexStore {
                      (build: => Similarity.PqIndex): Similarity.PqIndex =
     withStore(spark, "pq", sourcePath)(
       dir => pqIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
+
+  def postingsIndexFromConf(spark: SparkSession, sourcePath: String,
+                            params: Map[String, String] = Map.empty)
+                           (build: => Postings.Index): Postings.Index =
+    withStore(spark, "postings", sourcePath)(
+      dir => postingsIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
 
   /** `graphKind` names the graph over its source table (one corpus can
     * carry several graphs — co-purchase, bipartite, weighted) so their

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Standing lexical (inverted-postings) index for BM25-style retrieval:
+  * term frequencies `tf(doc_id, tok, tf)`, document lengths
+  * `dl(doc_id, dl)`, and the measured corpus stats (`nDocs`, `sumDl`)
+  * every probe's idf/length-norm needs — the lexical sibling of
+  * [[Adjacency.Hybrid]] (graph) and [[Similarity.IvfIndex]] (vector).
+  *
+  * Why an index: the corpus-scale cost of BM25 is TOKENIZATION — a pass
+  * over every text byte plus two corpus-wide aggregates. The postings are
+  * far smaller than the raw text, so building once per ingest epoch and
+  * probing per query is the only shape that survives 100 TB. The index
+  * round-trips through [[IndexStore.savePostingsIndex]] (counts in the
+  * meta, zero-job loads) and folds per-batch deltas with [[foldDocs]] at
+  * a cost proportional to |Δ| text + one pass over the COMPACT standing
+  * frames (never the standing text).
+  */
+object Postings {
+
+  /** @param nDocs measured document count (exact, from the build/fold)
+    * @param sumDl measured total token count — `sumDl.toDouble / nDocs`
+    *              is the avgdl every consumer must use, in exactly that
+    *              operation order (one long→double conversion each, one
+    *              IEEE division) so engine and oracle agree bitwise
+    * @param release frees THIS index's persisted frames only (the
+    *                foldEdges ownership contract: a folded index owns its
+    *                storage; the standing input is releasable as soon as
+    *                foldDocs returns) */
+  final case class Index(tf: DataFrame, dl: DataFrame,
+                         nDocs: Long, sumDl: Long,
+                         release: () => Unit)
+
+  private def toks(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Tokenize + aggregate a corpus into a standing index. Two map-side-
+    * partial aggregates shuffled on (doc, tok) / doc; the stats pass
+    * rides the dl materialization (one extra count over the persisted
+    * tf). Whitespace tokenization matches the engine-wide contract
+    * (t01/t16/t37 and their oracles). */
+  def build(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): Index = {
+    val t = toks(docs, idCol, textCol)
+    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val r = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+      count(lit(1)).as("n_docs")).collect()(0)
+    tf.count()
+    Index(tf, dl, r.getLong(1), r.getLong(0),
+      () => { tf.unpersist(); dl.unpersist(); () })
+  }
+
+  /** Fold a delta batch of documents into a standing index, REPLACEMENT
+    * semantics: a delta doc_id already present replaces its standing
+    * postings (re-ingested / edited documents), a new doc_id appends.
+    *
+    * Cost shape: the delta tokenizes and aggregates at |Δ| text; the
+    * standing side pays one marker-join stats pass over `dl` (doc-grain,
+    * ≪ postings) and the anti-join pass-throughs over the COMPACT tf/dl
+    * frames when the fold materializes — never a re-tokenization of
+    * standing text, which is the corpus-scale term. Counts fold in
+    * closed form (nDocs − replaced + |Δ|), so no consumer re-aggregates.
+    * The folded index owns its frames: both inputs are releasable
+    * immediately after return. */
+  def foldDocs(standing: Index, deltaDocs: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               broadcastRowLimit: Long = Adjacency.BroadcastRowLimit): Index = {
+    val delta = build(deltaDocs, idCol, textCol)
+    val ids = delta.dl.select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nIds = ids.count()
+    val idsB = if (nIds <= broadcastRowLimit) broadcast(ids) else ids
+    // replaced-doc bookkeeping: ONE pass over standing.dl via marker join
+    val r = standing.dl
+      .join(idsB.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+      .agg(count(col("__t")).as("n_repl"),
+        coalesce(sum(when(col("__t").isNotNull, col("dl"))), lit(0L))
+          .as("repl_dl"))
+      .collect()(0)
+    val (nRepl, replDl) = (r.getLong(0), r.getLong(1))
+    val newTf = standing.tf.join(idsB, Seq("doc_id"), "left_anti")
+      .unionByName(delta.tf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newTf.count()
+    val newDl = standing.dl.join(idsB, Seq("doc_id"), "left_anti")
+      .unionByName(delta.dl)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newDl.count()
+    val out = Index(newTf, newDl,
+      standing.nDocs - nRepl + delta.nDocs,
+      standing.sumDl - replDl + delta.sumDl,
+      () => { newTf.unpersist(); newDl.unpersist(); () })
+    delta.release()
+    ids.unpersist()
+    out
+  }
+}

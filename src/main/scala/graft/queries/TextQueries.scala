@@ -1349,27 +1349,71 @@ object TextQueries {
         .select(col("qid"), col("rank"), col("doc_id"),
           col("score_scaled"), col("n_terms"))
         .orderBy("qid", "rank")
+    },
+
+    // Incremental lexical-index maintenance, certified: the standing
+    // postings index (even doc_ids — d06's daily-ingest framing, pmod so
+    // any id domain partitions) folds the odd-id delta via
+    // Postings.foldDocs — |Δ| tokenization + compact-frame pass-throughs,
+    // never a corpus re-tokenization — and the t37 workload is served
+    // from the FOLDED index. The oracle replays the full rebuild (it
+    // never sees the split), so hash equality certifies fold ≡ rebuild:
+    // the d13/q79 pattern at the lexical layer. LexEpochStream is the
+    // streaming twin.
+    "t38_incremental_bm25" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val d = docs(s, dir)
+      val standing = graft.operators.Postings.build(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      // foldDocs materializes the folded frames, so the standing index is
+      // releasable the moment it returns (the foldEdges ownership contract)
+      val folded =
+        try graft.operators.Postings.foldDocs(standing,
+          d.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+        finally standing.release()
+      try {
+        val qterms = Bm25Queries.toDF("qid", "qtext")
+          .select(col("qid"),
+            explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+        val agg = bm25ScoresOverIndex(folded, qterms, excludeSelf = false)
+        val out = graft.plans.TopK.perKey(agg, Seq("qid"),
+            Seq("score_scaled" -> false, "doc_id" -> true), 5)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score_scaled").desc, col("doc_id"))))
+          .select(col("qid"), col("rank"), col("doc_id"),
+            col("score_scaled"), col("n_terms"))
+          .orderBy("qid", "rank")
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally folded.release()
     }
   )
 
   /** BM25 scoring core shared by t37 (literal query workload) and v23
-    * (query-by-document hybrid): (qid, doc_id, score_scaled, n_terms)
-    * for every document matching ≥1 query term. `qterms` is the small
-    * (qid, tok) query frame — broadcast against the postings so the
-    * corpus prunes map-side; `excludeSelf` drops doc_id = qid hits for
+    * (query-by-document hybrid), served from the session/durable
+    * POSTINGS index — (qid, doc_id, score_scaled, n_terms) for every
+    * document matching ≥1 query term. `qterms` is the small (qid, tok)
+    * query frame — broadcast against the postings so the corpus prunes
+    * map-side; `excludeSelf` drops doc_id = qid hits for
     * query-by-document workloads. Arithmetic contract documented at the
     * t37 entry (rational idf, fixed-point floor, exact long sums). */
   private[graft] def bm25Scores(s: SparkSession, dir: String,
                                 qterms: DataFrame,
-                                excludeSelf: Boolean): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val hits0 = tf.join(broadcast(qterms), Seq("tok"))
+                                excludeSelf: Boolean): DataFrame =
+    bm25ScoresOverIndex(corpusPostingsIndex(s, dir), qterms, excludeSelf)
+
+  /** [[bm25Scores]] against a caller-owned [[Postings.Index]] (the
+    * build/probe split: the tokenize + corpus aggregates live in the
+    * index build; a probe pays only query-term postings work). The
+    * measured stats enter the plan as literals — `sumDl.toDouble/nDocs`
+    * is the same long→double conversion + one IEEE division the in-plan
+    * aggregate form computed, so hashes are unchanged. */
+  private[graft] def bm25ScoresOverIndex(idx: graft.operators.Postings.Index,
+                                         qterms: DataFrame,
+                                         excludeSelf: Boolean): DataFrame = {
+    val hits0 = idx.tf.join(broadcast(qterms), Seq("tok"))
     val hits = if (excludeSelf) hits0.filter(col("doc_id") =!= col("qid"))
                else hits0
     // df counts every document containing the term — self included, like
@@ -1377,17 +1421,57 @@ object TextQueries {
     val dfq = hits0.select("tok", "doc_id").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     hits
-      .join(dl, Seq("doc_id"))
+      .join(idx.dl, Seq("doc_id"))
       .join(broadcast(dfq), Seq("tok"))
-      .crossJoin(broadcast(stats))
       .withColumn("idf",
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        (lit(idx.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       .withColumn("c",
         col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / lit(idx.sumDl.toDouble / idx.nDocs))))
       .withColumn("cs", floor(col("c") * lit(1e6)).cast("long"))
       .groupBy("qid", "doc_id")
       .agg(sum(col("cs")).as("score_scaled"), count(lit(1)).as("n_terms"))
+  }
+
+  // One postings index per (session, dir) over the FULL corpus — the
+  // t37/v23 retrieval probes ride it; build once per corpus version,
+  // durable under spark.graft.indexDir (signature/IVF lifecycle).
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.operators.Postings.Index]()
+  private[graft] def corpusPostingsIndex(s: SparkSession, dir: String)
+      : graft.operators.Postings.Index = {
+    graft.operators.IndexStats.lookup("postings",
+      hit = postingsCache.containsKey((s, dir)))
+    postingsCache.computeIfAbsent((s, dir), { _ =>
+      graft.operators.IndexStore.postingsIndexFromConf(
+        s, s"$dir/documents.parquet")(
+        graft.operators.Postings.build(docs(s, dir)))
+    })
+  }
+
+  /** Build AND materialize the postings index for (session, dir) — Bench
+    * times it with the other index builds so t37/v23 report probe cost. */
+  def preparePostingsIndex(s: SparkSession, dir: String): Unit = {
+    val idx = corpusPostingsIndex(s, dir)
+    idx.tf.count()
+    idx.dl.count()
+    ()
+  }
+
+  /** Drop cached postings indexes of `s` and release their persisted
+    * frames — session-teardown hygiene. */
+  def releasePostingsIndexes(s: SparkSession): Unit = {
+    val it = postingsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release()
+        catch { case _: Exception => () }
+        it.remove()
+      }
+    }
   }
 
   /** t37's fixed query workload — multi-term queries over the corpus
@@ -1397,6 +1481,47 @@ object TextQueries {
     (2L, "slow scan filter"),
     (3L, "stream window batch"),
     (4L, "customer order line"))
+
+  /** Full-corpus-rebuild BM25 replay of the [[Bm25Queries]] workload —
+    * the shared oracle of t37 (direct) and t38 (engine serves the same
+    * workload from an incrementally FOLDED postings index, so hash
+    * equality certifies fold ≡ rebuild). */
+  private lazy val bm25WorkloadOracle: String = {
+    val vals = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+      |         WHERE tok <> '' GROUP BY doc_id, tok),
+      |  dl AS (SELECT doc_id, count(*) AS dl FROM t
+      |         WHERE tok <> '' GROUP BY doc_id),
+      |  st AS (SELECT count(*) AS n_docs,
+      |           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |  q(qid, qtext) AS (VALUES $vals),
+      |  qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok
+      |         FROM q),
+      |  dfq AS (SELECT tok, count(*) AS df FROM tf
+      |          WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+      |  sc AS (SELECT qt.qid, tf.doc_id,
+      |           CAST(floor(
+      |             ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |             (tf.tf * 2.2) /
+      |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) *
+      |             1000000.0) AS BIGINT) AS cs
+      |         FROM tf JOIN qt USING (tok) JOIN dfq USING (tok)
+      |           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+      |  agg AS (SELECT qid, doc_id,
+      |            CAST(sum(cs) AS BIGINT) AS score_scaled,
+      |            count(*) AS n_terms
+      |          FROM sc GROUP BY qid, doc_id),
+      |  r AS (SELECT *, row_number() OVER
+      |          (PARTITION BY qid ORDER BY score_scaled DESC, doc_id)
+      |          AS rank
+      |        FROM agg)
+      |SELECT qid, rank, doc_id, score_scaled, n_terms
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+  }
 
   /** Count-min sketch geometry: d=4 pairwise-independent row hashes over
     * w=1024 buckets (ε ≈ e/w ≈ 0.27% of total mass, δ ≈ e⁻⁴). Row hashes
@@ -2026,42 +2151,13 @@ object TextQueries {
     // fixed-point floor before the per-(qid, doc) sum), queries embedded
     // from Bm25Queries. Integer score_scaled output, so the hash compare
     // never touches a float aggregate.
-    "t37_bm25" -> {
-      val vals = Bm25Queries
-        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |           FROM documents),
-        |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
-        |         WHERE tok <> '' GROUP BY doc_id, tok),
-        |  dl AS (SELECT doc_id, count(*) AS dl FROM t
-        |         WHERE tok <> '' GROUP BY doc_id),
-        |  st AS (SELECT count(*) AS n_docs,
-        |           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |  q(qid, qtext) AS (VALUES $vals),
-        |  qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok
-        |         FROM q),
-        |  dfq AS (SELECT tok, count(*) AS df FROM tf
-        |          WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
-        |  sc AS (SELECT qt.qid, tf.doc_id,
-        |           CAST(floor(
-        |             ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
-        |             (tf.tf * 2.2) /
-        |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) *
-        |             1000000.0) AS BIGINT) AS cs
-        |         FROM tf JOIN qt USING (tok) JOIN dfq USING (tok)
-        |           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-        |  agg AS (SELECT qid, doc_id,
-        |            CAST(sum(cs) AS BIGINT) AS score_scaled,
-        |            count(*) AS n_terms
-        |          FROM sc GROUP BY qid, doc_id),
-        |  r AS (SELECT *, row_number() OVER
-        |          (PARTITION BY qid ORDER BY score_scaled DESC, doc_id)
-        |          AS rank
-        |        FROM agg)
-        |SELECT qid, rank, doc_id, score_scaled, n_terms
-        |FROM r WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin
-    },
+    "t37_bm25" -> bm25WorkloadOracle,
+
+    // t38: the SAME full-rebuild SQL as t37 — the engine side serves the
+    // workload from a standing index incrementally folded with the delta
+    // half of the corpus, so hash equality IS the fold ≡ rebuild
+    // certificate (the d13/q79 pattern at the lexical layer).
+    "t38_incremental_bm25" -> bm25WorkloadOracle,
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then

@@ -31,6 +31,7 @@ object MedianBench {
     graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)
     graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)
     graft.queries.CoreQueries.prepareGraphIndex(spark, sfDir)
+    graft.queries.TextQueries.preparePostingsIndex(spark, sfDir)
 
     // Each rep carries the host-steal share of its own window (HostCpu):
     // on this shared-host guest, identical reps swing up to 6× under

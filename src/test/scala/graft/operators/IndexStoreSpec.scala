@@ -263,6 +263,54 @@ class IndexStoreSpec extends SparkSpec {
     } finally built.release()
   }
 
+  test("postings index: zero-job disk load serves BM25-identical stats/frames; " +
+       "epoch roll load→fold→save reload == full rebuild") {
+    import sqlImplicits._
+    val c0 = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e")).toDF("doc_id", "text")
+    val d1 = Seq((4L, "e f"), (2L, "b REPLACED")).toDF("doc_id", "text")
+    val built = Postings.build(c0)
+    val store = tmp("poststore")
+    val version = IndexStore.corpusVersion(spark, dir)
+    try {
+      IndexStore.savePostingsIndex(spark, built, store, version)
+      val s2 = spark.newSession()
+      val (loadedOpt, loadJobs) = jobsDuring {
+        IndexStore.loadPostingsIndex(s2, store, Some(version))
+      }
+      assert(loadJobs == 0, s"postings LOAD ran $loadJobs Spark jobs")
+      val loaded = loadedOpt.getOrElse(fail("stored postings did not load"))
+      assert((loaded.nDocs, loaded.sumDl) === (built.nDocs, built.sumDl))
+      assert(sortedRows(loaded.tf) === sortedRows(built.tf))
+      assert(loaded.tf.inputFiles.forall(_.contains(store)))
+      // stale stamp / parameter mismatch → refused
+      assert(IndexStore.loadPostingsIndex(s2, store, Some("0:deadbeef")).isEmpty)
+      assert(IndexStore.loadPostingsIndex(s2, store, Some(version),
+        Map("tokenizer" -> "bpe")).isEmpty)
+
+      // epoch roll: fold the delta on the LOADED index (delta recreated in
+      // the loading session), save v2, reload
+      val d1s2 = s2.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(d1.collect(): _*)), d1.schema)
+      val folded = Postings.foldDocs(loaded, d1s2)
+      loaded.release()
+      IndexStore.savePostingsIndex(s2, folded, store, "epoch2")
+      folded.release()
+      val (v2Opt, jobs2) = jobsDuring {
+        IndexStore.loadPostingsIndex(s2, store, Some("epoch2"))
+      }
+      assert(jobs2 == 0)
+      val v2 = v2Opt.getOrElse(fail("v2 did not load"))
+      val rebuilt = Postings.build(Seq((1L, "a b c"), (2L, "b REPLACED"),
+        (3L, "c d e"), (4L, "e f")).toDF("doc_id", "text"))
+      try {
+        assert((v2.nDocs, v2.sumDl) === (rebuilt.nDocs, rebuilt.sumDl))
+        assert(sortedRows(v2.tf) === sortedRows(rebuilt.tf))
+        assert(sortedRows(v2.dl) === sortedRows(rebuilt.dl))
+      } finally { v2.release(); rebuilt.release() }
+    } finally built.release()
+  }
+
   test("graph index epoch roll: load v1 from disk, fold a delta, save v2 — v2 reload == full rebuild") {
     import sqlImplicits._
     val e0 = (1L to 40L).flatMap(s => Seq((s, s + 1), (s, s + 2))).toDF("src", "dst")
