@@ -122,12 +122,38 @@ object StreamBench {
     require(foldedVecs == vCnt,
       s"vector roll folded $foldedVecs vectors, staged $vCnt")
 
+    // --- lexical epoch roll (postings maintenance path): the documents
+    // table as nChunks drops; batch 0 bootstrap-builds, the rest fold —
+    // the rate includes |Δ| tokenization + the compact-frame epoch rewrite
+    val docsT = graft.io.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dCnt = docsT.count()
+    // empty/whitespace-only docs carry no postings — the index's nDocs
+    // counts token-bearing docs only
+    val dTok = docsT.filter(trim(col("text")) =!= "").count()
+    docsT.repartition(nChunks).write.parquet(s"$tmp/doc_landing")
+    val lrollSec = timed {
+      val q = graft.streaming.LexEpochStream.start(
+        spark.readStream.schema(docsT.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/doc_landing"),
+        s"$tmp/lex_epochs", s"$tmp/ckpt_lroll")
+      q.awaitTermination(600000L)
+    }
+    val (_, post) = graft.streaming.LexEpochStream.loadCurrent(spark,
+      s"$tmp/lex_epochs")
+      .getOrElse(sys.error("lex roll committed no epoch"))
+    val foldedDocs = post.nDocs
+    post.release()
+    require(foldedDocs == dTok,
+      s"lex roll folded $foldedDocs docs, staged $dTok token-bearing")
+
     println(
       f"""{"metric":"stream_events_per_sec","events":$total,"chunks":$nChunks,""" +
         f""""windowed":{"sec":$winSec%.2f,"rate":${total / winSec}%.0f},""" +
         f""""agg_sink":{"sec":$sinkSec%.2f,"rate":${total / sinkSec}%.0f},""" +
         f""""graph_roll":{"edges":$eCnt,"sec":$grollSec%.2f,"rate":${eCnt / grollSec}%.0f},""" +
-        f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f}}""")
+        f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f},""" +
+        f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f}}""")
     spark.stop()
   }
 }
