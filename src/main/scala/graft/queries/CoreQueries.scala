@@ -1988,6 +1988,43 @@ object CoreQueries {
       val (rows, histSchema) =
         try (hist.collect().toSeq, hist.schema) finally folded.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
+    },
+
+    // Degree assortativity of the co-purchase graph — Newman's degree
+    // correlation, computed as the Pearson coefficient over edge-endpoint
+    // degrees. The generator emits both directions, so the x/y marginals
+    // are IDENTICAL and r reduces to (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²) —
+    // no sqrt, and every Σ is an exact integer sum (order-free), so the
+    // only float work is the ONE terminal division (the t21 discipline).
+    // Scale shape: degrees read straight off the index's stored outdeg
+    // (dedup'd build, so outdeg = distinct-neighbor degree — no recount);
+    // the edge ⋈ degree joins shuffle on src/dst with AQE broadcasting
+    // the |V|-sized degree frame when it fits; one global 1-row aggregate.
+    // Long range: m·Σx² here is ~10¹⁵; a 10¹²-edge deployment moves these
+    // four sums to DECIMAL(38) — the formula is unchanged.
+    "q80_degree_assortativity" -> { (s, dir) =>
+      val hyb = copurchaseAdjacency(s, dir)
+      val deg = hyb.arrayAdj.select(col("src").as("node"), col("outdeg"))
+        .unionByName(hyb.hubDeg.select(col("src").as("node"), col("outdeg")))
+      val e = hyb.edges.select("src", "dst")
+      val j = e
+        .join(deg.select(col("node").as("src"), col("outdeg").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("outdeg").as("dy")), Seq("dst"))
+      val agg = j.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sum_d"),
+        sum(col("dx") * col("dy")).as("sum_dd"),
+        sum(col("dx") * col("dx")).as("sum_d2"))
+      val out = agg.select(col("m"), col("sum_d"), col("sum_dd"), col("sum_d2"),
+        when(col("m") * col("sum_d2") - col("sum_d") * col("sum_d") === 0L,
+          lit(0.0))
+          .otherwise(round(
+            (col("m").cast("double") * col("sum_dd") -
+              col("sum_d").cast("double") * col("sum_d")) /
+            (col("m").cast("double") * col("sum_d2") -
+              col("sum_d").cast("double") * col("sum_d")), 6))
+          .as("assortativity"))
+      val rows = out.collect().toSeq // 1 row; the index stays cached
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     }
   )
 
@@ -2361,6 +2398,35 @@ object CoreQueries {
     // (it never sees the standing/delta split), so hash equality certifies
     // the fold against the rebuild — the d13 certification pattern at the
     // graph layer.
+    // q80: full replay — pair-gen, distinct-neighbor degrees, exact
+    // integer sums, the same symmetric-marginal Pearson reduction and the
+    // single terminal double division (identical tree, so the round(…, 6)
+    // hash-matches).
+    "q80_degree_assortativity" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |  e AS MATERIALIZED (
+        |    SELECT DISTINCT CAST(a.p AS BIGINT) AS src,
+        |           CAST(b.p AS BIGINT) AS dst
+        |    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p),
+        |  deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |          FROM e GROUP BY src),
+        |  j AS (SELECT da.d AS dx, db.d AS dy FROM e
+        |        JOIN deg da ON da.node = e.src
+        |        JOIN deg db ON db.node = e.dst),
+        |  agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |            CAST(sum(dx) AS BIGINT) AS sum_d,
+        |            CAST(sum(dx * dy) AS BIGINT) AS sum_dd,
+        |            CAST(sum(dx * dx) AS BIGINT) AS sum_d2
+        |          FROM j)
+        |SELECT m, sum_d, sum_dd, sum_d2,
+        |  CASE WHEN m * sum_d2 - sum_d * sum_d = 0 THEN 0.0
+        |       ELSE round(
+        |         (CAST(m AS DOUBLE) * sum_dd - CAST(sum_d AS DOUBLE) * sum_d) /
+        |         (CAST(m AS DOUBLE) * sum_d2 - CAST(sum_d AS DOUBLE) * sum_d), 6)
+        |  END AS assortativity
+        |FROM agg""".stripMargin,
+
     "q79_incremental_adjacency" ->
       """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
