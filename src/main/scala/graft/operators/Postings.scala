@@ -74,7 +74,11 @@ object Postings {
                idCol: String = "doc_id", textCol: String = "text",
                broadcastRowLimit: Long = Adjacency.BroadcastRowLimit): Index = {
     val delta = build(deltaDocs, idCol, textCol)
-    val ids = delta.dl.select("doc_id")
+    // replaced ids come from the delta DOCS, not the delta postings: a
+    // re-ingested doc whose new text is empty carries no postings/dl row
+    // but must still RETRACT its standing postings (edit-to-empty is a
+    // delete)
+    val ids = deltaDocs.select(col(idCol).as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nIds = ids.count()
     val idsB = if (nIds <= broadcastRowLimit) broadcast(ids) else ids

@@ -1364,14 +1364,17 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val d = docs(s, dir)
-      val standing = graft.operators.Postings.build(
-        d.filter(pmod(col("doc_id"), lit(2)) === 0))
-      // foldDocs materializes the folded frames, so the standing index is
-      // releasable the moment it returns (the foldEdges ownership contract)
-      val folded =
+      // ONE failure sweep around build + fold (the q78 lesson): a throw
+      // mid-fold cannot strand the standing or delta frames
+      val folded = graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext) {
+        val standing = graft.operators.Postings.build(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0))
+        // foldDocs materializes the folded frames, so the standing index is
+        // releasable the moment it returns (the foldEdges ownership contract)
         try graft.operators.Postings.foldDocs(standing,
           d.filter(pmod(col("doc_id"), lit(2)) =!= 0))
         finally standing.release()
+      }
       try {
         val qterms = Bm25Queries.toDF("qid", "qtext")
           .select(col("qid"),

@@ -76,6 +76,19 @@ class PostingsSpec extends SparkSpec {
     } finally { f2.release(); expect2.release() }
   }
 
+  test("edit-to-empty retracts: re-ingesting a doc with empty text deletes " +
+       "its standing postings and stats") {
+    val s = Postings.build(docsDF(Seq((1L, "a b"), (2L, "b c c"), (3L, "c"))))
+    val f = Postings.foldDocs(s, docsDF(Seq((2L, ""), (4L, "d"))))
+    s.release()
+    val expect = Postings.build(docsDF(Seq((1L, "a b"), (3L, "c"), (4L, "d"))))
+    try {
+      assert((f.nDocs, f.sumDl) === (expect.nDocs, expect.sumDl))
+      assert(tfOf(f) === tfOf(expect))
+      assert(dlOf(f) === dlOf(expect))
+    } finally { f.release(); expect.release() }
+  }
+
   test("empty delta is the identity fold") {
     val rows = Seq((1L, "p q"), (2L, "q r r"))
     val s = Postings.build(docsDF(rows))
