@@ -534,10 +534,15 @@ object IndexStore {
       case root => orBuild(storePath(root, kind, sourcePath))
     }
 
+  /** `kind` names the CORPUS SLICE the signatures cover (one source table
+    * can carry several standing indexes — d06's even half, d13's 99%
+    * epoch) so their stores never collide under one root; the meta kind
+    * stays "signature" and params distinguish on load. */
   def signatureIndexFromConf(spark: SparkSession, sourcePath: String,
-                             params: Map[String, String] = Map.empty)
+                             params: Map[String, String] = Map.empty,
+                             kind: String = "signature")
                             (build: => Dedup.SignatureIndex): Dedup.SignatureIndex =
-    withStore(spark, "signature", sourcePath)(
+    withStore(spark, kind, sourcePath)(
       dir => signatureIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
 
   def ivfIndexFromConf(spark: SparkSession, sourcePath: String,

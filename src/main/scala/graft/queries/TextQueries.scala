@@ -88,14 +88,16 @@ object TextQueries {
     }
   }
 
-  // STANDING-corpus labels (even doc_ids — the settled side of the
-  // d06/d13 daily-ingest framing): CC over the standing corpus's own
-  // near-dup pairs, built once per corpus version (durable under
-  // spark.graft.indexDir like the full labels) so d13's per-epoch cost is
-  // the |Δ| fold alone. Cached in ccCache under a "#standing"-suffixed
-  // key — releaseClusterLabels covers both generations.
+  // STANDING-corpus labels for d13's daily-ingest framing: the standing
+  // epoch is 99% of the corpus (pmod 100 =!= 1 — the q79 split ratio, a
+  // realistic ingest slice; pmod so any id domain partitions) and d13's
+  // per-call cost is the 1% fold alone. CC over the standing corpus's
+  // own near-dup pairs, built once per corpus version (durable under
+  // spark.graft.indexDir like the full labels). Cached in ccCache under a
+  // "#standing99"-suffixed key — releaseClusterLabels covers both
+  // generations.
   private def standingClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val key = s"$dir#standing"
+    val key = s"$dir#standing99"
     graft.operators.IndexStats.lookup("standing_cluster",
       hit = ccCache.containsKey((s, key)))
     ccCache.computeIfAbsent((s, key), { _ =>
@@ -103,16 +105,13 @@ object TextQueries {
         s, s"$dir/documents.parquet",
         Map("pair_k" -> "128", "pair_bands" -> "32",
             "pair_shingle_width" -> "3", "pair_threshold" -> "0.8",
-            "corpus" -> "standing_even"),
-        kind = "standing_cluster")(buildStandingClusterLabels(s, dir))
+            "corpus" -> "standing_99"),
+        kind = "standing99_cluster")(buildStandingClusterLabels(s, dir))
     })
   }
 
   private def buildStandingClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    // pmod, not %: with Spark's signed modulo a negative odd id would fall
-    // in NEITHER the standing (===0) nor the batch (===1) frame — pmod
-    // makes the two filters a true partition of any id domain
-    val standing = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+    val standing = docs(s, dir).filter(pmod(col("doc_id"), lit(100)) =!= 1)
     val mp = Dedup.minhashExactPairsManaged(standing, "doc_id", "text",
       k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
     try {
@@ -122,6 +121,25 @@ object TextQueries {
       Components.releaseCheckpoint(lazyLabels)
       cp
     } finally mp.release()
+  }
+
+  // The standing epoch's SIGNATURE index (the 99% slice standing labels
+  // cover) — d13's delta probes it for delta-vs-standing pairs; same
+  // lifecycle as the d06 (even-half) index, stored under its own kind.
+  private def standing99SignatureIndex(s: SparkSession, dir: String): Dedup.SignatureIndex = {
+    val key = s"$dir#standing99"
+    graft.operators.IndexStats.lookup("signature",
+      hit = sigCache.containsKey((s, key)))
+    sigCache.computeIfAbsent((s, key), { _ =>
+      def build = Dedup.signatureBuild(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(100)) =!= 1),
+        "doc_id", "text", k = 128, bands = 32, shingleWidth = 3)
+      graft.operators.IndexStore.signatureIndexFromConf(
+        s, s"$dir/documents.parquet",
+        Map("k" -> "128", "bands" -> "32", "shingle_width" -> "3",
+            "corpus" -> "standing_99"),
+        kind = "signature99")(build)
+    })
   }
 
   /** Drop cached cluster labels of `s` and release their checkpoint
@@ -198,6 +216,10 @@ object TextQueries {
     val idx = corpusSignatureIndex(s, dir)
     idx.sigs.count()
     idx.buckets.count()
+    // d13's standing-epoch (99%) signature index — same prepare contract
+    val idx99 = standing99SignatureIndex(s, dir)
+    idx99.sigs.count()
+    idx99.buckets.count()
     ()
   }
 
@@ -406,9 +428,12 @@ object TextQueries {
     "d13_incremental_clusters" -> { (s, dir) =>
       val d = docs(s, dir)
       val labels0 = standingClusterLabels(s, dir)
+      // the delta is the 1% ingest slice (pmod 100 === 1, q79's ratio):
+      // the probe pays |Δ| signatures + the |Δ| fold — the standing 99%
+      // serves from its label/signature indexes
       val mp = Dedup.incrementalExactPairsIndexedManaged(
-        d.filter(pmod(col("doc_id"), lit(2)) === 1),
-        corpusSignatureIndex(s, dir), "doc_id", "text", threshold = 0.8)
+        d.filter(pmod(col("doc_id"), lit(100)) === 1),
+        standing99SignatureIndex(s, dir), "doc_id", "text", threshold = 0.8)
       val folded = try {
         val lazyFold = Components.foldEdges(labels0,
           mp.pairs.select(col("id_a"), col("id_b")))
