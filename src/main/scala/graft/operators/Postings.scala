@@ -61,6 +61,11 @@ object Postings {
   /** Fold a delta batch of documents into a standing index, REPLACEMENT
     * semantics: a delta doc_id already present replaces its standing
     * postings (re-ingested / edited documents), a new doc_id appends.
+    * Contract: doc_ids are unique WITHIN a batch — duplicate rows merge
+    * their token counts (exactly as [[build]] would merge them in a full
+    * rebuild, so fold ≡ rebuild still holds), which is concatenation, not
+    * last-writer-wins; callers needing LWW resolve the batch first (the
+    * [[Merge]] upsert pattern).
     *
     * Cost shape: the delta tokenizes and aggregates at |Δ| text; the
     * standing side pays one marker-join stats pass over `dl` (doc-grain,
