@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{Adjacency, Checkpoints}
+
+/** [[CopurchaseStream]] — rolling co-purchase graph from the raw line
+  * stream. Contracts: a pair whose two lines arrive in DIFFERENT batches
+  * still materializes (the drop a per-batch pair-gen silently commits),
+  * the rolled index converges bit-identically to the full-corpus build,
+  * and replays are idempotent end to end. */
+class CopurchaseStreamSpec extends SparkSpec {
+
+  private def edgesOf(h: Adjacency.Hybrid): Seq[(Long, Long)] =
+    h.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("cross-batch pairs materialize: an order split over two batches " +
+       "contributes the edge a per-batch pair-gen would drop") {
+    import sqlImplicits._
+    val linesDir = Files.createTempDirectory("cps_lines").toString
+    val root = Files.createTempDirectory("cps_idx").toString
+    // order 10: part 1 in batch 0, part 2 in batch 1 — the cross-batch pair
+    val b0 = Seq((10L, 1L), (20L, 5L), (20L, 6L)).toDF("l_orderkey", "l_partkey")
+    val b1 = Seq((10L, 2L), (30L, 7L)).toDF("l_orderkey", "l_partkey")
+    CopurchaseStream.foldBatch(b0, linesDir, root, batchId = 0L)
+    CopurchaseStream.foldBatch(b1, linesDir, root, batchId = 1L)
+    val (_, h) = GraphEpochStream.loadCurrent(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no epoch"))
+    try assert(edgesOf(h) === Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L)))
+    finally h.release()
+
+    // replay of batch 1 is a no-op end to end (lines overwrite, fold skip)
+    CopurchaseStream.foldBatch(b1, linesDir, root, batchId = 1L)
+    val (_, h2) = GraphEpochStream.loadCurrent(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no epoch after replay"))
+    try assert(edgesOf(h2) === Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L)))
+    finally h2.release()
+  }
+
+  test("streamed sf0.001 lineitem chunks converge to the full-corpus " +
+       "co-purchase build bit-identically") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val linesDir = Files.createTempDirectory("cps2_lines").toString
+    val root = Files.createTempDirectory("cps2_idx").toString
+    val landing = Files.createTempDirectory("cps2_in").toString
+    val ckpt = Files.createTempDirectory("cps2_ck").toString
+    // 3 row-sliced chunks: orders cross chunk boundaries by construction
+    li.withColumn("rn",
+        org.apache.spark.sql.functions.monotonically_increasing_id() % 3)
+      .write.partitionBy("rn").parquet(s"$landing/rows")
+    (0 to 2).foreach { i =>
+      spark.read.parquet(s"$landing/rows/rn=$i")
+        .coalesce(1).write.parquet(s"$landing/chunk$i")
+    }
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/chunk*")
+    val q = CopurchaseStream.start(stream, linesDir, root, ckpt)
+    q.awaitTermination(300000L)
+
+    val (_, rolled) = GraphEpochStream.loadCurrent(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no epoch"))
+    val full = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+      Adjacency.build(
+        graft.queries.CoreQueries.copurchasePairs(li), dedup = true))
+    try {
+      assert(edgesOf(rolled) === edgesOf(full))
+      assert((rolled.srcCount, rolled.hubCount) ===
+        (full.srcCount, full.hubCount))
+    } finally { rolled.release(); full.release() }
+  }
+}
