@@ -122,6 +122,30 @@ object StreamBench {
     require(foldedVecs == vCnt,
       s"vector roll folded $foldedVecs vectors, staged $vCnt")
 
+    // --- raw-line graph roll (fact-stream derivation path): the 1997
+    // order lines staged as nChunks drops; each batch derives its delta
+    // edges against the standing lines (cross-batch pairs included) and
+    // folds — the rate is per RAW LINE, the full ingest-to-index cost
+    val rawLines = graft.io.Tables.load(spark, sfDir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val rlCnt = rawLines.count()
+    rawLines.repartition(nChunks).write.parquet(s"$tmp/line_landing")
+    val crollSec = timed {
+      val q = graft.streaming.CopurchaseStream.start(
+        spark.readStream.schema(rawLines.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/line_landing"),
+        s"$tmp/cps_lines", s"$tmp/cps_epochs", s"$tmp/ckpt_croll")
+      q.awaitTermination(600000L)
+    }
+    val (_, cps) = graft.streaming.GraphEpochStream.loadCurrent(spark,
+      s"$tmp/cps_epochs", dedup = true,
+      graft.operators.Adjacency.DefaultHubLimit)
+      .getOrElse(sys.error("copurchase roll committed no epoch"))
+    val cpsEdges = try cps.edges.count() finally cps.release()
+    require(cpsEdges == eCnt,
+      s"raw-line roll derived $cpsEdges edges, batch pair-gen has $eCnt")
+
     // --- lexical epoch roll (postings maintenance path): the documents
     // table as nChunks drops; batch 0 bootstrap-builds, the rest fold —
     // the rate includes |Δ| tokenization + the compact-frame epoch rewrite
@@ -153,6 +177,7 @@ object StreamBench {
         f""""agg_sink":{"sec":$sinkSec%.2f,"rate":${total / sinkSec}%.0f},""" +
         f""""graph_roll":{"edges":$eCnt,"sec":$grollSec%.2f,"rate":${eCnt / grollSec}%.0f},""" +
         f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f},""" +
+        f""""line_graph_roll":{"lines":$rlCnt,"sec":$crollSec%.2f,"rate":${rlCnt / crollSec}%.0f},""" +
         f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f}}""")
     spark.stop()
   }
