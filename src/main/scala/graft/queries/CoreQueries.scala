@@ -2004,8 +2004,7 @@ object CoreQueries {
     // four sums to DECIMAL(38) — the formula is unchanged.
     "q80_degree_assortativity" -> { (s, dir) =>
       val hyb = copurchaseAdjacency(s, dir)
-      val deg = hyb.arrayAdj.select(col("src").as("node"), col("outdeg"))
-        .unionByName(hyb.hubDeg.select(col("src").as("node"), col("outdeg")))
+      val deg = hyb.outDegrees.select(col("src").as("node"), col("outdeg"))
       val e = hyb.edges.select("src", "dst")
       val j = e
         .join(deg.select(col("node").as("src"), col("outdeg").as("dx")), Seq("src"))

@@ -1342,11 +1342,15 @@ object TextQueries {
     // BM25 lexical retrieval over an inverted-postings shape — the
     // retriever leg v18's fusion abstracts as "rank_a". Okapi BM25 with
     // k1 = 1.2, b = 0.75, and the RATIONAL idf core
-    // (N - df + 0.5)/(df + 0.5) — BM25's idf without the log wrapper,
-    // which preserves the ordering log would give (log is monotone) while
-    // keeping every arithmetic step an IEEE +,-,*,/ that Spark and DuckDB
-    // round identically (the t21 no-libm discipline; log's last-ulp
-    // divergence across engines would break hash parity). Determinism
+    // (N - df + 0.5)/(df + 0.5) — BM25's idf without the log wrapper.
+    // Per TERM, log's monotonicity makes the two idfs order-identical;
+    // a multi-term SUM of rational-idf contributions, however, weights
+    // rare terms more steeply than summed log-idf would, so multi-term
+    // top-k deliberately diverges from log-idf Okapi ranking. That is
+    // the trade: every arithmetic step stays an IEEE +,-,*,/ that Spark
+    // and DuckDB round identically (the t21 no-libm discipline; log's
+    // last-ulp divergence across engines would break hash parity), at
+    // the price of a rare-term-heavier ranking variant. Determinism
     // under distributed summation: each per-term contribution is scaled
     // to a fixed-point LONG (floor(c·1e6)) before the per-(query, doc)
     // sum, so the aggregate is exact integer addition — order-free —

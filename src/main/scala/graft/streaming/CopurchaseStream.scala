@@ -17,50 +17,148 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * so a pair materializes exactly when its LATER line arrives. The
   * standing side prunes to the batch's TOUCHED ORDERS by a semi-join
-  * before any pair expansion — per-batch cost is |Δ|-proportional, never
-  * a standing×standing re-generation. Derived deltas feed
+  * before any pair expansion — pair-expansion cost is |Δ|-proportional,
+  * never a standing×standing re-generation. Derived deltas feed
   * [[GraphEpochStream.foldBatch]] (dedup = true absorbs the duplicate
   * edges replays and standing/delta overlaps produce), so the rolled
   * index converges to `Adjacency.build(copurchasePairs(all lines))`
   * bit-identically.
   *
+  * Standing-scan cost (honest accounting — r11 advice): the semi-join
+  * prunes pair EXPANSION to touched orders, but the standing lines still
+  * have to be SCANNED each batch. Two mechanisms bound that scan:
+  *
+  *  - '''Compaction''': once more than `compactEvery` committed
+  *    `batch=<id>` delta directories accumulate, they fold (together with
+  *    the previous segment) into ONE `segment=<maxId>` store — directory
+  *    count and small-file count stay O(compactEvery) for the life of the
+  *    stream instead of O(#batches).
+  *  - '''Bucket pruning''': the segment is hive-partitioned by
+  *    `ob = pmod(o, 64)`, and each batch reads only the partitions of its
+  *    own touched order-buckets (a bounded ≤64-value literal IN filter —
+  *    real `PartitionFilters` pruning, no optimizer coin-flip). A batch
+  *    touching few buckets scans that fraction of standing, not all of it.
+  *
+  * Per-batch cost is therefore |Δ| pair work + a scan of the touched
+  * slice of standing (worst case O(|standing|) when a batch touches every
+  * bucket) — not the unbounded listing+scan growth of the pre-compaction
+  * layout.
+  *
   * State: processed lines land under `linesDir/batch=<id>` (overwrite —
   * replay-idempotent); the standing read EXCLUDES the current batch id,
   * so a replayed batch derives the same delta it derived the first time.
+  * Compaction only ever folds ids STRICTLY BELOW the current batch
+  * (those are committed — foreachBatch is sequential), so a replayed
+  * batch's own lines are never baked into a segment it must exclude.
   * Crash matrix: lines written but epoch torn → the replay overwrites the
   * lines (same content) and re-folds; epoch committed but the checkpoint
   * not → the replay rewrites lines and [[GraphEpochStream.foldBatch]]
-  * skips the already-applied fold. Single-writer, like every epoch
-  * artifact. */
+  * skips the already-applied fold; crash mid-compaction → the torn
+  * `segment=` directory has no `_SUCCESS` marker, readers ignore it, and
+  * the replayed batch re-compacts over it (overwrite). A committed
+  * segment whose source batch dirs were not yet GC'd is also safe:
+  * readers use the newest committed segment plus only batch ids ABOVE it,
+  * so the not-yet-deleted dirs are never double-counted. Single-writer,
+  * like every epoch artifact. */
 object CopurchaseStream {
 
   private val LineSchema = StructType(Seq(
     StructField("o", LongType), StructField("p", LongType)))
 
-  private def batchDirs(spark: SparkSession, linesDir: String,
-                        excludeId: Long): Seq[String] = {
+  /** Order-bucket count for the segment's partition key — the unit of
+    * standing-scan pruning. */
+  private[streaming] val OrderBuckets = 64
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def childIds(spark: SparkSession, linesDir: String,
+                       prefix: String): Seq[Long] = {
     val root = new Path(linesDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, linesDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.flatMap { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("batch=") &&
-          scala.util.Try(n.stripPrefix("batch=").toLong)
-            .toOption.exists(_ != excludeId))
-        Some(st.getPath.toString)
+      if (st.isDirectory && n.startsWith(prefix))
+        scala.util.Try(n.stripPrefix(prefix).toLong).toOption
       else None
     }
   }
 
-  /** All lines of batches BEFORE (≠) `excludeId` — empty-schema frame at
-    * bootstrap. */
+  /** Newest COMMITTED segment id — commit marker is the `_SUCCESS` file
+    * Spark's job committer writes last, so a torn compaction is invisible. */
+  private def newestSegment(spark: SparkSession, linesDir: String): Option[Long] =
+    childIds(spark, linesDir, "segment=").filter { id =>
+      fsOf(spark, linesDir).exists(
+        new Path(s"$linesDir/segment=$id/_SUCCESS"))
+    }.sorted(Ordering[Long].reverse).headOption
+
+  /** Committed delta-batch ids above the newest segment (a dir ≤ the
+    * segment id is a GC leftover already folded in — never re-read). */
+  private def liveBatchIds(spark: SparkSession, linesDir: String,
+                           excludeId: Long): Seq[Long] = {
+    val floor = newestSegment(spark, linesDir).getOrElse(Long.MinValue)
+    childIds(spark, linesDir, "batch=")
+      .filter(id => id > floor && id != excludeId)
+  }
+
+  /** All standing lines of batches BEFORE (≠) `excludeId`: newest
+    * committed segment + live delta dirs. `touchedBuckets` (None = all)
+    * prunes the segment scan to the listed `ob` partitions. Empty-schema
+    * frame at bootstrap. */
   private def standingLines(spark: SparkSession, linesDir: String,
-                            excludeId: Long): DataFrame = {
-    val dirs = batchDirs(spark, linesDir, excludeId)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LineSchema)
-    else spark.read.schema(LineSchema).parquet(dirs: _*)
+                            excludeId: Long,
+                            touchedBuckets: Option[Seq[Long]]): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LineSchema)
+    val seg = newestSegment(spark, linesDir).map { id =>
+      val s = spark.read.parquet(s"$linesDir/segment=$id")
+      touchedBuckets.fold(s)(bs => s.filter(col("ob").isin(bs: _*)))
+        .select("o", "p")
+    }.getOrElse(empty)
+    val dirs = liveBatchIds(spark, linesDir, excludeId)
+      .map(id => s"$linesDir/batch=$id")
+    val deltas =
+      if (dirs.isEmpty) empty
+      else spark.read.schema(LineSchema).parquet(dirs: _*)
+    seg.unionByName(deltas)
+  }
+
+  /** Fold every committed delta dir strictly below `batchId` (plus the
+    * previous segment) into one `segment=<maxFoldedId>` store,
+    * partitioned by order bucket, then GC the folded sources. Idempotent:
+    * a replayed batch that crashed mid-compaction simply overwrites the
+    * torn segment with identical content. No-op when fewer than
+    * `threshold` live delta dirs exist. */
+  private[streaming] def maybeCompact(spark: SparkSession, linesDir: String,
+                                      batchId: Long, threshold: Int): Unit = {
+    val ids = liveBatchIds(spark, linesDir, excludeId = batchId)
+      .filter(_ < batchId)
+    if (ids.size < threshold) return
+    val newSegId = ids.max
+    // read EXACTLY the folded set (previous segment + the ids ≤ newSegId)
+    // so the new segment's id is a true floor for its contents
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LineSchema)
+    val prevSeg = newestSegment(spark, linesDir).map(id =>
+      spark.read.parquet(s"$linesDir/segment=$id").select("o", "p"))
+      .getOrElse(empty)
+    val all = prevSeg.unionByName(
+      spark.read.schema(LineSchema)
+        .parquet(ids.map(id => s"$linesDir/batch=$id"): _*))
+    all.withColumn("ob", pmod(col("o"), lit(OrderBuckets.toLong)))
+      .repartition(col("ob")) // ≤1 file per bucket, not #sources × buckets
+      .write.mode("overwrite").partitionBy("ob")
+      .parquet(s"$linesDir/segment=$newSegId")
+    // GC folded sources + superseded/torn segments; pure garbage collection
+    // (readers already ignore ids ≤ the newest committed segment)
+    val fs = fsOf(spark, linesDir)
+    childIds(spark, linesDir, "batch=").filter(_ <= newSegId).foreach { id =>
+      fs.delete(new Path(s"$linesDir/batch=$id"), true); ()
+    }
+    childIds(spark, linesDir, "segment=").filter(_ != newSegId).foreach { id =>
+      fs.delete(new Path(s"$linesDir/segment=$id"), true); ()
+    }
   }
 
   /** The delta co-purchase edges one batch of `(l_orderkey, l_partkey)`
@@ -81,21 +179,32 @@ object CopurchaseStream {
       .unionByName(bb.select(col("a.p").as("src"), col("x.p").as("dst")))
   }
 
-  /** Process ONE batch: derive the delta edges against the standing
-    * lines, record the batch's lines (overwrite — idempotent), fold the
-    * delta into the newest graph epoch. Pure batch logic — unit-testable
-    * without a stream. */
+  /** Process ONE batch: compact committed prior deltas when due, derive
+    * the delta edges against the (bucket-pruned) standing lines, record
+    * the batch's lines (overwrite — idempotent), fold the delta into the
+    * newest graph epoch. Pure batch logic — unit-testable without a
+    * stream. */
   def foldBatch(batch: DataFrame, linesDir: String, indexRoot: String,
-                batchId: Long, keepEpochs: Int = 2): Unit = {
+                batchId: Long, keepEpochs: Int = 2,
+                compactEvery: Int = 32): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // compaction first, over ids < batchId only: state it folds is
+    // committed, and a replay of THIS batch re-runs it idempotently
+    maybeCompact(spark, linesDir, batchId, compactEvery)
     // standing must be read under the PREVIOUS batches' view (exclude a
     // crashed attempt's own lines) BEFORE this batch's lines land; the
     // write then happens before the fold so a torn fold replays over
     // complete state
     val lines = batch.select(col("l_orderkey").cast("long").as("o"),
       col("l_partkey").cast("long").as("p")).distinct()
-    val edges = deltaEdges(batch, standingLines(spark, linesDir, batchId))
+    // touched order-buckets of THIS delta: a bounded (≤ OrderBuckets)
+    // driver list that becomes the segment scan's partition filter
+    val buckets = lines.select(
+        pmod(col("o"), lit(OrderBuckets.toLong)).as("ob"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val edges = deltaEdges(batch,
+        standingLines(spark, linesDir, batchId, Some(buckets)))
       .persist()
     try {
       edges.count() // pin the delta BEFORE the lines write changes state
@@ -110,12 +219,14 @@ object CopurchaseStream {
     * `indexRoot`. */
   def start(lines: DataFrame, linesDir: String, indexRoot: String,
             checkpointDir: String, keepEpochs: Int = 2,
+            compactEvery: Int = 32,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, linesDir, indexRoot, batchId, keepEpochs)
+        foldBatch(batch, linesDir, indexRoot, batchId, keepEpochs,
+          compactEvery)
       }
       .start()
 }

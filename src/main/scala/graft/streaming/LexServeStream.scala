@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -31,10 +31,16 @@ object LexServeStream {
   /** Answer ONE batch of `(qid LONG, qtext STRING)` queries against the
     * newest committed epoch under `indexRoot`: per-query BM25 top-k,
     * t37's exact arithmetic. Returns `(epochId, answers)` where answers
-    * is a LOCAL (collected) frame `(qid, rank, doc_id, score_scaled,
-    * n_terms)` — materialized before the epoch's frames are released, so
-    * the caller holds no reference into a prunable epoch. Pure batch
-    * logic — unit-testable without a stream. */
+    * `(qid, rank, doc_id, score_scaled, n_terms)` is EAGERLY
+    * locally-checkpointed — blocks computed executor-side before the
+    * epoch's frames are released, so the result outlives the epoch (and
+    * retention pruning its directory) without ever round-tripping the
+    * driver. This is the serving hot path: the earlier collect+
+    * parallelize shape shipped k×|batch| rows through the driver every
+    * micro-batch (r11 verdict). The caller owns the checkpoint blocks —
+    * release with [[graft.operators.Checkpoints.release]] once written
+    * (the streaming sink below does). Pure batch logic — unit-testable
+    * without a stream. */
   def answerBatch(queries: DataFrame, indexRoot: String, k: Int = 5)
       : (Long, DataFrame) = {
     val spark = queries.sparkSession
@@ -56,9 +62,7 @@ object LexServeStream {
             .orderBy(col("score_scaled").desc, col("doc_id"))))
         .select(col("qid"), col("rank"), col("doc_id"),
           col("score_scaled"), col("n_terms"))
-      val rows: Seq[Row] = out.collect().toSeq
-      (epochId,
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema))
+      (epochId, out.localCheckpoint()) // eager — computed before release
     } finally idx.release()
   }
 
@@ -74,10 +78,12 @@ object LexServeStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (epochId, answers) = answerBatch(batch, indexRoot, k)
-        answers
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("epoch_id", lit(epochId))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        try
+          answers
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("epoch_id", lit(epochId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        finally graft.operators.Checkpoints.release(answers)
       }
       .start()
 }

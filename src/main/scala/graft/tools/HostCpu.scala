@@ -66,16 +66,33 @@ object HostCpu {
     * while queries in between ran 4× slow); the timeline catches them at
     * ~1.7% of one core. `minIn(t0, t1)` answers "what was the worst
     * delivered capacity while THIS query ran" — the per-query field that
-    * lets a slow timing indict the box with evidence. */
+    * lets a slow timing indict the box with evidence.
+    *
+    * Scores are normalized by the sampler thread's DELIVERED CPU time
+    * (ThreadMXBean), not the wall window: on a 32-thread bench saturating
+    * 32 cores, the sampler competes with the workload it instruments and
+    * a raw wall-window count reads 0 whenever the scheduler starves the
+    * sampler's slice — which is exactly when the bench is busiest
+    * (BENCH_r11 shipped `cpu_spin_sampled_min: 0`, and the instrument was
+    * declared dark). iterations-per-delivered-cpu-ms is invariant to that
+    * self-contention (both numerator and denominator shrink together) but
+    * still falls with host frequency scaling / throttling — the effect
+    * this sampler exists to catch; guest-visible steal is the per-query
+    * steal%'s job. A window where the thread got zero cycles records no
+    * sample and bumps `starved` instead of recording a lying 0. */
   final class Sampler(periodMs: Long) {
     private val samples =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    private val starvedCount = new java.util.concurrent.atomic.AtomicLong()
     @volatile private var running = true
     private val t = new Thread(() => {
-      spinOnce(50, 1) // JIT warm
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      spinCpuNormalized(mx, 50) // JIT warm
       while (running) {
         val now = System.nanoTime()
-        samples.add((now, spinOnce(50, 1)))
+        val score = spinCpuNormalized(mx, 50)
+        if (score > 0L) samples.add((now, score))
+        else starvedCount.incrementAndGet()
         Thread.sleep(periodMs)
       }
     })
@@ -100,10 +117,38 @@ object HostCpu {
       b.result()
     }
 
+    /** Windows where the sampler thread received zero CPU (no sample
+      * recorded) — a high count alongside clean scores means the box was
+      * fast whenever measurable but the sampler was often squeezed out. */
+    def starved(): Long = starvedCount.get()
+
     def stop(): Unit = { running = false }
   }
 
   def sampler(periodMs: Long = 3000): Sampler = new Sampler(periodMs)
+
+  /** One 50 ms-budget single-thread spin, scored as iterations per 50 ms
+    * of CPU time the thread actually received (millions) — ≈ the raw
+    * 50 ms score when undisturbed, and unchanged under scheduler
+    * starvation. 0 only when the thread got no measurable cycles. */
+  private def spinCpuNormalized(
+      mx: java.lang.management.ThreadMXBean, ms: Long): Long = {
+    val cpu0 = mx.getCurrentThreadCpuTime
+    var x = 0x9e3779b97f4a7c15L
+    var n = 0L
+    val deadline = System.nanoTime() + ms * 1000000L
+    while (System.nanoTime() < deadline) {
+      var k = 0
+      while (k < 4096) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        k += 1
+      }
+      n += 4096
+    }
+    val cpuNs = mx.getCurrentThreadCpuTime - cpu0
+    if (x == 0L || n == 0L || cpuNs <= 0L) 0L // x check keeps the loop live
+    else math.round(n.toDouble * (ms * 1e6) / cpuNs / 1e6)
+  }
 
   private def spinOnce(ms: Long, threads: Int): Long = {
     val total = new java.util.concurrent.atomic.AtomicLong()

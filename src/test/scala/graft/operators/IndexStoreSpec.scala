@@ -294,10 +294,15 @@ class IndexStoreSpec extends SparkSpec {
           java.util.Arrays.asList(d1.collect(): _*)), d1.schema)
       val folded = Postings.foldDocs(loaded, d1s2)
       loaded.release()
-      IndexStore.savePostingsIndex(s2, folded, store, "epoch2")
+      // fresh directory for the folded epoch (LexEpochStream's epoch=<id>
+      // convention): folded's frames are persisted-but-not-checkpointed,
+      // so their lineage still reads `store` — an in-place overwrite
+      // would recompute from the path being clobbered on cache eviction
+      val store2 = tmp("poststore_epoch2")
+      IndexStore.savePostingsIndex(s2, folded, store2, "epoch2")
       folded.release()
       val (v2Opt, jobs2) = jobsDuring {
-        IndexStore.loadPostingsIndex(s2, store, Some("epoch2"))
+        IndexStore.loadPostingsIndex(s2, store2, Some("epoch2"))
       }
       assert(jobs2 == 0)
       val v2 = v2Opt.getOrElse(fail("v2 did not load"))

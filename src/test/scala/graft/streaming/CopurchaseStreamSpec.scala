@@ -39,6 +39,54 @@ class CopurchaseStreamSpec extends SparkSpec {
     finally h2.release()
   }
 
+  test("32 micro-batches with compaction: bit-identical convergence, " +
+       "bounded directory count, torn segment ignored, replay idempotent") {
+    import sqlImplicits._
+    val linesDir = Files.createTempDirectory("cps3_lines").toString
+    val root = Files.createTempDirectory("cps3_idx").toString
+    // 16 orders, one line per batch, each order revisited 16 batches
+    // later — every pair is a cross-batch pair, and by batch 31 the
+    // lines that complete them live in the COMPACTED segment, not a
+    // batch dir (compactEvery = 4 forces many compactions)
+    val allLines = (0 until 32).map(i => (i % 16 + 1L, 100L + i))
+    allLines.zipWithIndex.foreach { case ((o, p), i) =>
+      CopurchaseStream.foldBatch(Seq((o, p)).toDF("l_orderkey", "l_partkey"),
+        linesDir, root, batchId = i.toLong, compactEvery = 4)
+    }
+
+    def dirNames() = new java.io.File(linesDir).listFiles.toSeq
+      .map(_.getName).filter(n => n.startsWith("batch=") || n.startsWith("segment="))
+    val batches0 = dirNames().count(_.startsWith("batch="))
+    assert(batches0 <= 5,
+      s"delta-dir count must stay O(compactEvery), got $batches0: ${dirNames()}")
+    assert(dirNames().count(_.startsWith("segment=")) === 1)
+
+    val full = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+      Adjacency.build(graft.queries.CoreQueries.copurchasePairs(
+        allLines.toDF("l_orderkey", "l_partkey")), dedup = true))
+    val (_, rolled) = GraphEpochStream.loadCurrent(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no epoch"))
+    try assert(edgesOf(rolled) === edgesOf(full))
+    finally rolled.release()
+
+    // torn compaction: a segment dir without _SUCCESS must be invisible
+    val torn = new java.io.File(s"$linesDir/segment=9999")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // replay of the last batch AFTER compaction: standing is served from
+    // the segment + live deltas, the torn segment is skipped, and the
+    // fold is a no-op end to end
+    val (o31, p31) = allLines(31)
+    CopurchaseStream.foldBatch(
+      Seq((o31, p31)).toDF("l_orderkey", "l_partkey"),
+      linesDir, root, batchId = 31L, compactEvery = 4)
+    val (_, replayed) = GraphEpochStream.loadCurrent(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no epoch after replay"))
+    try assert(edgesOf(replayed) === edgesOf(full))
+    finally { replayed.release(); full.release() }
+  }
+
   test("streamed sf0.001 lineitem chunks converge to the full-corpus " +
        "co-purchase build bit-identically") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

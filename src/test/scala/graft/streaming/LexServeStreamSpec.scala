@@ -45,6 +45,34 @@ class LexServeStreamSpec extends SparkSpec {
       "epoch 1: the replaced doc 1 no longer matches; doc 2 is the only hit")
   }
 
+  test("answers outlive the answering epoch: readable after the epoch's " +
+       "frames are released AND after retention prunes its directory") {
+    val root = Files.createTempDirectory("lss3_idx").toString
+    val queries = Seq((10L, "alpha beta")).toDF("qid", "qtext")
+    LexEpochStream.foldBatch(Seq((1L, "alpha beta gamma"),
+      (2L, "alpha delta")).toDF("doc_id", "text"), root, batchId = 0L)
+
+    // answerBatch releases the epoch's frames in its own finally — the
+    // returned frame must already be independent of them
+    val (ep0, ans0) = LexServeStream.answerBatch(queries, root)
+    assert(ep0 === 0L)
+
+    // roll two more epochs: retention (keepEpochs=2) deletes epoch 0's
+    // directory — the files that produced ans0 are GONE from disk
+    LexEpochStream.foldBatch(Seq((3L, "zeta")).toDF("doc_id", "text"),
+      root, batchId = 1L)
+    LexEpochStream.foldBatch(Seq((4L, "eta")).toDF("doc_id", "text"),
+      root, batchId = 2L)
+    assert(!new java.io.File(EpochDirs.dir(root, 0L)).exists(),
+      "precondition: retention pruned the answering epoch's directory")
+
+    val got = ans0.collect().sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, 1L), (2, 2L)),
+      "answers computed under epoch 0 stay readable after its prune")
+    graft.operators.Checkpoints.release(ans0) // caller-owned blocks
+  }
+
   test("streaming wrapper: per-batch answer directories stamped with the " +
        "answering epoch") {
     val root = Files.createTempDirectory("lss2_idx").toString
