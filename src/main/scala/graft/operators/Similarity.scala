@@ -536,6 +536,87 @@ object Similarity {
       "adc", k)
   }
 
+  /** Encode a fresh batch under the STANDING codebooks — PQ's insertion
+    * half, [[ivfAppend]]'s twin (r11 verdict: the PQ index was
+    * build-once-only while IVF had append + drift + a streaming roll).
+    * One map-only pass per subspace (argmax over k codegen'd dots with
+    * the codebook as a literal — the same kernel [[pqBuild]] encodes
+    * with), NO training: at 100 TB a codebook retrain is a maintenance
+    * window, not an ingest step. Appended codes are immediately
+    * searchable by [[pqTopK]]. The returned index owns its base:
+    * `release()` frees the appended codes and then the base's. Chain
+    * appends freely — each layer unions one more persisted batch.
+    * Encode-under-standing is deterministic, so append ≡ rebuild
+    * assignment EXACTLY while the codebooks still fit the data; when the
+    * corpus drifts, [[pqDriftAudit]] is the retrain trigger. */
+  def pqAppend(index: PqIndex, batch: DataFrame, nid: String, nvec: String,
+               persist: Boolean = true): PqIndex = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    val coded = encodeUnderCodebooks(index, batch, nid, nvec)
+    val appended =
+      if (persist) coded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else coded
+    index.copy(encoded = index.encoded.unionByName(appended),
+      release = () => { if (persist) { appended.unpersist(); () }; index.release() })
+  }
+
+  /** One map-only encode of `batch` under `index`'s codebooks:
+    * `(nid, code_0..code_{m-1})`, the exact arithmetic of [[pqBuild]]'s
+    * corpus encode (per-subspace argmax, (score DESC, cell DESC)
+    * tie-break). */
+  private def encodeUnderCodebooks(index: PqIndex, batch: DataFrame,
+                                   nid: String, nvec: String): DataFrame =
+    (0 until index.m).foldLeft(
+      batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))) {
+      (a, ms) =>
+        a.withColumn(s"code_$ms",
+          nearestCell(slice(col("nv"), ms * index.subDim + 1, index.subDim),
+            index.codebooks(ms)))
+    }.drop("nv")
+
+  /** Codebook-drift audit — [[driftAudit]]'s PQ twin and the RETRAIN
+    * TRIGGER [[pqAppend]]'s contract promises: stale codebooks silently
+    * degrade ADC recall as the corpus drifts, and nothing else measures
+    * that. A fresh batch is encoded under the EXISTING codebooks (one
+    * map pass, no training) and each (subspace, code) compares its share
+    * of the batch against its share of the standing index with the same
+    * integer cross-multiplication verdict as the IVF audit
+    * (2·|n_new·N_idx − n_idx·N_new| > n_idx·N_new) — no float
+    * thresholds, so the verdicts replay exactly in a SQL oracle. A
+    * maintenance job retrains (full [[pqBuild]] over standing ∪ batch)
+    * when drifted codes pass a count threshold. */
+  def pqDriftAudit(index: PqIndex, batch: DataFrame,
+                   nid: String, nvec: String): DataFrame = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    val coded = encodeUnderCodebooks(index, batch, nid, nvec)
+    def melt(df: DataFrame): DataFrame =
+      (0 until index.m).map(ms => df.select(lit(ms).as("subspace"),
+          col(s"code_$ms").cast("long").as("code")))
+        .reduce(_ unionByName _)
+    val idx = melt(index.encoded).groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_idx"))
+    val bat = melt(coded).groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_new"))
+    val tot = index.encoded.agg(count(lit(1)).as("n_tot"))
+    val btot = batch.agg(count(lit(1)).as("n_btot"))
+    // FULL join for the same reason as driftAudit's: batch mass in a code
+    // the standing index never emitted is the strongest drift signal
+    idx.join(bat, Seq("subspace", "code"), "full")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("subspace"), col("code"),
+        coalesce(col("n_idx"), lit(0L)).as("n_idx"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        call_function("div", coalesce(col("n_idx"), lit(0L)) * 1000,
+          greatest(col("n_tot"), lit(1L))).as("idx_share_pm"),
+        call_function("div", coalesce(col("n_new"), lit(0L)) * 1000,
+          greatest(col("n_btot"), lit(1L))).as("new_share_pm"),
+        (lit(2) * abs(coalesce(col("n_new"), lit(0L)) * col("n_tot") -
+          coalesce(col("n_idx"), lit(0L)) * col("n_btot")) >
+          coalesce(col("n_idx"), lit(0L)) * col("n_btot"))
+          .as("drifted"))
+      .orderBy("subspace", "code")
+  }
+
   /** Exact cosine re-rank of per-query candidate pairs — the refinement
     * stage after a quantized (PQ/IVF/LSH) candidate pass: `cands` is a
     * (qid, nid) frame, tiny relative to the corpus, so it BROADCASTS onto

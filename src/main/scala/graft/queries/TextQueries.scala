@@ -1420,6 +1420,54 @@ object TextQueries {
         val rows = out.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
       } finally folded.release()
+    },
+
+    // Retrieval-quality audit of the FOLD-SERVED index — v09's pattern at
+    // the lexical layer (r11 verdict ask): recall@5 of the t38 path
+    // (standing build + |Δ| fold) against the t37 scratch ranking,
+    // matched on (rank, doc_id, score) — rank-exact serving, not just
+    // doc overlap. The oracle replays the from-scratch ranking for BOTH
+    // legs, so hash equality certifies the fold-served leg equals a
+    // DuckDB full rebuild, with the integer n_hits verdict carried in
+    // the row (a fold divergence shows up as n_hits < k AND a hash
+    // mismatch — belt and suspenders).
+    "t39_bm25_fold_recall" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val d = docs(s, dir)
+      val qterms = Bm25Queries.toDF("qid", "qtext")
+        .select(col("qid"),
+          explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      def top5(agg: org.apache.spark.sql.DataFrame) =
+        graft.plans.TopK.perKey(agg, Seq("qid"),
+            Seq("score_scaled" -> false, "doc_id" -> true), 5)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score_scaled").desc, col("doc_id"))))
+          .select(col("qid"), col("rank"), col("doc_id"), col("score_scaled"))
+      val folded = graft.operators.Checkpoints.sweepingOnFailure(s.sparkContext) {
+        val standing = graft.operators.Postings.build(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0))
+        try graft.operators.Postings.foldDocs(standing,
+          d.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+        finally standing.release()
+      }
+      try {
+        val served = top5(bm25ScoresOverIndex(folded, qterms, excludeSelf = false))
+        val scratch = top5(bm25Scores(s, dir, qterms, excludeSelf = false))
+        val out = scratch.as("b").join(served.as("a"),
+            col("a.qid") === col("b.qid") && col("a.rank") === col("b.rank") &&
+              col("a.doc_id") === col("b.doc_id") &&
+              col("a.score_scaled") === col("b.score_scaled"), "left")
+          .groupBy(col("b.qid").as("qid"))
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("a.doc_id").isNull, 0L).otherwise(1L)).as("n_hits"))
+          .select(col("qid"), col("k"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+          .orderBy("qid")
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally folded.release()
     }
   )
 
@@ -1515,10 +1563,37 @@ object TextQueries {
     (4L, "customer order line"))
 
   /** Full-corpus-rebuild BM25 replay of the [[Bm25Queries]] workload —
-    * the shared oracle of t37 (direct) and t38 (engine serves the same
+    * the shared oracle of t37 (direct), t38 (engine serves the same
     * workload from an incrementally FOLDED postings index, so hash
-    * equality certifies fold ≡ rebuild). */
-  private lazy val bm25WorkloadOracle: String = {
+    * equality certifies fold ≡ rebuild) and t39 (the same certification
+    * carried as a per-query integer recall verdict). [[bm25WorkloadCtes]]
+    * is the chain up to the ranked `r`; the two tails differ. */
+  private lazy val bm25WorkloadOracle: String =
+    s"""$bm25WorkloadCtes
+      |SELECT qid, rank, doc_id, score_scaled, n_terms
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** t39's tail: the scratch top-5 self-joined on every ranked field —
+    * the oracle's two legs are both the rebuild, so its n_hits is k by
+    * construction; the ENGINE's fold-served leg has to match it through
+    * the hash compare. */
+  private lazy val bm25FoldRecallOracle: String =
+    s"""$bm25WorkloadCtes,
+      |  top5 AS (SELECT qid, rank, doc_id, score_scaled FROM r
+      |           WHERE rank <= 5)
+      |SELECT b.qid, count(*) AS k,
+      |  CAST(sum(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_hits,
+      |  round(sum(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END)
+      |          / CAST(count(*) AS DOUBLE), 4) AS recall
+      |FROM top5 b LEFT JOIN top5 a
+      |  ON a.qid = b.qid AND a.rank = b.rank AND a.doc_id = b.doc_id
+      |     AND a.score_scaled = b.score_scaled
+      |GROUP BY b.qid
+      |ORDER BY b.qid""".stripMargin
+
+  private lazy val bm25WorkloadCtes: String = {
     val vals = Bm25Queries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1549,10 +1624,7 @@ object TextQueries {
       |  r AS (SELECT *, row_number() OVER
       |          (PARTITION BY qid ORDER BY score_scaled DESC, doc_id)
       |          AS rank
-      |        FROM agg)
-      |SELECT qid, rank, doc_id, score_scaled, n_terms
-      |FROM r WHERE rank <= 5
-      |ORDER BY qid, rank""".stripMargin
+      |        FROM agg)""".stripMargin
   }
 
   /** Count-min sketch geometry: d=4 pairwise-independent row hashes over
@@ -2190,6 +2262,7 @@ object TextQueries {
     // half of the corpus, so hash equality IS the fold ≡ rebuild
     // certificate (the d13/q79 pattern at the lexical layer).
     "t38_incremental_bm25" -> bm25WorkloadOracle,
+    "t39_bm25_fold_recall" -> bm25FoldRecallOracle,
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then

@@ -61,6 +61,23 @@ object VectorQueries {
     })
   }
 
+  // Appended-PQ cache (v24): codebooks trained on ⅞ of the corpus
+  // (vec_id % 8 <> 0) with the remaining ⅛ pqAppend-ed under the standing
+  // codebooks — PQ's index-maintenance path, the v12 shape. Same
+  // lifecycle as the IVF-append cache above.
+  private val pqAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqIndex]()
+  private def appendedPqFor(s: SparkSession, dir: String): Similarity.PqIndex = {
+    graft.operators.IndexStats.lookup("pqAppend", hit = pqAppendCache.containsKey((s, dir)))
+    pqAppendCache.computeIfAbsent((s, dir), { _ =>
+      val e = emb(s, dir)
+      val base = Similarity.pqBuild(e.filter(col("vec_id") % 8 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 4)
+      Similarity.pqAppend(base, e.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding")
+    })
+  }
+
   /** Drop (and unpersist) every cached index of `s` — session teardown
     * hygiene for JVMs that run many sessions. */
   def releaseIvfIndexes(s: SparkSession): Unit = {
@@ -88,6 +105,14 @@ object VectorQueries {
         at.remove()
       }
     }
+    val pa = pqAppendCache.entrySet().iterator()
+    while (pa.hasNext) {
+      val e = pa.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release() catch { case _: Exception => () }
+        pa.remove()
+      }
+    }
   }
 
   /** Build AND materialize the vector indexes for (session, dir) — the
@@ -99,6 +124,7 @@ object VectorQueries {
     ivfIndexFor(s, dir).assigned.count()
     pqIndexFor(s, dir).encoded.count()
     appendedIndexFor(s, dir).assigned.count()
+    appendedPqFor(s, dir).encoded.count()
     ()
   }
 
@@ -600,6 +626,57 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("nid"),
           round(col("score"), 4).as("ip8"))
         .orderBy("qid", "rank")
+    },
+
+    // SQ8 retrieval-quality audit — v09's pattern applied to the
+    // quantized tier (r11 verdict: Sq8Spec pinned recall in-JVM only;
+    // this is the measured fact as an oracle row): recall@5 of v22's
+    // int8-code ranking against v10's exact MIPS, per query. Integer
+    // n_hits verdicts; the only float is the one terminal division.
+    "v26_sq8_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.mipsTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val sq8 = Similarity.sq8TopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(sq8, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("qid"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+        .orderBy("qid")
+    },
+
+    // PQ index maintenance — v12's shape for the quantized tier:
+    // codebooks train on ⅞ of the corpus, the held-out ⅛ is pqAppend-ed
+    // (encoded under the STANDING codebooks, one map pass, no retrain).
+    // Output = the appended batch's codes, the encode-under-standing
+    // replay: each code is an integer the oracle re-derives by replaying
+    // the 4 subspace trainings on the ⅞ subset and assigning the ⅛ under
+    // the trained codebooks.
+    "v24_pq_append" -> { (s, dir) =>
+      appendedPqFor(s, dir).encoded
+        .filter(col("nid") % 8 === 0)
+        .select(col("nid").cast("long").as("vec_id"),
+          col("code_0").cast("long").as("code_0"),
+          col("code_1").cast("long").as("code_1"),
+          col("code_2").cast("long").as("code_2"),
+          col("code_3").cast("long").as("code_3"))
+        .orderBy("vec_id")
+    },
+
+    // PQ codebook-drift audit — v19's shape for the quantized tier and
+    // pqAppend's retrain trigger: the label-3 slice (the planted
+    // single-domain shift) is encoded under the session PQ index's
+    // standing codebooks and each (subspace, code) compares batch share
+    // vs index share with the integer cross-multiplication verdict.
+    "v25_pq_drift" -> { (s, dir) =>
+      Similarity.pqDriftAudit(pqIndexFor(s, dir),
+        emb(s, dir).filter(col("label") === 3), "vec_id", "embedding")
     }
   )
 
@@ -1029,6 +1106,87 @@ object VectorQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB twin of v24 — replays the 4 subspace trainings on the ⅞ base
+    * (`e` restricted to vec_id % 8 <> 0), then assigns the held-out ⅛
+    * batch to each trained `m{ms}centl` codebook with the SAME score
+    * arithmetic and (sc DESC, c DESC) argmax the engine's
+    * encode-under-codebooks pass uses — the hash-exact
+    * encode-under-standing replay. */
+  private def v24Oracle(m: Int = 4, k: Int = 8, iters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64): String = {
+    val subDim = dim / m
+    val blocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, iters,
+        trainSample, subDim)
+    }.mkString(",\n  ")
+    val codeCtes = (0 until m).map { ms =>
+      val lo = ms * subDim
+      s"""b$ms AS (SELECT vec_id, c AS code FROM (
+         |         SELECT b.vec_id, l.c, row_number() OVER (
+         |           PARTITION BY b.vec_id ORDER BY
+         |             (list_inner_product(b.v[${lo + 1}:${lo + subDim}], l.cf)
+         |               - list_inner_product(l.cd, l.cd) / 2) DESC, l.c DESC) AS rn
+         |         FROM eb b CROSS JOIN m${ms}centl$iters l) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n  ")
+    val codeCols = (0 until m).map(ms => s"b$ms.code AS code_$ms").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(ms => s"JOIN b$ms ON b$ms.vec_id = b0.vec_id").mkString("\n     ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id % 8 <> 0),
+       |  eb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE vec_id % 8 = 0),
+       |  $blocks,
+       |  $codeCtes
+       |SELECT b0.vec_id, $codeCols
+       |FROM b0 $codeJoins
+       |ORDER BY b0.vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of v25 — v08's full-corpus PQ training replay, with the
+    * per-subspace code assignments melted to (subspace, code, nid) rows;
+    * the label-3 batch's codes come from joining the replayed corpus
+    * assignment back on nid (sound for the same reason v19's oracle
+    * reuses `corpus`: assignment under fixed codebooks is deterministic),
+    * then the v19 integer share math per (subspace, code). */
+  private def v25Oracle(m: Int = 4, k: Int = 8, iters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64): String = {
+    val subDim = dim / m
+    val blocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, iters,
+        trainSample, subDim)
+    }.mkString(",\n  ")
+    val melt = (0 until m).map(ms =>
+      s"SELECT $ms AS subspace, m$ms.cell AS code, m$ms.nid AS nid " +
+        s"FROM m${ms}corpus m$ms")
+      .mkString("\n            UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  $blocks,
+       |  codes AS ($melt),
+       |  idx AS (SELECT subspace, code, count(*) AS n_idx FROM codes
+       |          GROUP BY subspace, code),
+       |  tot AS (SELECT count(*) AS n_tot FROM m0corpus),
+       |  bat AS (SELECT c.subspace, c.code, count(*) AS n_new
+       |          FROM codes c JOIN embeddings b ON b.vec_id = c.nid
+       |          WHERE b.label = 3 GROUP BY c.subspace, c.code),
+       |  btot AS (SELECT count(*) AS n_btot FROM embeddings WHERE label = 3)
+       |SELECT COALESCE(i.subspace, b.subspace) AS subspace,
+       |  COALESCE(i.code, b.code) AS code,
+       |  COALESCE(i.n_idx, 0) AS n_idx, COALESCE(b.n_new, 0) AS n_new,
+       |  (COALESCE(i.n_idx, 0) * 1000) // greatest(t.n_tot, 1)
+       |    AS idx_share_pm,
+       |  (COALESCE(b.n_new, 0) * 1000)
+       |    // greatest(bt.n_btot, 1) AS new_share_pm,
+       |  2 * abs(COALESCE(b.n_new, 0) * t.n_tot
+       |          - COALESCE(i.n_idx, 0) * bt.n_btot)
+       |    > COALESCE(i.n_idx, 0) * bt.n_btot AS drifted
+       |FROM idx i FULL JOIN bat b
+       |       ON b.subspace = i.subspace AND b.code = i.code
+       |     CROSS JOIN tot t CROSS JOIN btot bt
+       |ORDER BY subspace, code""".stripMargin
+  }
+
   /** DuckDB twin of v11 — v08's full PQ replay ranks ADC top-`candK`
     * candidates, then the v01-style exact-cosine rerank runs over those
     * candidates only. */
@@ -1241,6 +1399,47 @@ object VectorQueries {
          |     CROSS JOIN tot t CROSS JOIN btot bt
          |ORDER BY cell""".stripMargin,
     "v12_ivf_append" -> v12Oracle(),
+    "v24_pq_append" -> v24Oracle(),
+    "v25_pq_drift" -> v25Oracle(),
+    // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
+    // side, joined on (qid, nid) — n_hits is an exact integer verdict.
+    "v26_sq8_recall" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |                        FROM embeddings),
+        |  xp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |           list_inner_product(q.v, c.v) AS ip
+        |         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 8),
+        |  xr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |           ORDER BY ip DESC, nid) AS rank FROM xp),
+        |  x5 AS (SELECT qid, nid FROM xr WHERE rank <= 5),
+        |  m AS (SELECT vec_id, v,
+        |          list_max([abs(x) for x in v]) AS s FROM e),
+        |  qc AS (SELECT vec_id, s,
+        |          CASE WHEN s = 0
+        |               THEN [CAST(0 AS DOUBLE) for x in v]
+        |               ELSE [CAST(CAST(round(x * 127.0 / s) AS BIGINT)
+        |                          AS DOUBLE) for x in v]
+        |          END AS qv
+        |        FROM m),
+        |  p8 AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |           CAST(list_inner_product(a.qv, c.qv) AS BIGINT) AS q_dot,
+        |           a.s AS qs, c.s AS ns
+        |         FROM qc a JOIN qc c ON a.vec_id <> c.vec_id
+        |         WHERE a.vec_id < 8),
+        |  r8 AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |           ORDER BY CAST(q_dot AS DOUBLE) * qs * ns / 16129.0 DESC,
+        |                    nid) AS rank
+        |         FROM p8),
+        |  s5 AS (SELECT qid, nid FROM r8 WHERE rank <= 5)
+        |SELECT x.qid, count(*) AS k,
+        |  CAST(sum(CASE WHEN s.nid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(sum(CASE WHEN s.nid IS NULL THEN 0 ELSE 1 END)
+        |          / CAST(count(*) AS DOUBLE), 4) AS recall
+        |FROM x5 x LEFT JOIN s5 s ON s.qid = x.qid AND s.nid = x.nid
+        |GROUP BY x.qid
+        |ORDER BY x.qid""".stripMargin,
     // v16 = v12's appended-index probe with tombstoned nids excluded at
     // the candidate stage (exactly where the engine anti-joins).
     "v16_ivf_tombstones" -> v12Oracle(excludeNid = " AND c.nid % 97 <> 0"),

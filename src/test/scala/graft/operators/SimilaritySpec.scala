@@ -194,6 +194,68 @@ class SimilaritySpec extends SparkSpec {
     } finally appended.release() // owns the base: releases both layers
   }
 
+  test("pqAppend: no retraining, append ≡ full rebuild when the training " +
+       "sample is unchanged, appended codes searchable") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // RANGE split with trainSample below the split point: base and full
+    // rebuild order-limit the SAME first-100-ids sample, so their
+    // codebooks are bitwise identical and append ≡ rebuild EXACTLY — the
+    // no-drift contract pqAppend's scaladoc states
+    val base = e.filter($"vec_id" < 400)
+    val batch = e.filter($"vec_id" >= 400)
+    val idx = Similarity.pqBuild(base, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iters = 2, trainSample = 100)
+    val appended = Similarity.pqAppend(idx, batch, "vec_id", "embedding")
+    val rebuilt = Similarity.pqBuild(e, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, iters = 2, trainSample = 100)
+    try {
+      // the codebooks are untouched — same arrays, not retrained copies
+      assert(appended.codebooks eq idx.codebooks)
+      assert(appended.encoded.count() === e.count())
+      assert(idx.codebooks.flatten.flatten.toSeq ===
+        rebuilt.codebooks.flatten.flatten.toSeq,
+        "unchanged training sample ⇒ bitwise-identical codebooks")
+      def codes(px: Similarity.PqIndex) = px.encoded
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+      assert(codes(appended) === codes(rebuilt),
+        "append must equal the full rebuild's assignment")
+      // probe parity: equal codes + equal codebooks ⇒ identical ADC ranking
+      val q = e.filter($"vec_id" < 5)
+      def top(i: Similarity.PqIndex) =
+        Similarity.pqTopK(i, q, "vec_id", "embedding", k = 3)
+          .collect().map(_.toSeq).toSet
+      assert(top(appended) === top(rebuilt))
+    } finally { appended.release(); rebuilt.release() }
+  }
+
+  test("pqDriftAudit: all-clear on an in-distribution batch, fires on a " +
+       "planted single-mode batch") {
+    // spread corpus: 16 vectors on distinct axes in 8 dims, m=2
+    val corpus = (0 until 16).map { i =>
+      val v = Array.fill(8)(0.01f * ((i * 7) % 5))
+      v(i % 4) = 1.0f; v(4 + i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.pqBuild(corpus, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 4, trainSample = 16)
+    try {
+      // batch == corpus: every (subspace, code) share matches exactly →
+      // the cross-multiplication LHS is 0 on every row
+      val clear = Similarity.pqDriftAudit(idx, corpus, "vec_id", "embedding")
+      assert(clear.filter($"drifted").count() === 0L)
+      // planted drift: a batch of 12 copies of one corner — all its mass
+      // lands in one code per subspace
+      val planted = (100 until 112).map { i =>
+        val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(4) = 1.0f
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+      val fired = Similarity.pqDriftAudit(idx, planted, "vec_id", "embedding")
+      assert(fired.filter($"drifted").count() >= 2L,
+        "single-mode batch must flip its target code in each subspace")
+    } finally idx.release()
+  }
+
   test("IVF is deterministic: same seed → same result set") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 5)
