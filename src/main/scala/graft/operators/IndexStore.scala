@@ -459,6 +459,62 @@ object IndexStore {
     * there on first build) instead of living only in the session cache. */
   val IndexDirConf = "spark.graft.indexDir"
 
+  // ---------- generic versioned stage checkpoint (pipeline restartability)
+
+  /** Version stamp over the INPUT FILES of a set of frames — the
+    * [[corpusVersion]] discipline for pipelines whose inputs arrive as
+    * DataFrames rather than one corpus path (HtnPipeline's six OMOP
+    * tables): per-file (path, length, mtime) hashed in sorted order,
+    * listing-only. `None` when any frame has no file inputs (in-memory /
+    * synthetic source — unversionable, so callers must fall back to
+    * always-rewrite, the safe direction). */
+  def framesVersion(spark: SparkSession,
+                    frames: Seq[org.apache.spark.sql.DataFrame])
+      : Option[String] = {
+    val perFrame = frames.map(_.inputFiles.toSeq)
+    if (perFrame.exists(_.isEmpty)) None
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val stats = perFrame.flatten.sorted.map { f =>
+        val p = new Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        (f, st.getLen, st.getModificationTime)
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      stats.foreach { case (n, len, mt) =>
+        md.update(s"$n:$len:$mt\n".getBytes("UTF-8"))
+      }
+      Some(stats.length + ":" + md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Save ONE pipeline-stage frame as a versioned durable artifact —
+    * the index families' save discipline (meta invalidated first, schema
+    * recorded, params stamped) applied to stage checkpoints, so a
+    * restarted pipeline can PROVE a checkpoint is current instead of
+    * assuming it. */
+  def saveStage(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                dir: String, version: String,
+                params: Map[String, String] = Map.empty): Unit = {
+    invalidateMeta(spark, dir)
+    df.write.mode("overwrite").parquet(s"$dir/data")
+    writeMeta(spark, dir,
+      Seq("kind" -> "stage", "corpus_version" -> version,
+        "schema" -> df.schema.json) ++ params.toSeq.sorted)
+  }
+
+  /** Load a stage checkpoint saved by [[saveStage]] — zero Spark jobs
+    * (meta peek + recorded-schema lazy read); `None` when absent, torn,
+    * version-stale, or parameter-mismatched (each of which must read as
+    * "recompute this stage", exactly like a stale index). */
+  def loadStage(spark: SparkSession, dir: String,
+                expectedVersion: Option[String],
+                expectedParams: Map[String, String] = Map.empty)
+      : Option[org.apache.spark.sql.DataFrame] =
+    validMeta(spark, dir, "stage", expectedVersion, expectedParams).map { m =>
+      readFrame(spark, s"$dir/data", m("schema"))
+    }
+
   /** Stable store subdirectory for (kind, corpus path) under a root — the
     * corpus path is hashed so one root can hold indexes of many corpora. */
   def storePath(root: String, kind: String, sourcePath: String): String = {

@@ -110,4 +110,50 @@ class HtnPipelineSpec extends SparkSpec {
     assert(total.getLong(1) === result.analytical.count())
     assert(math.abs(t.filter(_.getString(0) != "Total").map(_.getDouble(2)).sum - 1.0) < 1e-9)
   }
+
+  test("versioned stage checkpoints: a restart reuses current stages; a " +
+       "config change invalidates the stamp and recomputes") {
+    val src = java.nio.file.Files.createTempDirectory("htn_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("htn_ck").toString
+    // file-backed inputs (the stamp needs input FILES; the in-memory
+    // fixture is deliberately unversionable)
+    val t0 = OmopFixtures.tables(spark)
+    Seq("person" -> t0.person, "co" -> t0.conditionOccurrence,
+      "m" -> t0.measurement, "o" -> t0.observation,
+      "po" -> t0.procedureOccurrence, "de" -> t0.drugExposure)
+      .foreach { case (n, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$src/$n") }
+    def tables = OmopTables(
+      spark.read.parquet(s"$src/person"), spark.read.parquet(s"$src/co"),
+      spark.read.parquet(s"$src/m"), spark.read.parquet(s"$src/o"),
+      spark.read.parquet(s"$src/po"), spark.read.parquet(s"$src/de"))
+
+    def got(r: HtnPipeline.Result) = r.analytical.collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    def stageMtimes: Map[String, Long] = {
+      val d = new java.io.File(s"$ck/analytical_htn/data")
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+
+    val r1 = HtnPipeline.run(spark, tables, OmopFixtures.codes,
+      HtnConfig(), Some(ck))
+    val want = got(r1)
+    val m1 = stageMtimes
+    assert(m1.nonEmpty)
+    Thread.sleep(1100) // clear mtime granularity before the restart
+
+    // restart, same inputs + config: every stage reused, nothing rewritten
+    val r2 = HtnPipeline.run(spark, tables, OmopFixtures.codes,
+      HtnConfig(), Some(ck))
+    assert(got(r2) === want)
+    assert(stageMtimes === m1,
+      "unchanged inputs + config must REUSE stage checkpoints, not rewrite")
+
+    // a config change invalidates the stamp: stages recompute + restamp
+    val r3 = HtnPipeline.run(spark, tables, OmopFixtures.codes,
+      HtnConfig(minHighBpDays = 3), Some(ck))
+    assert(stageMtimes !== m1, "a config change must read as stale")
+    assert(got(r3) !== want, "minHighBpDays=3 changes the BP flags")
+  }
 }
