@@ -244,7 +244,8 @@ object IndexStore {
   // ---------- PQ index
 
   def savePqIndex(spark: SparkSession, idx: Similarity.PqIndex,
-                  dir: String, corpusVersion: String): Unit = {
+                  dir: String, corpusVersion: String,
+                  params: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     invalidateMeta(spark, dir)
     idx.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
@@ -258,9 +259,17 @@ object IndexStore {
       "kind" -> "pq", "corpus_version" -> corpusVersion,
       "m" -> idx.m.toString, "k" -> idx.k.toString,
       "sub_dim" -> idx.subDim.toString,
-      "encoded_schema" -> idx.encoded.schema.json))
+      "encoded_schema" -> idx.encoded.schema.json) ++ params.toSeq.sorted)
     IndexStats.inc("pq.disk.save")
   }
+
+  /** Zero-job validity peek at a stored PQ index (the ivfIndexMeta /
+    * graphIndexMeta shape): the meta map when present, `pq`-kinded, and
+    * matching every expected parameter — the epoch-roll commit check. */
+  def pqIndexMeta(spark: SparkSession, dir: String,
+                  expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "pq", expectedVersion = None, expectedParams)
 
   def loadPqIndex(spark: SparkSession, dir: String,
                   expectedVersion: Option[String] = None,
