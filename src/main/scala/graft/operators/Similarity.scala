@@ -496,12 +496,7 @@ object Similarity {
       sample.unpersist(); ()
     }
     val encoded = {
-      val withCodes = (0 until m).foldLeft(
-        corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))) {
-        (a, ms) =>
-          a.withColumn(s"code_$ms",
-            nearestCell(slice(col("nv"), ms * subDim + 1, subDim), codebooks(ms)))
-      }.drop("nv")
+      val withCodes = encodeWith(codebooks, subDim, corpus, nid, nvec)
       if (persist) withCodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else withCodes
     }
@@ -566,12 +561,18 @@ object Similarity {
     * tie-break). */
   private def encodeUnderCodebooks(index: PqIndex, batch: DataFrame,
                                    nid: String, nvec: String): DataFrame =
-    (0 until index.m).foldLeft(
+    encodeWith(index.codebooks, index.subDim, batch, nid, nvec)
+
+  /** The ONE PQ encode kernel — [[pqBuild]]'s corpus pass and every
+    * encode-under-standing path run this same fold, so append ≡ rebuild
+    * is an identity of code, not of two implementations. */
+  private def encodeWith(codebooks: Array[Array[Array[Double]]], subDim: Int,
+                         batch: DataFrame, nid: String, nvec: String): DataFrame =
+    codebooks.indices.foldLeft(
       batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))) {
       (a, ms) =>
         a.withColumn(s"code_$ms",
-          nearestCell(slice(col("nv"), ms * index.subDim + 1, index.subDim),
-            index.codebooks(ms)))
+          nearestCell(slice(col("nv"), ms * subDim + 1, subDim), codebooks(ms)))
     }.drop("nv")
 
   /** Codebook-drift audit — [[driftAudit]]'s PQ twin and the RETRAIN

@@ -171,6 +171,71 @@ object StreamBench {
     require(foldedDocs == dTok,
       s"lex roll folded $foldedDocs docs, staged $dTok token-bearing")
 
+    // --- serve-side rates: the three serving streams probe the epochs
+    // the roll sections just committed (the production pairing — a
+    // single-writer roll underneath, a reader stream on top). Each
+    // workload stages as nChunks drops, so every rate includes the
+    // per-batch epoch pin (zero-job meta peek + load), the probe, the
+    // localCheckpoint materialization, and the answer-directory write —
+    // the full serving cost per query, not the bare plan.
+
+    // lexical serving: 1000 two-term queries drawn from the corpus itself
+    val lexQ = docsT.filter(trim(col("text")) =!= "").limit(1000)
+      .select(col("doc_id").cast("long").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("qtext"))
+    val lqCnt = lexQ.count()
+    lexQ.repartition(nChunks).write.parquet(s"$tmp/lexq_landing")
+    val lserveSec = timed {
+      val q = graft.streaming.LexServeStream.start(
+        spark.readStream.schema(lexQ.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/lexq_landing"),
+        s"$tmp/lex_epochs", s"$tmp/lex_answers", s"$tmp/ckpt_lserve")
+      q.awaitTermination(600000L)
+    }
+    val lAns = spark.read.parquet(s"$tmp/lex_answers/batch=*").count()
+    require(lAns > 0L, "lexical serving produced no answers")
+
+    // graph serving: 2000 neighbor-recommendation probes over sources of
+    // the rolled co-purchase graph
+    val (_, gsrv) = graft.streaming.GraphEpochStream.loadCurrent(spark,
+      s"$tmp/cps_epochs", dedup = true,
+      graft.operators.Adjacency.DefaultHubLimit)
+      .getOrElse(sys.error("no co-purchase epoch to serve"))
+    val graphQ =
+      try gsrv.srcs.limit(2000)
+        .select((col("node") + 1000000L).as("qid"), col("node"))
+        .localCheckpoint() // pin before release — the q65 lifetime rule
+      finally gsrv.release()
+    val gqCnt = graphQ.count()
+    graphQ.repartition(nChunks).write.parquet(s"$tmp/graphq_landing")
+    val gserveSec = timed {
+      val q = graft.streaming.GraphServeStream.start(
+        spark.readStream.schema(graphQ.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/graphq_landing"),
+        s"$tmp/cps_epochs", s"$tmp/graph_answers", s"$tmp/ckpt_gserve")
+      q.awaitTermination(600000L)
+    }
+    graft.operators.Checkpoints.release(graphQ)
+    val gAns = spark.read.parquet(s"$tmp/graph_answers/batch=*").count()
+    require(gAns > 0L, "graph serving produced no answers")
+
+    // vector serving: 500 ANN probes (query ids offset out of the corpus
+    // id namespace — the ivfProbe self-exclusion contract)
+    val vecQ = vecs.limit(500)
+      .select((col("vec_id") + 1000000L).as("qid"), col("embedding").as("qvec"))
+    val vqCnt = vecQ.count()
+    vecQ.repartition(nChunks).write.parquet(s"$tmp/vecq_landing")
+    val vserveSec = timed {
+      val q = graft.streaming.VectorServeStream.start(
+        spark.readStream.schema(vecQ.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/vecq_landing"),
+        s"$tmp/vec_epochs", s"$tmp/vec_answers", s"$tmp/ckpt_vserve",
+        nCells = 16)
+      q.awaitTermination(600000L)
+    }
+    val vAns = spark.read.parquet(s"$tmp/vec_answers/batch=*").count()
+    require(vAns > 0L, "vector serving produced no answers")
+
     println(
       f"""{"metric":"stream_events_per_sec","events":$total,"chunks":$nChunks,""" +
         f""""windowed":{"sec":$winSec%.2f,"rate":${total / winSec}%.0f},""" +
@@ -178,7 +243,10 @@ object StreamBench {
         f""""graph_roll":{"edges":$eCnt,"sec":$grollSec%.2f,"rate":${eCnt / grollSec}%.0f},""" +
         f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f},""" +
         f""""line_graph_roll":{"lines":$rlCnt,"sec":$crollSec%.2f,"rate":${rlCnt / crollSec}%.0f},""" +
-        f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f}}""")
+        f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f},""" +
+        f""""lex_serve":{"queries":$lqCnt,"sec":$lserveSec%.2f,"rate":${lqCnt / lserveSec}%.0f},""" +
+        f""""graph_serve":{"queries":$gqCnt,"sec":$gserveSec%.2f,"rate":${gqCnt / gserveSec}%.0f},""" +
+        f""""vector_serve":{"queries":$vqCnt,"sec":$vserveSec%.2f,"rate":${vqCnt / vserveSec}%.0f}}""")
     spark.stop()
   }
 }
