@@ -1905,14 +1905,41 @@ object CoreQueries {
       val cem = ce.count() // materializes ce; em for the modularity formula
       // ONE hybrid adjacency serves both iterative consumers — PageRank
       // and LPA expand the same layout frames (the over-adjacency
-      // build/probe split), saving a full O(|E|) collect_set build
+      // build/probe split), saving a full O(|E|) collect_set build. The
+      // two legs are INDEPENDENT consumers of that shared read-only
+      // state, so they run CONCURRENTLY (the pqBuild bounded-pool
+      // discipline): q78's wall-clock pays max(PR, LPA) round chains,
+      // not their sum. Shuffle sizing under concurrency: each leg opens
+      // its own measured withShufflePartitions window and the loser of
+      // the race runs under the winner's session value — both legs
+      // measure the SAME edge count, so the values agree (and the
+      // override is performance-only by the guard's contract). Both
+      // futures are settled before either result is unwrapped, so a
+      // failed leg never leaves the other staging frames after the
+      // enclosing failure sweep fires.
       val adj = graft.operators.Adjacency.build(
         ce.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst")), dedup = false)
-      val mr = graft.operators.PageRank.ranksOverAdjacency(adj, iters = 3,
-        symmetric = true)
-      val ml = graft.operators.LabelPropagation.labelsOverAdjacency(adj,
-        iters = 3, symmetric = true)
+      val (mr, ml) = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+          (r: Runnable) => {
+            val th = new Thread(r, "graft-q78-leg"); th.setDaemon(true); th
+          })
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val fr = Future(graft.operators.PageRank
+            .ranksOverAdjacency(adj, iters = 3, symmetric = true))
+          val fl = Future(graft.operators.LabelPropagation
+            .labelsOverAdjacency(adj, iters = 3, symmetric = true))
+          val d = scala.concurrent.duration.Duration(600L,
+            java.util.concurrent.TimeUnit.SECONDS)
+          val rT = scala.util.Try(Await.result(fr, d))
+          val lT = scala.util.Try(Await.result(fl, d))
+          (rT.get, lT.get)
+        } finally { pool.shutdownNow(); () }
+      }
       val (rows, outSchema) = graft.operators.Checkpoints.withShufflePartitions(s,
         graft.operators.Checkpoints.partitionsForRows(cem)) {
         val deg = ce.groupBy(col("src").as("node"))
