@@ -84,22 +84,43 @@ object Bench {
     // index builds + timed queries only, not the warm-up sweep
     operators.DedupMetrics.reset()
     val stealIdx0 = tools.HostCpu.snapshot()
-    val indexBuilds = Seq[(String, () => Unit)](
-      "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
-      "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
-      "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
-      "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
-      "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir))
-    ).map { case (name, build) =>
-      val t0 = System.nanoTime()
-      val err = try { build(); None } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name index build FAILED: $e")
-        Some(e.toString.take(300))
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, err)
+    // The five prepare entries are INDEPENDENT (distinct caches/stores),
+    // so they build CONCURRENTLY on a bounded daemon pool (the pqBuild
+    // discipline) — prepare wall time pays the slowest build, not the
+    // sum; a deployment's index-refresh window shrinks the same way.
+    // Per-build seconds stay attributed (each future times its own span;
+    // overlap means they no longer sum to the wall — `index_build_sec`
+    // reports the WALL, `index_build_cpu_sec` the sum).
+    val idxT0 = System.nanoTime()
+    val indexBuilds = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-bench-prepare"); t.setDaemon(true); t
+        })
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(Seq[(String, () => Unit)](
+          "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
+          "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
+          "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
+          "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
+          "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir))
+        ).map { case (name, build) => Future {
+          val t0 = System.nanoTime()
+          val err = try { build(); None } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name index build FAILED: $e")
+            Some(e.toString.take(300))
+          }
+          (name, (System.nanoTime() - t0) / 1e9, err)
+        }}),
+        scala.concurrent.duration.Duration(1800L,
+          java.util.concurrent.TimeUnit.SECONDS))
+      finally { pool.shutdownNow(); () }
     }
-    val idxSec = indexBuilds.map(_._2).sum
+    val idxSec = (System.nanoTime() - idxT0) / 1e9 // wall, not sum
+    val idxCpuSec = indexBuilds.map(_._2).sum
     val anyBuildFailed = indexBuilds.exists(_._3.nonEmpty)
     val stealIdxPct = tools.HostCpu.stealPct(stealIdx0, tools.HostCpu.snapshot())
     // Phase-split the cache counters: r11's single cumulative map could
@@ -181,7 +202,8 @@ object Bench {
           s""""mem_bytes":${i.memSize},"disk_bytes":${i.diskSize}}"""
       }.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""index_build_sec":$idxSec,"index_builds":$buildsJson,""" +
+      s""""index_build_sec":$idxSec,"index_build_cpu_sec":$idxCpuSec,""" +
+      s""""index_builds":$buildsJson,""" +
       s""""index_build_failed":$anyBuildFailed,""" +
       s""""index_cache_prepare":$prepareCacheJson,"index_cache":$cacheJson,""" +
       s""""timed_index_misses":$timedMisses,""" +
