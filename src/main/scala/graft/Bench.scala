@@ -100,24 +100,36 @@ object Bench {
         })
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.sequence(Seq[(String, () => Unit)](
-          "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
-          "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
-          "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
-          "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
-          "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir))
-        ).map { case (name, build) => Future {
-          val t0 = System.nanoTime()
-          val err = try { build(); None } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name index build FAILED: $e")
-            Some(e.toString.take(300))
-          }
-          (name, (System.nanoTime() - t0) / 1e9, err)
-        }}),
-        scala.concurrent.duration.Duration(1800L,
-          java.util.concurrent.TimeUnit.SECONDS))
-      finally { pool.shutdownNow(); () }
+      val futs = Seq[(String, () => Unit)](
+        "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
+        "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
+        "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
+        "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
+        "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir))
+      ).map { case (name, build) => name -> Future {
+        val t0 = System.nanoTime()
+        val err = try { build(); None } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name index build FAILED: $e")
+          Some(e.toString.take(300))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }}
+      // Per-build await against a SHARED deadline: a timed-out build
+      // records its own (name, elapsed, timeout) row and the bench keeps
+      // going — aborting the whole run on one wedged build would throw
+      // away every number and reproduce the no-artifact failure mode
+      // (r12 review catch).
+      val deadline = System.nanoTime() + 1800L * 1000000000L
+      try futs.map { case (name, f) =>
+        val remainNs = math.max(1000000L, deadline - System.nanoTime())
+        try Await.result(f, scala.concurrent.duration.Duration(
+          remainNs, java.util.concurrent.TimeUnit.NANOSECONDS))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name index build did not finish: $e")
+          (name, (System.nanoTime() - idxT0) / 1e9,
+            Some(s"await: ${e.toString.take(250)}"))
+        }
+      } finally { pool.shutdownNow(); () }
     }
     val idxSec = (System.nanoTime() - idxT0) / 1e9 // wall, not sum
     val idxCpuSec = indexBuilds.map(_._2).sum
@@ -254,14 +266,20 @@ object Bench {
       s""""cpu_spin_starved":${capSampler.starved()},""" +
       s""""full":${jsonStr(outFile)},"sf":${jsonStr(sfDir)}}"""
     // The release path WARNs by design (localCheckpoint lineage
-    // truncation) — silence it so nothing prints after the summary.
-    spark.sparkContext.setLogLevel("ERROR")
-    queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
-    queries.TextQueries.releaseClusterLabels(spark)
-    queries.TextQueries.releaseSignatureIndexes(spark)
-    queries.CoreQueries.releaseGraphIndexes(spark)
-    queries.TextQueries.releasePostingsIndexes(spark)
-    spark.stop()
-    println(compact)
+    // truncation) — silence it so nothing prints after the summary. The
+    // summary itself prints in the FINALLY: a Throwable out of cleanup or
+    // spark.stop() must not eat the one machine-readable stdout line the
+    // whole artifact pipeline exists to deliver (r12 review catch).
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      queries.VectorQueries.releaseIvfIndexes(spark) // incl. the warm-up dir's index
+      queries.TextQueries.releaseClusterLabels(spark)
+      queries.TextQueries.releaseSignatureIndexes(spark)
+      queries.CoreQueries.releaseGraphIndexes(spark)
+      queries.TextQueries.releasePostingsIndexes(spark)
+      spark.stop()
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] cleanup failed (results unaffected): $t")
+    } finally println(compact)
   }
 }

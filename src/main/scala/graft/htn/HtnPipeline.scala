@@ -54,7 +54,17 @@ object HtnPipeline {
         val stageDir = s"$dir/$name"
         srcVersion match {
           case Some(v) =>
-            val params = Map("stage" -> name, "config" -> cfg.toString)
+            // the codelists are a pipeline INPUT exactly like the tables
+            // and the config: exclusions and the Dx/Rx flags change when
+            // they change, so they stamp the checkpoint too (hashed —
+            // the pregnancy list alone is 914 codes). Omitting them
+            // would silently serve stale stages after a codelist update
+            // (r12 review catch).
+            val codesHash = java.security.MessageDigest.getInstance("MD5")
+              .digest(codes.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val params = Map("stage" -> name, "config" -> cfg.toString,
+              "codes_md5" -> codesHash)
             graft.operators.IndexStore
               .loadStage(spark, stageDir, Some(v), params)
               .getOrElse {

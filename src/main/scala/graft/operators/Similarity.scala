@@ -545,14 +545,31 @@ object Similarity {
     * assignment EXACTLY while the codebooks still fit the data; when the
     * corpus drifts, [[pqDriftAudit]] is the retrain trigger. */
   def pqAppend(index: PqIndex, batch: DataFrame, nid: String, nvec: String,
-               persist: Boolean = true): PqIndex = {
-    graft.plans.FloatDotProduct.register(batch.sparkSession)
-    val coded = encodeUnderCodebooks(index, batch, nid, nvec)
+               persist: Boolean = true): PqIndex =
+    pqAppendCoded(index, pqEncode(index, batch, nid, nvec), persist)
+
+  /** [[pqAppend]] over an ALREADY-ENCODED batch (a [[pqEncode]] result):
+    * callers that also audit the same batch encode ONCE and feed both
+    * paths (PqEpochStream does) instead of paying the |Δ| argmax pass
+    * twice. With `persist = false` the caller owns `coded`'s lifecycle;
+    * the returned release then frees only the base chain. */
+  def pqAppendCoded(index: PqIndex, coded: DataFrame,
+                    persist: Boolean = true): PqIndex = {
     val appended =
       if (persist) coded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else coded
     index.copy(encoded = index.encoded.unionByName(appended),
       release = () => { if (persist) { appended.unpersist(); () }; index.release() })
+  }
+
+  /** Encode `batch` under `index`'s standing codebooks — the shared |Δ|
+    * pass behind [[pqAppendCoded]] and [[pqDriftAuditCoded]]:
+    * `(nid, code_0..code_{m-1})`, [[pqBuild]]'s exact corpus-encode
+    * arithmetic. */
+  def pqEncode(index: PqIndex, batch: DataFrame,
+               nid: String, nvec: String): DataFrame = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    encodeUnderCodebooks(index, batch, nid, nvec)
   }
 
   /** One map-only encode of `batch` under `index`'s codebooks:
@@ -587,9 +604,12 @@ object Similarity {
     * maintenance job retrains (full [[pqBuild]] over standing ∪ batch)
     * when drifted codes pass a count threshold. */
   def pqDriftAudit(index: PqIndex, batch: DataFrame,
-                   nid: String, nvec: String): DataFrame = {
-    graft.plans.FloatDotProduct.register(batch.sparkSession)
-    val coded = encodeUnderCodebooks(index, batch, nid, nvec)
+                   nid: String, nvec: String): DataFrame =
+    pqDriftAuditCoded(index, pqEncode(index, batch, nid, nvec))
+
+  /** [[pqDriftAudit]] over an already-encoded batch — see
+    * [[pqAppendCoded]] for the share-one-encode contract. */
+  def pqDriftAuditCoded(index: PqIndex, coded: DataFrame): DataFrame = {
     def melt(df: DataFrame): DataFrame =
       (0 until index.m).map(ms => df.select(lit(ms).as("subspace"),
           col(s"code_$ms").cast("long").as("code")))
@@ -599,7 +619,7 @@ object Similarity {
     val bat = melt(coded).groupBy("subspace", "code")
       .agg(count(lit(1)).as("n_new"))
     val tot = index.encoded.agg(count(lit(1)).as("n_tot"))
-    val btot = batch.agg(count(lit(1)).as("n_btot"))
+    val btot = coded.agg(count(lit(1)).as("n_btot")) // one row per batch vector
     // FULL join for the same reason as driftAudit's: batch mass in a code
     // the standing index never emitted is the strongest drift signal
     idx.join(bat, Seq("subspace", "code"), "full")

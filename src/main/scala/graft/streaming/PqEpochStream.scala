@@ -107,17 +107,24 @@ object PqEpochStream {
           trainSample), Map("fold" -> "bootstrap"))
         Bootstrapped
       case Some((_, standing)) =>
-        val drifted =
-          if (auditDrift)
-            Some(Similarity.pqDriftAudit(standing, batch, idCol, vecCol)
-              .filter(col("drifted")).count())
-          else None
-        // append: the folded index owns standing (pqAppend chains the
-        // release), so the commit frees both
-        commit(Similarity.pqAppend(standing, batch, idCol, vecCol),
-          Map("fold" -> "append") ++
-            drifted.map(d => "drifted_codes" -> d.toString))
-        Appended(drifted)
+        // ONE |Δ| encode pass serves BOTH the audit and the append (the
+        // pqEncode/pqAppendCoded split — an audited fold used to pay the
+        // m-subspace argmax twice; r12 review catch). This fold owns the
+        // coded frame; the appended index (persist=false) owns only the
+        // standing chain, which the commit frees.
+        val coded = Similarity.pqEncode(standing, batch, idCol, vecCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val drifted =
+            if (auditDrift)
+              Some(Similarity.pqDriftAuditCoded(standing, coded)
+                .filter(col("drifted")).count())
+            else None
+          commit(Similarity.pqAppendCoded(standing, coded, persist = false),
+            Map("fold" -> "append") ++
+              drifted.map(d => "drifted_codes" -> d.toString))
+          Appended(drifted)
+        } finally { coded.unpersist(); () }
     }
     EpochDirs.prune(spark, root,
       epochs(spark, root, dim, m, k, iters, trainSample).take(keepEpochs).toSet)

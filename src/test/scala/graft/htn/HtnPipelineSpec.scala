@@ -155,5 +155,16 @@ class HtnPipelineSpec extends SparkSpec {
       HtnConfig(minHighBpDays = 3), Some(ck))
     assert(stageMtimes !== m1, "a config change must read as stale")
     assert(got(r3) !== want, "minHighBpDays=3 changes the BP flags")
+
+    // a CODELIST change invalidates the stamp too — exclusions and Dx/Rx
+    // flags derive from the codes, so reusing stages across a codelist
+    // update would silently serve stale clinical output (review catch)
+    HtnPipeline.run(spark, tables, OmopFixtures.codes, HtnConfig(), Some(ck))
+    val mBase = stageMtimes
+    Thread.sleep(1100)
+    val codes2 = OmopFixtures.codes.copy(
+      htnRx = OmopFixtures.codes.htnRx :+ 999999999L)
+    HtnPipeline.run(spark, tables, codes2, HtnConfig(), Some(ck))
+    assert(stageMtimes !== mBase, "a codelist change must read as stale")
   }
 }

@@ -34,6 +34,7 @@ class LexServeStreamSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
     assert(got0.toSeq === Seq((1, 1L, 2L), (2, 2L, 1L)),
       "epoch 0: doc 1 (two terms) above doc 2 (one); doc 3 absent")
+    graft.operators.Checkpoints.release(ans0) // caller-owned blocks
 
     // epoch 1 REPLACES doc 1's text away from the query's terms
     LexEpochStream.foldBatch(Seq((1L, "zeta")).toDF("doc_id", "text"),
@@ -43,6 +44,7 @@ class LexServeStreamSpec extends SparkSpec {
     val got1 = ans1.collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
     assert(got1 === Seq((1, 2L)),
       "epoch 1: the replaced doc 1 no longer matches; doc 2 is the only hit")
+    graft.operators.Checkpoints.release(ans1)
   }
 
   test("answers outlive the answering epoch: readable after the epoch's " +
