@@ -87,6 +87,36 @@ class CopurchaseStreamSpec extends SparkSpec {
     finally { replayed.release(); full.release() }
   }
 
+  test("torn fold replays identically: a crash AFTER the lines write but " +
+       "BEFORE the epoch commit leaves state a replay completes from") {
+    import sqlImplicits._
+    val linesDir = Files.createTempDirectory("cps4_lines").toString
+    val root = Files.createTempDirectory("cps4_idx").toString
+    val all = Seq((10L, 1L), (20L, 5L), (10L, 2L), (10L, 3L))
+    CopurchaseStream.foldBatch(
+      Seq(all(0), all(1)).toDF("l_orderkey", "l_partkey"),
+      linesDir, root, batchId = 0L)
+    CopurchaseStream.foldBatch(Seq(all(2)).toDF("l_orderkey", "l_partkey"),
+      linesDir, root, batchId = 1L)
+    // simulate batch 2 crashing between its two state writes: the lines
+    // landed, the epoch fold did not run
+    Seq(all(3)).toDF("l_orderkey", "l_partkey")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("o"),
+        org.apache.spark.sql.functions.col("l_partkey").as("p"))
+      .write.parquet(s"$linesDir/batch=2")
+    // the replay must EXCLUDE its own crashed lines from standing (else
+    // part 3 pairs with itself via the torn state), rewrite them, and fold
+    CopurchaseStream.foldBatch(Seq(all(3)).toDF("l_orderkey", "l_partkey"),
+      linesDir, root, batchId = 2L)
+    val (_, h) = GraphEpochStream.loadCurrent(spark, root, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no epoch"))
+    val full = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+      Adjacency.build(graft.queries.CoreQueries.copurchasePairs(
+        all.toDF("l_orderkey", "l_partkey")), dedup = true))
+    try assert(edgesOf(h) === edgesOf(full))
+    finally { h.release(); full.release() }
+  }
+
   test("streamed sf0.001 lineitem chunks converge to the full-corpus " +
        "co-purchase build bit-identically") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
