@@ -25,24 +25,37 @@ object Bench {
     // set, as before.
     val machineCpus = Runtime.getRuntime.availableProcessors()
     val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    // Loadavg is blind to HOST-side contention: during the r12-close host
+    // burst this guest read loadavg 0.2–1.5 while delivered all-core
+    // capacity sat at 17–50% of healthy (SpinProbe 511–1500 vs ~3100) and
+    // identical queries ran ~2× slow. The wait loop therefore also gates
+    // on the direct capacity measurement. The threshold is ABSOLUTE for
+    // this box class (healthy ≥ ~2800; bursts < 1500): on a slower box
+    // class the gate degrades to spending the bounded wait budget and
+    // proceeding with the warning recorded — never a deadlock.
+    val spinThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_SPIN", "1800").toLong
     val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toLong
     val waitStart = System.nanoTime()
     var waitedSec = 0L
-    while (loadavg1() > loadThreshold &&
+    var spinNow = tools.HostCpu.spinScore()
+    while ((loadavg1() > loadThreshold || spinNow < spinThreshold) &&
            (System.nanoTime() - waitStart) / 1e9 < waitBudgetSec) {
       System.err.println(
-        f"[bench] 1-min load ${loadavg1()}%.2f > $loadThreshold%.1f - waiting " +
-          s"for the machine to go idle (${waitedSec}s of ${waitBudgetSec}s budget)")
+        f"[bench] box not healthy: 1-min load ${loadavg1()}%.2f " +
+          f"(max $loadThreshold%.1f), spin $spinNow (min $spinThreshold) - " +
+          s"waiting (${waitedSec}s of ${waitBudgetSec}s budget)")
       Thread.sleep(15000L)
       waitedSec = ((System.nanoTime() - waitStart) / 1e9).toLong
+      spinNow = tools.HostCpu.spinScore()
     }
     val loadBefore = loadavg1()
-    val loaded = loadBefore > loadThreshold
+    val loaded = loadBefore > loadThreshold || spinNow < spinThreshold
     if (loaded) {
       System.err.println(
-        f"[bench] WARNING: 1-min load average is $loadBefore%.2f (> $loadThreshold%.1f) on " +
-          s"$machineCpus CPUs after waiting ${waitedSec}s - timings on a busy " +
-          "machine are not comparable across rounds; re-run on an idle box.")
+        f"[bench] WARNING: box still unhealthy after ${waitedSec}s " +
+          f"(load $loadBefore%.2f on $machineCpus CPUs, spin $spinNow < " +
+          s"$spinThreshold) - timings on a degraded box are not comparable " +
+          "across rounds; re-run when the host quiets.")
     }
 
     val spark = GraftSession.tune(
