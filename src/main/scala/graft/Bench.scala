@@ -37,19 +37,24 @@ object Bench {
     val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toLong
     val waitStart = System.nanoTime()
     var waitedSec = 0L
+    // the all-core probe itself adds runnable threads (~machineCpus ×
+    // 0.25 s per 30 s loop ≈ +0.27 on this box) to the 1-min loadavg it
+    // gates on — subtract the known duty-cycle contribution so the
+    // instrument never blocks on its own noise (r12 review catch)
+    val probeLoad = machineCpus * 0.25 / 30.0
     var spinNow = tools.HostCpu.spinScore()
-    while ((loadavg1() > loadThreshold || spinNow < spinThreshold) &&
+    while ((loadavg1() - probeLoad > loadThreshold || spinNow < spinThreshold) &&
            (System.nanoTime() - waitStart) / 1e9 < waitBudgetSec) {
       System.err.println(
         f"[bench] box not healthy: 1-min load ${loadavg1()}%.2f " +
-          f"(max $loadThreshold%.1f), spin $spinNow (min $spinThreshold) - " +
-          s"waiting (${waitedSec}s of ${waitBudgetSec}s budget)")
-      Thread.sleep(15000L)
+          f"(max $loadThreshold%.1f + probe $probeLoad%.2f), spin $spinNow " +
+          s"(min $spinThreshold) - waiting (${waitedSec}s of ${waitBudgetSec}s budget)")
+      Thread.sleep(30000L)
       waitedSec = ((System.nanoTime() - waitStart) / 1e9).toLong
       spinNow = tools.HostCpu.spinScore()
     }
-    val loadBefore = loadavg1()
-    val loaded = loadBefore > loadThreshold || spinNow < spinThreshold
+    val loadBefore = loadavg1() // reported raw; the gate uses the adjusted value
+    val loaded = loadBefore - probeLoad > loadThreshold || spinNow < spinThreshold
     if (loaded) {
       System.err.println(
         f"[bench] WARNING: box still unhealthy after ${waitedSec}s " +
@@ -113,6 +118,9 @@ object Bench {
         })
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
+      // per-build start stamps: a queued-then-timed-out build must not
+      // charge its queue wait to index_build_cpu_sec (r12 review catch)
+      val started = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
       val futs = Seq[(String, () => Unit)](
         "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
         "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
@@ -121,25 +129,35 @@ object Bench {
         "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir))
       ).map { case (name, build) => name -> Future {
         val t0 = System.nanoTime()
+        started.put(name, t0)
+        // job group (thread-local): lets a timeout CANCEL the wedged
+        // build's submitted jobs — without it they keep occupying the
+        // shared executor slots straight through the timed query window
+        spark.sparkContext.setJobGroup(s"bench-prepare-$name",
+          s"index build $name", interruptOnCancel = true)
         val err = try { build(); None } catch { case e: Throwable =>
           System.err.println(s"[bench] $name index build FAILED: $e")
           Some(e.toString.take(300))
-        }
+        } finally spark.sparkContext.clearJobGroup()
         (name, (System.nanoTime() - t0) / 1e9, err)
       }}
       // Per-build await against a SHARED deadline: a timed-out build
-      // records its own (name, elapsed, timeout) row and the bench keeps
-      // going — aborting the whole run on one wedged build would throw
-      // away every number and reproduce the no-artifact failure mode
-      // (r12 review catch).
+      // records its own (name, elapsed, timeout) row, its in-flight jobs
+      // are cancelled, and the bench keeps going — aborting the whole
+      // run on one wedged build would throw away every number and
+      // reproduce the no-artifact failure mode (r12 review catch).
       val deadline = System.nanoTime() + 1800L * 1000000000L
       try futs.map { case (name, f) =>
         val remainNs = math.max(1000000L, deadline - System.nanoTime())
         try Await.result(f, scala.concurrent.duration.Duration(
           remainNs, java.util.concurrent.TimeUnit.NANOSECONDS))
         catch { case e: Throwable =>
+          try spark.sparkContext.cancelJobGroup(s"bench-prepare-$name")
+          catch { case _: Throwable => () }
           System.err.println(s"[bench] $name index build did not finish: $e")
-          (name, (System.nanoTime() - idxT0) / 1e9,
+          val t0 = Option(started.get(name)).map(_.longValue)
+            .getOrElse(System.nanoTime()) // never started → 0s, not queue time
+          (name, (System.nanoTime() - t0) / 1e9,
             Some(s"await: ${e.toString.take(250)}"))
         }
       } finally { pool.shutdownNow(); () }

@@ -49,20 +49,25 @@ object HtnPipeline {
       graft.operators.IndexStore.framesVersion(spark,
         Seq(t.person, t.conditionOccurrence, t.measurement, t.observation,
           t.procedureOccurrence, t.drugExposure)))
+    // The codelists are a pipeline INPUT exactly like the tables and the
+    // config: exclusions and the Dx/Rx flags change when they change, so
+    // they stamp every checkpoint (hashed — the pregnancy list alone is
+    // 914 codes; omitting them would silently serve stale stages after a
+    // codelist update). Hashed over CANONICAL content — each field's
+    // codes sorted, fields in declaration order — not toString: the xlsx
+    // and csv load paths produce different Seq runtimes/orders for the
+    // same code SETS, and a representation-sensitive stamp would force
+    // spurious full recomputes (r12 review catches, both directions).
+    val codesHash = graft.operators.IndexStore.md5Hex(
+      codes.productIterator.map {
+        case s: Seq[_] => s.map(_.toString).sorted.mkString(",")
+        case other => String.valueOf(other)
+      }.mkString(";"))
     def checkpoint(df: DataFrame, name: String): DataFrame = checkpointDir match {
       case Some(dir) =>
         val stageDir = s"$dir/$name"
         srcVersion match {
           case Some(v) =>
-            // the codelists are a pipeline INPUT exactly like the tables
-            // and the config: exclusions and the Dx/Rx flags change when
-            // they change, so they stamp the checkpoint too (hashed —
-            // the pregnancy list alone is 914 codes). Omitting them
-            // would silently serve stale stages after a codelist update
-            // (r12 review catch).
-            val codesHash = java.security.MessageDigest.getInstance("MD5")
-              .digest(codes.toString.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
             val params = Map("stage" -> name, "config" -> cfg.toString,
               "codes_md5" -> codesHash)
             graft.operators.IndexStore

@@ -524,13 +524,16 @@ object IndexStore {
       readFrame(spark, s"$dir/data", m("schema"))
     }
 
+  /** MD5 hex of a UTF-8 string — the one digest idiom behind
+    * [[storePath]], the HtnPipeline codelist stamp, and friends. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Stable store subdirectory for (kind, corpus path) under a root — the
     * corpus path is hashed so one root can hold indexes of many corpora. */
-  def storePath(root: String, kind: String, sourcePath: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(sourcePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/${kind}_${md.take(10)}"
-  }
+  def storePath(root: String, kind: String, sourcePath: String): String =
+    s"$root/${kind}_${md5Hex(sourcePath).take(10)}"
 
   // ---------- load-or-build convenience
 
