@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the forked JVM's compact JSON summary from raw
+// stdout. sbt's default logger wraps every forked-run line in an
+// "[info] "/"[error] " prefix, which defeats a raw-JSON-line parser;
+// StdoutOutput passes the child's stdout through unwrapped.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
