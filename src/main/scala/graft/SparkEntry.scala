@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, MediaQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,8 +16,10 @@ object SparkEntry {
     CoreQueries.queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries
+    CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
+      MediaQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle
+    CoreQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
+      MediaQueries.oracle
 }
