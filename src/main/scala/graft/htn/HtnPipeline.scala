@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object HtnPipeline {
 
+  /** Stage-LOGIC version, stamped into every checkpoint's params. The
+    * stamps cover all the pipeline's DATA inputs (OMOP file version,
+    * HtnConfig, codelist hash) but data stamps cannot see a code change: a
+    * binary upgrade that alters what a stage computes (a Cohort/Exclusions
+    * fix) against an existing checkpointDir would otherwise silently serve
+    * stage outputs computed by the OLD logic under a valid-looking stamp —
+    * stale clinical results. BUMP THIS whenever any checkpointed stage's
+    * semantics change (Cohort, Exclusions, BloodPressure, Phenotype, or
+    * the stage wiring in [[run]]); a mismatch reads as stale → the stage
+    * recomputes and restamps, exactly like a changed input file. */
+  val LogicVersion = "htn-stages-v1"
+
   final case class Result(
       cohort: DataFrame,          // all_pop3c: deduped, one row/patient
       eligible: DataFrame,        // after exclusions + labels (all_pop_clean)
@@ -69,7 +81,7 @@ object HtnPipeline {
         srcVersion match {
           case Some(v) =>
             val params = Map("stage" -> name, "config" -> cfg.toString,
-              "codes_md5" -> codesHash)
+              "codes_md5" -> codesHash, "logic" -> LogicVersion)
             graft.operators.IndexStore
               .loadStage(spark, stageDir, Some(v), params)
               .getOrElse {

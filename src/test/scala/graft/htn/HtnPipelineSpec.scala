@@ -166,5 +166,27 @@ class HtnPipelineSpec extends SparkSpec {
       htnRx = OmopFixtures.codes.htnRx :+ 999999999L)
     HtnPipeline.run(spark, tables, codes2, HtnConfig(), Some(ck))
     assert(stageMtimes !== mBase, "a codelist change must read as stale")
+
+    // a LOGIC-version change invalidates too: data stamps can't see a
+    // binary upgrade, so the stage params carry HtnPipeline.LogicVersion —
+    // a stamp written by one version must read as stale under another
+    // (r12 advice: upgraded code must not serve old-code stage outputs)
+    val stageDir = s"$ck/analytical_htn"
+    val vNow = graft.operators.IndexStore.framesVersion(spark,
+      Seq(tables.person, tables.conditionOccurrence, tables.measurement,
+        tables.observation, tables.procedureOccurrence, tables.drugExposure))
+    val codesHash = graft.operators.IndexStore.md5Hex(
+      codes2.productIterator.map {
+        case s: Seq[_] => s.map(_.toString).sorted.mkString(",")
+        case other => String.valueOf(other)
+      }.mkString(";"))
+    val base = Map("stage" -> "analytical_htn", "config" -> HtnConfig().toString,
+      "codes_md5" -> codesHash)
+    assert(graft.operators.IndexStore.loadStage(spark, stageDir, vNow,
+      base + ("logic" -> HtnPipeline.LogicVersion)).nonEmpty,
+      "current logic version must reuse the stage it just wrote")
+    assert(graft.operators.IndexStore.loadStage(spark, stageDir, vNow,
+      base + ("logic" -> "htn-stages-v0-other")).isEmpty,
+      "a different logic version must read the stage as stale")
   }
 }
