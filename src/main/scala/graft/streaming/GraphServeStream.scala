@@ -50,47 +50,70 @@ object GraphServeStream {
       .getOrElse(throw new IllegalStateException(
         s"no committed graph epoch under $indexRoot — bootstrap the roll " +
           "(GraphEpochStream/CopurchaseStream) before serving"))
-    try {
-      val per = queries.select(col("node").cast("long").as("src"),
-        col("qid").cast("long").as("qid"))
-      // expand = join-THEN-explode across both layouts: only query nodes'
-      // neighbor arrays are unpacked, hub queries ride the flat layout
-      val cand = hyb.expand(per)
-        .select(col("qid"), col("dst"))
-      val deg = hyb.outDegrees
-        .select(col("src").as("dst"), col("outdeg").as("dst_outdeg"))
-      val scored = cand.join(deg, Seq("dst"), "left")
-        .na.fill(0L, Seq("dst_outdeg")) // sink-only neighbors have no row
-      val out = graft.plans.TopK.perKey(scored, Seq("qid"),
-          Seq("dst_outdeg" -> false, "dst" -> true), k)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid")
-            .orderBy(col("dst_outdeg").desc, col("dst"))))
-        .select(col("qid"), col("rank"), col("dst"), col("dst_outdeg"))
-      (epochId, out.localCheckpoint()) // eager — computed before release
-    } finally hyb.release()
+    try (epochId, answerPlan(queries, hyb, k).localCheckpoint())
+    finally hyb.release() // eager checkpoint — computed before release
   }
 
+  /** The probe plan over a LIVE hybrid-adjacency handle (caller owns the
+    * handle's lifetime; the result's lineage reads its frames). */
+  private def answerPlan(queries: DataFrame,
+                         hyb: graft.operators.Adjacency.Hybrid,
+                         k: Int): DataFrame = {
+    val per = queries.select(col("node").cast("long").as("src"),
+      col("qid").cast("long").as("qid"))
+    // expand = join-THEN-explode across both layouts: only query nodes'
+    // neighbor arrays are unpacked, hub queries ride the flat layout
+    val cand = hyb.expand(per)
+      .select(col("qid"), col("dst"))
+    val deg = hyb.outDegrees
+      .select(col("src").as("dst"), col("outdeg").as("dst_outdeg"))
+    val scored = cand.join(deg, Seq("dst"), "left")
+      .na.fill(0L, Seq("dst_outdeg")) // sink-only neighbors have no row
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq("dst_outdeg" -> false, "dst" -> true), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("dst_outdeg").desc, col("dst"))))
+      .select(col("qid"), col("rank"), col("dst"), col("dst_outdeg"))
+  }
+
+  /** A standing pin on the newest committed epoch for the streaming
+    * serve path ([[EpochPin]]: staleness check per batch, reload only on
+    * a roll). */
+  def pinFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+             dedup: Boolean = true,
+             hubLimit: Long = graft.operators.Adjacency.DefaultHubLimit)
+      : EpochPin[graft.operators.Adjacency.Hybrid] =
+    new EpochPin(
+      () => GraphEpochStream.epochs(spark, indexRoot, dedup, hubLimit)
+        .headOption,
+      () => GraphEpochStream.loadCurrent(spark, indexRoot, dedup, hubLimit),
+      (h: graft.operators.Adjacency.Hybrid) => h.release())
+
   /** Start the serving stream: `queries` (a streaming `(qid, node)`
-    * frame) → per-batch [[answerBatch]] → one `batch=<batchId>` parquet
-    * directory each under `outDir`, rows stamped with the answering
-    * epoch. */
+    * frame) → per-batch probe → one `batch=<batchId>` parquet directory
+    * each under `outDir`, rows stamped with the answering epoch. Epoch
+    * handle PINNED across batches and no per-batch `localCheckpoint` —
+    * the [[LexServeStream.start]] rationale, identically. */
   def start(queries: DataFrame, indexRoot: String, outDir: String,
             checkpointDir: String, k: Int = 5,
             dedup: Boolean = true,
             hubLimit: Long = graft.operators.Adjacency.DefaultHubLimit,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    queries.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (epochId, answers) = answerBatch(batch, indexRoot, k, dedup, hubLimit)
-        try
-          answers
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = queries.sparkSession
+    val pin = pinFor(spark, indexRoot, dedup, hubLimit)
+    EpochPin.bound(spark, pin) {
+      queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, hyb) = pin.get()
+          answerPlan(batch, hyb, k)
             .withColumn("batch_id", lit(batchId))
             .withColumn("epoch_id", lit(epochId))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        finally graft.operators.Checkpoints.release(answers)
-      }
-      .start()
+        }
+        .start()
+    }
+  }
 }

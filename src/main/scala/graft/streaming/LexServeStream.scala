@@ -48,42 +48,71 @@ object LexServeStream {
       .getOrElse(throw new IllegalStateException(
         s"no committed postings epoch under $indexRoot — bootstrap the " +
           "roll (LexEpochStream) before serving"))
-    try {
-      val qterms = queries
-        .select(col("qid"),
-          explode(array_distinct(split(col("qtext"), " "))).as("tok"))
-        .filter(col("tok") =!= "")
-      val agg = graft.queries.TextQueries
-        .bm25ScoresOverIndex(idx, qterms, excludeSelf = false)
-      val out = graft.plans.TopK.perKey(agg, Seq("qid"),
-          Seq("score_scaled" -> false, "doc_id" -> true), k)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid")
-            .orderBy(col("score_scaled").desc, col("doc_id"))))
-        .select(col("qid"), col("rank"), col("doc_id"),
-          col("score_scaled"), col("n_terms"))
-      (epochId, out.localCheckpoint()) // eager — computed before release
-    } finally idx.release()
+    try (epochId, answerPlan(queries, idx, k).localCheckpoint())
+    finally idx.release() // eager checkpoint — computed before release
   }
 
+  /** The probe plan itself — per-query BM25 top-k over a LIVE index
+    * handle (caller owns the handle's lifetime; the result's lineage
+    * reads the index frames). */
+  private def answerPlan(queries: DataFrame,
+                         idx: graft.operators.Postings.Index,
+                         k: Int): DataFrame = {
+    val qterms = queries
+      .select(col("qid"),
+        explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    val agg = graft.queries.TextQueries
+      .bm25ScoresOverIndex(idx, qterms, excludeSelf = false)
+    graft.plans.TopK.perKey(agg, Seq("qid"),
+        Seq("score_scaled" -> false, "doc_id" -> true), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score_scaled").desc, col("doc_id"))))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("score_scaled"), col("n_terms"))
+  }
+
+  /** A standing pin on the newest committed epoch for the streaming
+    * serve path ([[EpochPin]]: staleness check per batch, reload only on
+    * a roll). */
+  def pinFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String)
+      : EpochPin[graft.operators.Postings.Index] =
+    new EpochPin(
+      () => LexEpochStream.epochs(spark, indexRoot).headOption,
+      () => LexEpochStream.loadCurrent(spark, indexRoot),
+      (i: graft.operators.Postings.Index) => i.release())
+
   /** Start the serving stream: `queries` (a streaming DataFrame of
-    * `(qid, qtext)` rows) → per-batch [[answerBatch]] → one
-    * `batch=<batchId>` parquet directory each under `outDir`, rows
-    * stamped with the answering epoch. */
+    * `(qid, qtext)` rows) → per-batch probe → one `batch=<batchId>`
+    * parquet directory each under `outDir`, rows stamped with the
+    * answering epoch.
+    *
+    * The epoch handle is PINNED across batches ([[EpochPin]]): each batch
+    * pays a zero-job staleness check and reloads only when a roll
+    * committed since the last batch — the r12 serve floor was dominated
+    * by the per-batch reload + cache churn. Because the pin keeps the
+    * epoch's frames alive through the batch's write, the streaming path
+    * needs no per-batch `localCheckpoint` either: answers land in parquet
+    * before the pin can swap (the swap happens at the NEXT batch's
+    * staleness check). The pin closes when the query terminates. */
   def start(queries: DataFrame, indexRoot: String, outDir: String,
             checkpointDir: String, k: Int = 5,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    queries.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (epochId, answers) = answerBatch(batch, indexRoot, k)
-        try
-          answers
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = queries.sparkSession
+    val pin = pinFor(spark, indexRoot)
+    EpochPin.bound(spark, pin) {
+      queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, idx) = pin.get()
+          answerPlan(batch, idx, k)
             .withColumn("batch_id", lit(batchId))
             .withColumn("epoch_id", lit(epochId))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        finally graft.operators.Checkpoints.release(answers)
-      }
-      .start()
+        }
+        .start()
+    }
+  }
 }

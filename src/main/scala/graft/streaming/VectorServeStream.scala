@@ -45,34 +45,55 @@ object VectorServeStream {
       .getOrElse(throw new IllegalStateException(
         s"no committed vector epoch under $indexRoot — bootstrap the roll " +
           "(VectorEpochStream) before serving"))
-    try {
-      val out = graft.operators.Similarity
-        .ivfProbe(idx, queries, "qid", "qvec", k, nProbe)
-        .select(col("qid"), col("rank"), col("nid"), col("sim"))
-      (epochId, out.localCheckpoint()) // eager — computed before release
-    } finally idx.release()
+    try (epochId, answerPlan(queries, idx, k, nProbe).localCheckpoint())
+    finally idx.release() // eager checkpoint — computed before release
   }
 
+  /** The probe plan over a LIVE IVF handle (caller owns the handle's
+    * lifetime; the result's lineage reads its assignment frames). */
+  private def answerPlan(queries: DataFrame,
+                         idx: graft.operators.Similarity.IvfIndex,
+                         k: Int, nProbe: Int): DataFrame =
+    graft.operators.Similarity
+      .ivfProbe(idx, queries, "qid", "qvec", k, nProbe)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+
+  /** A standing pin on the newest committed epoch for the streaming
+    * serve path ([[EpochPin]]: staleness check per batch, reload only on
+    * a roll). */
+  def pinFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+             nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8)
+      : EpochPin[graft.operators.Similarity.IvfIndex] =
+    new EpochPin(
+      () => VectorEpochStream.epochs(spark, indexRoot, nCells, trainSample,
+        iters).headOption,
+      () => VectorEpochStream.loadCurrent(spark, indexRoot, nCells,
+        trainSample, iters),
+      (i: graft.operators.Similarity.IvfIndex) => i.release())
+
   /** Start the serving stream: `queries` (a streaming `(qid, qvec)`
-    * frame) → per-batch [[answerBatch]] → one `batch=<batchId>` parquet
-    * directory each under `outDir`, rows stamped with the answering
-    * epoch. */
+    * frame) → per-batch probe → one `batch=<batchId>` parquet directory
+    * each under `outDir`, rows stamped with the answering epoch. Epoch
+    * handle PINNED across batches and no per-batch `localCheckpoint` —
+    * the [[LexServeStream.start]] rationale, identically. */
   def start(queries: DataFrame, indexRoot: String, outDir: String,
             checkpointDir: String, k: Int = 5, nProbe: Int = 4,
             nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    queries.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (epochId, answers) =
-          answerBatch(batch, indexRoot, k, nProbe, nCells, trainSample, iters)
-        try
-          answers
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = queries.sparkSession
+    val pin = pinFor(spark, indexRoot, nCells, trainSample, iters)
+    EpochPin.bound(spark, pin) {
+      queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, idx) = pin.get()
+          answerPlan(batch, idx, k, nProbe)
             .withColumn("batch_id", lit(batchId))
             .withColumn("epoch_id", lit(epochId))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        finally graft.operators.Checkpoints.release(answers)
-      }
-      .start()
+        }
+        .start()
+    }
+  }
 }
