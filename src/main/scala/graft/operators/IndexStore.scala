@@ -524,6 +524,14 @@ object IndexStore {
       readFrame(spark, s"$dir/data", m("schema"))
     }
 
+  /** Committed meta of a stage directory when present and parameter-
+    * matching — the zero-job peek (graph/IVF/postings parity) the tiered
+    * graph roll uses for its L0 commit markers. */
+  def stageMeta(spark: SparkSession, dir: String,
+                expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "stage", None, expectedParams)
+
   /** MD5 hex of a UTF-8 string — the one digest idiom behind
     * [[storePath]], the HtnPipeline codelist stamp, and friends. */
   def md5Hex(s: String): String =

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Adjacency, Checkpoints, IndexStore}
+
+/** TIERED (L0/L1) epoch commits for the graph family — the LSM answer to
+  * the one scale cost [[GraphEpochStream]] documents honestly: there,
+  * EVERY batch pays an O(|V|) full-index parquet rewrite for durability,
+  * so at 100 TB the recurring rewrite, not the fold, dominates. Here a
+  * batch commits only its DELTA:
+  *
+  *  - **L0 (minor)**: the batch's normalized edges land as their own
+  *    committed epoch under `root/l0/epoch=<batchId>` — an O(|Δ|) write.
+  *  - **L1 (major)**: every `majorEvery`-th commit folds the standing L1
+  *    plus all live L0 deltas into a full [[Adjacency.Hybrid]] index under
+  *    `root/l1/epoch=<batchId>` ([[IndexStore.saveGraphIndex]]), then
+  *    prunes the L0s it absorbed. Amortized per-batch rewrite cost drops
+  *    from O(|V|) to O(|V| / majorEvery + |Δ|).
+  *
+  * Readers merge ≤ 2 tiers ([[loadCurrent]] → [[Tiered]]): the newest
+  * committed L1 plus the live L0 deltas above it. Point reads
+  * ([[Tiered.neighbors]]) stay query-proportional — probe the L1 hybrid
+  * AND the (small) delta union, dedup per query; full-graph consumers
+  * (PageRank and friends) call [[Tiered.mergedHybrid]], which pays the
+  * one build a major compaction would.
+  *
+  * Degree-exactness trade (documented, standard LSM practice): cross-tier
+  * out-degrees are exact only at L1 boundaries — between majors, a
+  * ranking that reads [[Adjacency.Hybrid.outDegrees]] off the L1 tier is
+  * stale by at most `majorEvery − 1` deltas. [[Tiered.mergedHybrid]]
+  * restores exactness when a reader needs it mid-window.
+  *
+  * CRASH MATRIX (the [[GraphEpochStream]] guarantees, preserved per tier —
+  * each epoch's IndexStore meta is its commit marker):
+  *  - crash mid-L0-write → no marker → replay rewrites the torn dir with
+  *    identical content;
+  *  - crash mid-L1-compaction → no marker → the standing L1 and EVERY L0
+  *    it was folding are still live (pruning runs only after commit) →
+  *    replay recompacts and overwrites;
+  *  - crash after either commit, before the stream checkpoint → the
+  *    replayed batch finds its epoch committed in one of the tiers and
+  *    SKIPS — the delta is never applied twice;
+  *  - retention: L1 keeps 2 generations; a major prunes only L0s ≤ the
+  *    PREVIOUS L1's id, so a reader pinned to generation N−1 (its L1 +
+  *    its L0s) survives one subsequent major — the keepEpochs=2 grace
+  *    window, tier-shaped.
+  *
+  * Prototype scope: unweighted edges (the [[GraphEpochStream]] (src, dst)
+  * contract); `dedup` must be true — cross-tier duplicate collapse is what
+  * the per-query dedup and the major fold implement, a multiplicity-
+  * preserving tiering needs per-edge counts in L0 and is out of scope. */
+object GraphTieredStream {
+
+  private def l0Root(root: String) = s"$root/l0"
+  private def l1Root(root: String) = s"$root/l1"
+
+  private def params(hubLimit: Long): Map[String, String] =
+    Map("dedup" -> "true", "hub_limit" -> hubLimit.toString)
+
+  private def l0Params(hubLimit: Long): Map[String, String] =
+    params(hubLimit) + ("tier" -> "l0_edges")
+
+  /** Committed L1 epoch ids, newest first. Listing + marker peek only. */
+  def l1Epochs(spark: SparkSession, root: String, hubLimit: Long): Seq[Long] =
+    EpochDirs.rawIds(spark, l1Root(root))
+      .filter(id => IndexStore.graphIndexMeta(spark,
+        EpochDirs.dir(l1Root(root), id), params(hubLimit)).isDefined)
+      .sorted(Ordering[Long].reverse)
+
+  /** Committed L0 epoch ids, newest first. */
+  def l0Epochs(spark: SparkSession, root: String, hubLimit: Long): Seq[Long] =
+    EpochDirs.rawIds(spark, l0Root(root))
+      .filter(id => IndexStore.stageMeta(spark,
+        EpochDirs.dir(l0Root(root), id), l0Params(hubLimit)).isDefined)
+      .sorted(Ordering[Long].reverse)
+
+  /** The ≤-2-tier reader view: newest committed L1 (possibly absent —
+    * pre-first-major streams serve from deltas alone) plus the live L0
+    * deltas ABOVE it, unioned lazily. `release()` frees the L1 handle. */
+  final case class Tiered(
+      epochId: Long,
+      l1: Option[Adjacency.Hybrid],
+      delta: DataFrame,
+      release: () => Unit) {
+
+    /** Query-proportional point read: distinct neighbors of each `per`
+      * row's `src` across both tiers, as (qid…payload, dst). The L1 side
+      * is the hybrid's join-then-explode; the delta side is a plain
+      * equi-join on the (≤ majorEvery batches of) delta rows. Distinct
+      * AFTER the union collapses cross-tier duplicate edges — per query,
+      * never over the corpus. */
+    def neighbors(per: DataFrame): DataFrame = {
+      val payload = per.columns.filter(_ != "src").toSeq.map(col)
+      val outCols = payload :+ col("dst")
+      val l1Side = l1.map(_.expand(per).select(outCols: _*))
+      val deltaSide = delta.join(per, Seq("src")).select(outCols: _*)
+      l1Side.fold(deltaSide)(_.unionByName(deltaSide)).distinct()
+    }
+
+    /** The merged edge set (src, dst), deduped across tiers — the L1
+      * edges pay one explode (the [[Adjacency.Hybrid.edges]] contract). */
+    def mergedEdges: DataFrame = {
+      val d = delta.select(col("src"), col("dst"))
+      l1.map(_.edges.select(col("src"), col("dst")).unionByName(d))
+        .getOrElse(d).distinct()
+    }
+
+    /** Full-adjacency view for whole-graph consumers: pays the build a
+      * major compaction would (use at L1 cadence, not per query). Caller
+      * releases the returned hybrid; this [[Tiered]] stays usable. */
+    def mergedHybrid(hubLimit: Long = Adjacency.DefaultHubLimit): Adjacency.Hybrid =
+      Checkpoints.sweepingOnFailure(delta.sparkSession.sparkContext)(
+        Adjacency.build(mergedEdges, dedup = true, hubLimit = hubLimit))
+  }
+
+  /** Load the newest committed tiered view; `None` before any commit.
+    * Zero Spark jobs until a frame is consumed. */
+  def loadCurrent(spark: SparkSession, root: String,
+                  hubLimit: Long = Adjacency.DefaultHubLimit): Option[Tiered] = {
+    val l1Id = l1Epochs(spark, root, hubLimit).headOption
+    val liveL0 = l0Epochs(spark, root, hubLimit)
+      .filter(id => l1Id.forall(id > _)).sorted
+    if (l1Id.isEmpty && liveL0.isEmpty) return None
+    val l1 = l1Id.flatMap(id => IndexStore.loadGraphIndex(spark,
+      EpochDirs.dir(l1Root(root), id), expectedParams = params(hubLimit)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dst",
+          org.apache.spark.sql.types.LongType))))
+    val delta = liveL0
+      .flatMap(id => IndexStore.loadStage(spark,
+        EpochDirs.dir(l0Root(root), id), None, l0Params(hubLimit)))
+      .foldLeft(empty)(_ unionByName _)
+    Some(Tiered((l1Id.toSeq ++ liveL0).max, l1, delta,
+      () => l1.foreach(_.release())))
+  }
+
+  /** Fold ONE batch of `(src, dst)` edges: an O(|Δ|) L0 commit, except
+    * every `majorEvery`-th live delta triggers the L1 major compaction.
+    * Idempotent under replay (either tier's committed marker skips).
+    * Pure batch logic — unit-testable without a stream. */
+  def foldBatch(edges: DataFrame, root: String, batchId: Long,
+                majorEvery: Int = 8,
+                hubLimit: Long = Adjacency.DefaultHubLimit): Unit = {
+    require(majorEvery >= 2, s"majorEvery must be >= 2, got $majorEvery")
+    val spark = edges.sparkSession
+    val l0Dir = EpochDirs.dir(l0Root(root), batchId)
+    val l1Dir = EpochDirs.dir(l1Root(root), batchId)
+    if (IndexStore.stageMeta(spark, l0Dir, l0Params(hubLimit)).isDefined ||
+        IndexStore.graphIndexMeta(spark, l1Dir, params(hubLimit)).isDefined)
+      return // replayed after a committed save — the fold already applied
+    if (edges.isEmpty) return // no content-free epochs
+    val norm = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct() // within-batch dedup; cross-tier dedup is the read/major's
+    val prevL1 = l1Epochs(spark, root, hubLimit).headOption
+    val liveL0 = l0Epochs(spark, root, hubLimit)
+      .filter(id => prevL1.forall(id > _))
+    if (liveL0.size + 1 < majorEvery) {
+      // MINOR: delta-sized durable commit (the whole point of the tier)
+      IndexStore.saveStage(spark, norm, l0Dir, s"batch:$batchId",
+        l0Params(hubLimit))
+    } else {
+      // MAJOR: fold standing L1 + live deltas + this batch into a full
+      // index; prune absorbed L0s (grace: only those ≤ the PREVIOUS L1)
+      // and old L1 generations after the commit
+      val view = loadCurrent(spark, root, hubLimit)
+      val allEdges = view.map(_.mergedEdges.unionByName(norm).distinct())
+        .getOrElse(norm)
+      val built =
+        try Checkpoints.sweepingOnFailure(spark.sparkContext)(
+          Adjacency.build(allEdges, dedup = true, hubLimit = hubLimit))
+        finally view.foreach(_.release())
+      try IndexStore.saveGraphIndex(spark, built, l1Dir,
+        s"batch:$batchId", params(hubLimit))
+      finally built.release()
+      EpochDirs.prune(spark, l1Root(root),
+        l1Epochs(spark, root, hubLimit).take(2).toSet)
+      prevL1.foreach { prev =>
+        // L0s ≤ the previous L1 are two generations old — no grace left
+        val keep = l0Epochs(spark, root, hubLimit).filter(_ > prev).toSet
+        EpochDirs.prune(spark, l0Root(root), keep + batchId)
+      }
+    }
+  }
+
+  /** Start the tiered roll: `edges` (a streaming `(src, dst)` frame) →
+    * per-batch [[foldBatch]] → committed L0/L1 epochs under `root`. */
+  def start(edges: DataFrame, root: String, checkpointDir: String,
+            majorEvery: Int = 8,
+            hubLimit: Long = Adjacency.DefaultHubLimit,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, root, batchId, majorEvery, hubLimit)
+      }
+      .start()
+}
