@@ -65,9 +65,27 @@ object CopurchaseStream {
   private val LineSchema = StructType(Seq(
     StructField("o", LongType), StructField("p", LongType)))
 
+  /** Segment read schema: the hive partition column `ob` DECLARED as
+    * LONG. Without it Spark infers the partition column as INT, the
+    * Long-literal `isin` filter wraps the attribute in a cast, and the
+    * predicate can fall out of PartitionFilters — the scan then reads
+    * all 64 buckets (correct, but the documented pruning guarantee
+    * silently degrades; r12 advice). Spec-asserted via the plan's
+    * PartitionFilters (CopurchaseStreamSpec). */
+  private[streaming] val SegmentSchema = StructType(Seq(
+    StructField("o", LongType), StructField("p", LongType),
+    StructField("ob", LongType)))
+
   /** Order-bucket count for the segment's partition key — the unit of
     * standing-scan pruning. */
   private[streaming] val OrderBuckets = 64
+
+  /** One committed segment, with `ob` read under [[SegmentSchema]] so
+    * bucket `isin` predicates stay in PartitionFilters (package-visible
+    * for the spec's plan assertion). */
+  private[streaming] def readSegment(spark: SparkSession, linesDir: String,
+                                     id: Long): DataFrame =
+    spark.read.schema(SegmentSchema).parquet(s"$linesDir/segment=$id")
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -112,7 +130,7 @@ object CopurchaseStream {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LineSchema)
     val seg = newestSegment(spark, linesDir).map { id =>
-      val s = spark.read.parquet(s"$linesDir/segment=$id")
+      val s = readSegment(spark, linesDir, id)
       touchedBuckets.fold(s)(bs => s.filter(col("ob").isin(bs: _*)))
         .select("o", "p")
     }.getOrElse(empty)
@@ -141,7 +159,7 @@ object CopurchaseStream {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LineSchema)
     val prevSeg = newestSegment(spark, linesDir).map(id =>
-      spark.read.parquet(s"$linesDir/segment=$id").select("o", "p"))
+      readSegment(spark, linesDir, id).select("o", "p"))
       .getOrElse(empty)
     val all = prevSeg.unionByName(
       spark.read.schema(LineSchema)

@@ -69,6 +69,25 @@ class CopurchaseStreamSpec extends SparkSpec {
     try assert(edgesOf(rolled) === edgesOf(full))
     finally rolled.release()
 
+    // bucket pruning is REAL partition pruning: the `ob` isin predicate
+    // must live in the scan's PartitionFilters — the r12 shape (inferred
+    // INT partition column vs Long literals) coerced via a cast and could
+    // drop the predicate to a post-scan filter, silently reading all 64
+    // buckets (r12 advice; SegmentSchema pins ob as LONG)
+    {
+      val segId = dirNames().find(_.startsWith("segment="))
+        .map(_.stripPrefix("segment=").toLong).getOrElse(fail("no segment"))
+      val pruned = CopurchaseStream.readSegment(spark, linesDir, segId)
+        .filter(org.apache.spark.sql.functions.col("ob").isin(1L, 3L))
+      val scans = pruned.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.partitionFilters.exists(
+          _.references.exists(_.name == "ob"))),
+        s"ob predicate fell out of PartitionFilters:\n${pruned.queryExecution}")
+    }
+
     // torn compaction: a segment dir without _SUCCESS must be invisible
     val torn = new java.io.File(s"$linesDir/segment=9999")
     assert(torn.mkdirs())
