@@ -87,10 +87,22 @@ object HostCpu {
     @volatile private var running = true
     private val t = new Thread(() => {
       val mx = java.lang.management.ManagementFactory.getThreadMXBean
-      spinCpuNormalized(mx, 50) // JIT warm
+      // spinCpuNormalized returns 0 PERMANENTLY when per-thread CPU time
+      // is unsupported/disabled (getCurrentThreadCpuTime = -1): every
+      // window would count as starved and the sampler would go dark with
+      // no indication why. Check once; fall back to the wall-based score
+      // (raw but never silent) and say so (r12 advice).
+      val cpuTimeOk = mx.isCurrentThreadCpuTimeSupported &&
+        mx.isThreadCpuTimeEnabled
+      if (!cpuTimeOk) System.err.println(
+        "[hostcpu] per-thread CPU time unavailable - sampler scores are " +
+          "wall-based (read 0 under scheduler starvation, not normalized)")
+      def sample(): Long =
+        if (cpuTimeOk) spinCpuNormalized(mx, 50) else spinOnce(50, 1)
+      sample() // JIT warm
       while (running) {
         val now = System.nanoTime()
-        val score = spinCpuNormalized(mx, 50)
+        val score = sample()
         if (score > 0L) samples.add((now, score))
         else starvedCount.incrementAndGet()
         Thread.sleep(periodMs)
