@@ -45,6 +45,25 @@ object TextQueries {
       .foreach(r => try r() catch { case _: Exception => () })
   }
 
+  /** Drain every swap-held last generation for `s` — the session-
+    * retirement companion to [[swapRelease]]: between invocations each
+    * (query, dir) intentionally keeps ONE cached generation alive (the
+    * caller may still be consuming the returned lazy frame), so a
+    * retiring session must release them explicitly or its end-of-life
+    * cache census reads as a leak (r12 verdict: the bench's residue was
+    * exactly these). Safe if a caller still holds a frame — Spark
+    * recomputes. */
+  def releaseSwapHeld(s: SparkSession): Unit = {
+    val it = lastRelease.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.apply() catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+  }
+
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame]()
   private def dupClusterLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
