@@ -2051,6 +2051,39 @@ object CoreQueries {
           .as("assortativity"))
       val rows = out.collect().toSeq // 1 row; the index stays cached
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
+    // Tiered (L0/L1) epoch-roll identity — the q79 pattern for
+    // GraphTieredStream: the 1997 co-purchase edges split into 5
+    // deterministic order-keyed batches and folded through the FULL
+    // tiered lifecycle (minors 0–1, the L1 major at batch 2, minors 3–4 —
+    // so the read below merges BOTH tiers), then the same degree
+    // histogram as q79 over the merged view. The oracle replays the flat
+    // full build in SQL, so hash equality certifies
+    // tiered-fold-chain ≡ rebuild — the d13/q79/t38/v24 incremental
+    // identity at the tiered-durability layer. Each call pays a fresh
+    // roll into its own temp root (the t38/t39 convention: the
+    // maintenance chain IS the measured artifact).
+    "q81_tiered_roll" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+      val root = java.nio.file.Files.createTempDirectory("q81_tiered").toString
+      (0 until 5).foreach { i =>
+        graft.streaming.GraphTieredStream.foldBatch(
+          copurchasePairs(li.filter(pmod(col("l_orderkey"), lit(5)) === i)),
+          root, batchId = i.toLong, majorEvery = 3)
+      }
+      val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
+        .getOrElse(sys.error("tiered roll committed nothing"))
+      val hist = view.mergedEdges
+        .groupBy("src")
+        .agg(count(lit(1)).as("outdeg"), sum(col("dst")).as("dst_sum"))
+        .groupBy("outdeg")
+        .agg(count(lit(1)).as("n_srcs"), sum(col("src")).as("src_sum"),
+          sum(col("dst_sum")).as("dst_sum"))
+        .orderBy("outdeg")
+      val (rows, histSchema) =
+        try (hist.collect().toSeq, hist.schema) finally view.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
     }
   )
 
@@ -2459,6 +2492,26 @@ object CoreQueries {
         |         CAST(b.l_partkey AS BIGINT) AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |  per AS (SELECT src, count(*) AS outdeg, sum(dst) AS dst_sum
+        |          FROM pairs GROUP BY src)
+        |SELECT outdeg, count(*) AS n_srcs, CAST(sum(src) AS BIGINT) AS src_sum,
+        |       CAST(sum(dst_sum) AS BIGINT) AS dst_sum
+        |FROM per GROUP BY outdeg ORDER BY outdeg""".stripMargin,
+
+    // q81: the oracle replays the FLAT full build over the same 1997 pair
+    // set — hash equality certifies the tiered L0/L1 fold chain (two
+    // minors, a major, two more minors; the read merges both tiers)
+    // against a from-scratch rebuild. Batches split by l_orderkey, so
+    // every order's lines share a batch and per-batch pair-gen is
+    // complete by construction (the cross-batch case is CopurchaseStream's
+    // contract, certified by its own spec).
+    "q81_tiered_roll" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+        |         CAST(b.l_partkey AS BIGINT) AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE year(a.l_shipdate) = 1997 AND year(b.l_shipdate) = 1997),
         |  per AS (SELECT src, count(*) AS outdeg, sum(dst) AS dst_sum
         |          FROM pairs GROUP BY src)
         |SELECT outdeg, count(*) AS n_srcs, CAST(sum(src) AS BIGINT) AS src_sum,
