@@ -200,7 +200,9 @@ object StreamBench {
     // both ends the floor-vs-marginal ambiguity the r12 serve section
     // had: 73 q/s at 8 batches was a floor statement, not a throughput
     // statement.
-    val serveBatchesHi = 32
+    // keep the two serve points distinct (and their JSON keys) even when
+    // the caller passes a large nChunks
+    val serveBatchesHi = if (nChunks >= 32) nChunks * 4 else 32
     def serveSection(name: String, queriesDf: org.apache.spark.sql.DataFrame,
                      run: (String, String, String) => org.apache.spark.sql.streaming.StreamingQuery)
         : (Long, Double, Double, Double, Double) = {
