@@ -218,6 +218,24 @@ object IndexStore {
       : Option[Map[String, String]] =
     validMeta(spark, dir, "ivf", None, expectedParams)
 
+  /** Load ONLY the centroid model of a committed IVF epoch — the tiered
+    * vector roll's minor path needs the standing quantizer to assign a
+    * delta, and paying [[loadIvfIndex]]'s persisted assignment handle for
+    * that would leak a cache entry per minor. One tiny parquet read
+    * (nCells × dim doubles), no persistent handles, `None` on
+    * absent/torn/mismatched meta. */
+  def loadIvfCentroids(spark: SparkSession, dir: String,
+                       expectedParams: Map[String, String] = Map.empty)
+      : Option[Array[Array[Double]]] =
+    validMeta(spark, dir, "ivf", None, expectedParams).map { m =>
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .collect().sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+      require(centroids.length == m("n_cells").toInt,
+        s"ivf index at $dir: ${centroids.length} centroids, meta says ${m("n_cells")}")
+      centroids
+    }
+
   /** Load an IVF index. The centroid model is tiny (nCells × dim doubles)
     * and is collected eagerly; the assignment stays a lazy persisted
     * parquet read. */

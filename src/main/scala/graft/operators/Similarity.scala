@@ -198,6 +198,21 @@ object Similarity {
   final case class IvfIndex(centroids: Array[Array[Double]], nCells: Int,
                             assigned: DataFrame, release: () => Unit)
 
+  /** The ONE cell-assignment pass shared by [[ivfBuild]], [[ivfAppend]]
+    * and the tiered vector roll's L0 minors: `(nid, nv, cell, nn)` under
+    * LITERAL centroids — a broadcast-map projection (cell scores are
+    * literals: no shuffle, no training, no driver data motion, work
+    * linear in the batch). The returned frame is exactly the shape
+    * [[IvfIndex.assigned]] holds, so tiers assigned under the same
+    * centroids union into a probeable index without re-assignment. */
+  def assignCells(batch: DataFrame, nid: String, nvec: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
+      .withColumn("cell", nearestCell(col("nv"), centroids))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+  }
+
   /** Train the coarse quantizer and assign the corpus to cells.
     *
     * Centroid training is distributed ([[lloydsCentroids]] — assignment
@@ -236,9 +251,7 @@ object Similarity {
     sample.unpersist()
 
     val assigned = {
-      val a = corpus.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
-        .withColumn("cell", nearestCell(col("nv"), centroids))
-        .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+      val a = assignCells(corpus, nid, nvec, centroids)
       if (persist) a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else a
     }
     // the ACTUAL centroid count, not the requested nCells: a corpus
@@ -309,10 +322,7 @@ object Similarity {
     * layer unions one more persisted batch. */
   def ivfAppend(index: IvfIndex, batch: DataFrame, nid: String, nvec: String,
                 persist: Boolean = true): IvfIndex = {
-    graft.plans.FloatDotProduct.register(batch.sparkSession)
-    val a = batch.select(col(nid).as("nid"), col(nvec).cast("array<float>").as("nv"))
-      .withColumn("cell", nearestCell(col("nv"), index.centroids))
-      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+    val a = assignCells(batch, nid, nvec, index.centroids)
     val appended =
       if (persist) a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else a

@@ -677,6 +677,42 @@ object VectorQueries {
     "v25_pq_drift" -> { (s, dir) =>
       Similarity.pqDriftAudit(pqIndexFor(s, dir),
         emb(s, dir).filter(col("label") === 3), "vec_id", "embedding")
+    },
+
+    // Tiered (L0/L1) epoch-roll identity for the VECTOR family — q81's
+    // pattern applied to the IVF index: the corpus split into 5
+    // deterministic id-keyed batches and folded through the FULL tiered
+    // lifecycle (bootstrap L1 at batch 0, minors 1–2, the L1 major at
+    // batch 3, minor 4 — so the probe below merges BOTH tiers), then the
+    // v04-shaped probe over the merged view. Assignment under a fixed
+    // quantizer commutes, so the tiered chain ≡ ivfBuild(batch 0) +
+    // ivfAppend(1–4) bit-for-bit; the oracle replays training on the
+    // batch-0 slice and assignment of the rest (v12's replay with the
+    // tiered split), so hash equality certifies minors + major + merged
+    // read ≡ the flat chain — the d13/q79/t38/v24/q81 incremental
+    // identity at the vector tier. Each call pays a fresh roll into its
+    // own temp root (the t38/q81 convention: the maintenance chain IS
+    // the measured artifact).
+    "v27_tiered_roll" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("v27_tiered").toString
+      (0 until 5).foreach { i =>
+        graft.streaming.VectorTieredStream.foldBatch(
+          e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
+          root, batchId = i.toLong, nCells = 16, majorEvery = 3)
+      }
+      val view = graft.streaming.VectorTieredStream
+        .loadCurrent(s, root, nCells = 16)
+        .getOrElse(sys.error("tiered vector roll committed nothing"))
+      val out = Similarity.ivfProbe(view.index,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+      val (rows, schema) =
+        try (out.collect().toSeq, out.schema) finally view.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )
 
@@ -843,11 +879,13 @@ object VectorQueries {
     * the per-query cell scores ivfProbe recomputes. */
   private def v12Oracle(nCells: Int = 16, nProbe: Int = 4, k: Int = 5,
                         iters: Int = 8, trainSample: Int = 10000,
-                        dim: Int = 64, excludeNid: String = ""): String =
+                        dim: Int = 64, excludeNid: String = "",
+                        trainPred: String = "vec_id % 8 <> 0",
+                        appendPred: String = "vec_id % 8 = 0"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |           WHERE vec_id % 8 <> 0),
+       |           WHERE $trainPred),
        |  eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |         WHERE vec_id % 8 = 0),
+       |         WHERE $appendPred),
        |  ${kmeansCtes("", "v", nCells, iters, trainSample, dim)},
        |  bscore AS MATERIALIZED (SELECT b.vec_id, l.c,
        |              list_inner_product(b.v, l.cf)
@@ -1399,6 +1437,12 @@ object VectorQueries {
          |     CROSS JOIN tot t CROSS JOIN btot bt
          |ORDER BY cell""".stripMargin,
     "v12_ivf_append" -> v12Oracle(),
+    // v27: the flat-chain replay with the tiered split — train on the
+    // batch-0 slice (vec_id % 5 = 0), assign the other four batches under
+    // the trained centroids, probe the union. The engine side ran the
+    // L0/L1 lifecycle; equality certifies tiered ≡ flat.
+    "v27_tiered_roll" -> v12Oracle(trainPred = "vec_id % 5 = 0",
+      appendPred = "vec_id % 5 <> 0"),
     "v24_pq_append" -> v24Oracle(),
     "v25_pq_drift" -> v25Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
