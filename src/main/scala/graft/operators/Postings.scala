@@ -111,4 +111,81 @@ object Postings {
     ids.unpersist()
     out
   }
+
+  /** One batch of documents as a SELF-CONTAINED tier frame
+    * `(doc_id, tok, tf, dl)` — the lex tiered roll's L0 payload:
+    * token-bearing docs carry one row per distinct token with the doc's
+    * total `dl` repeated; token-FREE docs (deletes / empty re-ingests)
+    * carry exactly one `(doc_id, NULL, NULL, NULL)` row, so their
+    * retraction of older tiers survives the parquet round-trip (the
+    * [[foldDocs]] edit-to-empty contract, tier-shaped). Work linear in
+    * |Δ| text; same within-batch doc_id-uniqueness contract as foldDocs. */
+  def tierFrame(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = toks(docs, idCol, textCol)
+    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val ids = docs.select(col(idCol).as("doc_id")).distinct()
+    tf.join(dl, Seq("doc_id"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+      .unionByName(ids.join(dl, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(null).cast("string").as("tok"),
+          lit(null).cast("long").as("tf"), lit(null).cast("long").as("dl")))
+  }
+
+  /** Merge a standing index with a stack of [[tierFrame]] tiers (ascending
+    * epoch order) into ONE logical index — the lex tiered roll's read path
+    * and its major compaction. Semantics are exactly a sequential
+    * [[foldDocs]] chain: a doc_id in any tier SHADOWS its standing
+    * postings, and among tiers the NEWEST version wins (last-writer-wins
+    * at doc grain — an LSM point-lookup rule, resolved set-wide here
+    * because tiers are |Δ|-sized).
+    *
+    * Cost shape: three doc-grain jobs at merge time (the tier union's
+    * materialization + the two closed-form stats aggregates — one
+    * marker-join pass over standing `dl`, one over the winning tier rows);
+    * the returned tf/dl are LAZY plans (standing anti-join ∪ winners), so
+    * probes pay one |Δ|-sized hash anti-join — never a corpus rewrite.
+    * The merged index does NOT own the standing input (a read view over a
+    * held L1 handle); `release()` frees only the tier union's persist. */
+  def mergeTiers(standing: Index, tiers: Seq[(Long, DataFrame)],
+                 broadcastRowLimit: Long = Adjacency.BroadcastRowLimit): Index = {
+    if (tiers.isEmpty)
+      return Index(standing.tf, standing.dl, standing.nDocs, standing.sumDl,
+        () => ())
+    val u = tiers.map { case (e, f) => f.withColumn("__e", lit(e)) }
+      .reduce(_ unionByName _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = u.select("doc_id").distinct()
+    val nIds = ids.count() // materializes u once for every reuse below
+    val small = nIds <= broadcastRowLimit
+    def b(df: DataFrame) = if (small) broadcast(df) else df
+    // LWW at doc grain: the newest tier containing a doc owns it
+    val win = u.groupBy("doc_id").agg(max(col("__e")).as("__e"))
+    val latest = u.join(b(win), Seq("doc_id", "__e")).drop("__e")
+    val idsB = b(ids)
+    // closed-form stats, the foldDocs math applied once across the stack:
+    // docs surviving from standing = nDocs − (standing dl-docs ∩ tier ids);
+    // docs contributed by tiers = token-bearing docs among the winners
+    val r = standing.dl
+      .join(idsB.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+      .agg(count(col("__t")).as("n_repl"),
+        coalesce(sum(when(col("__t").isNotNull, col("dl"))), lit(0L))
+          .as("repl_dl"))
+      .collect()(0)
+    val d = latest.filter(col("tok").isNotNull)
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .collect()(0)
+    val newTf = standing.tf.join(idsB, Seq("doc_id"), "left_anti")
+      .unionByName(latest.filter(col("tok").isNotNull)
+        .select(col("doc_id"), col("tok"), col("tf")))
+    val newDl = standing.dl.join(idsB, Seq("doc_id"), "left_anti")
+      .unionByName(latest.filter(col("tok").isNotNull)
+        .select(col("doc_id"), col("dl")).distinct())
+    Index(newTf, newDl,
+      standing.nDocs - r.getLong(0) + d.getLong(0),
+      standing.sumDl - r.getLong(1) + d.getLong(1),
+      () => { u.unpersist(); () })
+  }
 }

@@ -1487,6 +1487,56 @@ object TextQueries {
         val rows = out.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
       } finally folded.release()
+    },
+
+    // Tiered (L0/L1) epoch-roll identity for the LEXICAL family — q81/v27's
+    // pattern at the retrieval layer, with the semantics only this family
+    // has: cross-tier document EDITS and DELETES. Batches 0–3 split the
+    // corpus by doc_id % 4 (bootstrap L1 at 0, minors 1–2, the L1 major at
+    // 3); batch 4 RE-INGESTS doc_id % 16 = 0 with upper-cased text (an
+    // edit — new tokens shadow the L1 postings) and doc_id % 16 = 8 with
+    // empty text (a delete — the L0 tombstone row retracts the standing
+    // doc), so the merged read resolves last-writer-wins ACROSS tiers.
+    // Then the t37-shaped BM25 top-5 over the merged view. The oracle
+    // rebuilds from scratch over the EFFECTIVE corpus (CASE-edited text,
+    // deleted docs absent), so hash equality certifies the whole tiered
+    // lifecycle — minors, major, tombstones, LWW merge, closed-form
+    // nDocs/sumDl — against a full rebuild. Fresh roll per call into a
+    // temp root (the t38/q81/v27 convention).
+    "t40_tiered_bm25" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("t40_tiered").toString
+      (0 until 4).foreach { i =>
+        graft.streaming.LexTieredStream.foldBatch(
+          d.filter(pmod(col("doc_id"), lit(4)) === i), root,
+          batchId = i.toLong, majorEvery = 3)
+      }
+      val edits = d.filter(pmod(col("doc_id"), lit(16)).isin(0L, 8L))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(16)) === 0, upper(col("text")))
+            .otherwise(lit("")).as("text"))
+      graft.streaming.LexTieredStream.foldBatch(edits, root,
+        batchId = 4L, majorEvery = 3)
+      val view = graft.streaming.LexTieredStream.loadCurrent(s, root)
+        .getOrElse(sys.error("tiered lex roll committed nothing"))
+      try {
+        val qterms = Bm25Queries.toDF("qid", "qtext")
+          .select(col("qid"),
+            explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+        val agg = bm25ScoresOverIndex(view.index, qterms, excludeSelf = false)
+        val out = graft.plans.TopK.perKey(agg, Seq("qid"),
+            Seq("score_scaled" -> false, "doc_id" -> true), 5)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score_scaled").desc, col("doc_id"))))
+          .select(col("qid"), col("rank"), col("doc_id"),
+            col("score_scaled"), col("n_terms"))
+          .orderBy("qid", "rank")
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally view.release()
     }
   )
 
@@ -1588,7 +1638,7 @@ object TextQueries {
     * carried as a per-query integer recall verdict). [[bm25WorkloadCtes]]
     * is the chain up to the ranked `r`; the two tails differ. */
   private lazy val bm25WorkloadOracle: String =
-    s"""$bm25WorkloadCtes
+    s"""${bm25WorkloadCtes()}
       |SELECT qid, rank, doc_id, score_scaled, n_terms
       |FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
@@ -1598,7 +1648,7 @@ object TextQueries {
     * construction; the ENGINE's fold-served leg has to match it through
     * the hash compare. */
   private lazy val bm25FoldRecallOracle: String =
-    s"""$bm25WorkloadCtes,
+    s"""${bm25WorkloadCtes()},
       |  top5 AS (SELECT qid, rank, doc_id, score_scaled FROM r
       |           WHERE rank <= 5)
       |SELECT b.qid, count(*) AS k,
@@ -1612,11 +1662,25 @@ object TextQueries {
       |GROUP BY b.qid
       |ORDER BY b.qid""".stripMargin
 
-  private lazy val bm25WorkloadCtes: String = {
+  /** t40's effective corpus: the batch-4 re-ingest applied in SQL —
+    * doc_id % 16 = 0 carries its upper-cased edit, doc_id % 16 = 8 is
+    * deleted (edited to empty = retracted). The tiered engine path must
+    * reproduce a from-scratch rebuild of exactly this corpus. */
+  private lazy val tieredBm25Oracle: String =
+    s"""${bm25WorkloadCtes(
+           """(SELECT doc_id,
+             |             CASE WHEN doc_id % 16 = 0 THEN upper(text)
+             |                  ELSE text END AS text
+             |           FROM documents WHERE doc_id % 16 <> 8)""".stripMargin)}
+      |SELECT qid, rank, doc_id, score_scaled, n_terms
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  private def bm25WorkloadCtes(source: String = "documents"): String = {
     val vals = Bm25Queries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      |           FROM documents),
+      |           FROM $source),
       |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
       |         WHERE tok <> '' GROUP BY doc_id, tok),
       |  dl AS (SELECT doc_id, count(*) AS dl FROM t
@@ -2282,6 +2346,11 @@ object TextQueries {
     // certificate (the d13/q79 pattern at the lexical layer).
     "t38_incremental_bm25" -> bm25WorkloadOracle,
     "t39_bm25_fold_recall" -> bm25FoldRecallOracle,
+    // t40: the from-scratch replay over the EFFECTIVE corpus (batch-4
+    // edits applied as a CASE, deletes as a WHERE) — the engine side ran
+    // the L0/L1 lifecycle with cross-tier shadowing; equality certifies
+    // tiered ≡ rebuild including replacement/delete semantics.
+    "t40_tiered_bm25" -> tieredBm25Oracle,
 
     // DuckDB twin of t04 — the order-sensitive fingerprint as a closed-form
     // double polynomial: chars-within-token (h1, as in d04) then
