@@ -289,6 +289,25 @@ object IndexStore {
       : Option[Map[String, String]] =
     validMeta(spark, dir, "pq", expectedVersion = None, expectedParams)
 
+  /** Load ONLY the codebook model of a committed PQ epoch — the tiered
+    * PQ roll's minor path needs the standing quantizer to encode a delta,
+    * and paying [[loadPqIndex]]'s persisted encoded handle for that would
+    * leak a cache entry per minor. One tiny parquet read (m·k rows), no
+    * persistent handles; returns `(codebooks, m, k, subDim)`, `None` on
+    * absent/torn/mismatched meta. */
+  def loadPqCodebooks(spark: SparkSession, dir: String,
+                      expectedParams: Map[String, String] = Map.empty)
+      : Option[(Array[Array[Array[Double]]], Int, Int, Int)] =
+    validMeta(spark, dir, "pq", expectedVersion = None, expectedParams).map { meta =>
+      val (m, k) = (meta("m").toInt, meta("k").toInt)
+      val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      require(rows.length == m * k,
+        s"pq index at $dir: ${rows.length} codebook rows, meta says ${m * k}")
+      val codebooks = Array.ofDim[Array[Double]](m, k)
+      rows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      (codebooks, m, k, meta("sub_dim").toInt)
+    }
+
   def loadPqIndex(spark: SparkSession, dir: String,
                   expectedVersion: Option[String] = None,
                   expectedParams: Map[String, String] = Map.empty)

@@ -582,6 +582,16 @@ object Similarity {
     encodeUnderCodebooks(index, batch, nid, nvec)
   }
 
+  /** [[pqEncode]] against RAW codebooks (no [[PqIndex]] handle) — the
+    * tiered PQ roll's minor path holds only the model
+    * ([[graft.operators.IndexStore.loadPqCodebooks]]), never the standing
+    * encoded frame. Same kernel, same determinism. */
+  def pqEncodeWith(codebooks: Array[Array[Array[Double]]], subDim: Int,
+                   batch: DataFrame, nid: String, nvec: String): DataFrame = {
+    graft.plans.FloatDotProduct.register(batch.sparkSession)
+    encodeWith(codebooks, subDim, batch, nid, nvec)
+  }
+
   /** One map-only encode of `batch` under `index`'s codebooks:
     * `(nid, code_0..code_{m-1})`, the exact arithmetic of [[pqBuild]]'s
     * corpus encode (per-subspace argmax, (score DESC, cell DESC)

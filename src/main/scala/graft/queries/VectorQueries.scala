@@ -679,6 +679,40 @@ object VectorQueries {
         emb(s, dir).filter(col("label") === 3), "vec_id", "embedding")
     },
 
+    // Tiered (L0/L1) epoch-roll identity for the PQ family — v27's
+    // pattern at the quantized tier, completing tiering across all four
+    // durable index families (graph q81, vector v27, lex t40, PQ here):
+    // the corpus in 5 id-keyed batches through the full lifecycle
+    // (bootstrap pqBuild at 0, minors 1–2 encoded under the standing
+    // codebooks, L1 major at 3, minor 4), then the merged two-tier code
+    // frame. Encoding under fixed codebooks commutes, so the tiered
+    // chain ≡ pqBuild(batch 0) + pqAppend(1–4) code-for-code; the oracle
+    // replays the subspace trainings on the batch-0 slice and encodes
+    // the FULL corpus under them.
+    "v28_pq_tiered_roll" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("v28_tiered").toString
+      (0 until 5).foreach { i =>
+        graft.streaming.PqTieredStream.foldBatch(
+          e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
+          root, batchId = i.toLong, dim = 64, m = 4, k = 8, iters = 4,
+          majorEvery = 3)
+      }
+      val view = graft.streaming.PqTieredStream
+        .loadCurrent(s, root, dim = 64, m = 4, k = 8, iters = 4)
+        .getOrElse(sys.error("tiered pq roll committed nothing"))
+      val out = view.index.encoded
+        .select(col("nid").cast("long").as("vec_id"),
+          col("code_0").cast("long").as("code_0"),
+          col("code_1").cast("long").as("code_1"),
+          col("code_2").cast("long").as("code_2"),
+          col("code_3").cast("long").as("code_3"))
+        .orderBy("vec_id")
+      val (rows, schema) =
+        try (out.collect().toSeq, out.schema) finally view.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    },
+
     // Tiered (L0/L1) epoch-roll identity for the VECTOR family — q81's
     // pattern applied to the IVF index: the corpus split into 5
     // deterministic id-keyed batches and folded through the FULL tiered
@@ -1151,7 +1185,9 @@ object VectorQueries {
     * encode-under-codebooks pass uses — the hash-exact
     * encode-under-standing replay. */
   private def v24Oracle(m: Int = 4, k: Int = 8, iters: Int = 4,
-                        trainSample: Int = 10000, dim: Int = 64): String = {
+                        trainSample: Int = 10000, dim: Int = 64,
+                        trainPred: String = "vec_id % 8 <> 0",
+                        encodePred: String = "vec_id % 8 = 0"): String = {
     val subDim = dim / m
     val blocks = (0 until m).map { ms =>
       val lo = ms * subDim
@@ -1171,9 +1207,9 @@ object VectorQueries {
     val codeJoins = (1 until m)
       .map(ms => s"JOIN b$ms ON b$ms.vec_id = b0.vec_id").mkString("\n     ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |           WHERE vec_id % 8 <> 0),
+       |           WHERE $trainPred),
        |  eb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |        WHERE vec_id % 8 = 0),
+       |        WHERE $encodePred),
        |  $blocks,
        |  $codeCtes
        |SELECT b0.vec_id, $codeCols
@@ -1444,6 +1480,12 @@ object VectorQueries {
     "v27_tiered_roll" -> v12Oracle(trainPred = "vec_id % 5 = 0",
       appendPred = "vec_id % 5 <> 0"),
     "v24_pq_append" -> v24Oracle(),
+    // v28: v24's replay with the tiered split — train the subspace
+    // codebooks on the batch-0 slice (vec_id % 5 = 0), encode the WHOLE
+    // corpus under them. The engine ran the L0/L1 lifecycle; equality
+    // certifies tiered ≡ flat at the quantized tier.
+    "v28_pq_tiered_roll" -> v24Oracle(trainPred = "vec_id % 5 = 0",
+      encodePred = "TRUE"),
     "v25_pq_drift" -> v25Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
     // side, joined on (qid, nid) — n_hits is an exact integer verdict.

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** [[PqTieredStream]] — L0/L1 tiered epoch commits for the PQ index.
+  * Contracts: the merged ≤2-tier reader view's codes are BIT-IDENTICAL
+  * to the flat build+append chain (same codebooks, same encode kernel),
+  * minor commits are delta-sized, the crash matrix of the flat roll is
+  * preserved per tier, and a reader pinned before a major survives it. */
+class PqTieredStreamSpec extends SparkSpec {
+
+  private val DIM = 8
+  private val M = 2
+  private val K = 4
+  private val ITERS = 2
+  private val TRAIN = 50
+
+  private def vecs(ids: Range): DataFrame = {
+    import sqlImplicits._
+    ids.map { i =>
+      val v = Array.fill(DIM)(0.01f * ((i * 7) % 5))
+      v(i % 4) = 1.0f; v(4 + i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "emb")
+  }
+
+  private def codes(idx: Similarity.PqIndex): Set[(Long, Int, Int)] =
+    idx.encoded.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  private def fold(b: DataFrame, root: String, id: Long) =
+    PqTieredStream.foldBatch(b, "vec_id", "emb", root, id,
+      dim = DIM, m = M, k = K, iters = ITERS, trainSample = TRAIN,
+      majorEvery = 3)
+
+  test("bootstrap → minors → major → minor: codes bit-identical to the " +
+       "flat append chain; minors are delta-sized") {
+    val root = Files.createTempDirectory("pts_idx").toString
+    val batches = Seq(vecs(1 to 40), vecs(101 to 110), vecs(201 to 210),
+      vecs(301 to 310), vecs(401 to 410))
+    val outcomes = batches.zipWithIndex.map { case (b, i) =>
+      fold(b, root, i.toLong)
+    }
+    assert(outcomes === Seq(PqTieredStream.Bootstrapped,
+      PqTieredStream.Minor, PqTieredStream.Minor,
+      PqTieredStream.Major(2), PqTieredStream.Minor))
+    assert(PqTieredStream.l1Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
+      === Seq(3L, 0L))
+    // absorbed L0s 1–2 kept for the one-major grace, pruned at next major
+    assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
+      === Seq(4L, 2L, 1L))
+
+    val l0rows = spark.read.parquet(s"$root/l0/epoch=4/data").count()
+    assert(l0rows === 10L, s"a minor commit must be delta-sized, got $l0rows")
+
+    val view = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no tiered view"))
+    assert(view.epochId === 4L)
+    val twin = batches.tail.foldLeft(
+      Similarity.pqBuild(batches.head, "vec_id", "emb", DIM, M, K, ITERS,
+        TRAIN))((idx, b) => Similarity.pqAppend(idx, b, "vec_id", "emb"))
+    try {
+      assert(view.index.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        twin.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      assert(codes(view.index) === codes(twin))
+    } finally { view.release(); twin.release() }
+  }
+
+  test("crash matrix: torn L0 and torn L1 replay identically; committed " +
+       "batches replay as no-ops; empty batches commit nothing") {
+    val root = Files.createTempDirectory("pts2_idx").toString
+    val none = vecs(1 until 1)
+    assert(fold(none, root, 0L) === PqTieredStream.EmptyBatch)
+    assert(PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).isEmpty)
+
+    fold(vecs(1 to 30), root, 1L) // bootstrap L1@1
+
+    val torn = new java.io.File(s"$root/l0/epoch=2")
+    assert(torn.mkdirs())
+    Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
+    assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS,
+      TRAIN).isEmpty, "torn L0 must be invisible")
+    assert(fold(vecs(101 to 105), root, 2L) === PqTieredStream.Minor)
+    assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
+      === Seq(2L))
+
+    assert(fold(vecs(151 to 155), root, 3L) === PqTieredStream.Minor)
+    val tornL1 = new java.io.File(s"$root/l1/epoch=4")
+    assert(tornL1.mkdirs())
+    Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
+    fold(vecs(201 to 205), root, 4L) match {
+      case PqTieredStream.Major(n) => assert(n === 2)
+      case other => fail(s"expected Major, got $other")
+    }
+    assert(PqTieredStream.l1Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
+      === Seq(4L, 1L))
+
+    def mtimes = new java.io.File(s"$root/l1/epoch=4").listFiles
+      .map(f => f.getName -> f.lastModified).toMap
+    val m0 = mtimes
+    Thread.sleep(1100)
+    assert(fold(vecs(201 to 205), root, 4L) === PqTieredStream.Skipped)
+    assert(mtimes === m0, "a committed batch must replay as a no-op")
+
+    val view = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no view"))
+    try assert(codes(view.index).map(_._1) ===
+      ((1 to 30) ++ (101 to 105) ++ (151 to 155) ++ (201 to 205))
+        .map(_.toLong).toSet)
+    finally view.release()
+  }
+
+  test("a reader pinned before a major survives it (one-major grace), and " +
+       "the streaming wrapper converges like foldBatch") {
+    val root = Files.createTempDirectory("pts3_idx").toString
+    val landing = Files.createTempDirectory("pts3_in").toString
+    val batches = (0 until 5).map(i => vecs(i * 100 + 1 to i * 100 + 10))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.parquet(f"$landing/chunk$i%02d")
+    }
+    val q = PqTieredStream.start(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$landing/chunk*"),
+      "vec_id", "emb", root, Files.createTempDirectory("pts3_ck").toString,
+      dim = DIM, m = M, k = K, iters = ITERS, trainSample = TRAIN,
+      majorEvery = 3)
+    assert(q.awaitTermination(180000L), "stream must drain")
+
+    val allIds = batches.flatMap(_.collect().map(_.getLong(0))).toSet
+    val pinned = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no view"))
+    val more = (0 until 2).map(i => vecs(900 + i * 10 + 1 to 900 + i * 10 + 10))
+    more.zipWithIndex.foreach { case (b, i) =>
+      fold(b, root, 100L + i)
+    }
+    try assert(codes(pinned.index).map(_._1) === allIds,
+      "a one-major-old reader must still collect (grace window)")
+    finally pinned.release()
+
+    val fresh = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no fresh view"))
+    try assert(codes(fresh.index).map(_._1) ===
+      allIds ++ more.flatMap(_.collect().map(_.getLong(0))))
+    finally fresh.release()
+  }
+}
