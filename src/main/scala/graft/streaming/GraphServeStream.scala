@@ -90,6 +90,74 @@ object GraphServeStream {
       () => GraphEpochStream.loadCurrent(spark, indexRoot, dedup, hubLimit),
       (h: graft.operators.Adjacency.Hybrid) => h.release())
 
+  /** The probe plan over a TIERED view: candidate neighbors come from
+    * [[GraphTieredStream.Tiered.neighbors]] — tier-COMPLETE and
+    * query-proportional (the L1 expand ∪ the small delta join, deduped
+    * per query) — while the degree ranking signal reads the L1 hybrid's
+    * `outDegrees`, which between majors is stale by at most
+    * `majorEvery − 1` deltas (the documented [[GraphTieredStream]]
+    * degree-exactness trade: exact degrees mid-window would cost a
+    * 2-hop read or a `mergedHybrid` build per swap — a major's price at
+    * serve cadence). Candidates are never stale; only their tie-break
+    * weight ages, and it refreshes at every major. Pre-first-major
+    * (delta-only) views rank by node id alone (degree 0). */
+  private def answerPlanTiered(queries: DataFrame,
+                               t: GraphTieredStream.Tiered,
+                               k: Int): DataFrame = {
+    val per = queries.select(col("node").cast("long").as("src"),
+      col("qid").cast("long").as("qid"))
+    val cand = t.neighbors(per).select(col("qid"), col("dst"))
+    val scored = t.l1 match {
+      case Some(hyb) =>
+        val deg = hyb.outDegrees
+          .select(col("src").as("dst"), col("outdeg").as("dst_outdeg"))
+        cand.join(deg, Seq("dst"), "left")
+          .na.fill(0L, Seq("dst_outdeg"))
+      case None => cand.withColumn("dst_outdeg", lit(0L))
+    }
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq("dst_outdeg" -> false, "dst" -> true), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("dst_outdeg").desc, col("dst"))))
+      .select(col("qid"), col("rank"), col("dst"), col("dst_outdeg"))
+  }
+
+  /** [[pinFor]] against a TIERED root ([[GraphTieredStream]]) — the
+    * production pairing on the LSM roll; the staleness check is the
+    * tiered `currentEpochId` (minor or major commits bump it). */
+  def tieredPinFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                   hubLimit: Long = graft.operators.Adjacency.DefaultHubLimit)
+      : EpochPin[GraphTieredStream.Tiered] =
+    new EpochPin(
+      () => GraphTieredStream.currentEpochId(spark, indexRoot, hubLimit),
+      () => GraphTieredStream.loadCurrent(spark, indexRoot, hubLimit)
+        .map(t => t.epochId -> t),
+      (t: GraphTieredStream.Tiered) => t.release())
+
+  /** [[start]] against a tiered root — same sink contract, same pin
+    * lifetime; see [[answerPlanTiered]] for the candidate/degree split. */
+  def startTiered(queries: DataFrame, indexRoot: String, outDir: String,
+                  checkpointDir: String, k: Int = 5,
+                  hubLimit: Long = graft.operators.Adjacency.DefaultHubLimit,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = queries.sparkSession
+    val pin = tieredPinFor(spark, indexRoot, hubLimit)
+    EpochPin.bound(spark, pin) {
+      queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, t) = pin.get()
+          answerPlanTiered(batch, t, k)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("epoch_id", lit(epochId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .start()
+    }
+  }
+
   /** Start the serving stream: `queries` (a streaming `(qid, node)`
     * frame) → per-batch probe → one `batch=<batchId>` parquet directory
     * each under `outDir`, rows stamped with the answering epoch. Epoch

@@ -116,6 +116,18 @@ object GraphTieredStream {
         Adjacency.build(mergedEdges, dedup = true, hubLimit = hubLimit))
   }
 
+  /** The id [[loadCurrent]] would return — the serving pin's zero-job
+    * staleness check (listing + marker peeks only). `None` before any
+    * commit (either tier counts — the graph tier serves from deltas
+    * alone pre-first-major). */
+  def currentEpochId(spark: SparkSession, root: String,
+                     hubLimit: Long = Adjacency.DefaultHubLimit): Option[Long] = {
+    val l1Id = l1Epochs(spark, root, hubLimit).headOption
+    val ids = l1Id.toSeq ++
+      l0Epochs(spark, root, hubLimit).filter(id => l1Id.forall(id > _))
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   /** Load the newest committed tiered view; `None` before any commit.
     * Zero Spark jobs until a frame is consumed. */
   def loadCurrent(spark: SparkSession, root: String,

@@ -83,6 +83,44 @@ object LexServeStream {
       () => LexEpochStream.loadCurrent(spark, indexRoot),
       (i: graft.operators.Postings.Index) => i.release())
 
+  /** [[pinFor]] against a TIERED root ([[LexTieredStream]]) — the
+    * production pairing on the LSM roll. The staleness check is the
+    * tiered `currentEpochId` (a minor or major commit bumps it); a swap
+    * reloads the merged view, paying [[graft.operators.Postings.mergeTiers]]'s
+    * three doc-grain stats jobs ONCE per roll commit, not per batch.
+    * Because mergeTiers replays the foldDocs chain exactly — edits,
+    * deletes, closed-form stats — BM25 answers are identical to serving
+    * the flat roll of the same batches. */
+  def tieredPinFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String)
+      : EpochPin[LexTieredStream.Tiered] =
+    new EpochPin(
+      () => LexTieredStream.currentEpochId(spark, indexRoot),
+      () => LexTieredStream.loadCurrent(spark, indexRoot)
+        .map(t => t.epochId -> t),
+      (t: LexTieredStream.Tiered) => t.release())
+
+  /** [[start]] against a tiered root — same sink contract, same pin
+    * lifetime, answers stamped with the tiered epoch id. */
+  def startTiered(queries: DataFrame, indexRoot: String, outDir: String,
+                  checkpointDir: String, k: Int = 5,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = queries.sparkSession
+    val pin = tieredPinFor(spark, indexRoot)
+    EpochPin.bound(spark, pin) {
+      queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, t) = pin.get()
+          answerPlan(batch, t.index, k)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("epoch_id", lit(epochId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .start()
+    }
+  }
+
   /** Start the serving stream: `queries` (a streaming DataFrame of
     * `(qid, qtext)` rows) → per-batch probe → one `batch=<batchId>`
     * parquet directory each under `outDir`, rows stamped with the

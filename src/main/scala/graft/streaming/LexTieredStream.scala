@@ -82,6 +82,13 @@ object LexTieredStream {
       liveL0s: Seq[Long],
       release: () => Unit)
 
+  /** The id [[loadCurrent]] would return — the serving pin's zero-job
+    * staleness check (listing + marker peeks only). */
+  def currentEpochId(spark: SparkSession, root: String): Option[Long] =
+    l1Epochs(spark, root).headOption.map { l1 =>
+      (l1 +: l0Epochs(spark, root).filter(_ > l1)).max
+    }
+
   /** Load the newest committed tiered view; `None` before the bootstrap
     * L1 commits. Pays the mergeTiers stats jobs when live L0s exist
     * (zero jobs otherwise). */

@@ -71,6 +71,23 @@ object VectorServeStream {
         trainSample, iters),
       (i: graft.operators.Similarity.IvfIndex) => i.release())
 
+  /** [[pinFor]] against a TIERED root ([[VectorTieredStream]]) — the
+    * production pairing on the LSM roll: the staleness check is the
+    * tiered `currentEpochId` (a minor OR a major commit bumps it), and a
+    * swap reloads the merged ≤2-tier view. Because the tiered view IS an
+    * ordinary [[graft.operators.Similarity.IvfIndex]] assigned under the
+    * same centroids, answers are bit-identical to serving the flat roll
+    * of the same batches. */
+  def tieredPinFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                   nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8)
+      : EpochPin[VectorTieredStream.Tiered] =
+    new EpochPin(
+      () => VectorTieredStream.currentEpochId(spark, indexRoot, nCells,
+        trainSample, iters),
+      () => VectorTieredStream.loadCurrent(spark, indexRoot, nCells,
+        trainSample, iters).map(t => t.epochId -> t),
+      (t: VectorTieredStream.Tiered) => t.release())
+
   /** Start the serving stream: `queries` (a streaming `(qid, qvec)`
     * frame) → per-batch probe → one `batch=<batchId>` parquet directory
     * each under `outDir`, rows stamped with the answering epoch. Epoch
@@ -89,6 +106,30 @@ object VectorServeStream {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val (epochId, idx) = pin.get()
           answerPlan(batch, idx, k, nProbe)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("epoch_id", lit(epochId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .start()
+    }
+  }
+
+  /** [[start]] against a tiered root — same sink contract, same pin
+    * lifetime, answers stamped with the tiered epoch id (the newest
+    * commit in EITHER tier). */
+  def startTiered(queries: DataFrame, indexRoot: String, outDir: String,
+                  checkpointDir: String, k: Int = 5, nProbe: Int = 4,
+                  nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = queries.sparkSession
+    val pin = tieredPinFor(spark, indexRoot, nCells, trainSample, iters)
+    EpochPin.bound(spark, pin) {
+      queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, t) = pin.get()
+          answerPlan(batch, t.index, k, nProbe)
             .withColumn("batch_id", lit(batchId))
             .withColumn("epoch_id", lit(epochId))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

@@ -114,6 +114,17 @@ object VectorTieredStream {
       liveL0s: Seq[Long],
       release: () => Unit)
 
+  /** The id [[loadCurrent]] would return — the serving pin's zero-job
+    * staleness check (listing + marker peeks only): a minor OR a major
+    * commit bumps it, so a pinned server swaps on either. */
+  def currentEpochId(spark: SparkSession, root: String,
+                     nCells: Int = 16, trainSample: Int = 10000,
+                     iters: Int = 8): Option[Long] =
+    l1Epochs(spark, root, nCells, trainSample, iters).headOption.map { l1 =>
+      (l1 +: l0Epochs(spark, root, nCells, trainSample, iters)
+        .filter(_ > l1)).max
+    }
+
   /** Load the newest committed tiered view; `None` before the bootstrap
     * L1 commits. Zero Spark jobs until the assignment is probed. */
   def loadCurrent(spark: SparkSession, root: String,

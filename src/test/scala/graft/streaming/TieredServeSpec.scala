@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Serving from TIERED roots — the production pairing of the L0/L1
+  * rolls with the pinned serve streams. Contracts per family:
+  *  - vector/lex: answers over a tiered root are IDENTICAL to answers
+  *    over a flat root rolled from the same batches (the tiers'
+  *    certified fold identities, surfaced at the serve layer);
+  *  - graph: candidates are tier-complete (a minor's edges are served
+  *    before any major) while the degree signal reads the L1 tier (the
+  *    documented staleness trade);
+  *  - all: a minor commit mid-stream bumps the tiered epoch id, so the
+  *    pin swaps at the next batch and the new delta is served. */
+class TieredServeSpec extends SparkSpec {
+
+  import sqlImplicits._
+
+  private def readAnswers(outDir: String): Set[Seq[Any]] =
+    spark.read.parquet(s"$outDir/batch=*").drop("batch_id", "epoch_id")
+      .collect().map(_.toSeq).toSet
+
+  private def stageOne(df: DataFrame, dir: String): String = {
+    df.coalesce(1).write.parquet(dir); dir
+  }
+
+  test("vector: tiered-served answers equal flat-served answers; a minor " +
+       "commit swaps the pin at the next batch") {
+    val vecs = (ids: Range) => ids.map(i => (i.toLong,
+      Array((i % 7).toFloat + 1f, (i % 3).toFloat + 0.5f))).toDF("vec_id", "emb")
+    val batches = Seq(vecs(1 to 60), vecs(101 to 120), vecs(201 to 220),
+      vecs(301 to 320))
+    val tRoot = Files.createTempDirectory("tsv_t").toString
+    val fRoot = Files.createTempDirectory("tsv_f").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VectorTieredStream.foldBatch(b, "vec_id", "emb", tRoot, i.toLong,
+        nCells = 4, trainSample = 50, iters = 2, majorEvery = 3)
+      VectorEpochStream.foldBatch(b, "vec_id", "emb", fRoot, i.toLong,
+        nCells = 4, trainSample = 50, iters = 2)
+    }
+    // queries out of the corpus id namespace (ivfProbe self-exclusion)
+    val q = vecs(1 to 6).select((col("vec_id") + 1000000L).as("qid"),
+      col("emb").as("qvec"))
+    val in = stageOne(q, Files.createTempDirectory("tsv_in").toString + "/q")
+    def serve(root: String, tiered: Boolean): Set[Seq[Any]] = {
+      val out = Files.createTempDirectory("tsv_out").toString
+      val ck = Files.createTempDirectory("tsv_ck").toString
+      val stream = spark.readStream.schema(q.schema).parquet(in)
+      val sq =
+        if (tiered) VectorServeStream.startTiered(stream, root, out, ck,
+          k = 3, nProbe = 2, nCells = 4, trainSample = 50, iters = 2)
+        else VectorServeStream.start(stream, root, out, ck,
+          k = 3, nProbe = 2, nCells = 4, trainSample = 50, iters = 2)
+      assert(sq.awaitTermination(180000L), "serve must drain")
+      readAnswers(out)
+    }
+    val tieredAns = serve(tRoot, tiered = true)
+    val flatAns = serve(fRoot, tiered = false)
+    assert(tieredAns === flatAns, "tiered-served ≠ flat-served")
+    assert(tieredAns.nonEmpty)
+
+    // mid-stream minor: pin swaps at the next batch and serves the delta
+    val pin = VectorServeStream.tieredPinFor(spark, tRoot, nCells = 4,
+      trainSample = 50, iters = 2)
+    try {
+      val (id0, _) = pin.get()
+      VectorTieredStream.foldBatch(vecs(401 to 410), "vec_id", "emb", tRoot,
+        10L, nCells = 4, trainSample = 50, iters = 2, majorEvery = 3)
+      val (id1, t1) = pin.get()
+      assert(id1 === 10L, "minor commit must bump the pin")
+      assert(id1 != id0)
+      assert(t1.index.assigned.filter(col("nid") >= 401L).count() === 10L,
+        "the swapped pin must serve the minor's delta")
+    } finally pin.close()
+  }
+
+  test("lex: tiered-served answers (edits + deletes in an L0 above the " +
+       "L1) equal flat-served answers from the same batches") {
+    val tRoot = Files.createTempDirectory("tsl_t").toString
+    val fRoot = Files.createTempDirectory("tsl_f").toString
+    val batches = Seq(
+      Seq(1L -> "a b a", 2L -> "b c", 3L -> "d a").toDF("doc_id", "text"),
+      Seq(4L -> "a d", 5L -> "e b").toDF("doc_id", "text"),
+      Seq(2L -> "x y", 6L -> "f a").toDF("doc_id", "text"),   // edit doc 2
+      Seq(3L -> "", 7L -> "g b").toDF("doc_id", "text"))      // delete doc 3
+    batches.zipWithIndex.foreach { case (b, i) =>
+      LexTieredStream.foldBatch(b, tRoot, i.toLong, majorEvery = 4)
+      LexEpochStream.foldBatch(b, fRoot, i.toLong)
+    }
+    // the edit (L0@2) and delete (L0@3) sit ABOVE the bootstrap L1@0 —
+    // the serve path must resolve them through the tier merge
+    assert(LexTieredStream.l1Epochs(spark, tRoot) === Seq(0L))
+    assert(LexTieredStream.l0Epochs(spark, tRoot) === Seq(3L, 2L, 1L))
+
+    val q = Seq((1L, "a b"), (2L, "d"), (3L, "x")).toDF("qid", "qtext")
+    val in = stageOne(q, Files.createTempDirectory("tsl_in").toString + "/q")
+    def serve(root: String, tiered: Boolean): Set[Seq[Any]] = {
+      val out = Files.createTempDirectory("tsl_out").toString
+      val ck = Files.createTempDirectory("tsl_ck").toString
+      val stream = spark.readStream.schema(q.schema).parquet(in)
+      val sq =
+        if (tiered) LexServeStream.startTiered(stream, root, out, ck, k = 3)
+        else LexServeStream.start(stream, root, out, ck, k = 3)
+      assert(sq.awaitTermination(180000L), "serve must drain")
+      readAnswers(out)
+    }
+    val tieredAns = serve(tRoot, tiered = true)
+    val flatAns = serve(fRoot, tiered = false)
+    assert(tieredAns === flatAns, "tiered-served ≠ flat-served")
+    // the delete is visible through the serve path: doc 3 never answers
+    assert(!tieredAns.exists(_(2) == 3L), "deleted doc served")
+    assert(tieredAns.nonEmpty)
+  }
+
+  test("graph: tiered-served candidates are tier-complete (minor edges " +
+       "served pre-major) with L1-tier degrees") {
+    val root = Files.createTempDirectory("tsg_t").toString
+    // L0@0..1, major L1@2, then a live minor L0@3 with NEW edges
+    val batches = Seq(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L)),
+      Seq((2L, 12L), (3L, 10L)),
+      Seq((3L, 13L), (1L, 12L)),
+      Seq((1L, 14L), (4L, 10L))) // live minor above the L1
+    batches.zipWithIndex.foreach { case (es, i) =>
+      GraphTieredStream.foldBatch(es.toDF("src", "dst"), root, i.toLong,
+        majorEvery = 3)
+    }
+    assert(GraphTieredStream.l1Epochs(spark, root,
+      graft.operators.Adjacency.DefaultHubLimit).head === 2L)
+
+    val q = Seq((101L, 1L), (104L, 4L)).toDF("qid", "node")
+    val in = stageOne(q, Files.createTempDirectory("tsg_in").toString + "/q")
+    val out = Files.createTempDirectory("tsg_out").toString
+    val sq = GraphServeStream.startTiered(
+      spark.readStream.schema(q.schema).parquet(in),
+      root, out, Files.createTempDirectory("tsg_ck").toString, k = 5)
+    assert(sq.awaitTermination(180000L), "serve must drain")
+    val ans = spark.read.parquet(s"$out/batch=*")
+      .select("qid", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 1's answer includes the LIVE MINOR's edge 1→14 (tier-complete)
+    // and node 4 (which exists ONLY in the minor) answers at all
+    assert(ans === Set((101L, 10L), (101L, 11L), (101L, 12L), (101L, 14L),
+      (104L, 10L)))
+  }
+}
