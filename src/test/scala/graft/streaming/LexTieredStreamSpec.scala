@@ -69,6 +69,12 @@ class LexTieredStreamSpec extends SparkSpec {
       // the edits landed: doc 2's final text is "z", doc 3 is gone
       assert(tfSet(view.index).filter(_._1 == 2L) === Set((2L, "z", 1L)))
       assert(!dlSet(view.index).exists(_._1 == 3L), "deleted doc must be gone")
+      // scale shape pinned as a PLAN property: the standing-side shadow
+      // anti-join must broadcast the (|Δ|-sized) tier id set — a
+      // shuffle anti-join here would pay a corpus-wide exchange per read
+      val plan = view.index.tf.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"shadow anti-join must broadcast the tier ids, got:\n$plan")
     } finally { view.release(); twin.release() }
   }
 
