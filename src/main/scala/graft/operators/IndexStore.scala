@@ -227,14 +227,21 @@ object IndexStore {
   def loadIvfCentroids(spark: SparkSession, dir: String,
                        expectedParams: Map[String, String] = Map.empty)
       : Option[Array[Array[Double]]] =
-    validMeta(spark, dir, "ivf", None, expectedParams).map { m =>
-      val centroids = spark.read.parquet(s"$dir/centroids")
-        .collect().sortBy(_.getInt(0))
-        .map(_.getSeq[Double](1).toArray)
-      require(centroids.length == m("n_cells").toInt,
-        s"ivf index at $dir: ${centroids.length} centroids, meta says ${m("n_cells")}")
-      centroids
-    }
+    validMeta(spark, dir, "ivf", None, expectedParams)
+      .map(m => readCentroids(spark, dir, m))
+
+  /** The ONE on-disk-centroid decode — shared by [[loadIvfCentroids]] and
+    * [[loadIvfIndex]] so a layout change cannot give minors a different
+    * model than readers probe with. */
+  private def readCentroids(spark: SparkSession, dir: String,
+                            meta: Map[String, String]): Array[Array[Double]] = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.length == meta("n_cells").toInt,
+      s"ivf index at $dir: ${centroids.length} centroids, meta says ${meta("n_cells")}")
+    centroids
+  }
 
   /** Load an IVF index. The centroid model is tiny (nCells × dim doubles)
     * and is collected eagerly; the assignment stays a lazy persisted
@@ -244,15 +251,10 @@ object IndexStore {
                    expectedParams: Map[String, String] = Map.empty)
       : Option[Similarity.IvfIndex] = {
     val out = validMeta(spark, dir, "ivf", expectedVersion, expectedParams).map { m =>
-      val nCells = m("n_cells").toInt
-      val centroids = spark.read.parquet(s"$dir/centroids")
-        .collect().sortBy(_.getInt(0))
-        .map(_.getSeq[Double](1).toArray)
-      require(centroids.length == nCells,
-        s"ivf index at $dir: ${centroids.length} centroids, meta says $nCells")
+      val centroids = readCentroids(spark, dir, m)
       val assigned = readFrame(spark, s"$dir/assigned", m("assigned_schema"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Similarity.IvfIndex(centroids, nCells, assigned,
+      Similarity.IvfIndex(centroids, centroids.length, assigned,
         () => { assigned.unpersist(); () })
     }
     IndexStats.inc(s"ivf.disk.${if (out.isDefined) "hit" else "miss"}")
@@ -299,29 +301,33 @@ object IndexStore {
                       expectedParams: Map[String, String] = Map.empty)
       : Option[(Array[Array[Array[Double]]], Int, Int, Int)] =
     validMeta(spark, dir, "pq", expectedVersion = None, expectedParams).map { meta =>
-      val (m, k) = (meta("m").toInt, meta("k").toInt)
-      val rows = spark.read.parquet(s"$dir/codebooks").collect()
-      require(rows.length == m * k,
-        s"pq index at $dir: ${rows.length} codebook rows, meta says ${m * k}")
-      val codebooks = Array.ofDim[Array[Double]](m, k)
-      rows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-      (codebooks, m, k, meta("sub_dim").toInt)
+      (readCodebooks(spark, dir, meta), meta("m").toInt, meta("k").toInt,
+        meta("sub_dim").toInt)
     }
+
+  /** The ONE on-disk-codebook decode — shared by [[loadPqCodebooks]] and
+    * [[loadPqIndex]] (the readCentroids rationale, PQ-shaped). */
+  private def readCodebooks(spark: SparkSession, dir: String,
+                            meta: Map[String, String]): Array[Array[Array[Double]]] = {
+    val (m, k) = (meta("m").toInt, meta("k").toInt)
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    require(rows.length == m * k,
+      s"pq index at $dir: ${rows.length} codebook rows, meta says ${m * k}")
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    codebooks
+  }
 
   def loadPqIndex(spark: SparkSession, dir: String,
                   expectedVersion: Option[String] = None,
                   expectedParams: Map[String, String] = Map.empty)
       : Option[Similarity.PqIndex] = {
     val out = validMeta(spark, dir, "pq", expectedVersion, expectedParams).map { meta =>
-      val (m, k) = (meta("m").toInt, meta("k").toInt)
-      val rows = spark.read.parquet(s"$dir/codebooks").collect()
-      require(rows.length == m * k,
-        s"pq index at $dir: ${rows.length} codebook rows, meta says ${m * k}")
-      val codebooks = Array.ofDim[Array[Double]](m, k)
-      rows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val codebooks = readCodebooks(spark, dir, meta)
       val encoded = readFrame(spark, s"$dir/encoded", meta("encoded_schema"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Similarity.PqIndex(codebooks, m, k, meta("sub_dim").toInt, encoded,
+      Similarity.PqIndex(codebooks, meta("m").toInt, meta("k").toInt,
+        meta("sub_dim").toInt, encoded,
         () => { encoded.unpersist(); () })
     }
     IndexStats.inc(s"pq.disk.${if (out.isDefined) "hit" else "miss"}")

@@ -156,6 +156,16 @@ object Postings {
     val u = tiers.map { case (e, f) => f.withColumn("__e", lit(e)) }
       .reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try mergeOverUnion(standing, u, broadcastRowLimit)
+    catch { case t: Throwable => u.unpersist(); throw t }
+  }
+
+  /** [[mergeTiers]]' body after the tier-union persist — split out so a
+    * throw anywhere in the stats jobs unpersists `u` instead of
+    * stranding it (the sweepingOnFailure discipline, scoped to the one
+    * handle this function owns). */
+  private def mergeOverUnion(standing: Index, u: DataFrame,
+                             broadcastRowLimit: Long): Index = {
     val ids = u.select("doc_id").distinct()
     val nIds = ids.count() // materializes u once for every reuse below
     val small = nIds <= broadcastRowLimit

@@ -135,6 +135,15 @@ object GraphTieredStream {
     val l1Id = l1Epochs(spark, root, hubLimit).headOption
     val liveL0 = l0Epochs(spark, root, hubLimit)
       .filter(id => l1Id.forall(id > _)).sorted
+    loadView(spark, root, hubLimit, l1Id, liveL0)
+  }
+
+  /** The view over an ALREADY-LISTED (l1Id, liveL0) pair — shared by
+    * [[loadCurrent]] and the major path of [[foldBatch]] so a major never
+    * re-lists the tiers it just enumerated (per-epoch meta reads double
+    * on an object store otherwise). */
+  private def loadView(spark: SparkSession, root: String, hubLimit: Long,
+                       l1Id: Option[Long], liveL0: Seq[Long]): Option[Tiered] = {
     if (l1Id.isEmpty && liveL0.isEmpty) return None
     val l1 = l1Id.flatMap(id => IndexStore.loadGraphIndex(spark,
       EpochDirs.dir(l1Root(root), id), expectedParams = params(hubLimit)))
@@ -145,7 +154,7 @@ object GraphTieredStream {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("dst",
           org.apache.spark.sql.types.LongType))))
-    val delta = liveL0
+    val delta = liveL0.sorted
       .flatMap(id => IndexStore.loadStage(spark,
         EpochDirs.dir(l0Root(root), id), None, l0Params(hubLimit)))
       .foldLeft(empty)(_ unionByName _)
@@ -159,15 +168,15 @@ object GraphTieredStream {
     * Pure batch logic — unit-testable without a stream. */
   def foldBatch(edges: DataFrame, root: String, batchId: Long,
                 majorEvery: Int = 8,
-                hubLimit: Long = Adjacency.DefaultHubLimit): Unit = {
+                hubLimit: Long = Adjacency.DefaultHubLimit): BatchOutcome = {
     require(majorEvery >= 2, s"majorEvery must be >= 2, got $majorEvery")
     val spark = edges.sparkSession
     val l0Dir = EpochDirs.dir(l0Root(root), batchId)
     val l1Dir = EpochDirs.dir(l1Root(root), batchId)
     if (IndexStore.stageMeta(spark, l0Dir, l0Params(hubLimit)).isDefined ||
         IndexStore.graphIndexMeta(spark, l1Dir, params(hubLimit)).isDefined)
-      return // replayed after a committed save — the fold already applied
-    if (edges.isEmpty) return // no content-free epochs
+      return BatchOutcome.Skipped // replayed after a committed save
+    if (edges.isEmpty) return BatchOutcome.EmptyBatch // no content-free epochs
     val norm = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -179,11 +188,12 @@ object GraphTieredStream {
       // MINOR: delta-sized durable commit (the whole point of the tier)
       IndexStore.saveStage(spark, norm, l0Dir, s"batch:$batchId",
         l0Params(hubLimit))
+      BatchOutcome.Minor
     } else {
       // MAJOR: fold standing L1 + live deltas + this batch into a full
       // index; prune absorbed L0s (grace: only those ≤ the PREVIOUS L1)
       // and old L1 generations after the commit
-      val view = loadCurrent(spark, root, hubLimit)
+      val view = loadView(spark, root, hubLimit, prevL1, liveL0)
       val allEdges = view.map(_.mergedEdges.unionByName(norm).distinct())
         .getOrElse(norm)
       val built =
@@ -200,6 +210,7 @@ object GraphTieredStream {
         val keep = l0Epochs(spark, root, hubLimit).filter(_ > prev).toSet
         EpochDirs.prune(spark, l0Root(root), keep + batchId)
       }
+      BatchOutcome.Major(liveL0.size)
     }
   }
 
@@ -214,6 +225,7 @@ object GraphTieredStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, root, batchId, majorEvery, hubLimit)
+        ()
       }
       .start()
 }

@@ -45,12 +45,7 @@ import graft.operators.{Checkpoints, IndexStore, Postings}
   * N−1 survives one subsequent major. Single writer. */
 object LexTieredStream {
 
-  sealed trait BatchOutcome
-  case object Skipped extends BatchOutcome
-  case object EmptyBatch extends BatchOutcome
-  case object Bootstrapped extends BatchOutcome
-  case object Minor extends BatchOutcome
-  final case class Major(absorbedL0s: Int) extends BatchOutcome
+  import BatchOutcome._
 
   private def l0Root(root: String) = s"$root/l0"
   private def l1Root(root: String) = s"$root/l1"
@@ -96,13 +91,19 @@ object LexTieredStream {
     l1Epochs(spark, root).headOption.flatMap { l1Id =>
       IndexStore.loadPostingsIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
         expectedParams = Params).map { l1 =>
-        val liveL0 = l0Epochs(spark, root).filter(_ > l1Id).sorted
-        val tiers = liveL0.flatMap(id =>
-          IndexStore.loadStage(spark, EpochDirs.dir(l0Root(root), id),
-            None, L0Params).map(id -> _))
-        val merged = Postings.mergeTiers(l1, tiers)
-        Tiered((l1Id +: liveL0).max, merged, liveL0,
-          () => { merged.release(); l1.release() })
+        // a merge failure (executor loss, a concurrent writer pruning a
+        // listed L0 mid-read) must not strand the L1's persisted frames —
+        // the foldBatch major guards its merge the same way
+        try {
+          val liveL0 = l0Epochs(spark, root).filter(_ > l1Id).sorted
+          val tiers = liveL0.flatMap(id =>
+            IndexStore.loadStage(spark, EpochDirs.dir(l0Root(root), id),
+              None, L0Params).map(id -> _))
+          val merged = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+            Postings.mergeTiers(l1, tiers))
+          Tiered((l1Id +: liveL0).max, merged, liveL0,
+            () => { merged.release(); l1.release() })
+        } catch { case t: Throwable => l1.release(); throw t }
       }
     }
 

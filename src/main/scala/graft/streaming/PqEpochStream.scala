@@ -42,13 +42,7 @@ import graft.operators.{IndexStore, Similarity}
   * compressed footprint, not the raw vectors'. */
 object PqEpochStream {
 
-  /** What [[foldBatch]] did — returned so tooling/specs assert the path.
-    * `driftedCodes` is None when the audit was not armed. */
-  sealed trait BatchOutcome
-  case object Skipped extends BatchOutcome
-  case object EmptyBatch extends BatchOutcome
-  case object Bootstrapped extends BatchOutcome
-  final case class Appended(driftedCodes: Option[Long]) extends BatchOutcome
+  import BatchOutcome._
 
   private def params(dim: Int, m: Int, k: Int, iters: Int,
                      trainSample: Int): Map[String, String] =

@@ -47,12 +47,7 @@ import graft.operators.{IndexStore, Similarity}
   * (`roll_dim/m/k/iters/train_sample`). Single writer. */
 object PqTieredStream {
 
-  sealed trait BatchOutcome
-  case object Skipped extends BatchOutcome
-  case object EmptyBatch extends BatchOutcome
-  case object Bootstrapped extends BatchOutcome
-  case object Minor extends BatchOutcome
-  final case class Major(absorbedL0s: Int) extends BatchOutcome
+  import BatchOutcome._
 
   private def l0Root(root: String) = s"$root/l0"
   private def l1Root(root: String) = s"$root/l1"
@@ -101,23 +96,30 @@ object PqTieredStream {
     * L1 commits. Zero Spark jobs until the codes are probed. */
   def loadCurrent(spark: SparkSession, root: String, dim: Int,
                   m: Int = 4, k: Int = 8, iters: Int = 4,
-                  trainSample: Int = 10000): Option[Tiered] = {
-    val pm = params(dim, m, k, iters, trainSample)
-    val l0pm = l0Params(dim, m, k, iters, trainSample)
+                  trainSample: Int = 10000): Option[Tiered] =
     l1Epochs(spark, root, dim, m, k, iters, trainSample).headOption.flatMap { l1Id =>
-      IndexStore.loadPqIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
-        expectedParams = pm).map { l1 =>
-        val liveL0 = l0Epochs(spark, root, dim, m, k, iters, trainSample)
-          .filter(_ > l1Id).sorted
-        val merged = liveL0
-          .flatMap(id => IndexStore.loadStage(spark,
-            EpochDirs.dir(l0Root(root), id), None, l0pm))
-          .foldLeft(l1.encoded)(_ unionByName _)
-        Tiered((l1Id +: liveL0).max,
-          Similarity.PqIndex(l1.codebooks, l1.m, l1.k, l1.subDim, merged,
-            l1.release),
-          liveL0, l1.release)
-      }
+      loadView(spark, root, dim, m, k, iters, trainSample, l1Id,
+        l0Epochs(spark, root, dim, m, k, iters, trainSample).filter(_ > l1Id))
+    }
+
+  /** The view over an ALREADY-LISTED (l1Id, liveL0) pair — shared by
+    * [[loadCurrent]] and the major path of [[foldBatch]] so a major never
+    * re-lists the tiers it just enumerated. */
+  private def loadView(spark: SparkSession, root: String, dim: Int,
+                       m: Int, k: Int, iters: Int, trainSample: Int,
+                       l1Id: Long, liveL0: Seq[Long]): Option[Tiered] = {
+    val l0pm = l0Params(dim, m, k, iters, trainSample)
+    IndexStore.loadPqIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
+      expectedParams = params(dim, m, k, iters, trainSample)).map { l1 =>
+      val live = liveL0.sorted
+      val merged = live
+        .flatMap(id => IndexStore.loadStage(spark,
+          EpochDirs.dir(l0Root(root), id), None, l0pm))
+        .foldLeft(l1.encoded)(_ unionByName _)
+      Tiered((l1Id +: live).max,
+        Similarity.PqIndex(l1.codebooks, l1.m, l1.k, l1.subDim, merged,
+          l1.release),
+        live, l1.release)
     }
   }
 
@@ -168,7 +170,8 @@ object PqTieredStream {
           // MAJOR: union standing codes, live deltas, and this batch
           // (same codebooks — no re-encode) into a full index; prune
           // absorbed L0s (grace) and old L1 generations after the commit
-          val view = loadCurrent(spark, root, dim, m, k, iters, trainSample)
+          val view = loadView(spark, root, dim, m, k, iters, trainSample,
+            prevL1, liveL0)
             .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
           val merged = view.index.encoded.unionByName(
             Similarity.pqEncodeWith(view.index.codebooks, view.index.subDim,

@@ -48,16 +48,7 @@ import graft.operators.{IndexStore, Similarity}
   * batch. */
 object VectorEpochStream {
 
-  /** What [[foldBatch]] did — returned (not logged) so maintenance
-    * tooling and specs can assert the path taken. `driftedCells` is None
-    * when the audit was skipped (threshold ≥ nCells can never fire, so
-    * the audit's jobs are not paid). */
-  sealed trait BatchOutcome
-  case object Skipped extends BatchOutcome
-  case object EmptyBatch extends BatchOutcome
-  case object Bootstrapped extends BatchOutcome
-  final case class Appended(driftedCells: Option[Long]) extends BatchOutcome
-  final case class Retrained(driftedCells: Long) extends BatchOutcome
+  import BatchOutcome._
 
   private def params(nCells: Int, trainSample: Int, iters: Int): Map[String, String] =
     Map("roll_n_cells" -> nCells.toString,

@@ -67,14 +67,7 @@ import graft.operators.{IndexStore, Similarity}
   * lock. */
 object VectorTieredStream {
 
-  /** What [[foldBatch]] did — returned (not logged) so tooling and specs
-    * can assert the path taken. */
-  sealed trait BatchOutcome
-  case object Skipped extends BatchOutcome
-  case object EmptyBatch extends BatchOutcome
-  case object Bootstrapped extends BatchOutcome
-  case object Minor extends BatchOutcome
-  final case class Major(absorbedL0s: Int) extends BatchOutcome
+  import BatchOutcome._
 
   private def l0Root(root: String) = s"$root/l0"
   private def l1Root(root: String) = s"$root/l1"
@@ -129,22 +122,30 @@ object VectorTieredStream {
     * L1 commits. Zero Spark jobs until the assignment is probed. */
   def loadCurrent(spark: SparkSession, root: String,
                   nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8)
-      : Option[Tiered] = {
-    val pm = params(nCells, trainSample, iters)
-    val l0pm = l0Params(nCells, trainSample, iters)
+      : Option[Tiered] =
     l1Epochs(spark, root, nCells, trainSample, iters).headOption.flatMap { l1Id =>
-      IndexStore.loadIvfIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
-        expectedParams = pm).map { l1 =>
-        val liveL0 = l0Epochs(spark, root, nCells, trainSample, iters)
-          .filter(_ > l1Id).sorted
-        val merged = liveL0
-          .flatMap(id => IndexStore.loadStage(spark,
-            EpochDirs.dir(l0Root(root), id), None, l0pm))
-          .foldLeft(l1.assigned)(_ unionByName _)
-        Tiered((l1Id +: liveL0).max,
-          Similarity.IvfIndex(l1.centroids, l1.nCells, merged, l1.release),
-          liveL0, l1.release)
-      }
+      loadView(spark, root, nCells, trainSample, iters, l1Id,
+        l0Epochs(spark, root, nCells, trainSample, iters).filter(_ > l1Id))
+    }
+
+  /** The view over an ALREADY-LISTED (l1Id, liveL0) pair — shared by
+    * [[loadCurrent]] and the major path of [[foldBatch]] so a major never
+    * re-lists the tiers it just enumerated (per-epoch meta reads double
+    * on an object store otherwise). */
+  private def loadView(spark: SparkSession, root: String,
+                       nCells: Int, trainSample: Int, iters: Int,
+                       l1Id: Long, liveL0: Seq[Long]): Option[Tiered] = {
+    val l0pm = l0Params(nCells, trainSample, iters)
+    IndexStore.loadIvfIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
+      expectedParams = params(nCells, trainSample, iters)).map { l1 =>
+      val live = liveL0.sorted
+      val merged = live
+        .flatMap(id => IndexStore.loadStage(spark,
+          EpochDirs.dir(l0Root(root), id), None, l0pm))
+        .foldLeft(l1.assigned)(_ unionByName _)
+      Tiered((l1Id +: live).max,
+        Similarity.IvfIndex(l1.centroids, l1.nCells, merged, l1.release),
+        live, l1.release)
     }
   }
 
@@ -199,7 +200,8 @@ object VectorTieredStream {
           // batch (same centroids — no re-assignment) into a full index;
           // prune absorbed L0s (grace: only those ≤ the PREVIOUS L1)
           // and old L1 generations after the commit
-          val view = loadCurrent(spark, root, nCells, trainSample, iters)
+          val view = loadView(spark, root, nCells, trainSample, iters,
+            prevL1, liveL0)
             .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
           val merged = view.index.assigned.unionByName(
             Similarity.assignCells(batch, idCol, vecCol, view.index.centroids))

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * per family:
   *
   *   {"flat_sec":[...], "tiered_sec":[...], "tiered_kind":["bootstrap",
-  *    "minor",...], "flat_bytes_med":B, "minor_bytes_med":B,
-  *    "major_bytes":B, "amortized_flat_sec":S, "amortized_tiered_sec":S}
+  *    "minor",...], "flat_sec_med":S, "minor_sec_med":S, "major_sec_med":S,
+  *    "flat_bytes_med":B, "minor_bytes_med":B, "major_bytes_med":B,
+  *    "amortized_flat_sec":S, "amortized_tiered_sec":S}
   *
   * The claim this probe certifies on numbers instead of scaladoc: minor
   * commit bytes ≈ |Δ|/|corpus| of a flat commit, and amortized per-batch
@@ -56,14 +57,19 @@ object TieredRollProbe {
 
     /** Stage `df` as nChunks parquet chunks, returned as per-batch frames
       * (each read back from its own file so both designs fold identical
-      * inputs with identical partitioning). */
+      * inputs with identical partitioning). Every chunk is read once
+      * before either design is timed — the flat side folds first, and
+      * without the pre-warm it would pay all the cold first-touch I/O
+      * while the tiered side re-read the same files warm. */
     def stage(df: DataFrame, name: String): Seq[DataFrame] = {
       val landing = s"$tmp/${name}_landing"
       df.repartition(nChunks).write.parquet(landing)
       val fs = new Path(landing).getFileSystem(spark.sessionState.newHadoopConf())
-      fs.listStatus(new Path(landing)).toSeq
+      val chunks = fs.listStatus(new Path(landing)).toSeq
         .map(_.getPath.toString).filter(_.matches(".*part-.*parquet$")).sorted
         .map(f => spark.read.schema(df.schema).parquet(f))
+      chunks.foreach(_.count()): Unit // page-cache pre-warm, untimed
+      chunks
     }
 
     /** Fold every chunk through `fold` (commit dir is `dirOf(i)`),
@@ -94,6 +100,17 @@ object TieredRollProbe {
         f""""amortized_tiered_sec":${tiered.map(_._1).sum / tiered.size}%.2f}"""
     }
 
+    /** One label per [[graft.streaming.BatchOutcome]] — empty/skipped
+      * batches keep their own labels so they can never masquerade as
+      * 0-byte minors in the medians. */
+    def kindOf(o: graft.streaming.BatchOutcome): String = o match {
+      case graft.streaming.BatchOutcome.Bootstrapped => "bootstrap"
+      case graft.streaming.BatchOutcome.Minor => "minor"
+      case _: graft.streaming.BatchOutcome.Major => "major"
+      case graft.streaming.BatchOutcome.EmptyBatch => "empty"
+      case other => other.toString.toLowerCase
+    }
+
     // ---- graph family: 1997 co-purchase edges
     val edges = graft.queries.CoreQueries.copurchasePairs(
       graft.io.Tables.load(spark, sfDir, "lineitem")
@@ -104,16 +121,10 @@ object TieredRollProbe {
         c, s"$tmp/g_flat", i); "flat" },
       (_, i) => s"$tmp/g_flat/epoch=$i")
     val gTier = run(eChunks,
-      (c, i) => {
-        graft.streaming.GraphTieredStream.foldBatch(c, s"$tmp/g_tier", i, majorEvery)
-        // GraphTieredStream returns Unit — classify by which tier committed
-        if (graft.streaming.GraphTieredStream.l1Epochs(spark, s"$tmp/g_tier",
-          graft.operators.Adjacency.DefaultHubLimit).headOption.contains(i))
-          "major"
-        else "minor"
-      },
-      (kind, i) => if (kind == "major") s"$tmp/g_tier/l1/epoch=$i"
-                   else s"$tmp/g_tier/l0/epoch=$i")
+      (c, i) => kindOf(graft.streaming.GraphTieredStream.foldBatch(
+        c, s"$tmp/g_tier", i, majorEvery)),
+      (kind, i) => if (kind == "minor") s"$tmp/g_tier/l0/epoch=$i"
+                   else s"$tmp/g_tier/l1/epoch=$i")
 
     // cross-check: both designs folded every edge exactly once
     val (_, gHyb) = graft.streaming.GraphEpochStream.loadCurrent(spark,
@@ -135,14 +146,9 @@ object TieredRollProbe {
         c, "vec_id", "embedding", s"$tmp/v_flat", i, nCells = 16); "flat" },
       (_, i) => s"$tmp/v_flat/epoch=$i")
     val vTier = run(vChunks,
-      (c, i) => graft.streaming.VectorTieredStream.foldBatch(
+      (c, i) => kindOf(graft.streaming.VectorTieredStream.foldBatch(
         c, "vec_id", "embedding", s"$tmp/v_tier", i, nCells = 16,
-        majorEvery = majorEvery) match {
-          case graft.streaming.VectorTieredStream.Bootstrapped => "bootstrap"
-          case graft.streaming.VectorTieredStream.Minor => "minor"
-          case _: graft.streaming.VectorTieredStream.Major => "major"
-          case other => other.toString.toLowerCase
-        },
+        majorEvery = majorEvery)),
       (kind, i) => if (kind == "minor") s"$tmp/v_tier/l0/epoch=$i"
                    else s"$tmp/v_tier/l1/epoch=$i")
 

@@ -46,9 +46,9 @@ class LexTieredStreamSpec extends SparkSpec {
     val outcomes = batches.zipWithIndex.map { case (b, i) =>
       LexTieredStream.foldBatch(b, root, i.toLong, majorEvery = 3)
     }
-    assert(outcomes === Seq(LexTieredStream.Bootstrapped,
-      LexTieredStream.Minor, LexTieredStream.Minor,
-      LexTieredStream.Major(2), LexTieredStream.Minor))
+    assert(outcomes === Seq(BatchOutcome.Bootstrapped,
+      BatchOutcome.Minor, BatchOutcome.Minor,
+      BatchOutcome.Major(2), BatchOutcome.Minor))
     assert(LexTieredStream.l1Epochs(spark, root) === Seq(3L, 0L))
 
     // delta-sized minor: batch 4's L0 holds its own rows only (doc 2's
@@ -82,7 +82,7 @@ class LexTieredStreamSpec extends SparkSpec {
        "batches replay as no-ops; empty batches commit nothing") {
     val root = Files.createTempDirectory("lts2_idx").toString
     assert(LexTieredStream.foldBatch(docsDF(), root, 0L, majorEvery = 3)
-      === LexTieredStream.EmptyBatch)
+      === BatchOutcome.EmptyBatch)
     assert(LexTieredStream.loadCurrent(spark, root).isEmpty)
 
     LexTieredStream.foldBatch(docsDF(1L -> "a b", 2L -> "c"), root, 1L,
@@ -94,18 +94,18 @@ class LexTieredStreamSpec extends SparkSpec {
     Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
     assert(LexTieredStream.l0Epochs(spark, root).isEmpty)
     assert(LexTieredStream.foldBatch(docsDF(3L -> "d"), root, 2L,
-      majorEvery = 3) === LexTieredStream.Minor)
+      majorEvery = 3) === BatchOutcome.Minor)
     assert(LexTieredStream.l0Epochs(spark, root) === Seq(2L))
 
     // second minor, then batch 4 is the major; tear its L1 dir first
     assert(LexTieredStream.foldBatch(docsDF(4L -> "e e"), root, 3L,
-      majorEvery = 3) === LexTieredStream.Minor)
+      majorEvery = 3) === BatchOutcome.Minor)
     val tornL1 = new java.io.File(s"$root/l1/epoch=4")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     LexTieredStream.foldBatch(docsDF(5L -> "f"), root, 4L,
       majorEvery = 3) match {
-      case LexTieredStream.Major(n) => assert(n === 2)
+      case BatchOutcome.Major(n) => assert(n === 2)
       case other => fail(s"expected Major, got $other")
     }
     assert(LexTieredStream.l1Epochs(spark, root) === Seq(4L, 1L))
@@ -116,7 +116,7 @@ class LexTieredStreamSpec extends SparkSpec {
     val m0 = mtimes
     Thread.sleep(1100)
     assert(LexTieredStream.foldBatch(docsDF(5L -> "f"), root, 4L,
-      majorEvery = 3) === LexTieredStream.Skipped)
+      majorEvery = 3) === BatchOutcome.Skipped)
     assert(mtimes === m0, "a committed batch must replay as a no-op")
 
     val view = LexTieredStream.loadCurrent(spark, root).getOrElse(fail("no view"))

@@ -86,19 +86,19 @@ class PqEpochStreamSpec extends SparkSpec {
       === Seq(2L, 1L), "torn epoch invisible")
     assert(PqEpochStream.foldBatch(vecs(301 to 305), "vec_id", "emb", root,
       batchId = 3L, dim = DIM, m = M, k = K, iters = ITERS,
-      trainSample = TRAIN) === PqEpochStream.Appended(None))
+      trainSample = TRAIN) === BatchOutcome.Appended(None))
     assert(PqEpochStream.epochs(spark, root, DIM, M, K, ITERS, TRAIN)
       === Seq(3L, 2L))
 
     // replay after commit: skip, state unchanged
     assert(PqEpochStream.foldBatch(vecs(301 to 305), "vec_id", "emb", root,
       batchId = 3L, dim = DIM, m = M, k = K, iters = ITERS,
-      trainSample = TRAIN) === PqEpochStream.Skipped)
+      trainSample = TRAIN) === BatchOutcome.Skipped)
 
     // empty batches commit nothing
     assert(PqEpochStream.foldBatch(vecs(1 to 0), "vec_id", "emb", root,
       batchId = 4L, dim = DIM, m = M, k = K, iters = ITERS,
-      trainSample = TRAIN) === PqEpochStream.EmptyBatch)
+      trainSample = TRAIN) === BatchOutcome.EmptyBatch)
     assert(PqEpochStream.epochs(spark, root, DIM, M, K, ITERS, TRAIN)
       === Seq(3L, 2L))
   }
@@ -109,7 +109,7 @@ class PqEpochStreamSpec extends SparkSpec {
     val root = Files.createTempDirectory("pqe2_idx").toString
     assert(PqEpochStream.foldBatch(vecs(1 to 40), "vec_id", "emb", root,
       batchId = 0L, dim = DIM, m = M, k = K, iters = ITERS,
-      trainSample = TRAIN) === PqEpochStream.Bootstrapped)
+      trainSample = TRAIN) === BatchOutcome.Bootstrapped)
 
     // planted drift: every batch vector on ONE corner
     val planted = (100 until 112).map { i =>
@@ -120,7 +120,7 @@ class PqEpochStreamSpec extends SparkSpec {
       batchId = 1L, dim = DIM, m = M, k = K, iters = ITERS,
       trainSample = TRAIN, auditDrift = true)
     val d = out match {
-      case PqEpochStream.Appended(Some(n)) => n
+      case BatchOutcome.Appended(Some(n)) => n
       case other => fail(s"expected audited append, got $other")
     }
     assert(d >= 2L, "single-mode batch drifts its target code per subspace")
@@ -133,7 +133,7 @@ class PqEpochStreamSpec extends SparkSpec {
     // unarmed fold: no drifted_codes key
     assert(PqEpochStream.foldBatch(vecs(200 to 205), "vec_id", "emb", root,
       batchId = 2L, dim = DIM, m = M, k = K, iters = ITERS,
-      trainSample = TRAIN) === PqEpochStream.Appended(None))
+      trainSample = TRAIN) === BatchOutcome.Appended(None))
     val meta2 = IndexStore.pqIndexMeta(spark, EpochDirs.dir(root, 2L))
       .getOrElse(fail("epoch 2 missing"))
     assert(!meta2.contains("drifted_codes"))

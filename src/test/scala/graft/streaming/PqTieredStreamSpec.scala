@@ -46,9 +46,9 @@ class PqTieredStreamSpec extends SparkSpec {
     val outcomes = batches.zipWithIndex.map { case (b, i) =>
       fold(b, root, i.toLong)
     }
-    assert(outcomes === Seq(PqTieredStream.Bootstrapped,
-      PqTieredStream.Minor, PqTieredStream.Minor,
-      PqTieredStream.Major(2), PqTieredStream.Minor))
+    assert(outcomes === Seq(BatchOutcome.Bootstrapped,
+      BatchOutcome.Minor, BatchOutcome.Minor,
+      BatchOutcome.Major(2), BatchOutcome.Minor))
     assert(PqTieredStream.l1Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
       === Seq(3L, 0L))
     // absorbed L0s 1–2 kept for the one-major grace, pruned at next major
@@ -75,7 +75,7 @@ class PqTieredStreamSpec extends SparkSpec {
        "batches replay as no-ops; empty batches commit nothing") {
     val root = Files.createTempDirectory("pts2_idx").toString
     val none = vecs(1 until 1)
-    assert(fold(none, root, 0L) === PqTieredStream.EmptyBatch)
+    assert(fold(none, root, 0L) === BatchOutcome.EmptyBatch)
     assert(PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
       TRAIN).isEmpty)
 
@@ -86,16 +86,16 @@ class PqTieredStreamSpec extends SparkSpec {
     Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
     assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS,
       TRAIN).isEmpty, "torn L0 must be invisible")
-    assert(fold(vecs(101 to 105), root, 2L) === PqTieredStream.Minor)
+    assert(fold(vecs(101 to 105), root, 2L) === BatchOutcome.Minor)
     assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
       === Seq(2L))
 
-    assert(fold(vecs(151 to 155), root, 3L) === PqTieredStream.Minor)
+    assert(fold(vecs(151 to 155), root, 3L) === BatchOutcome.Minor)
     val tornL1 = new java.io.File(s"$root/l1/epoch=4")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     fold(vecs(201 to 205), root, 4L) match {
-      case PqTieredStream.Major(n) => assert(n === 2)
+      case BatchOutcome.Major(n) => assert(n === 2)
       case other => fail(s"expected Major, got $other")
     }
     assert(PqTieredStream.l1Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
@@ -105,7 +105,7 @@ class PqTieredStreamSpec extends SparkSpec {
       .map(f => f.getName -> f.lastModified).toMap
     val m0 = mtimes
     Thread.sleep(1100)
-    assert(fold(vecs(201 to 205), root, 4L) === PqTieredStream.Skipped)
+    assert(fold(vecs(201 to 205), root, 4L) === BatchOutcome.Skipped)
     assert(mtimes === m0, "a committed batch must replay as a no-op")
 
     val view = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,

@@ -81,7 +81,7 @@ class VectorEpochStreamSpec extends SparkSpec {
     val marker = new Path(root, "epoch=2/_graft_index.json")
     val before = fs.getFileStatus(marker).getModificationTime
     assert(VectorEpochStream.foldBatch(c2, "vec_id", "emb", root, 2L,
-      N_CELLS, TRAIN, ITERS) === VectorEpochStream.Skipped)
+      N_CELLS, TRAIN, ITERS) === BatchOutcome.Skipped)
     assert(fs.getFileStatus(marker).getModificationTime === before,
       "replayed batch re-folded")
 
@@ -92,7 +92,7 @@ class VectorEpochStreamSpec extends SparkSpec {
       .map(_._1) === Some(1L))
     val refolded = VectorEpochStream.foldBatch(c2, "vec_id", "emb", root, 2L,
       N_CELLS, TRAIN, ITERS)
-    assert(refolded === VectorEpochStream.Appended(None))
+    assert(refolded === BatchOutcome.Appended(None))
     val (id2, cur2) = VectorEpochStream.loadCurrent(spark, root,
       N_CELLS, TRAIN, ITERS).getOrElse(fail("no epoch"))
     val twinB = Similarity.ivfAppend(
@@ -108,7 +108,7 @@ class VectorEpochStreamSpec extends SparkSpec {
   test("bootstrap outcome; parameter-mismatched epochs are invisible") {
     val root = Files.createTempDirectory("vep_boot").toString
     assert(VectorEpochStream.foldBatch(vecs(1 to 30), "vec_id", "emb", root,
-      0L, N_CELLS, TRAIN, ITERS) === VectorEpochStream.Bootstrapped)
+      0L, N_CELLS, TRAIN, ITERS) === BatchOutcome.Bootstrapped)
     assert(VectorEpochStream.epochs(spark, root, N_CELLS, TRAIN, ITERS)
       === Seq(0L))
     // a reader under a different requested model shape must see nothing —
@@ -126,14 +126,14 @@ class VectorEpochStreamSpec extends SparkSpec {
     val none = vecs(1 until 1) // zero rows, right schema
     // empty FIRST batch: must not crash ivfBuild's non-empty requirement
     assert(VectorEpochStream.foldBatch(none, "vec_id", "emb", root, 0L,
-      N_CELLS, TRAIN, ITERS) === VectorEpochStream.EmptyBatch)
+      N_CELLS, TRAIN, ITERS) === BatchOutcome.EmptyBatch)
     assert(VectorEpochStream.epochs(spark, root, N_CELLS, TRAIN, ITERS).isEmpty)
     // real bootstrap under a later id, then another empty batch: the
     // standing epoch must stay the newest (no rewrite committed)
     VectorEpochStream.foldBatch(vecs(1 to 30), "vec_id", "emb", root, 1L,
       N_CELLS, TRAIN, ITERS)
     assert(VectorEpochStream.foldBatch(none, "vec_id", "emb", root, 2L,
-      N_CELLS, TRAIN, ITERS) === VectorEpochStream.EmptyBatch)
+      N_CELLS, TRAIN, ITERS) === BatchOutcome.EmptyBatch)
     assert(VectorEpochStream.epochs(spark, root, N_CELLS, TRAIN, ITERS)
       === Seq(1L))
   }
@@ -152,7 +152,7 @@ class VectorEpochStreamSpec extends SparkSpec {
     val root = Files.createTempDirectory("vep_drift").toString
     assert(VectorEpochStream.foldBatch(base, "vec_id", "emb", root, 0L,
       nCells = 2, trainSample = TRAIN, iters = ITERS)
-      === VectorEpochStream.Bootstrapped)
+      === BatchOutcome.Bootstrapped)
     val (_, boot) = VectorEpochStream.loadCurrent(spark, root, 2, TRAIN,
       ITERS).getOrElse(fail("no bootstrap"))
     val bootCentroids = boot.centroids.map(_.toSeq).toSeq
@@ -161,7 +161,7 @@ class VectorEpochStreamSpec extends SparkSpec {
     val out = VectorEpochStream.foldBatch(far, "vec_id", "emb", root, 1L,
       nCells = 2, trainSample = TRAIN, iters = ITERS, maxDriftedCells = 0)
     out match {
-      case VectorEpochStream.Retrained(d) => assert(d >= 1L)
+      case BatchOutcome.Retrained(d) => assert(d >= 1L)
       case other => fail(s"expected Retrained, got $other")
     }
     val (_, cur) = VectorEpochStream.loadCurrent(spark, root, 2, TRAIN,
@@ -178,6 +178,6 @@ class VectorEpochStreamSpec extends SparkSpec {
       nCells = 2, trainSample = TRAIN, iters = ITERS)
     assert(VectorEpochStream.foldBatch(far, "vec_id", "emb", root2, 1L,
       nCells = 2, trainSample = TRAIN, iters = ITERS)
-      === VectorEpochStream.Appended(None))
+      === BatchOutcome.Appended(None))
   }
 }

@@ -45,11 +45,11 @@ class VectorTieredStreamSpec extends SparkSpec {
       VectorTieredStream.foldBatch(b, "vec_id", "emb", root, i.toLong,
         N_CELLS, TRAIN, ITERS, majorEvery = 3)
     }
-    assert(outcomes(0) === VectorTieredStream.Bootstrapped)
-    assert(outcomes(1) === VectorTieredStream.Minor)
-    assert(outcomes(2) === VectorTieredStream.Minor)
-    assert(outcomes(3) === VectorTieredStream.Major(2))
-    assert(outcomes(4) === VectorTieredStream.Minor)
+    assert(outcomes(0) === BatchOutcome.Bootstrapped)
+    assert(outcomes(1) === BatchOutcome.Minor)
+    assert(outcomes(2) === BatchOutcome.Minor)
+    assert(outcomes(3) === BatchOutcome.Major(2))
+    assert(outcomes(4) === BatchOutcome.Minor)
     assert(VectorTieredStream.l1Epochs(spark, root, N_CELLS, TRAIN, ITERS)
       === Seq(3L, 0L)) // two kept generations
     // the major absorbed L0s 1 and 2 but retains them (they sit above the
@@ -84,7 +84,7 @@ class VectorTieredStreamSpec extends SparkSpec {
     val none = vecs(1 until 1)
     // empty FIRST batch: no bootstrap crash, no epoch
     assert(VectorTieredStream.foldBatch(none, "vec_id", "emb", root, 0L,
-      N_CELLS, TRAIN, ITERS, majorEvery = 3) === VectorTieredStream.EmptyBatch)
+      N_CELLS, TRAIN, ITERS, majorEvery = 3) === BatchOutcome.EmptyBatch)
     assert(VectorTieredStream.loadCurrent(spark, root, N_CELLS, TRAIN,
       ITERS).isEmpty)
 
@@ -100,7 +100,7 @@ class VectorTieredStreamSpec extends SparkSpec {
       ITERS).isEmpty, "torn L0 must be invisible")
     assert(VectorTieredStream.foldBatch(vecs(101 to 110), "vec_id", "emb",
       root, 2L, N_CELLS, TRAIN, ITERS, majorEvery = 3)
-      === VectorTieredStream.Minor)
+      === BatchOutcome.Minor)
     assert(VectorTieredStream.l0Epochs(spark, root, N_CELLS, TRAIN, ITERS)
       === Seq(2L))
 
@@ -109,13 +109,13 @@ class VectorTieredStreamSpec extends SparkSpec {
     // replay recompacts and overwrites.
     assert(VectorTieredStream.foldBatch(vecs(151 to 160), "vec_id", "emb",
       root, 3L, N_CELLS, TRAIN, ITERS, majorEvery = 3)
-      === VectorTieredStream.Minor)
+      === BatchOutcome.Minor)
     val tornL1 = new java.io.File(s"$root/l1/epoch=4")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     VectorTieredStream.foldBatch(vecs(201 to 210), "vec_id", "emb", root,
       4L, N_CELLS, TRAIN, ITERS, majorEvery = 3) match {
-      case VectorTieredStream.Major(n) => assert(n === 2)
+      case BatchOutcome.Major(n) => assert(n === 2)
       case other => fail(s"expected Major, got $other")
     }
     assert(VectorTieredStream.l1Epochs(spark, root, N_CELLS, TRAIN, ITERS)
@@ -128,7 +128,7 @@ class VectorTieredStreamSpec extends SparkSpec {
     Thread.sleep(1100)
     assert(VectorTieredStream.foldBatch(vecs(201 to 210), "vec_id", "emb",
       root, 4L, N_CELLS, TRAIN, ITERS, majorEvery = 3)
-      === VectorTieredStream.Skipped)
+      === BatchOutcome.Skipped)
     assert(mtimes === m0, "a committed batch must replay as a no-op")
 
     val view = VectorTieredStream.loadCurrent(spark, root, N_CELLS, TRAIN,
