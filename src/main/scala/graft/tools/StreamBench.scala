@@ -139,6 +139,24 @@ object StreamBench {
     require(foldedVecs == vCnt,
       s"vector roll folded $foldedVecs vectors, staged $vCnt")
 
+    // --- TIERED graph roll: the same staged edge drops through
+    // GraphTieredStream (L0 minors + majorEvery-th L1 compaction) — the
+    // streamed twin of TieredRollProbe's batch loop, so the artifact
+    // carries flat-vs-tiered at full micro-batch machinery cost
+    val gtrollSec = timed {
+      val q = graft.streaming.GraphTieredStream.start(
+        spark.readStream.schema(edges.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/edge_landing"),
+        s"$tmp/graph_tiered", s"$tmp/ckpt_gtroll", majorEvery = 4)
+      awaitOrStop(q, "graph_tiered_roll")
+    }
+    val gtView = graft.streaming.GraphTieredStream.loadCurrent(spark,
+      s"$tmp/graph_tiered")
+      .getOrElse(sys.error("tiered graph roll committed nothing"))
+    val gtEdges = try gtView.mergedEdges.count() finally gtView.release()
+    require(gtEdges == eCnt,
+      s"tiered graph roll folded $gtEdges edges, staged $eCnt")
+
     // --- raw-line graph roll (fact-stream derivation path): the 1997
     // order lines staged as nChunks drops; each batch derives its delta
     // edges against the standing lines (cross-batch pairs included) and
@@ -162,6 +180,24 @@ object StreamBench {
     val cpsEdges = try cps.edges.count() finally cps.release()
     require(cpsEdges == eCnt,
       s"raw-line roll derived $cpsEdges edges, batch pair-gen has $eCnt")
+
+    // --- TIERED vector roll: the same staged embedding drops through
+    // VectorTieredStream (bootstrap L1, minors under standing centroids,
+    // majorEvery-th union major)
+    val vtrollSec = timed {
+      val q = graft.streaming.VectorTieredStream.start(
+        spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/vec_landing"),
+        "vec_id", "embedding", s"$tmp/vec_tiered", s"$tmp/ckpt_vtroll",
+        nCells = 16, majorEvery = 4)
+      awaitOrStop(q, "vector_tiered_roll")
+    }
+    val vtView = graft.streaming.VectorTieredStream.loadCurrent(spark,
+      s"$tmp/vec_tiered", nCells = 16)
+      .getOrElse(sys.error("tiered vector roll committed nothing"))
+    val vtVecs = try vtView.index.assigned.count() finally vtView.release()
+    require(vtVecs == vCnt,
+      s"tiered vector roll folded $vtVecs vectors, staged $vCnt")
 
     // --- lexical epoch roll (postings maintenance path): the documents
     // table as nChunks drops; batch 0 bootstrap-builds, the rest fold —
@@ -187,6 +223,23 @@ object StreamBench {
     post.release()
     require(foldedDocs == dTok,
       s"lex roll folded $foldedDocs docs, staged $dTok token-bearing")
+
+    // --- TIERED lex roll: the same staged document drops through
+    // LexTieredStream (self-contained tierFrame minors, mergeTiers majors)
+    val ltrollSec = timed {
+      val q = graft.streaming.LexTieredStream.start(
+        spark.readStream.schema(docsT.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/doc_landing"),
+        s"$tmp/lex_tiered", s"$tmp/ckpt_ltroll", majorEvery = 4)
+      awaitOrStop(q, "lex_tiered_roll")
+    }
+    val ltView = graft.streaming.LexTieredStream.loadCurrent(spark,
+      s"$tmp/lex_tiered")
+      .getOrElse(sys.error("tiered lex roll committed nothing"))
+    val ltDocs = ltView.index.nDocs
+    ltView.release()
+    require(ltDocs == dTok,
+      s"tiered lex roll folded $ltDocs docs, staged $dTok token-bearing")
 
     // --- serve-side rates: the three serving streams probe the epochs
     // the roll sections just committed (the production pairing — a
@@ -282,9 +335,12 @@ object StreamBench {
         f""""windowed":{"sec":$winSec%.2f,"rate":${total / winSec}%.0f},""" +
         f""""agg_sink":{"sec":$sinkSec%.2f,"rate":${total / sinkSec}%.0f},""" +
         f""""graph_roll":{"edges":$eCnt,"sec":$grollSec%.2f,"rate":${eCnt / grollSec}%.0f},""" +
+        f""""graph_tiered_roll":{"edges":$eCnt,"sec":$gtrollSec%.2f,"rate":${eCnt / gtrollSec}%.0f},""" +
         f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f},""" +
+        f""""vector_tiered_roll":{"vectors":$vCnt,"sec":$vtrollSec%.2f,"rate":${vCnt / vtrollSec}%.0f},""" +
         f""""line_graph_roll":{"lines":$rlCnt,"sec":$crollSec%.2f,"rate":${rlCnt / crollSec}%.0f},""" +
         f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f},""" +
+        f""""lex_tiered_roll":{"docs":$dCnt,"sec":$ltrollSec%.2f,"rate":${dCnt / ltrollSec}%.0f},""" +
         s""""lex_serve":${serveJson(lqCnt, lsecLo, lsecHi, lfloor, lmarg)},""" +
         s""""graph_serve":${serveJson(gqCnt, gsecLo, gsecHi, gfloor, gmarg)},""" +
         s""""vector_serve":${serveJson(vqCnt, vsecLo, vsecHi, vfloor, vmarg)},""" +
