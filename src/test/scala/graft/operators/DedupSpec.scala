@@ -105,13 +105,19 @@ class DedupSpec extends SparkSpec {
   }
 
   test("managed minhash releases its signature cache") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // id-set delta, not a global count: suites share one SparkContext and
+    // run in parallel, so a sibling suite persisting/unpersisting its own
+    // frames mid-test must not flip this assertion (it did, once the
+    // persist-heavy tiered suites joined the pool)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val m = Dedup.minhashLshPairsManaged(docs, "doc_id", "text", threshold = 0.5)
     m.pairs.count() // consume
-    assert(spark.sparkContext.getPersistentRDDs.size > before) // cache is live
+    val created = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(created.nonEmpty) // cache is live
     m.release()
-    assert(spark.sparkContext.getPersistentRDDs.size === before,
-      "release() must unpersist the internal signature frame")
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet & created
+    assert(survivors.isEmpty,
+      s"release() must unpersist the internal signature frame; alive: $survivors")
   }
 
   test("simhash banding is complete: equals brute-force hamming pairs on real docs") {
