@@ -93,28 +93,20 @@ object GraphServeStream {
   /** The probe plan over a TIERED view: candidate neighbors come from
     * [[GraphTieredStream.Tiered.neighbors]] — tier-COMPLETE and
     * query-proportional (the L1 expand ∪ the small delta join, deduped
-    * per query) — while the degree ranking signal reads the L1 hybrid's
-    * `outDegrees`, which between majors is stale by at most
-    * `majorEvery − 1` deltas (the documented [[GraphTieredStream]]
-    * degree-exactness trade: exact degrees mid-window would cost a
-    * 2-hop read or a `mergedHybrid` build per swap — a major's price at
-    * serve cadence). Candidates are never stale; only their tie-break
-    * weight ages, and it refreshes at every major. Pre-first-major
-    * (delta-only) views rank by node id alone (degree 0). */
+    * per query) — and the degree ranking signal is
+    * [[GraphTieredStream.Tiered.mergedOutDegrees]], the exact cross-tier
+    * degrees at |Δ|-proportional cost, so tiered-served answers equal
+    * flat-served answers exactly (TieredServeSpec pins the identity). */
   private def answerPlanTiered(queries: DataFrame,
                                t: GraphTieredStream.Tiered,
                                k: Int): DataFrame = {
     val per = queries.select(col("node").cast("long").as("src"),
       col("qid").cast("long").as("qid"))
     val cand = t.neighbors(per).select(col("qid"), col("dst"))
-    val scored = t.l1 match {
-      case Some(hyb) =>
-        val deg = hyb.outDegrees
-          .select(col("src").as("dst"), col("outdeg").as("dst_outdeg"))
-        cand.join(deg, Seq("dst"), "left")
-          .na.fill(0L, Seq("dst_outdeg"))
-      case None => cand.withColumn("dst_outdeg", lit(0L))
-    }
+    val deg = t.mergedOutDegrees
+      .select(col("src").as("dst"), col("outdeg").as("dst_outdeg"))
+    val scored = cand.join(deg, Seq("dst"), "left")
+      .na.fill(0L, Seq("dst_outdeg")) // sink-only neighbors have no row
     graft.plans.TopK.perKey(scored, Seq("qid"),
         Seq("dst_outdeg" -> false, "dst" -> true), k)
       .withColumn("rank", row_number().over(

@@ -27,11 +27,12 @@ import graft.operators.{Adjacency, Checkpoints, IndexStore}
   * (PageRank and friends) call [[Tiered.mergedHybrid]], which pays the
   * one build a major compaction would.
   *
-  * Degree-exactness trade (documented, standard LSM practice): cross-tier
-  * out-degrees are exact only at L1 boundaries — between majors, a
-  * ranking that reads [[Adjacency.Hybrid.outDegrees]] off the L1 tier is
-  * stale by at most `majorEvery − 1` deltas. [[Tiered.mergedHybrid]]
-  * restores exactness when a reader needs it mid-window.
+  * Degree-exactness: a ranking that reads [[Adjacency.Hybrid.outDegrees]]
+  * off the L1 tier alone is stale by at most `majorEvery − 1` deltas
+  * (standard LSM trade); [[Tiered.mergedOutDegrees]] restores exactness
+  * mid-window at |Δ|-proportional cost (the serving path uses it), and
+  * [[Tiered.mergedHybrid]] remains the full-build escape hatch for
+  * whole-graph consumers.
   *
   * CRASH MATRIX (the [[GraphEpochStream]] guarantees, preserved per tier —
   * each epoch's IndexStore meta is its commit marker):
@@ -106,6 +107,39 @@ object GraphTieredStream {
       val d = delta.select(col("src"), col("dst"))
       l1.map(_.edges.select(col("src"), col("dst")).unionByName(d))
         .getOrElse(d).distinct()
+    }
+
+    /** EXACT cross-tier out-degrees at |Δ| cost — upgrades the
+      * degree-staleness trade documented above without paying
+      * [[mergedHybrid]]'s full build: the L1 degrees are adjusted by the
+      * delta edges NOT already present in L1 (cross-tier duplicates must
+      * not double-count). The L1-membership probe is one-hop and
+      * delta-proportional: only the DELTA's srcs are expanded (work
+      * bounded by their total L1 degree), never the corpus; the
+      * adjustment and new-src frames are |Δ|-sized and broadcast. The
+      * tiered serve path ranks with this, so tiered-served answers equal
+      * flat-served answers exactly. */
+    def mergedOutDegrees: DataFrame = {
+      val d = delta.select(col("src"), col("dst")).distinct()
+      l1 match {
+        case None =>
+          d.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        case Some(hyb) =>
+          val srcs = d.select("src").distinct()
+          val existing = hyb.expand(srcs.withColumn("qid", col("src")))
+            .select(col("qid").as("src"), col("dst"))
+          val add = d.join(existing, Seq("src", "dst"), "left_anti")
+            .groupBy("src").agg(count(lit(1)).as("add"))
+          // srcs with ≥1 L1 out-edge have ≥1 expand row, so this small
+          // frame IS the delta-srcs ∩ L1-degree-table membership set
+          val srcsInL1 = existing.select("src").distinct()
+          hyb.outDegrees.select(col("src"), col("outdeg"))
+            .join(broadcast(add), Seq("src"), "left")
+            .select(col("src"),
+              (col("outdeg") + coalesce(col("add"), lit(0L))).as("outdeg"))
+            .unionByName(add.join(broadcast(srcsInL1), Seq("src"), "left_anti")
+              .select(col("src"), col("add").as("outdeg")))
+      }
     }
 
     /** Full-adjacency view for whole-graph consumers: pays the build a

@@ -117,35 +117,45 @@ class TieredServeSpec extends SparkSpec {
     assert(tieredAns.nonEmpty)
   }
 
-  test("graph: tiered-served candidates are tier-complete (minor edges " +
-       "served pre-major) with L1-tier degrees") {
+  test("graph: tiered-served answers equal flat-served answers exactly — " +
+       "tier-complete candidates AND exact merged degrees") {
     val root = Files.createTempDirectory("tsg_t").toString
-    // L0@0..1, major L1@2, then a live minor L0@3 with NEW edges
+    val fRoot = Files.createTempDirectory("tsg_f").toString
+    // L0@0..1, major L1@2, then a live minor L0@3 with NEW edges —
+    // including a cross-tier duplicate (1→12 again) that must not
+    // double-count any degree, and 4→10 whose src exists ONLY in the minor
     val batches = Seq(
       Seq((1L, 10L), (1L, 11L), (2L, 10L)),
       Seq((2L, 12L), (3L, 10L)),
       Seq((3L, 13L), (1L, 12L)),
-      Seq((1L, 14L), (4L, 10L))) // live minor above the L1
+      Seq((1L, 14L), (1L, 12L), (4L, 10L)))
     batches.zipWithIndex.foreach { case (es, i) =>
       GraphTieredStream.foldBatch(es.toDF("src", "dst"), root, i.toLong,
         majorEvery = 3)
+      GraphEpochStream.foldBatch(es.toDF("src", "dst"), fRoot, i.toLong)
     }
     assert(GraphTieredStream.l1Epochs(spark, root,
       graft.operators.Adjacency.DefaultHubLimit).head === 2L)
 
     val q = Seq((101L, 1L), (104L, 4L)).toDF("qid", "node")
     val in = stageOne(q, Files.createTempDirectory("tsg_in").toString + "/q")
-    val out = Files.createTempDirectory("tsg_out").toString
-    val sq = GraphServeStream.startTiered(
-      spark.readStream.schema(q.schema).parquet(in),
-      root, out, Files.createTempDirectory("tsg_ck").toString, k = 5)
-    assert(sq.awaitTermination(180000L), "serve must drain")
-    val ans = spark.read.parquet(s"$out/batch=*")
-      .select("qid", "dst").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // node 1's answer includes the LIVE MINOR's edge 1→14 (tier-complete)
-    // and node 4 (which exists ONLY in the minor) answers at all
-    assert(ans === Set((101L, 10L), (101L, 11L), (101L, 12L), (101L, 14L),
-      (104L, 10L)))
+    def serve(idxRoot: String, tiered: Boolean): Set[Seq[Any]] = {
+      val out = Files.createTempDirectory("tsg_out").toString
+      val ck = Files.createTempDirectory("tsg_ck").toString
+      val stream = spark.readStream.schema(q.schema).parquet(in)
+      val sq =
+        if (tiered) GraphServeStream.startTiered(stream, idxRoot, out, ck, k = 5)
+        else GraphServeStream.start(stream, idxRoot, out, ck, k = 5)
+      assert(sq.awaitTermination(180000L), "serve must drain")
+      readAnswers(out)
+    }
+    val tieredAns = serve(root, tiered = true)
+    val flatAns = serve(fRoot, tiered = false)
+    assert(tieredAns === flatAns,
+      "tiered-served ≠ flat-served (candidates or degrees diverged)")
+    // tier-completeness spot check: the live minor's edge 1→14 is served
+    // and the minor-only src 4 answers at all
+    val pairs = tieredAns.map(r => (r.head, r(2)))
+    assert(pairs.contains((101L, 14L)) && pairs.contains((104L, 10L)))
   }
 }
