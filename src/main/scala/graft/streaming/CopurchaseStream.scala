@@ -182,10 +182,15 @@ object CopurchaseStream {
   /** The delta co-purchase edges one batch of `(l_orderkey, l_partkey)`
     * lines adds over the standing lines: batch × standing-of-touched-
     * orders in BOTH directions plus batch × batch (the self-join emits
-    * both directions itself). Pure batch logic. */
+    * both directions itself). Pure batch logic. `batch` may arrive raw
+    * (`l_orderkey`/`l_partkey`) or already normalized to distinct
+    * `(o, p)` lines — [[foldBatch]] passes its pinned normalized frame so
+    * the batch's upstream is scanned once across the whole fold. */
   def deltaEdges(batch: DataFrame, standing: DataFrame): DataFrame = {
-    val b = batch.select(col("l_orderkey").cast("long").as("o"),
-      col("l_partkey").cast("long").as("p")).distinct()
+    val b =
+      if (batch.columns.contains("o")) batch.select(col("o"), col("p"))
+      else batch.select(col("l_orderkey").cast("long").as("o"),
+        col("l_partkey").cast("long").as("p")).distinct()
     val touched = b.select("o").distinct()
     val s = standing.join(touched, Seq("o"), "left_semi")
     val bs = b.as("a").join(s.as("x"),
@@ -205,31 +210,37 @@ object CopurchaseStream {
   def foldBatch(batch: DataFrame, linesDir: String, indexRoot: String,
                 batchId: Long, keepEpochs: Int = 2,
                 compactEvery: Int = 32): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
-    // compaction first, over ids < batchId only: state it folds is
-    // committed, and a replay of THIS batch re-runs it idempotently
-    maybeCompact(spark, linesDir, batchId, compactEvery)
-    // standing must be read under the PREVIOUS batches' view (exclude a
-    // crashed attempt's own lines) BEFORE this batch's lines land; the
-    // write then happens before the fold so a torn fold replays over
-    // complete state
+    // one materialization of the batch's lines serves the emptiness probe,
+    // the bucket listing, the lines write, AND deltaEdges' two join sides
+    // (a foreachBatch frame re-computes its upstream per action otherwise)
     val lines = batch.select(col("l_orderkey").cast("long").as("o"),
       col("l_partkey").cast("long").as("p")).distinct()
-    // touched order-buckets of THIS delta: a bounded (≤ OrderBuckets)
-    // driver list that becomes the segment scan's partition filter
-    val buckets = lines.select(
-        pmod(col("o"), lit(OrderBuckets.toLong)).as("ob"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val edges = deltaEdges(batch,
-        standingLines(spark, linesDir, batchId, Some(buckets)))
-      .persist()
-    try {
-      edges.count() // pin the delta BEFORE the lines write changes state
-      lines.write.mode("overwrite").parquet(s"$linesDir/batch=$batchId")
-      GraphEpochStream.foldBatch(edges, indexRoot, batchId,
-        dedup = true, keepEpochs = keepEpochs)
-    } finally { edges.unpersist(); () }
+    Deltas.withMaterialized(lines) { pinned =>
+      if (!pinned.isEmpty) {
+        // compaction first, over ids < batchId only: state it folds is
+        // committed, and a replay of THIS batch re-runs it idempotently
+        maybeCompact(spark, linesDir, batchId, compactEvery)
+        // standing must be read under the PREVIOUS batches' view (exclude
+        // a crashed attempt's own lines) BEFORE this batch's lines land;
+        // the write then happens before the fold so a torn fold replays
+        // over complete state
+        // touched order-buckets of THIS delta: a bounded (≤ OrderBuckets)
+        // driver list that becomes the segment scan's partition filter
+        val buckets = pinned.select(
+            pmod(col("o"), lit(OrderBuckets.toLong)).as("ob"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val edges = deltaEdges(pinned,
+            standingLines(spark, linesDir, batchId, Some(buckets)))
+          .persist()
+        try {
+          edges.count() // pin the delta BEFORE the lines write changes state
+          pinned.write.mode("overwrite").parquet(s"$linesDir/batch=$batchId")
+          GraphEpochStream.foldBatch(edges, indexRoot, batchId,
+            dedup = true, keepEpochs = keepEpochs)
+        } finally { edges.unpersist(); () }
+      }
+    }
   }
 
   /** Start the roll: a stream of raw order lines → per-batch

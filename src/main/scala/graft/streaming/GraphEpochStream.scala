@@ -93,24 +93,27 @@ object GraphEpochStream {
     // an empty micro-batch (rate-limited sources emit them) folds to the
     // standing adjacency unchanged — skip the content-free O(|V|) epoch
     // rewrite instead of committing it; epoch ids need not be dense
-    if (edges.isEmpty) return
-    val next = loadCurrent(spark, root, dedup, hubLimit) match {
-      case Some((_, standing)) =>
-        try Checkpoints.sweepingOnFailure(spark.sparkContext)(
-          Adjacency.foldEdges(standing, edges, dedup = dedup,
-            hubLimit = hubLimit))
-        finally standing.release() // the fold owns its frames
-      case None =>
-        Checkpoints.sweepingOnFailure(spark.sparkContext)(
-          Adjacency.build(edges, dedup = dedup, hubLimit = hubLimit))
+    Deltas.withMaterialized(edges) { delta =>
+      if (!delta.isEmpty) {
+        val next = loadCurrent(spark, root, dedup, hubLimit) match {
+          case Some((_, standing)) =>
+            try Checkpoints.sweepingOnFailure(spark.sparkContext)(
+              Adjacency.foldEdges(standing, delta, dedup = dedup,
+                hubLimit = hubLimit))
+            finally standing.release() // the fold owns its frames
+          case None =>
+            Checkpoints.sweepingOnFailure(spark.sparkContext)(
+              Adjacency.build(delta, dedup = dedup, hubLimit = hubLimit))
+        }
+        try IndexStore.saveGraphIndex(spark, next, epochDir(root, batchId),
+          s"batch:$batchId", pm)
+        finally next.release()
+        // retention AFTER the commit: keep the newest keepEpochs valid
+        // epochs, drop every older epoch directory (valid or torn)
+        EpochDirs.prune(spark, root,
+          epochs(spark, root, dedup, hubLimit).take(keepEpochs).toSet)
+      }
     }
-    try IndexStore.saveGraphIndex(spark, next, epochDir(root, batchId),
-      s"batch:$batchId", pm)
-    finally next.release()
-    // retention AFTER the commit: keep the newest keepEpochs valid epochs,
-    // drop every older epoch directory (valid or torn)
-    EpochDirs.prune(spark, root,
-      epochs(spark, root, dedup, hubLimit).take(keepEpochs).toSet)
   }
 
   /** Start the epoch-roll stream: `edges` (a streaming DataFrame of

@@ -210,11 +210,21 @@ object GraphTieredStream {
     if (IndexStore.stageMeta(spark, l0Dir, l0Params(hubLimit)).isDefined ||
         IndexStore.graphIndexMeta(spark, l1Dir, params(hubLimit)).isDefined)
       return BatchOutcome.Skipped // replayed after a committed save
-    if (edges.isEmpty) return BatchOutcome.EmptyBatch // no content-free epochs
     val norm = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct() // within-batch dedup; cross-tier dedup is the read/major's
+    Deltas.withMaterialized(norm) { delta =>
+      if (delta.isEmpty) BatchOutcome.EmptyBatch // no content-free epochs
+      else foldNonEmpty(spark, delta, root, batchId, majorEvery, hubLimit,
+        l0Dir, l1Dir)
+    }
+  }
+
+  private def foldNonEmpty(spark: SparkSession, norm: DataFrame,
+                           root: String, batchId: Long, majorEvery: Int,
+                           hubLimit: Long, l0Dir: String, l1Dir: String)
+      : BatchOutcome = {
     val prevL1 = l1Epochs(spark, root, hubLimit).headOption
     val liveL0 = l0Epochs(spark, root, hubLimit)
       .filter(id => prevL1.forall(id > _))

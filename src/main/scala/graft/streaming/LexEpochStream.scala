@@ -72,20 +72,23 @@ object LexEpochStream {
     if (IndexStore.postingsIndexMeta(spark, epochDir(root, batchId), Params)
         .isDefined)
       return // replayed after a committed save — the fold already applied
-    if (docsBatch.isEmpty) return // skip the content-free epoch rewrite
-    val next = loadCurrent(spark, root) match {
-      case Some((_, standing)) =>
-        try Checkpoints.sweepingOnFailure(spark.sparkContext)(
-          Postings.foldDocs(standing, docsBatch))
-        finally standing.release() // the fold owns its frames
-      case None =>
-        Checkpoints.sweepingOnFailure(spark.sparkContext)(
-          Postings.build(docsBatch))
+    Deltas.withMaterialized(docsBatch) { delta =>
+      if (!delta.isEmpty) { // skip the content-free epoch rewrite
+        val next = loadCurrent(spark, root) match {
+          case Some((_, standing)) =>
+            try Checkpoints.sweepingOnFailure(spark.sparkContext)(
+              Postings.foldDocs(standing, delta))
+            finally standing.release() // the fold owns its frames
+          case None =>
+            Checkpoints.sweepingOnFailure(spark.sparkContext)(
+              Postings.build(delta))
+        }
+        try IndexStore.savePostingsIndex(spark, next, epochDir(root, batchId),
+          s"batch:$batchId", Params)
+        finally next.release()
+        EpochDirs.prune(spark, root, epochs(spark, root).take(keepEpochs).toSet)
+      }
     }
-    try IndexStore.savePostingsIndex(spark, next, epochDir(root, batchId),
-      s"batch:$batchId", Params)
-    finally next.release()
-    EpochDirs.prune(spark, root, epochs(spark, root).take(keepEpochs).toSet)
   }
 
   /** Start the epoch-roll stream: `docs` (a streaming DataFrame of

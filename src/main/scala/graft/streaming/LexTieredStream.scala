@@ -121,8 +121,15 @@ object LexTieredStream {
     if (IndexStore.stageMeta(spark, l0Dir, L0Params).isDefined ||
         IndexStore.postingsIndexMeta(spark, l1Dir, Params).isDefined)
       return Skipped // replayed after a committed save — already applied
-    if (docsBatch.isEmpty) return EmptyBatch // no content-free epochs
+    Deltas.withMaterialized(docsBatch) { delta =>
+      if (delta.isEmpty) EmptyBatch // no content-free epochs
+      else foldNonEmpty(spark, delta, root, batchId, majorEvery, l0Dir, l1Dir)
+    }
+  }
 
+  private def foldNonEmpty(spark: SparkSession, docsBatch: DataFrame,
+                           root: String, batchId: Long, majorEvery: Int,
+                           l0Dir: String, l1Dir: String): BatchOutcome = {
     l1Epochs(spark, root).headOption match {
       case None =>
         val idx = Checkpoints.sweepingOnFailure(spark.sparkContext)(

@@ -91,37 +91,43 @@ object PqEpochStream {
     val dir = EpochDirs.dir(root, batchId)
     if (IndexStore.pqIndexMeta(spark, dir, pm).isDefined)
       return Skipped // replayed after a committed save — already applied
-    if (batch.isEmpty) return EmptyBatch // commit nothing; ids stay sparse
-    def commit(idx: Similarity.PqIndex, extra: Map[String, String]): Unit =
-      try IndexStore.savePqIndex(spark, idx, dir, s"batch:$batchId", pm ++ extra)
-      finally idx.release()
-    val outcome = loadCurrent(spark, root, dim, m, k, iters, trainSample) match {
-      case None =>
-        commit(Similarity.pqBuild(batch, idCol, vecCol, dim, m, k, iters,
-          trainSample), Map("fold" -> "bootstrap"))
-        Bootstrapped
-      case Some((_, standing)) =>
-        // ONE |Δ| encode pass serves BOTH the audit and the append (the
-        // pqEncode/pqAppendCoded split — an audited fold used to pay the
-        // m-subspace argmax twice; r12 review catch). This fold owns the
-        // coded frame; the appended index (persist=false) owns only the
-        // standing chain, which the commit frees.
-        val coded = Similarity.pqEncode(standing, batch, idCol, vecCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val drifted =
-            if (auditDrift)
-              Some(Similarity.pqDriftAuditCoded(standing, coded)
-                .filter(col("drifted")).count())
-            else None
-          commit(Similarity.pqAppendCoded(standing, coded, persist = false),
-            Map("fold" -> "append") ++
-              drifted.map(d => "drifted_codes" -> d.toString))
-          Appended(drifted)
-        } finally { coded.unpersist(); () }
+    val outcome = Deltas.withMaterialized(batch) { delta =>
+      if (delta.isEmpty) EmptyBatch // commit nothing; ids stay sparse
+      else {
+        def commit(idx: Similarity.PqIndex, extra: Map[String, String]): Unit =
+          try IndexStore.savePqIndex(spark, idx, dir, s"batch:$batchId",
+            pm ++ extra)
+          finally idx.release()
+        loadCurrent(spark, root, dim, m, k, iters, trainSample) match {
+          case None =>
+            commit(Similarity.pqBuild(delta, idCol, vecCol, dim, m, k, iters,
+              trainSample), Map("fold" -> "bootstrap"))
+            Bootstrapped
+          case Some((_, standing)) =>
+            // ONE |Δ| encode pass serves BOTH the audit and the append (the
+            // pqEncode/pqAppendCoded split — an audited fold used to pay the
+            // m-subspace argmax twice; r12 review catch). This fold owns the
+            // coded frame; the appended index (persist=false) owns only the
+            // standing chain, which the commit frees.
+            val coded = Similarity.pqEncode(standing, delta, idCol, vecCol)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val drifted =
+                if (auditDrift)
+                  Some(Similarity.pqDriftAuditCoded(standing, coded)
+                    .filter(col("drifted")).count())
+                else None
+              commit(Similarity.pqAppendCoded(standing, coded, persist = false),
+                Map("fold" -> "append") ++
+                  drifted.map(d => "drifted_codes" -> d.toString))
+              Appended(drifted)
+            } finally { coded.unpersist(); () }
+        }
+      }
     }
-    EpochDirs.prune(spark, root,
-      epochs(spark, root, dim, m, k, iters, trainSample).take(keepEpochs).toSet)
+    if (outcome != EmptyBatch)
+      EpochDirs.prune(spark, root,
+        epochs(spark, root, dim, m, k, iters, trainSample).take(keepEpochs).toSet)
     outcome
   }
 

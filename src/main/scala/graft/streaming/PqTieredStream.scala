@@ -142,51 +142,59 @@ object PqTieredStream {
     if (IndexStore.stageMeta(spark, l0Dir, l0pm).isDefined ||
         IndexStore.pqIndexMeta(spark, l1Dir, pm).isDefined)
       return Skipped // replayed after a committed save — already applied
-    if (batch.isEmpty) return EmptyBatch // no content-free epochs
+    Deltas.withMaterialized(batch) { delta =>
+      if (delta.isEmpty) EmptyBatch // no content-free epochs
+      else {
+        def commitL1(idx: Similarity.PqIndex, note: String): Unit =
+          try IndexStore.savePqIndex(spark, idx, l1Dir,
+            s"batch:$batchId $note", pm)
+          finally idx.release()
 
-    def commitL1(idx: Similarity.PqIndex, note: String): Unit =
-      try IndexStore.savePqIndex(spark, idx, l1Dir, s"batch:$batchId $note", pm)
-      finally idx.release()
-
-    l1Epochs(spark, root, dim, m, k, iters, trainSample).headOption match {
-      case None =>
-        commitL1(Similarity.pqBuild(batch, idCol, vecCol, dim, m, k, iters,
-          trainSample), "bootstrap")
-        Bootstrapped
-      case Some(prevL1) =>
-        val liveL0 = l0Epochs(spark, root, dim, m, k, iters, trainSample)
-          .filter(_ > prevL1)
-        if (liveL0.size + 1 < majorEvery) {
-          // MINOR: encode under the standing codebooks (model-only load)
-          // and commit the O(|Δ|) code delta
-          val (codebooks, _, _, subDim) = IndexStore.loadPqCodebooks(spark,
-            EpochDirs.dir(l1Root(root), prevL1), pm)
-            .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
-          IndexStore.saveStage(spark,
-            Similarity.pqEncodeWith(codebooks, subDim, batch, idCol, vecCol),
-            l0Dir, s"batch:$batchId", l0pm)
-          Minor
-        } else {
-          // MAJOR: union standing codes, live deltas, and this batch
-          // (same codebooks — no re-encode) into a full index; prune
-          // absorbed L0s (grace) and old L1 generations after the commit
-          val view = loadView(spark, root, dim, m, k, iters, trainSample,
-            prevL1, liveL0)
-            .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
-          val merged = view.index.encoded.unionByName(
-            Similarity.pqEncodeWith(view.index.codebooks, view.index.subDim,
-              batch, idCol, vecCol))
-          try commitL1(Similarity.PqIndex(view.index.codebooks, view.index.m,
-            view.index.k, view.index.subDim, merged, () => ()),
-            s"major absorbed=${liveL0.size}")
-          finally view.release()
-          EpochDirs.prune(spark, l1Root(root),
-            l1Epochs(spark, root, dim, m, k, iters, trainSample).take(2).toSet)
-          val keep = l0Epochs(spark, root, dim, m, k, iters, trainSample)
-            .filter(_ > prevL1).toSet
-          EpochDirs.prune(spark, l0Root(root), keep + batchId)
-          Major(liveL0.size)
+        l1Epochs(spark, root, dim, m, k, iters, trainSample).headOption match {
+          case None =>
+            commitL1(Similarity.pqBuild(delta, idCol, vecCol, dim, m, k,
+              iters, trainSample), "bootstrap")
+            Bootstrapped
+          case Some(prevL1) =>
+            val liveL0 = l0Epochs(spark, root, dim, m, k, iters, trainSample)
+              .filter(_ > prevL1)
+            if (liveL0.size + 1 < majorEvery) {
+              // MINOR: encode under the standing codebooks (model-only
+              // load) and commit the O(|Δ|) code delta
+              val (codebooks, _, _, subDim) = IndexStore.loadPqCodebooks(spark,
+                EpochDirs.dir(l1Root(root), prevL1), pm)
+                .getOrElse(sys.error(
+                  s"standing L1 epoch=$prevL1 vanished mid-fold"))
+              IndexStore.saveStage(spark,
+                Similarity.pqEncodeWith(codebooks, subDim, delta, idCol, vecCol),
+                l0Dir, s"batch:$batchId", l0pm)
+              Minor
+            } else {
+              // MAJOR: union standing codes, live deltas, and this batch
+              // (same codebooks — no re-encode) into a full index; prune
+              // absorbed L0s (grace) and old L1 generations after the commit
+              val view = loadView(spark, root, dim, m, k, iters, trainSample,
+                prevL1, liveL0)
+                .getOrElse(sys.error(
+                  s"standing L1 epoch=$prevL1 vanished mid-fold"))
+              val merged = view.index.encoded.unionByName(
+                Similarity.pqEncodeWith(view.index.codebooks, view.index.subDim,
+                  delta, idCol, vecCol))
+              try commitL1(Similarity.PqIndex(view.index.codebooks,
+                view.index.m, view.index.k, view.index.subDim, merged,
+                () => ()),
+                s"major absorbed=${liveL0.size}")
+              finally view.release()
+              EpochDirs.prune(spark, l1Root(root),
+                l1Epochs(spark, root, dim, m, k, iters, trainSample)
+                  .take(2).toSet)
+              val keep = l0Epochs(spark, root, dim, m, k, iters, trainSample)
+                .filter(_ > prevL1).toSet
+              EpochDirs.prune(spark, l0Root(root), keep + batchId)
+              Major(liveL0.size)
+            }
         }
+      }
     }
   }
 

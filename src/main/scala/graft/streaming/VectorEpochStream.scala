@@ -102,45 +102,51 @@ object VectorEpochStream {
     // a content-free O(|corpus|) epoch rewrite — commit nothing; epoch
     // ids need not be dense, and a replay of the empty batch re-skips
     // here identically
-    if (batch.isEmpty) return EmptyBatch
-    def commit(idx: Similarity.IvfIndex, note: String): Unit =
-      try IndexStore.saveIvfIndex(spark, idx, dir, s"batch:$batchId $note", pm)
-      finally idx.release()
-    val outcome = loadCurrent(spark, root, nCells, trainSample, iters) match {
-      case None =>
-        commit(Similarity.ivfBuild(batch, idCol, vecCol, nCells,
-          trainSample, iters), "bootstrap")
-        Bootstrapped
-      case Some((_, standing)) =>
-        // the audit can only fire when the threshold is under the cell
-        // count — skip its jobs entirely otherwise
-        val drifted =
-          if (maxDriftedCells < standing.nCells)
-            Some(Similarity.driftAudit(standing, batch, idCol, vecCol)
-              .filter(col("drifted")).count())
-          else None
-        drifted match {
-          case Some(d) if d > maxDriftedCells =>
-            // v19's trigger fired: retrain over standing ∪ batch. The
-            // union plan reads the standing assignment during the save,
-            // so standing is released only after the commit.
-            val corpus = standing.assigned.select(col("nid"), col("nv"))
-              .unionByName(batch.select(col(idCol).as("nid"),
-                col(vecCol).cast("array<float>").as("nv")))
-            try commit(Similarity.ivfBuild(corpus, "nid", "nv", nCells,
-              trainSample, iters), s"retrain drift=$d")
-            finally standing.release()
-            Retrained(d)
-          case _ =>
-            // append: the folded index owns standing (ivfAppend chains
-            // the release), so the commit frees both
-            commit(Similarity.ivfAppend(standing, batch, idCol, vecCol),
-              drifted.fold("append")(d => s"append drift=$d"))
-            Appended(drifted)
+    val outcome = Deltas.withMaterialized(batch) { delta =>
+      if (delta.isEmpty) EmptyBatch
+      else {
+        def commit(idx: Similarity.IvfIndex, note: String): Unit =
+          try IndexStore.saveIvfIndex(spark, idx, dir,
+            s"batch:$batchId $note", pm)
+          finally idx.release()
+        loadCurrent(spark, root, nCells, trainSample, iters) match {
+          case None =>
+            commit(Similarity.ivfBuild(delta, idCol, vecCol, nCells,
+              trainSample, iters), "bootstrap")
+            Bootstrapped
+          case Some((_, standing)) =>
+            // the audit can only fire when the threshold is under the cell
+            // count — skip its jobs entirely otherwise
+            val drifted =
+              if (maxDriftedCells < standing.nCells)
+                Some(Similarity.driftAudit(standing, delta, idCol, vecCol)
+                  .filter(col("drifted")).count())
+              else None
+            drifted match {
+              case Some(d) if d > maxDriftedCells =>
+                // v19's trigger fired: retrain over standing ∪ batch. The
+                // union plan reads the standing assignment during the save,
+                // so standing is released only after the commit.
+                val corpus = standing.assigned.select(col("nid"), col("nv"))
+                  .unionByName(delta.select(col(idCol).as("nid"),
+                    col(vecCol).cast("array<float>").as("nv")))
+                try commit(Similarity.ivfBuild(corpus, "nid", "nv", nCells,
+                  trainSample, iters), s"retrain drift=$d")
+                finally standing.release()
+                Retrained(d)
+              case _ =>
+                // append: the folded index owns standing (ivfAppend chains
+                // the release), so the commit frees both
+                commit(Similarity.ivfAppend(standing, delta, idCol, vecCol),
+                  drifted.fold("append")(d => s"append drift=$d"))
+                Appended(drifted)
+            }
         }
+      }
     }
-    EpochDirs.prune(spark, root,
-      epochs(spark, root, nCells, trainSample, iters).take(keepEpochs).toSet)
+    if (outcome != EmptyBatch)
+      EpochDirs.prune(spark, root,
+        epochs(spark, root, nCells, trainSample, iters).take(keepEpochs).toSet)
     outcome
   }
 

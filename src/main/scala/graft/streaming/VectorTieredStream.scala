@@ -168,54 +168,62 @@ object VectorTieredStream {
     if (IndexStore.stageMeta(spark, l0Dir, l0pm).isDefined ||
         IndexStore.ivfIndexMeta(spark, l1Dir, pm).isDefined)
       return Skipped // replayed after a committed save — already applied
-    if (batch.isEmpty) return EmptyBatch // no content-free epochs
+    Deltas.withMaterialized(batch) { delta =>
+      if (delta.isEmpty) EmptyBatch // no content-free epochs
+      else {
+        def commitL1(idx: Similarity.IvfIndex, note: String): Unit =
+          try IndexStore.saveIvfIndex(spark, idx, l1Dir,
+            s"batch:$batchId $note", pm)
+          finally idx.release()
 
-    def commitL1(idx: Similarity.IvfIndex, note: String): Unit =
-      try IndexStore.saveIvfIndex(spark, idx, l1Dir, s"batch:$batchId $note", pm)
-      finally idx.release()
-
-    l1Epochs(spark, root, nCells, trainSample, iters).headOption match {
-      case None =>
-        // BOOTSTRAP: train the quantizer and commit the first L1 — the
-        // minors below need standing centroids to assign against
-        commitL1(Similarity.ivfBuild(batch, idCol, vecCol, nCells,
-          trainSample, iters), "bootstrap")
-        Bootstrapped
-      case Some(prevL1) =>
-        val liveL0 = l0Epochs(spark, root, nCells, trainSample, iters)
-          .filter(_ > prevL1)
-        if (liveL0.size + 1 < majorEvery) {
-          // MINOR: assign under the standing centroids (model-only load,
-          // no persistent handles) and commit the delta — the O(|Δ|)
-          // write that is the whole point of the tier
-          val centroids = IndexStore.loadIvfCentroids(spark,
-            EpochDirs.dir(l1Root(root), prevL1), pm)
-            .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
-          IndexStore.saveStage(spark,
-            Similarity.assignCells(batch, idCol, vecCol, centroids),
-            l0Dir, s"batch:$batchId", l0pm)
-          Minor
-        } else {
-          // MAJOR: union the standing assignment, live deltas, and this
-          // batch (same centroids — no re-assignment) into a full index;
-          // prune absorbed L0s (grace: only those ≤ the PREVIOUS L1)
-          // and old L1 generations after the commit
-          val view = loadView(spark, root, nCells, trainSample, iters,
-            prevL1, liveL0)
-            .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
-          val merged = view.index.assigned.unionByName(
-            Similarity.assignCells(batch, idCol, vecCol, view.index.centroids))
-          try commitL1(Similarity.IvfIndex(view.index.centroids,
-            view.index.nCells, merged, () => ()), s"major absorbed=${liveL0.size}")
-          finally view.release()
-          EpochDirs.prune(spark, l1Root(root),
-            l1Epochs(spark, root, nCells, trainSample, iters).take(2).toSet)
-          // L0s ≤ the previous L1 are two generations old — no grace left
-          val keep = l0Epochs(spark, root, nCells, trainSample, iters)
-            .filter(_ > prevL1).toSet
-          EpochDirs.prune(spark, l0Root(root), keep + batchId)
-          Major(liveL0.size)
+        l1Epochs(spark, root, nCells, trainSample, iters).headOption match {
+          case None =>
+            // BOOTSTRAP: train the quantizer and commit the first L1 — the
+            // minors below need standing centroids to assign against
+            commitL1(Similarity.ivfBuild(delta, idCol, vecCol, nCells,
+              trainSample, iters), "bootstrap")
+            Bootstrapped
+          case Some(prevL1) =>
+            val liveL0 = l0Epochs(spark, root, nCells, trainSample, iters)
+              .filter(_ > prevL1)
+            if (liveL0.size + 1 < majorEvery) {
+              // MINOR: assign under the standing centroids (model-only
+              // load, no persistent handles) and commit the delta — the
+              // O(|Δ|) write that is the whole point of the tier
+              val centroids = IndexStore.loadIvfCentroids(spark,
+                EpochDirs.dir(l1Root(root), prevL1), pm)
+                .getOrElse(sys.error(
+                  s"standing L1 epoch=$prevL1 vanished mid-fold"))
+              IndexStore.saveStage(spark,
+                Similarity.assignCells(delta, idCol, vecCol, centroids),
+                l0Dir, s"batch:$batchId", l0pm)
+              Minor
+            } else {
+              // MAJOR: union the standing assignment, live deltas, and this
+              // batch (same centroids — no re-assignment) into a full
+              // index; prune absorbed L0s (grace: only those ≤ the
+              // PREVIOUS L1) and old L1 generations after the commit
+              val view = loadView(spark, root, nCells, trainSample, iters,
+                prevL1, liveL0)
+                .getOrElse(sys.error(
+                  s"standing L1 epoch=$prevL1 vanished mid-fold"))
+              val merged = view.index.assigned.unionByName(
+                Similarity.assignCells(delta, idCol, vecCol,
+                  view.index.centroids))
+              try commitL1(Similarity.IvfIndex(view.index.centroids,
+                view.index.nCells, merged, () => ()),
+                s"major absorbed=${liveL0.size}")
+              finally view.release()
+              EpochDirs.prune(spark, l1Root(root),
+                l1Epochs(spark, root, nCells, trainSample, iters).take(2).toSet)
+              // L0s ≤ the previous L1 are two generations old — no grace
+              val keep = l0Epochs(spark, root, nCells, trainSample, iters)
+                .filter(_ > prevL1).toSet
+              EpochDirs.prune(spark, l0Root(root), keep + batchId)
+              Major(liveL0.size)
+            }
         }
+      }
     }
   }
 
