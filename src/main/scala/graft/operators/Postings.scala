@@ -39,21 +39,24 @@ object Postings {
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
 
-  /** Tokenize + aggregate a corpus into a standing index. Two map-side-
-    * partial aggregates shuffled on (doc, tok) / doc; the stats pass
-    * rides the dl materialization (one extra count over the persisted
-    * tf). Whitespace tokenization matches the engine-wide contract
-    * (t01/t16/t37 and their oracles). */
+  /** Tokenize + aggregate a corpus into a standing index. ONE
+    * tokenization pass — the corpus-scale term: `tf` is the only
+    * aggregate that reads raw tokens (map-side-partial, shuffled on
+    * (doc, tok)); `dl` derives from the persisted COMPACT tf
+    * (`dl = Σ tf per doc` — identical values to counting raw tokens,
+    * postings-sized work instead of text-sized), and the stats pass rides
+    * the dl materialization. Whitespace tokenization matches the
+    * engine-wide contract (t01/t16/t37 and their oracles). */
   def build(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): Index = {
-    val t = toks(docs, idCol, textCol)
-    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tf = toks(docs, idCol, textCol)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.count() // the one pass over text bytes
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val r = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
       count(lit(1)).as("n_docs")).collect()(0)
-    tf.count()
     Index(tf, dl, r.getLong(1), r.getLong(0),
       () => { tf.unpersist(); dl.unpersist(); () })
   }
@@ -122,13 +125,18 @@ object Postings {
     * |Δ| text; same within-batch doc_id-uniqueness contract as foldDocs. */
   def tierFrame(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val t = toks(docs, idCol, textCol)
-    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenization pass (the build() discipline): dl rides tf as a
+    // doc-grain window sum over the compact postings, never a second
+    // scan of raw tokens
+    val tf = toks(docs, idCol, textCol)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")))
     val ids = docs.select(col(idCol).as("doc_id")).distinct()
-    tf.join(dl, Seq("doc_id"))
-      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
-      .unionByName(ids.join(dl, Seq("doc_id"), "left_anti")
+    withDl.select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+      .unionByName(ids.join(tf.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(null).cast("string").as("tok"),
           lit(null).cast("long").as("tf"), lit(null).cast("long").as("dl")))
   }
@@ -161,41 +169,55 @@ object Postings {
   }
 
   /** [[mergeTiers]]' body after the tier-union persist — split out so a
-    * throw anywhere in the stats jobs unpersists `u` instead of
-    * stranding it (the sweepingOnFailure discipline, scoped to the one
-    * handle this function owns). */
+    * throw anywhere in the stats jobs unpersists the handles instead of
+    * stranding them (the sweepingOnFailure discipline, scoped to what
+    * this function owns).
+    *
+    * The LWW winners (`latest`) are materialized ONCE and the tier union
+    * released as soon as they are: every downstream consumer — both stats
+    * aggregates, the returned lazy tf/dl plans, and the major's two
+    * epoch writes — used to re-run the win-join (plus its broadcast
+    * subquery) per action, which multiplied the merge's |Δ| work by the
+    * consumer count (measured 5× on t40's major). The persisted frame is
+    * |Δ|-sized, so the swap holds at 100 TB. */
   private def mergeOverUnion(standing: Index, u: DataFrame,
                              broadcastRowLimit: Long): Index = {
-    val ids = u.select("doc_id").distinct()
-    val nIds = ids.count() // materializes u once for every reuse below
-    val small = nIds <= broadcastRowLimit
-    def b(df: DataFrame) = if (small) broadcast(df) else df
     // LWW at doc grain: the newest tier containing a doc owns it
     val win = u.groupBy("doc_id").agg(max(col("__e")).as("__e"))
+    val nIds = win.count() // one |Δ| doc-grain job; materializes u too
+    val small = nIds <= broadcastRowLimit
+    def b(df: DataFrame) = if (small) broadcast(df) else df
     val latest = u.join(b(win), Seq("doc_id", "__e")).drop("__e")
-    val idsB = b(ids)
-    // closed-form stats, the foldDocs math applied once across the stack:
-    // docs surviving from standing = nDocs − (standing dl-docs ∩ tier ids);
-    // docs contributed by tiers = token-bearing docs among the winners
-    val r = standing.dl
-      .join(idsB.withColumn("__t", lit(1)), Seq("doc_id"), "left")
-      .agg(count(col("__t")).as("n_repl"),
-        coalesce(sum(when(col("__t").isNotNull, col("dl"))), lit(0L))
-          .as("repl_dl"))
-      .collect()(0)
-    val d = latest.filter(col("tok").isNotNull)
-      .select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .collect()(0)
-    val newTf = standing.tf.join(idsB, Seq("doc_id"), "left_anti")
-      .unionByName(latest.filter(col("tok").isNotNull)
-        .select(col("doc_id"), col("tok"), col("tf")))
-    val newDl = standing.dl.join(idsB, Seq("doc_id"), "left_anti")
-      .unionByName(latest.filter(col("tok").isNotNull)
-        .select(col("doc_id"), col("dl")).distinct())
-    Index(newTf, newDl,
-      standing.nDocs - r.getLong(0) + d.getLong(0),
-      standing.sumDl - r.getLong(1) + d.getLong(1),
-      () => { u.unpersist(); () })
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // closed-form stats, the foldDocs math applied once across the
+      // stack: docs surviving from standing = nDocs − (standing dl-docs ∩
+      // tier ids); docs contributed by tiers = token-bearing winners.
+      // The d-stats job is latest's materializer; u is released right
+      // after — every remaining plan reads only the compact winners.
+      val d = latest.filter(col("tok").isNotNull)
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .collect()(0)
+      u.unpersist()
+      val ids = latest.select("doc_id").distinct()
+      val idsB = b(ids)
+      val r = standing.dl
+        .join(idsB.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+        .agg(count(col("__t")).as("n_repl"),
+          coalesce(sum(when(col("__t").isNotNull, col("dl"))), lit(0L))
+            .as("repl_dl"))
+        .collect()(0)
+      val newTf = standing.tf.join(idsB, Seq("doc_id"), "left_anti")
+        .unionByName(latest.filter(col("tok").isNotNull)
+          .select(col("doc_id"), col("tok"), col("tf")))
+      val newDl = standing.dl.join(idsB, Seq("doc_id"), "left_anti")
+        .unionByName(latest.filter(col("tok").isNotNull)
+          .select(col("doc_id"), col("dl")).distinct())
+      Index(newTf, newDl,
+        standing.nDocs - r.getLong(0) + d.getLong(0),
+        standing.sumDl - r.getLong(1) + d.getLong(1),
+        () => { latest.unpersist(); () })
+    } catch { case t: Throwable => latest.unpersist(); throw t }
   }
 }
