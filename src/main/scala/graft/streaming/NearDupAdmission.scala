@@ -54,7 +54,16 @@ object NearDupAdmission {
     * Pure batch plan — unit-testable without a stream. */
   def admit(batch: DataFrame, index: Dedup.SignatureIndex,
             idCol: String, textCol: String,
-            threshold: Double = 0.8): DataFrame = {
+            threshold: Double = 0.8): DataFrame =
+    // one materialization of the batch serves the signature pass, the id
+    // projection, and the keep anti-join (the Deltas fold-path contract);
+    // the returned kept frame is persisted+counted before the pin drops
+    Deltas.withMaterialized(batch)(pinned =>
+      admitPinned(pinned, index, idCol, textCol, threshold))
+
+  private def admitPinned(batch: DataFrame, index: Dedup.SignatureIndex,
+                          idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
     val mp = Dedup.incrementalExactPairsIndexedManaged(
       batch, index, idCol, textCol, threshold)
     val bids = batch.select(col(idCol).as("__bid"))
