@@ -658,6 +658,100 @@ object Similarity {
       .orderBy("subspace", "code")
   }
 
+  /** A built IVFADC index (coarse IVF + product-quantized RESIDUALS —
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 §IV, the production-standard composition of the two
+    * quantizers above): the coarse quantizer routes, the residual
+    * codebooks refine. `coded` holds `(nid, cell, code_0..code_{m-1})` —
+    * m·⌈log₂k⌉ bits + one cell id per vector, and a probe touches only
+    * the `nProbe` probed cells' rows, so the scan side is BOTH
+    * memory-compressed (PQ) and candidate-pruned (IVF), which neither
+    * index achieves alone. `release()` unpersists the coded corpus. */
+  final case class IvfPqIndex(centroids: Array[Array[Double]], nCells: Int,
+                              codebooks: Array[Array[Array[Double]]],
+                              m: Int, k: Int, subDim: Int,
+                              coded: DataFrame, release: () => Unit)
+
+  /** Residuals of an assigned corpus against its (float-rounded, the
+    * [[cellScores]] literal convention) coarse centroids — float
+    * subtraction per element, so a SQL oracle replays it as
+    * round-to-REAL of the exact double difference. */
+  private def residuals(centroids: Array[Array[Double]],
+                        assigned: DataFrame): DataFrame = {
+    val centLit = typedLit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    assigned.select(col("nid"), col("cell"),
+      zip_with(col("nv"), element_at(centLit, col("cell") + 1),
+        (a, b) => a - b).as("rv"))
+  }
+
+  /** Train the IVFADC index: coarse quantizer ([[ivfBuild]]'s Lloyd's —
+    * distributed, deterministic), then per-subspace codebooks over the
+    * cell RESIDUALS ([[pqBuild]] on `nv − centroid[cell]` — residuals
+    * concentrate near zero, which is why quantizing them beats
+    * quantizing raw vectors at equal bit budget), then one map-only
+    * encode. Training is the same deterministic discipline end-to-end
+    * (id-ordered samples, ringHash init spread, fixed-point means), so
+    * the DuckDB oracle replays the full chain exactly (v29). The coarse
+    * assignment is released at return — probes need only the two small
+    * models (literals in codegen) and the coded corpus. */
+  def ivfPqBuild(corpus: DataFrame, nid: String, nvec: String, dim: Int,
+                 nCells: Int = 8, m: Int = 4, k: Int = 8,
+                 coarseIters: Int = 4, pqIters: Int = 4,
+                 trainSample: Int = 10000, persist: Boolean = true): IvfPqIndex = {
+    graft.plans.FloatDotProduct.register(corpus.sparkSession)
+    val coarse = ivfBuild(corpus, nid, nvec, nCells, trainSample,
+      coarseIters, persist = true)
+    try {
+      val resid = residuals(coarse.centroids, coarse.assigned)
+      val pq = pqBuild(resid, "nid", "rv", dim, m, k, pqIters, trainSample,
+        persist = false)
+      val coded0 = pq.encoded
+        .join(coarse.assigned.select(col("nid"), col("cell")), Seq("nid"))
+      val coded =
+        if (persist) coded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else coded0
+      if (persist) coded.count() // materialize before the assignment drops
+      IvfPqIndex(coarse.centroids, coarse.nCells, pq.codebooks, pq.m, pq.k,
+        pq.subDim, coded,
+        () => { if (persist) { coded.unpersist(); () }; () })
+    } finally coarse.release()
+  }
+
+  /** IVFADC probe: each query expands to its `nProbe` nearest coarse
+    * cells, subtracts THAT cell's centroid (the residual is
+    * cell-specific — the asymmetric half of ADC), and scores only the
+    * probed cells' candidates by Σ_m qr_m · c_{m,code_m} with the fixed
+    * left-to-right subspace order ([[pqTopK]]'s contract). Pure plan
+    * construction: the corpus side reads m small ints + a cell id per
+    * row in the probed cells only; both models ride as codegen literals;
+    * a candidate lives in exactly one cell, so no cross-cell dedup is
+    * needed. Exact re-rank of the survivors composes as [[rerankCosine]],
+    * the standard refinement. */
+  def ivfPqProbe(index: IvfPqIndex, queries: DataFrame, qid: String,
+                 qvec: String, k: Int, nProbe: Int = 2): DataFrame = {
+    graft.plans.FloatDotProduct.register(queries.sparkSession)
+    def probeCells(v: Column): Column =
+      slice(reverse(array_sort(array(cellScores(v, index.centroids): _*))),
+        1, nProbe)
+    val centLit = typedLit(index.centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    val q = queries
+      .select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv")).getField("c")))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select("qid", "cell", "rv")
+    val adc = (0 until index.m).map { ms =>
+      val cb = typedLit(index.codebooks(ms).map(_.map(_.toFloat).toSeq).toSeq)
+      dot(slice(col("rv"), ms * index.subDim + 1, index.subDim),
+        element_at(cb, col(s"code_$ms") + 1))
+    }.reduceLeft(_ + _) // fixed left-to-right subspace order, oracle-identical
+    rankTopK(
+      broadcast(q).join(index.coded, Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("adc", adc),
+      "adc", k)
+  }
+
   /** Exact cosine re-rank of per-query candidate pairs — the refinement
     * stage after a quantized (PQ/IVF/LSH) candidate pass: `cands` is a
     * (qid, nid) frame, tiny relative to the corpus, so it BROADCASTS onto

@@ -78,9 +78,30 @@ object VectorQueries {
     })
   }
 
+  // IVFADC cache (v29): coarse quantizer + residual-PQ codebooks + coded
+  // corpus — the two-stage index ([[Similarity.ivfPqBuild]]). Same
+  // lifecycle as the caches above.
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfPqIndex]()
+  private def ivfPqIndexFor(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    graft.operators.IndexStats.lookup("ivfPq", hit = ivfPqCache.containsKey((s, dir)))
+    ivfPqCache.computeIfAbsent((s, dir), { _ =>
+      Similarity.ivfPqBuild(emb(s, dir), "vec_id", "embedding", dim = 64,
+        nCells = 8, m = 4, k = 8, coarseIters = 4, pqIters = 4)
+    })
+  }
+
   /** Drop (and unpersist) every cached index of `s` — session teardown
     * hygiene for JVMs that run many sessions. */
   def releaseIvfIndexes(s: SparkSession): Unit = {
+    val ip = ivfPqCache.entrySet().iterator()
+    while (ip.hasNext) {
+      val e = ip.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.release() catch { case _: Exception => () }
+        ip.remove()
+      }
+    }
     val it = ivfCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -125,6 +146,7 @@ object VectorQueries {
     pqIndexFor(s, dir).encoded.count()
     appendedIndexFor(s, dir).assigned.count()
     appendedPqFor(s, dir).encoded.count()
+    ivfPqIndexFor(s, dir) // coded is counted (materialized) by the build
     ()
   }
 
@@ -679,6 +701,24 @@ object VectorQueries {
         emb(s, dir).filter(col("label") === 3), "vec_id", "embedding")
     },
 
+    // IVFADC (Jégou TPAMI'11 §IV): coarse IVF routing + PQ over the CELL
+    // RESIDUALS, the production-standard two-stage ANN index — probes
+    // touch only nProbe cells' rows AND read m small ints per candidate,
+    // the composition neither v04 (prune only) nor v08 (compress only)
+    // achieves alone. The oracle replays the whole chain: coarse
+    // training, float-rounded residuals (round-to-REAL of the exact
+    // double difference ≡ the engine's float subtraction), four residual
+    // subspace trainings, per-cell query residuals, ADC in fixed
+    // subspace order.
+    "v29_ivfadc" -> { (s, dir) =>
+      Similarity.ivfPqProbe(ivfPqIndexFor(s, dir),
+          emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("adc"), 4).as("adc"))
+        .orderBy("qid", "rank")
+    },
+
     // Tiered (L0/L1) epoch-roll identity for the PQ family — v27's
     // pattern at the quantized tier, completing tiering across all four
     // durable index families (graph q81, vector v27, lex t40, PQ here):
@@ -820,7 +860,8 @@ object VectorQueries {
     * nn) and leaves `${px}centl$iters` (the trained codebook as ordered
     * lists) visible for ADC lookups. */
   private def kmeansCtes(px: String, vx: String, nCells: Int, iters: Int,
-                         trainSample: Int, dim: Int): String = {
+                         trainSample: Int, dim: Int,
+                         src: String = "e"): String = {
     val iterCtes = (0 until iters).map { i =>
       s"""${px}centl$i AS MATERIALIZED (SELECT c, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY pos) AS cf,
          |                     list(val ORDER BY pos) AS cd
@@ -842,7 +883,7 @@ object VectorQueries {
          |                   FROM ${px}cent$i cp LEFT JOIN ${px}mean$i m
          |                     ON m.c = cp.c AND m.pos = cp.pos)""".stripMargin
     }.mkString(",\n  ")
-    s"""${px}samp AS MATERIALIZED (SELECT vec_id AS sid, $vx AS v FROM e ORDER BY vec_id LIMIT $trainSample),
+    s"""${px}samp AS MATERIALIZED (SELECT vec_id AS sid, $vx AS v FROM $src e ORDER BY vec_id LIMIT $trainSample),
        |  ${px}pos AS MATERIALIZED (SELECT unnest(range($dim)) AS pos),
        |  ${px}sampx AS MATERIALIZED (SELECT sid, pos, v[pos + 1] AS x FROM ${px}samp CROSS JOIN ${px}pos),
        |  ${px}init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY
@@ -864,14 +905,14 @@ object VectorQueries {
        |  ${px}cscore AS MATERIALIZED (SELECT e.vec_id, l.c,
        |               list_inner_product(e.$vx, l.cf)
        |                 - list_inner_product(l.cd, l.cd) / 2 AS sc
-       |             FROM e CROSS JOIN ${px}centl$iters l),
+       |             FROM $src e CROSS JOIN ${px}centl$iters l),
        |  ${px}corpus AS MATERIALIZED (SELECT s.vec_id AS nid, s.cell, e.v AS nv,
        |               sqrt(list_inner_product(e.v, e.v)) AS nn
        |             FROM (SELECT vec_id, c AS cell FROM (
        |                     SELECT vec_id, c, row_number() OVER (
        |                       PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
        |                     FROM ${px}cscore) WHERE rn = 1) s
-       |             JOIN e ON e.vec_id = s.vec_id)""".stripMargin
+       |             JOIN $src e ON e.vec_id = s.vec_id)""".stripMargin
   }
 
   private def ivfTrainingCtes(nCells: Int, iters: Int, trainSample: Int,
@@ -1170,6 +1211,68 @@ object VectorQueries {
        |  sims AS (SELECT q.qid, codes.nid,
        |             $adcSum AS adc
        |           FROM q JOIN codes ON codes.nid <> q.qid
+       |           $cbJoins),
+       |  r AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
+       |          ORDER BY adc DESC, nid) AS rank FROM sims)
+       |SELECT qid, rank, nid, round(adc, 4) AS adc
+       |FROM r WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB twin of v29 — replays the ENTIRE IVFADC chain: the coarse
+    * training ([[kmeansCtes]] over `e`), the float-rounded residuals
+    * (round-to-REAL of the exact double difference, which IS the
+    * engine's float subtraction by IEEE 754), the m residual-subspace
+    * trainings ([[kmeansCtes]] re-pointed at the residual table), the
+    * per-cell query residuals, and ADC scoring in the fixed
+    * left-to-right subspace order ([[v08Oracle]]'s convention). */
+  private def v29Oracle(nCells: Int = 8, m: Int = 4, k: Int = 8,
+                        coarseIters: Int = 4, pqIters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64,
+                        nProbe: Int = 2, topK: Int = 5): String = {
+    val subDim = dim / m
+    val pqBlocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, pqIters,
+        trainSample, subDim, src = "re")
+    }.mkString(",\n  ")
+    val codeCols = (0 until m).map(ms => s"m$ms.cell AS c$ms").mkString(", ")
+    val codeJoin = (1 until m)
+      .map(ms => s"JOIN m${ms}corpus m$ms ON m$ms.nid = m0.nid")
+      .mkString("\n            ")
+    val cbJoins = (0 until m)
+      .map(ms => s"JOIN m${ms}centl$pqIters b$ms ON b$ms.c = codes.c$ms")
+      .mkString("\n           ")
+    val adcSum = (0 until m).map { ms =>
+      val lo = ms * subDim
+      s"list_inner_product(qr.rv[${lo + 1}:${lo + subDim}], b$ms.cf)"
+    }.mkString("\n             + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  ${kmeansCtes("g", "v", nCells, coarseIters, trainSample, dim)},
+       |  re AS MATERIALIZED (SELECT c.nid AS vec_id,
+       |        list_transform(range(1, $dim + 1),
+       |          i -> CAST(CAST(c.nv[i] - l.cf[i] AS REAL) AS DOUBLE)) AS v,
+       |        c.cell AS gcell
+       |      FROM gcorpus c JOIN gcentl$coarseIters l ON l.c = c.cell),
+       |  $pqBlocks,
+       |  codes AS (SELECT m0.nid, re.gcell AS cell, $codeCols
+       |            FROM m0corpus m0
+       |            $codeJoin
+       |            JOIN re ON re.vec_id = m0.nid),
+       |  probe AS (SELECT vec_id AS qid, c AS cell FROM (
+       |              SELECT vec_id, c, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+       |              FROM gcscore WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+       |  qr AS (SELECT p.qid, p.cell,
+       |           list_transform(range(1, $dim + 1),
+       |             i -> CAST(CAST(q.qv[i] - l.cf[i] AS REAL) AS DOUBLE)) AS rv
+       |         FROM probe p JOIN q ON q.qid = p.qid
+       |              JOIN gcentl$coarseIters l ON l.c = p.cell),
+       |  sims AS (SELECT qr.qid, codes.nid,
+       |             $adcSum AS adc
+       |           FROM qr JOIN codes ON codes.cell = qr.cell
+       |                AND codes.nid <> qr.qid
        |           $cbJoins),
        |  r AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
        |          ORDER BY adc DESC, nid) AS rank FROM sims)
@@ -1487,6 +1590,7 @@ object VectorQueries {
     "v28_pq_tiered_roll" -> v24Oracle(trainPred = "vec_id % 5 = 0",
       encodePred = "TRUE"),
     "v25_pq_drift" -> v25Oracle(),
+    "v29_ivfadc" -> v29Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
     // side, joined on (qid, nid) — n_hits is an exact integer verdict.
     "v26_sq8_recall" ->

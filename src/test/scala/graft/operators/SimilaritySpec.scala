@@ -492,4 +492,60 @@ class SimilaritySpec extends SparkSpec {
     // population conservation across the full join
     assert(out.values.map(_._2).sum === 2L)
   }
+
+  test("IVFADC: deterministic build, residual codes in range, probe prunes " +
+       "to probed cells, release frees the coded cache") {
+    // three tight clusters on separate axes in 8 dims (the PQ test's
+    // fixture): the coarse quantizer separates them, the residual
+    // codebooks refine within them
+    val vecs = (0 until 12).map { i =>
+      val v = Array.fill(8)(0.001f * ((i * 13) % 7))
+      v(i % 3) = 1.0f
+      v(4 + i % 3) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def build() = Similarity.ivfPqBuild(vecs, "vec_id", "embedding", dim = 8,
+      nCells = 3, m = 2, k = 4, coarseIters = 4, pqIters = 4,
+      trainSample = 12)
+    val idx = build()
+    val idx2 = build()
+    val created = spark.sparkContext.getPersistentRDDs.keySet -- before
+    try {
+      // deterministic end-to-end: same coarse model, same residual
+      // codebooks, same coded corpus
+      assert(idx.centroids.map(_.toSeq).toSeq ===
+        idx2.centroids.map(_.toSeq).toSeq)
+      assert(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        idx2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val coded = idx.coded.orderBy("nid").collect().map(_.toSeq)
+      assert(coded === idx2.coded.orderBy("nid").collect().map(_.toSeq))
+      assert(coded.length === 12)
+      coded.foreach { r =>
+        val cell = r(r.length - 1).asInstanceOf[Int]
+        assert(cell >= 0 && cell < idx.nCells, s"cell out of range: $cell")
+        Seq(1, 2).foreach { c =>
+          val code = r(c).asInstanceOf[Int]
+          assert(code >= 0 && code < idx.k, s"code out of range: $code")
+        }
+      }
+      // nProbe=1 probe: every candidate lives in its query's own coarse
+      // cell (the IVF pruning contract), and with clusters ≡ cells the
+      // ADC top-k are exactly the query's cluster peers
+      val cellOf = idx.coded.select("nid", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val res = Similarity.ivfPqProbe(idx, vecs.filter($"vec_id" < 3),
+        "vec_id", "embedding", k = 3, nProbe = 1).collect()
+      assert(res.length === 9) // 3 queries × 3 same-cell peers
+      res.foreach { r =>
+        assert(cellOf(r.getLong(2)) === cellOf(r.getLong(0)),
+          s"candidate ${r.getLong(2)} outside query ${r.getLong(0)}'s cell")
+        assert(r.getLong(0) % 3 === r.getLong(2) % 3,
+          s"cross-cluster ${r.getLong(2)} ranked for ${r.getLong(0)}")
+      }
+    } finally { idx.release(); idx2.release() }
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet & created
+    assert(survivors.isEmpty,
+      s"release() must unpersist the coded corpus; alive: $survivors")
+  }
 }
