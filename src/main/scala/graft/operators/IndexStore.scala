@@ -334,6 +334,62 @@ object IndexStore {
     out
   }
 
+  // ---------- IVFADC index ([[Similarity.IvfPqIndex]])
+
+  /** Durable form of the two-stage IVFADC index: the coded corpus plus
+    * BOTH models (coarse centroids, residual codebooks) as parquet, with
+    * the shape facts in the meta. Loads are zero-job (recorded schema);
+    * the model decodes reuse the single centroid/codebook readers shared
+    * with the flat IVF/PQ stores, so the layouts can never drift. */
+  def saveIvfPqIndex(spark: SparkSession, idx: Similarity.IvfPqIndex,
+                     dir: String, corpusVersion: String,
+                     params: Map[String, String] = Map.empty): Unit = {
+    import spark.implicits._
+    invalidateMeta(spark, dir)
+    idx.coded.write.mode("overwrite").parquet(s"$dir/coded")
+    idx.centroids.zipWithIndex
+      .map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    (for {
+      (book, ms) <- idx.codebooks.zipWithIndex
+      (v, c) <- book.zipWithIndex
+    } yield (ms, c, v.toSeq)).toSeq
+      .toDF("m", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeMeta(spark, dir, Seq(
+      "kind" -> "ivfpq", "corpus_version" -> corpusVersion,
+      "n_cells" -> idx.nCells.toString,
+      "m" -> idx.m.toString, "k" -> idx.k.toString,
+      "sub_dim" -> idx.subDim.toString,
+      "coded_schema" -> idx.coded.schema.json) ++ params.toSeq.sorted)
+    IndexStats.inc("ivfpq.disk.save")
+  }
+
+  /** Zero-job validity peek at a stored IVFADC index (the pqIndexMeta
+    * shape). */
+  def ivfPqIndexMeta(spark: SparkSession, dir: String,
+                     expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "ivfpq", expectedVersion = None, expectedParams)
+
+  def loadIvfPqIndex(spark: SparkSession, dir: String,
+                     expectedVersion: Option[String] = None,
+                     expectedParams: Map[String, String] = Map.empty)
+      : Option[Similarity.IvfPqIndex] = {
+    val out = validMeta(spark, dir, "ivfpq", expectedVersion, expectedParams).map { meta =>
+      val centroids = readCentroids(spark, dir, meta)
+      val codebooks = readCodebooks(spark, dir, meta)
+      val coded = readFrame(spark, s"$dir/coded", meta("coded_schema"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Similarity.IvfPqIndex(centroids, centroids.length, codebooks,
+        meta("m").toInt, meta("k").toInt, meta("sub_dim").toInt, coded,
+        () => { coded.unpersist(); () })
+    }
+    IndexStats.inc(s"ivfpq.disk.${if (out.isDefined) "hit" else "miss"}")
+    out
+  }
+
   // ---------- hybrid graph adjacency ([[Adjacency.Hybrid]])
 
   /** Durable form of the graph family's build artifact: both layouts plus
@@ -626,6 +682,17 @@ object IndexStore {
     }
   }
 
+  def ivfPqIndexOrBuild(spark: SparkSession, dir: String, sourcePath: String,
+                        params: Map[String, String] = Map.empty)
+                       (build: => Similarity.IvfPqIndex): Similarity.IvfPqIndex = {
+    val v = corpusVersion(spark, sourcePath)
+    loadIvfPqIndex(spark, dir, Some(v), params).getOrElse {
+      val idx = build
+      saveIvfPqIndex(spark, idx, dir, v)
+      idx
+    }
+  }
+
   def clusterLabelsOrBuild(spark: SparkSession, dir: String, sourcePath: String,
                            params: Map[String, String] = Map.empty)
                           (build: => DataFrame): DataFrame = {
@@ -675,6 +742,12 @@ object IndexStore {
                      (build: => Similarity.PqIndex): Similarity.PqIndex =
     withStore(spark, "pq", sourcePath)(
       dir => pqIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
+
+  def ivfPqIndexFromConf(spark: SparkSession, sourcePath: String,
+                         params: Map[String, String] = Map.empty)
+                        (build: => Similarity.IvfPqIndex): Similarity.IvfPqIndex =
+    withStore(spark, "ivfpq", sourcePath)(
+      dir => ivfPqIndexOrBuild(spark, dir, sourcePath, params)(build))(build)
 
   def postingsIndexFromConf(spark: SparkSession, sourcePath: String,
                             params: Map[String, String] = Map.empty)

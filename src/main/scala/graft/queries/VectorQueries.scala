@@ -86,8 +86,11 @@ object VectorQueries {
   private def ivfPqIndexFor(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
     graft.operators.IndexStats.lookup("ivfPq", hit = ivfPqCache.containsKey((s, dir)))
     ivfPqCache.computeIfAbsent((s, dir), { _ =>
-      Similarity.ivfPqBuild(emb(s, dir), "vec_id", "embedding", dim = 64,
-        nCells = 8, m = 4, k = 8, coarseIters = 4, pqIters = 4)
+      def build = Similarity.ivfPqBuild(emb(s, dir), "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, k = 8, coarseIters = 4, pqIters = 4)
+      graft.operators.IndexStore.ivfPqIndexFromConf(
+        s, s"$dir/embeddings.parquet",
+        Map("n_cells" -> "8", "m" -> "4", "k" -> "8", "sub_dim" -> "16"))(build)
     })
   }
 

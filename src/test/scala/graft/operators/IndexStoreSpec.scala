@@ -127,6 +127,35 @@ class IndexStoreSpec extends SparkSpec {
     } finally built.release()
   }
 
+  test("ivfpq index: both models round-trip bit-exactly; probe parity (v29 shape)") {
+    val src = s"$dir/embeddings.parquet"
+    val version = IndexStore.corpusVersion(spark, src)
+    val built = Similarity.ivfPqBuild(emb(spark), "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, k = 8, coarseIters = 4, pqIters = 4)
+    val store = tmp("ivfpqstore")
+    try {
+      val q = emb(spark).filter(col("vec_id") < 4)
+      val expected = sortedRows(
+        Similarity.ivfPqProbe(built, q, "vec_id", "embedding", k = 5, nProbe = 2))
+      IndexStore.saveIvfPqIndex(spark, built, store, version)
+
+      val s2 = spark.newSession()
+      val loaded = IndexStore.loadIvfPqIndex(s2, store, Some(version))
+        .getOrElse(fail("stored ivfpq index did not load"))
+      assert((loaded.nCells, loaded.m, loaded.k, loaded.subDim) ==
+        (built.nCells, built.m, built.k, built.subDim))
+      for (c <- built.centroids.indices)
+        assert(java.util.Arrays.equals(built.centroids(c), loaded.centroids(c)))
+      for (ms <- 0 until built.m; c <- 0 until built.k)
+        assert(java.util.Arrays.equals(built.codebooks(ms)(c), loaded.codebooks(ms)(c)))
+      val q2 = Tables.load(s2, dir, "embeddings").filter(col("vec_id") < 4)
+      val got = sortedRows(
+        Similarity.ivfPqProbe(loaded, q2, "vec_id", "embedding", k = 5, nProbe = 2))
+      assert(got == expected)
+      loaded.release()
+    } finally built.release()
+  }
+
   test("cluster labels round-trip; version stamp tracks corpus content") {
     val src = s"$dir/documents.parquet"
     val version = IndexStore.corpusVersion(spark, src)
