@@ -718,15 +718,23 @@ object Similarity {
   }
 
   /** IVFADC probe: each query expands to its `nProbe` nearest coarse
-    * cells, subtracts THAT cell's centroid (the residual is
-    * cell-specific — the asymmetric half of ADC), and scores only the
-    * probed cells' candidates by Σ_m qr_m · c_{m,code_m} with the fixed
-    * left-to-right subspace order ([[pqTopK]]'s contract). Pure plan
-    * construction: the corpus side reads m small ints + a cell id per
-    * row in the probed cells only; both models ride as codegen literals;
-    * a candidate lives in exactly one cell, so no cross-cell dedup is
-    * needed. Exact re-rank of the survivors composes as [[rerankCosine]],
-    * the standard refinement. */
+    * cells and scores only those cells' candidates by the decomposed
+    * inner-product estimate q·v̂ = q·c_cell + Σ_m q_m · c_{m,code_m}
+    * (v̂ = coarse centroid + quantized residual; the q·c_cell term is one
+    * dot per (query, probed cell), the residual sum is the usual ADC
+    * lookup in the fixed left-to-right subspace order — [[pqTopK]]'s
+    * contract, with the cell constant leading). The QUERY stays raw on
+    * both terms — residualizing it and scoring qr·r̂ ranks correctly for
+    * neither dot nor L2 (v30's recall audit caught exactly that in this
+    * operator's first draft). The ADC tier itself is heavily lossy at
+    * small code budgets (m·⌈log₂k⌉ bits/vector — v08-parity distortion,
+    * measured honestly by v30 rather than asserted), which is why the
+    * production shape is ADC-as-SHORTLIST → exact re-rank of survivors
+    * (v30's second leg; [[rerankCosine]] for cosine semantics). Pure
+    * plan construction: the corpus side reads m small ints + a cell id
+    * per row in the probed cells only; both models ride as codegen
+    * literals; a candidate lives in exactly one cell, so no cross-cell
+    * dedup is needed. */
   def ivfPqProbe(index: IvfPqIndex, queries: DataFrame, qid: String,
                  qvec: String, k: Int, nProbe: Int = 2): DataFrame = {
     graft.plans.FloatDotProduct.register(queries.sparkSession)
@@ -737,14 +745,15 @@ object Similarity {
     val q = queries
       .select(col(qid).as("qid"), col(qvec).cast("array<float>").as("qv"))
       .withColumn("cell", explode(probeCells(col("qv")).getField("c")))
-      .withColumn("rv", zip_with(col("qv"),
-        element_at(centLit, col("cell") + 1), (a, b) => a - b))
-      .select("qid", "cell", "rv")
-    val adc = (0 until index.m).map { ms =>
+      .withColumn("cdot", dot(col("qv"), element_at(centLit, col("cell") + 1)))
+      .select("qid", "cell", "qv", "cdot")
+    val residualAdc = (0 until index.m).map { ms =>
       val cb = typedLit(index.codebooks(ms).map(_.map(_.toFloat).toSeq).toSeq)
-      dot(slice(col("rv"), ms * index.subDim + 1, index.subDim),
+      dot(slice(col("qv"), ms * index.subDim + 1, index.subDim),
         element_at(cb, col(s"code_$ms") + 1))
-    }.reduceLeft(_ + _) // fixed left-to-right subspace order, oracle-identical
+    }
+    // cell constant first, then subspaces left-to-right — oracle-identical
+    val adc = (col("cdot") +: residualAdc).reduceLeft(_ + _)
     rankTopK(
       broadcast(q).join(index.coded, Seq("cell"))
         .filter(col("qid") =!= col("nid"))

@@ -716,10 +716,52 @@ object VectorQueries {
     "v29_ivfadc" -> { (s, dir) =>
       Similarity.ivfPqProbe(ivfPqIndexFor(s, dir),
           emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nProbe = 2)
+          k = 5, nProbe = 4)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("adc"), 4).as("adc"))
         .orderBy("qid", "rank")
+    },
+
+    // Honest quality audit for v29 (the v26/v09 convention), BOTH tiers
+    // measured against the exact-MIPS truth as integer verdicts:
+    // (a) recall@5 of the raw ADC ranking — the 12-bit code budget is
+    // heavily lossy on these embeddings (v08-parity distortion; this
+    // audit is what caught the first draft's wrong qr·r̂ estimator), and
+    // (b) recall@5 after the PRODUCTION composition: ADC top-50 as a
+    // shortlist, exact inner-product re-rank of the survivors — the
+    // cheap tier prunes, the exact tier decides. Both legs replay in
+    // the oracle.
+    "v30_ivfadc_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.mipsTopK(q, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val short = Similarity.ivfPqProbe(ivfPqIndexFor(s, dir), q,
+        "vec_id", "embedding", k = 50, nProbe = 4)
+      val adc5 = short.filter(col("rank") <= 5)
+        .select(col("qid"), col("nid"), lit(1).as("hit_adc"))
+      val qv = e.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<float>").as("qv"))
+      val nv = e.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<float>").as("nv"))
+      val rr = short.select("qid", "nid")
+        .join(broadcast(qv), Seq("qid")).join(nv, Seq("nid"))
+        .withColumn("ip", Similarity.dot(col("qv"), col("nv")))
+      val rr5 = graft.plans.TopK.perKey(rr, Seq("qid"),
+          Seq("ip" -> false, "nid" -> true), 5)
+        .select(col("qid"), col("nid"), lit(1).as("hit_rr"))
+      exact.join(adc5, Seq("qid", "nid"), "left")
+        .join(rr5, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit_adc"), lit(0))).cast("long").as("n_hits_adc"),
+          sum(coalesce(col("hit_rr"), lit(0))).cast("long").as("n_hits_rerank"))
+        .select(col("qid"), col("k"), col("n_hits_adc"), col("n_hits_rerank"),
+          round(col("n_hits_adc").cast("double") / col("k"), 4).as("recall_adc"),
+          round(col("n_hits_rerank").cast("double") / col("k"), 4)
+            .as("recall_rerank"))
+        .orderBy("qid")
     },
 
     // Tiered (L0/L1) epoch-roll identity for the PQ family — v27's
@@ -1232,7 +1274,60 @@ object VectorQueries {
   private def v29Oracle(nCells: Int = 8, m: Int = 4, k: Int = 8,
                         coarseIters: Int = 4, pqIters: Int = 4,
                         trainSample: Int = 10000, dim: Int = 64,
-                        nProbe: Int = 2, topK: Int = 5): String = {
+                        nProbe: Int = 4, topK: Int = 5): String =
+    s"""${ivfAdcCtes(nCells, m, k, coarseIters, pqIters, trainSample, dim, nProbe)}
+       |SELECT qid, rank, nid, round(adc, 4) AS adc
+       |FROM r WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of v30 — v29's full IVFADC chain and v26's exact-MIPS
+    * chain replayed side by side, joined on (qid, nid): recall@5 of the
+    * raw ADC ranking AND of the ADC-top-50 → exact-inner-product re-rank
+    * composition, both exact integer verdicts (the v26/v09 honest-audit
+    * convention). */
+  private def v30Oracle(nCells: Int = 8, m: Int = 4, k: Int = 8,
+                        coarseIters: Int = 4, pqIters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64,
+                        nProbe: Int = 4, topK: Int = 5,
+                        shortlist: Int = 50): String =
+    s"""${ivfAdcCtes(nCells, m, k, coarseIters, pqIters, trainSample, dim, nProbe)},
+       |  a5 AS (SELECT qid, nid FROM r WHERE rank <= $topK),
+       |  a50 AS (SELECT qid, nid FROM r WHERE rank <= $shortlist),
+       |  rr AS (SELECT a.qid, a.nid,
+       |           list_inner_product(q.v, c.v) AS ip
+       |         FROM a50 a JOIN e q ON q.vec_id = a.qid
+       |              JOIN e c ON c.vec_id = a.nid),
+       |  rr5 AS (SELECT qid, nid FROM (
+       |            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |              ORDER BY ip DESC, nid) AS rank FROM rr)
+       |          WHERE rank <= $topK),
+       |  xp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |           list_inner_product(q.v, c.v) AS ip
+       |         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |         WHERE q.vec_id < 8),
+       |  xr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |           ORDER BY ip DESC, nid) AS rank FROM xp),
+       |  x5 AS (SELECT qid, nid FROM xr WHERE rank <= $topK)
+       |SELECT x.qid, count(*) AS k,
+       |  CAST(sum(CASE WHEN a.nid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_hits_adc,
+       |  CAST(sum(CASE WHEN rr5.nid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_hits_rerank,
+       |  round(sum(CASE WHEN a.nid IS NULL THEN 0 ELSE 1 END)
+       |          / CAST(count(*) AS DOUBLE), 4) AS recall_adc,
+       |  round(sum(CASE WHEN rr5.nid IS NULL THEN 0 ELSE 1 END)
+       |          / CAST(count(*) AS DOUBLE), 4) AS recall_rerank
+       |FROM x5 x LEFT JOIN a5 a ON a.qid = x.qid AND a.nid = x.nid
+       |          LEFT JOIN rr5 ON rr5.qid = x.qid AND rr5.nid = x.nid
+       |GROUP BY x.qid
+       |ORDER BY x.qid""".stripMargin
+
+  /** The shared v29/v30 CTE chain: coarse training → residuals → m
+    * residual-subspace trainings → codes → probed cells → per-cell query
+    * residuals → ADC → ranked `r`, with `e` left visible for consumers. */
+  private def ivfAdcCtes(nCells: Int, m: Int, k: Int,
+                         coarseIters: Int, pqIters: Int,
+                         trainSample: Int, dim: Int, nProbe: Int): String = {
     val subDim = dim / m
     val pqBlocks = (0 until m).map { ms =>
       val lo = ms * subDim
@@ -1248,7 +1343,7 @@ object VectorQueries {
       .mkString("\n           ")
     val adcSum = (0 until m).map { ms =>
       val lo = ms * subDim
-      s"list_inner_product(qr.rv[${lo + 1}:${lo + subDim}], b$ms.cf)"
+      s"list_inner_product(qc.qv[${lo + 1}:${lo + subDim}], b$ms.cf)"
     }.mkString("\n             + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |  ${kmeansCtes("g", "v", nCells, coarseIters, trainSample, dim)},
@@ -1267,21 +1362,18 @@ object VectorQueries {
        |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
        |              FROM gcscore WHERE vec_id < 8) WHERE rn <= $nProbe),
        |  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
-       |  qr AS (SELECT p.qid, p.cell,
-       |           list_transform(range(1, $dim + 1),
-       |             i -> CAST(CAST(q.qv[i] - l.cf[i] AS REAL) AS DOUBLE)) AS rv
+       |  qc AS (SELECT p.qid, p.cell, q.qv,
+       |           list_inner_product(q.qv, l.cf) AS cdot
        |         FROM probe p JOIN q ON q.qid = p.qid
        |              JOIN gcentl$coarseIters l ON l.c = p.cell),
-       |  sims AS (SELECT qr.qid, codes.nid,
-       |             $adcSum AS adc
-       |           FROM qr JOIN codes ON codes.cell = qr.cell
-       |                AND codes.nid <> qr.qid
+       |  sims AS (SELECT qc.qid, codes.nid,
+       |             qc.cdot
+       |             + $adcSum AS adc
+       |           FROM qc JOIN codes ON codes.cell = qc.cell
+       |                AND codes.nid <> qc.qid
        |           $cbJoins),
        |  r AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
-       |          ORDER BY adc DESC, nid) AS rank FROM sims)
-       |SELECT qid, rank, nid, round(adc, 4) AS adc
-       |FROM r WHERE rank <= $topK
-       |ORDER BY qid, rank""".stripMargin
+       |          ORDER BY adc DESC, nid) AS rank FROM sims)""".stripMargin
   }
 
   /** DuckDB twin of v24 — replays the 4 subspace trainings on the ⅞ base
@@ -1594,6 +1686,7 @@ object VectorQueries {
       encodePred = "TRUE"),
     "v25_pq_drift" -> v25Oracle(),
     "v29_ivfadc" -> v29Oracle(),
+    "v30_ivfadc_recall" -> v30Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
     // side, joined on (qid, nid) — n_hits is an exact integer verdict.
     "v26_sq8_recall" ->
