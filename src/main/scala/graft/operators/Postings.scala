@@ -52,9 +52,11 @@ object Postings {
     val tf = toks(docs, idCol, textCol)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    tf.count() // the one pass over text bytes
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE job materializes everything: the stats scan reads dl, whose
+    // groupBy reads tf — both caches fill (and any build failure fires
+    // eagerly, the Index contract) on this single pass over text bytes
     val r = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
       count(lit(1)).as("n_docs")).collect()(0)
     Index(tf, dl, r.getLong(1), r.getLong(0),
