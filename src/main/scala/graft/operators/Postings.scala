@@ -127,20 +127,21 @@ object Postings {
     * |Δ| text; same within-batch doc_id-uniqueness contract as foldDocs. */
   def tierFrame(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    // ONE tokenization pass (the build() discipline): dl rides tf as a
-    // doc-grain window sum over the compact postings, never a second
-    // scan of raw tokens
-    val tf = toks(docs, idCol, textCol)
+    // ONE tokenization pass, ONE tf subtree (the build() discipline): dl
+    // rides tf as a doc-grain window sum, and the tombstone rows come
+    // from the SAME subtree via the ids LEFT JOIN — a token-free doc
+    // matches no postings row and surfaces as exactly one all-NULL row.
+    // (The first cut unioned an anti-join branch instead; its
+    // column-pruned tf copy defeated exchange reuse and re-tokenized the
+    // batch per action — review finding.)
+    val withDl = toks(docs, idCol, textCol)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val withDl = tf.withColumn("dl",
-      sum(col("tf")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")))
-    val ids = docs.select(col(idCol).as("doc_id")).distinct()
-    withDl.select(col("doc_id"), col("tok"), col("tf"), col("dl"))
-      .unionByName(ids.join(tf.select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(null).cast("string").as("tok"),
-          lit(null).cast("long").as("tf"), lit(null).cast("long").as("dl")))
+      .withColumn("dl",
+        sum(col("tf")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(withDl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
   }
 
   /** Merge a standing index with a stack of [[tierFrame]] tiers (ascending

@@ -94,49 +94,31 @@ object VectorQueries {
     })
   }
 
-  /** Drop (and unpersist) every cached index of `s` — session teardown
-    * hygiene for JVMs that run many sessions. */
-  def releaseIvfIndexes(s: SparkSession): Unit = {
-    val ip = ivfPqCache.entrySet().iterator()
-    while (ip.hasNext) {
-      val e = ip.next()
-      if (e.getKey._1 eq s) {
-        try e.getValue.release() catch { case _: Exception => () }
-        ip.remove()
-      }
-    }
-    val it = ivfCache.entrySet().iterator()
+  /** Drain one (session, dir)-keyed index cache of `s`'s entries,
+    * releasing each — the single teardown loop behind
+    * [[releaseIvfIndexes]], so adding an index family cannot silently
+    * skip teardown (a sixth hand-copied loop was the tipping point;
+    * review finding). */
+  private def drain[T](cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), T],
+                       s: SparkSession)(release: T => Unit): Unit = {
+    val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
-        try e.getValue.release() catch { case _: Exception => () }
+        try release(e.getValue) catch { case _: Exception => () }
         it.remove()
       }
     }
-    val pt = pqCache.entrySet().iterator()
-    while (pt.hasNext) {
-      val e = pt.next()
-      if (e.getKey._1 eq s) {
-        try e.getValue.release() catch { case _: Exception => () }
-        pt.remove()
-      }
-    }
-    val at = ivfAppendCache.entrySet().iterator()
-    while (at.hasNext) {
-      val e = at.next()
-      if (e.getKey._1 eq s) {
-        try e.getValue.release() catch { case _: Exception => () }
-        at.remove()
-      }
-    }
-    val pa = pqAppendCache.entrySet().iterator()
-    while (pa.hasNext) {
-      val e = pa.next()
-      if (e.getKey._1 eq s) {
-        try e.getValue.release() catch { case _: Exception => () }
-        pa.remove()
-      }
-    }
+  }
+
+  /** Drop (and unpersist) every cached index of `s` — session teardown
+    * hygiene for JVMs that run many sessions. */
+  def releaseIvfIndexes(s: SparkSession): Unit = {
+    drain(ivfPqCache, s)(_.release())
+    drain(ivfCache, s)(_.release())
+    drain(pqCache, s)(_.release())
+    drain(ivfAppendCache, s)(_.release())
+    drain(pqAppendCache, s)(_.release())
   }
 
   /** Build AND materialize the vector indexes for (session, dir) — the
@@ -149,7 +131,11 @@ object VectorQueries {
     pqIndexFor(s, dir).encoded.count()
     appendedIndexFor(s, dir).assigned.count()
     appendedPqFor(s, dir).encoded.count()
-    ivfPqIndexFor(s, dir) // coded is counted (materialized) by the build
+    // explicit count: the BUILD path materializes coded itself, but a
+    // durable-store load (ivfPqIndexFromConf hit) returns a cold persisted
+    // frame — without this the first timed v29/v30 probe would pay the
+    // cache fill the prepare phase exists to absorb (review finding)
+    ivfPqIndexFor(s, dir).coded.count()
     ()
   }
 

@@ -182,15 +182,17 @@ object CopurchaseStream {
   /** The delta co-purchase edges one batch of `(l_orderkey, l_partkey)`
     * lines adds over the standing lines: batch × standing-of-touched-
     * orders in BOTH directions plus batch × batch (the self-join emits
-    * both directions itself). Pure batch logic. `batch` may arrive raw
-    * (`l_orderkey`/`l_partkey`) or already normalized to distinct
-    * `(o, p)` lines — [[foldBatch]] passes its pinned normalized frame so
-    * the batch's upstream is scanned once across the whole fold. */
-  def deltaEdges(batch: DataFrame, standing: DataFrame): DataFrame = {
-    val b =
-      if (batch.columns.contains("o")) batch.select(col("o"), col("p"))
-      else batch.select(col("l_orderkey").cast("long").as("o"),
-        col("l_partkey").cast("long").as("p")).distinct()
+    * both directions itself). Pure batch logic over RAW order lines. */
+  def deltaEdges(batch: DataFrame, standing: DataFrame): DataFrame =
+    deltaEdgesNorm(batch.select(col("l_orderkey").cast("long").as("o"),
+      col("l_partkey").cast("long").as("p")).distinct(), standing)
+
+  /** [[deltaEdges]] over ALREADY-NORMALIZED distinct `(o, p)` lines —
+    * [[foldBatch]] passes its pinned frame here so the batch's upstream
+    * is scanned once across the whole fold. Private: the distinct is a
+    * CORRECTNESS precondition (duplicate lines would multiply through
+    * both self-join sides), so outside callers take the raw entry. */
+  private def deltaEdgesNorm(b: DataFrame, standing: DataFrame): DataFrame = {
     val touched = b.select("o").distinct()
     val s = standing.join(touched, Seq("o"), "left_semi")
     val bs = b.as("a").join(s.as("x"),
@@ -230,7 +232,7 @@ object CopurchaseStream {
         val buckets = pinned.select(
             pmod(col("o"), lit(OrderBuckets.toLong)).as("ob"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        val edges = deltaEdges(pinned,
+        val edges = deltaEdgesNorm(pinned,
             standingLines(spark, linesDir, batchId, Some(buckets)))
           .persist()
         try {

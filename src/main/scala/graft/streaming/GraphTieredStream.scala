@@ -116,7 +116,8 @@ object GraphTieredStream {
       * not double-count). The L1-membership probe is one-hop and
       * delta-proportional: only the DELTA's srcs are expanded (work
       * bounded by their total L1 degree), never the corpus; the
-      * adjustment and new-src frames are |Δ|-sized and broadcast. The
+      * adjustment and new-src frames are |Δ|-sized (AQE broadcasts them
+      * at runtime when small — no forced hint, see below). The
       * tiered serve path ranks with this, so tiered-served answers equal
       * flat-served answers exactly. */
     def mergedOutDegrees: DataFrame = {
@@ -131,13 +132,19 @@ object GraphTieredStream {
           val add = d.join(existing, Seq("src", "dst"), "left_anti")
             .groupBy("src").agg(count(lit(1)).as("add"))
           // srcs with ≥1 L1 out-edge have ≥1 expand row, so this small
-          // frame IS the delta-srcs ∩ L1-degree-table membership set
+          // frame IS the delta-srcs ∩ L1-degree-table membership set.
+          // No forced broadcast on either delta-derived frame: |Δ_src| is
+          // bounded only by the majorEvery window, and this plan runs per
+          // serve micro-batch — a measured-count guard (the Adjacency
+          // convention) would cost a count job per batch, so the runtime
+          // decision is left to AQE, which broadcasts small sides without
+          // a driver-OOM risk on a fat delta window (review finding).
           val srcsInL1 = existing.select("src").distinct()
           hyb.outDegrees.select(col("src"), col("outdeg"))
-            .join(broadcast(add), Seq("src"), "left")
+            .join(add, Seq("src"), "left")
             .select(col("src"),
               (col("outdeg") + coalesce(col("add"), lit(0L))).as("outdeg"))
-            .unionByName(add.join(broadcast(srcsInL1), Seq("src"), "left_anti")
+            .unionByName(add.join(srcsInL1, Seq("src"), "left_anti")
               .select(col("src"), col("add").as("outdeg")))
       }
     }

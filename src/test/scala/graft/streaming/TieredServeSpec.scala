@@ -12,9 +12,11 @@ import graft.SparkSpec
   *  - vector/lex: answers over a tiered root are IDENTICAL to answers
   *    over a flat root rolled from the same batches (the tiers'
   *    certified fold identities, surfaced at the serve layer);
-  *  - graph: candidates are tier-complete (a minor's edges are served
-  *    before any major) while the degree signal reads the L1 tier (the
-  *    documented staleness trade);
+  *  - graph: the same exact identity — candidates are tier-complete (a
+  *    minor's edges are served before any major) AND the degree ranking
+  *    reads [[GraphTieredStream.Tiered.mergedOutDegrees]], the exact
+  *    cross-tier degrees at |Δ| cost (the earlier L1-only staleness
+  *    trade is gone);
   *  - all: a minor commit mid-stream bumps the tiered epoch id, so the
   *    pin swaps at the next batch and the new delta is served. */
 class TieredServeSpec extends SparkSpec {
