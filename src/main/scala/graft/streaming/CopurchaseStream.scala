@@ -211,7 +211,35 @@ object CopurchaseStream {
     * stream. */
   def foldBatch(batch: DataFrame, linesDir: String, indexRoot: String,
                 batchId: Long, keepEpochs: Int = 2,
-                compactEvery: Int = 32): Unit = {
+                compactEvery: Int = 32): Unit =
+    foldBatchWith(batch, linesDir, batchId, compactEvery)(edges =>
+      GraphEpochStream.foldBatch(edges, indexRoot, batchId,
+        dedup = true, keepEpochs = keepEpochs))
+
+  /** [[foldBatch]] committing into a TIERED root
+    * ([[GraphTieredStream]]): the derived delta lands as an O(|Δ|) L0
+    * epoch instead of the flat roll's O(|corpus|) full-index rewrite —
+    * the last roll that still paid the flat durability price per batch.
+    * Within-batch distinct happens in the tiered fold; duplicates
+    * against OLDER tiers (a pair re-derived through another order) stay
+    * as rows in the minor and collapse at read/major exactly like the
+    * flat fold's dedup = true, so the merged edge SET converges
+    * identically (CopurchaseStreamSpec pins it). Same crash matrix: the
+    * tier's committed marker makes a replayed fold a no-op. */
+  def foldBatchTiered(batch: DataFrame, linesDir: String, indexRoot: String,
+                      batchId: Long, majorEvery: Int = 8,
+                      compactEvery: Int = 32): Unit =
+    foldBatchWith(batch, linesDir, batchId, compactEvery) { edges =>
+      GraphTieredStream.foldBatch(edges, indexRoot, batchId, majorEvery)
+      ()
+    }
+
+  /** The shared batch body behind the flat and tiered folds: line
+    * normalization + pin, compaction, bucket listing, delta derivation,
+    * the lines write, then `fold` over the pinned delta edges. */
+  private def foldBatchWith(batch: DataFrame, linesDir: String,
+                            batchId: Long, compactEvery: Int)
+                           (fold: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
     // one materialization of the batch's lines serves the emptiness probe,
     // the bucket listing, the lines write, AND deltaEdges' two join sides
@@ -238,8 +266,7 @@ object CopurchaseStream {
         try {
           edges.count() // pin the delta BEFORE the lines write changes state
           pinned.write.mode("overwrite").parquet(s"$linesDir/batch=$batchId")
-          GraphEpochStream.foldBatch(edges, indexRoot, batchId,
-            dedup = true, keepEpochs = keepEpochs)
+          fold(edges)
         } finally { edges.unpersist(); () }
       }
     }
@@ -257,6 +284,21 @@ object CopurchaseStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, linesDir, indexRoot, batchId, keepEpochs,
+          compactEvery)
+      }
+      .start()
+
+  /** [[start]] against a TIERED root — [[foldBatchTiered]] per batch;
+    * pair with [[GraphServeStream.startTiered]] for serving. */
+  def startTiered(lines: DataFrame, linesDir: String, indexRoot: String,
+                  checkpointDir: String, majorEvery: Int = 8,
+                  compactEvery: Int = 32,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatchTiered(batch, linesDir, indexRoot, batchId, majorEvery,
           compactEvery)
       }
       .start()

@@ -168,4 +168,48 @@ class CopurchaseStreamSpec extends SparkSpec {
         (full.srcCount, full.hubCount))
     } finally { rolled.release(); full.release() }
   }
+
+  test("tiered line roll: minors above the L1, merged edge set equals the " +
+       "flat roll's, replay is a no-op") {
+    import sqlImplicits._
+    val linesDir = Files.createTempDirectory("cpt_lines").toString
+    val linesDirF = Files.createTempDirectory("cpt_linesf").toString
+    val root = Files.createTempDirectory("cpt_idx").toString
+    val rootF = Files.createTempDirectory("cpt_idxf").toString
+    // 5 batches; orders revisited across batches so cross-batch pairs
+    // exercise the standing-lines join under BOTH folds; majorEvery=3
+    // puts an L1 major mid-roll with live minors above it
+    val batches = (0 until 5).map(i =>
+      Seq((i % 3 + 10L, 100L + i), (i % 2 + 20L, 200L + i)))
+    batches.zipWithIndex.foreach { case (ls, i) =>
+      val df = ls.toDF("l_orderkey", "l_partkey")
+      CopurchaseStream.foldBatchTiered(df, linesDir, root, i.toLong,
+        majorEvery = 3)
+      CopurchaseStream.foldBatch(df, linesDirF, rootF, i.toLong)
+    }
+    // the tiered root has a committed L1 (the major) AND live L0 minors
+    assert(GraphTieredStream.l1Epochs(spark, root,
+      Adjacency.DefaultHubLimit).nonEmpty, "major must have committed an L1")
+    assert(GraphTieredStream.l0Epochs(spark, root,
+      Adjacency.DefaultHubLimit).nonEmpty, "post-major minors must be live")
+
+    def tieredEdges(): Seq[(Long, Long)] = {
+      val t = GraphTieredStream.loadCurrent(spark, root)
+        .getOrElse(fail("tiered roll committed nothing"))
+      try t.mergedEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      finally t.release()
+    }
+    val (_, flat) = GraphEpochStream.loadCurrent(spark, rootF, dedup = true,
+      Adjacency.DefaultHubLimit).getOrElse(fail("no flat epoch"))
+    val flatEdges = try edgesOf(flat) finally flat.release()
+    assert(tieredEdges() === flatEdges,
+      "tiered merged edge set diverged from the flat roll")
+
+    // replay of the last batch: tier marker skips, state unchanged
+    CopurchaseStream.foldBatchTiered(
+      batches.last.toDF("l_orderkey", "l_partkey"), linesDir, root, 4L,
+      majorEvery = 3)
+    assert(tieredEdges() === flatEdges, "replay must be a no-op")
+  }
 }
