@@ -181,6 +181,23 @@ object StreamBench {
     require(cpsEdges == eCnt,
       s"raw-line roll derived $cpsEdges edges, batch pair-gen has $eCnt")
 
+    // --- TIERED raw-line roll: same staged drops, deltas landing as L0
+    // minors instead of the flat per-batch index rewrite
+    val ctrollSec = timed {
+      val q = graft.streaming.CopurchaseStream.startTiered(
+        spark.readStream.schema(rawLines.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/line_landing"),
+        s"$tmp/cpst_lines", s"$tmp/cpst_epochs", s"$tmp/ckpt_ctroll",
+        majorEvery = math.max(2, nChunks / 2))
+      awaitOrStop(q, "line_graph_tiered_roll")
+    }
+    val ctView = graft.streaming.GraphTieredStream.loadCurrent(spark,
+      s"$tmp/cpst_epochs")
+      .getOrElse(sys.error("tiered copurchase roll committed nothing"))
+    val ctEdges = try ctView.mergedEdges.count() finally ctView.release()
+    require(ctEdges == eCnt,
+      s"tiered raw-line roll derived $ctEdges edges, batch pair-gen has $eCnt")
+
     // --- TIERED vector roll: the same staged embedding drops through
     // VectorTieredStream (bootstrap L1, minors under standing centroids,
     // majorEvery-th union major)
@@ -339,6 +356,7 @@ object StreamBench {
         f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f},""" +
         f""""vector_tiered_roll":{"vectors":$vCnt,"sec":$vtrollSec%.2f,"rate":${vCnt / vtrollSec}%.0f},""" +
         f""""line_graph_roll":{"lines":$rlCnt,"sec":$crollSec%.2f,"rate":${rlCnt / crollSec}%.0f},""" +
+        f""""line_graph_tiered_roll":{"lines":$rlCnt,"sec":$ctrollSec%.2f,"rate":${rlCnt / ctrollSec}%.0f},""" +
         f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f},""" +
         f""""lex_tiered_roll":{"docs":$dCnt,"sec":$ltrollSec%.2f,"rate":${dCnt / ltrollSec}%.0f},""" +
         s""""lex_serve":${serveJson(lqCnt, lsecLo, lsecHi, lfloor, lmarg)},""" +
