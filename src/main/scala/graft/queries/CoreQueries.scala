@@ -2074,18 +2074,50 @@ object CoreQueries {
       }
       val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
         .getOrElse(sys.error("tiered roll committed nothing"))
-      val hist = view.mergedEdges
-        .groupBy("src")
-        .agg(count(lit(1)).as("outdeg"), sum(col("dst")).as("dst_sum"))
-        .groupBy("outdeg")
-        .agg(count(lit(1)).as("n_srcs"), sum(col("src")).as("src_sum"),
-          sum(col("dst_sum")).as("dst_sum"))
-        .orderBy("outdeg")
-      val (rows, histSchema) =
-        try (hist.collect().toSeq, hist.schema) finally view.release()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
+      tieredEdgeHistogram(s, view)
+    },
+
+    // q82: the CROSS-BATCH composition q81 leaves to spec coverage —
+    // batches split by l_linenumber, so one order's lines SPAN up to 5
+    // batches and per-batch pair-gen alone would drop most pairs; the
+    // full CopurchaseStream machinery (standing lines dir, bucket-pruned
+    // incremental join Δ⋈standing ∪ Δ⋈Δ, TIERED L0/L1 commits with a
+    // mid-roll major) must reconstruct them. Hash equality against the
+    // same full-corpus pair replay as q81 certifies the incremental-join
+    // identity AND the tiered line-roll composition end-to-end.
+    "q82_line_tiered_roll" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val linesDir = java.nio.file.Files.createTempDirectory("q82_lines").toString
+      val root = java.nio.file.Files.createTempDirectory("q82_tiered").toString
+      (0 until 5).foreach { i =>
+        graft.streaming.CopurchaseStream.foldBatchTiered(
+          li.filter(pmod(col("l_linenumber"), lit(5)) === i)
+            .select("l_orderkey", "l_partkey"),
+          linesDir, root, batchId = i.toLong, majorEvery = 3)
+      }
+      val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
+        .getOrElse(sys.error("tiered line roll committed nothing"))
+      tieredEdgeHistogram(s, view)
     }
   )
+
+  /** The q81/q82 result shape: out-degree histogram (with id checksums)
+    * over a tiered view's merged edge set, collected under the view's
+    * release and re-parallelized to one deterministic partition. */
+  private def tieredEdgeHistogram(s: SparkSession,
+      view: graft.streaming.GraphTieredStream.Tiered): DataFrame = {
+    val hist = view.mergedEdges
+      .groupBy("src")
+      .agg(count(lit(1)).as("outdeg"), sum(col("dst")).as("dst_sum"))
+      .groupBy("outdeg")
+      .agg(count(lit(1)).as("n_srcs"), sum(col("src")).as("src_sum"),
+        sum(col("dst_sum")).as("dst_sum"))
+      .orderBy("outdeg")
+    val (rows, histSchema) =
+      try (hist.collect().toSeq, hist.schema) finally view.release()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
+  }
 
   // q65: the fixed-point PageRank iterations replay as unrolled CTEs —
   // same constants, same floor divisions (`//` ≡ Spark's `div` for the
@@ -2506,6 +2538,23 @@ object CoreQueries {
     // complete by construction (the cross-batch case is CopurchaseStream's
     // contract, certified by its own spec).
     "q81_tiered_roll" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+        |         CAST(b.l_partkey AS BIGINT) AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE year(a.l_shipdate) = 1997 AND year(b.l_shipdate) = 1997),
+        |  per AS (SELECT src, count(*) AS outdeg, sum(dst) AS dst_sum
+        |          FROM pairs GROUP BY src)
+        |SELECT outdeg, count(*) AS n_srcs, CAST(sum(src) AS BIGINT) AS src_sum,
+        |       CAST(sum(dst_sum) AS BIGINT) AS dst_sum
+        |FROM per GROUP BY outdeg ORDER BY outdeg""".stripMargin,
+
+    // q82: the SAME full-corpus replay — the engine side differs (lines
+    // arrive split ACROSS batches by l_linenumber, reconstructed by the
+    // CopurchaseStream incremental join into tiered commits), the truth
+    // doesn't: the rolled edge set must equal the all-at-once pair set.
+    "q82_line_tiered_roll" ->
       """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
         |         CAST(b.l_partkey AS BIGINT) AS dst
