@@ -390,6 +390,22 @@ object IndexStore {
     out
   }
 
+  /** Load ONLY the two models of a committed IVFADC epoch — the tiered
+    * IVFADC roll's minor path needs the standing coarse centroids +
+    * residual codebooks to encode a delta, and paying [[loadIvfPqIndex]]'s
+    * persisted coded handle for that would leak a cache entry per minor.
+    * Two tiny parquet reads (nCells×dim + m·k rows), no persistent
+    * handles; returns `(centroids, codebooks, subDim)`, `None` on
+    * absent/torn/mismatched meta. */
+  def loadIvfPqModels(spark: SparkSession, dir: String,
+                      expectedParams: Map[String, String] = Map.empty)
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]], Int)] =
+    validMeta(spark, dir, "ivfpq", expectedVersion = None, expectedParams)
+      .map { meta =>
+        (readCentroids(spark, dir, meta), readCodebooks(spark, dir, meta),
+          meta("sub_dim").toInt)
+      }
+
   // ---------- hybrid graph adjacency ([[Adjacency.Hybrid]])
 
   /** Durable form of the graph family's build artifact: both layouts plus
@@ -666,7 +682,7 @@ object IndexStore {
     val v = corpusVersion(spark, sourcePath)
     loadIvfIndex(spark, dir, Some(v), params).getOrElse {
       val idx = build
-      saveIvfIndex(spark, idx, dir, v)
+      saveIvfIndex(spark, idx, dir, v, params)
       idx
     }
   }
@@ -677,7 +693,7 @@ object IndexStore {
     val v = corpusVersion(spark, sourcePath)
     loadPqIndex(spark, dir, Some(v), params).getOrElse {
       val idx = build
-      savePqIndex(spark, idx, dir, v)
+      savePqIndex(spark, idx, dir, v, params)
       idx
     }
   }
@@ -688,7 +704,10 @@ object IndexStore {
     val v = corpusVersion(spark, sourcePath)
     loadIvfPqIndex(spark, dir, Some(v), params).getOrElse {
       val idx = build
-      saveIvfPqIndex(spark, idx, dir, v)
+      // pass the caller's params through the save: stored meta must
+      // satisfy THIS load's expectedParams, or any non-index-derivable
+      // key would silently turn the store into rebuild-every-session
+      saveIvfPqIndex(spark, idx, dir, v, params)
       idx
     }
   }

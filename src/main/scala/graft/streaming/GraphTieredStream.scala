@@ -184,7 +184,8 @@ object GraphTieredStream {
     * re-lists the tiers it just enumerated (per-epoch meta reads double
     * on an object store otherwise). */
   private def loadView(spark: SparkSession, root: String, hubLimit: Long,
-                       l1Id: Option[Long], liveL0: Seq[Long]): Option[Tiered] = {
+                       l1Id: Option[Long], liveL0: Seq[Long],
+                       strict: Boolean = false): Option[Tiered] = {
     if (l1Id.isEmpty && liveL0.isEmpty) return None
     val l1 = l1Id.flatMap(id => IndexStore.loadGraphIndex(spark,
       EpochDirs.dir(l1Root(root), id), expectedParams = params(hubLimit)))
@@ -195,9 +196,17 @@ object GraphTieredStream {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("dst",
           org.apache.spark.sql.types.LongType))))
+    // strict = fold/major path: a listed committed L0 that fails to load
+    // would be silently absent from the new L1 (durable data loss) —
+    // fail loudly there; readers tolerate the race.
     val delta = liveL0.sorted
-      .flatMap(id => IndexStore.loadStage(spark,
-        EpochDirs.dir(l0Root(root), id), None, l0Params(hubLimit)))
+      .flatMap { id =>
+        val st = IndexStore.loadStage(spark,
+          EpochDirs.dir(l0Root(root), id), None, l0Params(hubLimit))
+        if (strict && st.isEmpty)
+          sys.error(s"committed L0 epoch=$id vanished mid-major")
+        st
+      }
       .foldLeft(empty)(_ unionByName _)
     Some(Tiered((l1Id.toSeq ++ liveL0).max, l1, delta,
       () => l1.foreach(_.release())))
@@ -244,7 +253,8 @@ object GraphTieredStream {
       // MAJOR: fold standing L1 + live deltas + this batch into a full
       // index; prune absorbed L0s (grace: only those ≤ the PREVIOUS L1)
       // and old L1 generations after the commit
-      val view = loadView(spark, root, hubLimit, prevL1, liveL0)
+      val view = loadView(spark, root, hubLimit, prevL1, liveL0,
+        strict = true)
       val allEdges = view.map(_.mergedEdges.unionByName(norm).distinct())
         .getOrElse(norm)
       val built =

@@ -154,9 +154,14 @@ object LexTieredStream {
           val l1 = IndexStore.loadPostingsIndex(spark,
             EpochDirs.dir(l1Root(root), prevL1), expectedParams = Params)
             .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-fold"))
-          val tiers = liveL0.sorted.flatMap(id =>
-            IndexStore.loadStage(spark, EpochDirs.dir(l0Root(root), id),
-              None, L0Params).map(id -> _)) :+
+          // Strict per-L0 load: a listed committed delta that fails to
+          // load mid-major would be silently ABSENT from the new L1
+          // (durable data loss) if we tolerated it — fail loudly, like
+          // the standing-L1 vanish above. Readers stay tolerant.
+          val tiers = liveL0.sorted.map(id =>
+            id -> IndexStore.loadStage(spark, EpochDirs.dir(l0Root(root), id),
+              None, L0Params).getOrElse(
+              sys.error(s"committed L0 epoch=$id vanished mid-major"))) :+
             (batchId -> Postings.tierFrame(docsBatch))
           val merged = try Checkpoints.sweepingOnFailure(spark.sparkContext)(
             Postings.mergeTiers(l1, tiers))

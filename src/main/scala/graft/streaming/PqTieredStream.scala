@@ -92,6 +92,17 @@ object PqTieredStream {
       liveL0s: Seq[Long],
       release: () => Unit)
 
+  /** The id [[loadCurrent]] would return — the serving pin's zero-job
+    * staleness check (listing + marker peeks only): a minor OR a major
+    * commit bumps it, so a pinned server swaps on either. */
+  def currentEpochId(spark: SparkSession, root: String, dim: Int,
+                     m: Int = 4, k: Int = 8, iters: Int = 4,
+                     trainSample: Int = 10000): Option[Long] =
+    l1Epochs(spark, root, dim, m, k, iters, trainSample).headOption.map { l1 =>
+      (l1 +: l0Epochs(spark, root, dim, m, k, iters, trainSample)
+        .filter(_ > l1)).max
+    }
+
   /** Load the newest committed tiered view; `None` before the bootstrap
     * L1 commits. Zero Spark jobs until the codes are probed. */
   def loadCurrent(spark: SparkSession, root: String, dim: Int,
@@ -107,14 +118,23 @@ object PqTieredStream {
     * re-lists the tiers it just enumerated. */
   private def loadView(spark: SparkSession, root: String, dim: Int,
                        m: Int, k: Int, iters: Int, trainSample: Int,
-                       l1Id: Long, liveL0: Seq[Long]): Option[Tiered] = {
+                       l1Id: Long, liveL0: Seq[Long],
+                       strict: Boolean = false): Option[Tiered] = {
     val l0pm = l0Params(dim, m, k, iters, trainSample)
     IndexStore.loadPqIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
       expectedParams = params(dim, m, k, iters, trainSample)).map { l1 =>
       val live = liveL0.sorted
+      // strict = fold/major path: a listed committed L0 that fails to
+      // load would be silently absent from the new L1 (durable data
+      // loss) — fail loudly there; readers tolerate the race.
       val merged = live
-        .flatMap(id => IndexStore.loadStage(spark,
-          EpochDirs.dir(l0Root(root), id), None, l0pm))
+        .flatMap { id =>
+          val st = IndexStore.loadStage(spark,
+            EpochDirs.dir(l0Root(root), id), None, l0pm)
+          if (strict && st.isEmpty)
+            sys.error(s"committed L0 epoch=$id vanished mid-major")
+          st
+        }
         .foldLeft(l1.encoded)(_ unionByName _)
       Tiered((l1Id +: live).max,
         Similarity.PqIndex(l1.codebooks, l1.m, l1.k, l1.subDim, merged,
@@ -174,7 +194,7 @@ object PqTieredStream {
               // (same codebooks — no re-encode) into a full index; prune
               // absorbed L0s (grace) and old L1 generations after the commit
               val view = loadView(spark, root, dim, m, k, iters, trainSample,
-                prevL1, liveL0)
+                prevL1, liveL0, strict = true)
                 .getOrElse(sys.error(
                   s"standing L1 epoch=$prevL1 vanished mid-fold"))
               val merged = view.index.encoded.unionByName(

@@ -134,14 +134,23 @@ object VectorTieredStream {
     * on an object store otherwise). */
   private def loadView(spark: SparkSession, root: String,
                        nCells: Int, trainSample: Int, iters: Int,
-                       l1Id: Long, liveL0: Seq[Long]): Option[Tiered] = {
+                       l1Id: Long, liveL0: Seq[Long],
+                       strict: Boolean = false): Option[Tiered] = {
     val l0pm = l0Params(nCells, trainSample, iters)
     IndexStore.loadIvfIndex(spark, EpochDirs.dir(l1Root(root), l1Id),
       expectedParams = params(nCells, trainSample, iters)).map { l1 =>
       val live = liveL0.sorted
+      // strict = fold/major path: a listed committed L0 that fails to
+      // load would be silently absent from the new L1 (durable data
+      // loss) — fail loudly there; readers tolerate the race.
       val merged = live
-        .flatMap(id => IndexStore.loadStage(spark,
-          EpochDirs.dir(l0Root(root), id), None, l0pm))
+        .flatMap { id =>
+          val st = IndexStore.loadStage(spark,
+            EpochDirs.dir(l0Root(root), id), None, l0pm)
+          if (strict && st.isEmpty)
+            sys.error(s"committed L0 epoch=$id vanished mid-major")
+          st
+        }
         .foldLeft(l1.assigned)(_ unionByName _)
       Tiered((l1Id +: live).max,
         Similarity.IvfIndex(l1.centroids, l1.nCells, merged, l1.release),
@@ -204,7 +213,7 @@ object VectorTieredStream {
               // index; prune absorbed L0s (grace: only those ≤ the
               // PREVIOUS L1) and old L1 generations after the commit
               val view = loadView(spark, root, nCells, trainSample, iters,
-                prevL1, liveL0)
+                prevL1, liveL0, strict = true)
                 .getOrElse(sys.error(
                   s"standing L1 epoch=$prevL1 vanished mid-fold"))
               val merged = view.index.assigned.unionByName(
