@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, MediaQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, HtnQueries, MediaQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      MediaQueries.queries
+      MediaQueries.queries ++ HtnQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
-      MediaQueries.oracle
+      MediaQueries.oracle ++ HtnQueries.oracle
 }

@@ -34,7 +34,12 @@ object HtnPipeline {
       eligible: DataFrame,        // after exclusions + labels (all_pop_clean)
       denominatorDays: DataFrame, // all_pop_clean3: (patient, date) grain
       analytical: DataFrame,      // final one-row-per-patient table
-      metrics: Stats.ExclusionMetrics)
+      metrics: Stats.ExclusionMetrics,
+      // drops the checkpoint-free mode's stage persists: a caller that
+      // runs pipelines repeatedly in one session (q83's oracle row, the
+      // bench) must be able to retire a generation's cached frames, or
+      // the in-memory stage cuts accumulate one set per run
+      release: () => Unit = () => ())
 
   def run(spark: SparkSession, t: OmopTables, codes: Codelists,
           cfg: HtnConfig = HtnConfig(),
@@ -75,6 +80,7 @@ object HtnPipeline {
         case s: Seq[_] => s.map(_.toString).sorted.mkString(",")
         case other => String.valueOf(other)
       }.mkString(";"))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def checkpoint(df: DataFrame, name: String): DataFrame = checkpointDir match {
       case Some(dir) =>
         val stageDir = s"$dir/$name"
@@ -96,7 +102,9 @@ object HtnPipeline {
             spark.read.parquet(stageDir)
         }
       case None =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += p
+        p
     }
 
     // ---- Part 2: cohort ---------------------------------------------------
@@ -159,6 +167,8 @@ object HtnPipeline {
       afterEsrd = afterEsrd.count(),
       afterCare = afterCare.count())
 
-    Result(cohort0, eligible, denomDays, analytical, metrics)
+    Result(cohort0, eligible, denomDays, analytical, metrics,
+      release = () => persisted.foreach(f =>
+        try { f.unpersist(); () } catch { case _: Exception => () }))
   }
 }
