@@ -94,6 +94,25 @@ object VectorQueries {
     })
   }
 
+  // Appended-IVFADC cache (v31): coarse centroids + residual codebooks
+  // trained on ⅞ of the corpus (vec_id % 8 <> 0), the held-out ⅛
+  // ivfPqAppend-ed under BOTH standing models — the v12/v24 maintenance
+  // shape for the composed two-stage index. Same lifecycle as above.
+  private val ivfPqAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfPqIndex]()
+  private def appendedIvfPqFor(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    graft.operators.IndexStats.lookup("ivfPqAppend",
+      hit = ivfPqAppendCache.containsKey((s, dir)))
+    ivfPqAppendCache.computeIfAbsent((s, dir), { _ =>
+      val e = emb(s, dir)
+      val base = Similarity.ivfPqBuild(e.filter(col("vec_id") % 8 =!= 0),
+        "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, k = 8, coarseIters = 4, pqIters = 4)
+      Similarity.ivfPqAppend(base, e.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding")
+    })
+  }
+
   /** Drain one (session, dir)-keyed index cache of `s`'s entries,
     * releasing each — the single teardown loop behind
     * [[releaseIvfIndexes]], so adding an index family cannot silently
@@ -114,6 +133,7 @@ object VectorQueries {
   /** Drop (and unpersist) every cached index of `s` — session teardown
     * hygiene for JVMs that run many sessions. */
   def releaseIvfIndexes(s: SparkSession): Unit = {
+    drain(ivfPqAppendCache, s)(_.release())
     drain(ivfPqCache, s)(_.release())
     drain(ivfCache, s)(_.release())
     drain(pqCache, s)(_.release())
@@ -136,6 +156,7 @@ object VectorQueries {
     // frame — without this the first timed v29/v30 probe would pay the
     // cache fill the prepare phase exists to absorb (review finding)
     ivfPqIndexFor(s, dir).coded.count()
+    appendedIvfPqFor(s, dir).coded.count()
     ()
   }
 
@@ -750,6 +771,27 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // IVFADC index maintenance — v12/v24's shape for the composed
+    // two-stage index: coarse centroids + residual codebooks trained on
+    // the ⅞ base, the held-out ⅛ ivfPqAppend-ed (assign under standing
+    // centroids → float residuals → encode under standing codebooks, no
+    // training). Both encode stages are deterministic under fixed
+    // models, so the appended slice's coded rows equal what a fresh
+    // assignment+encode under the same models produces — the oracle
+    // replays exactly that: base-only trainings, then the batch routed
+    // and residual-encoded under the trained models.
+    "v31_ivfadc_append" -> { (s, dir) =>
+      appendedIvfPqFor(s, dir).coded
+        .filter(col("nid") % 8 === 0)
+        .select(col("nid").cast("long").as("vec_id"),
+          col("cell").cast("long").as("cell"),
+          col("code_0").cast("long").as("code_0"),
+          col("code_1").cast("long").as("code_1"),
+          col("code_2").cast("long").as("code_2"),
+          col("code_3").cast("long").as("code_3"))
+        .orderBy("vec_id")
+    },
+
     // Tiered (L0/L1) epoch-roll identity for the PQ family — v27's
     // pattern at the quantized tier, completing tiering across all four
     // durable index families (graph q81, vector v27, lex t40, PQ here):
@@ -1362,6 +1404,65 @@ object VectorQueries {
        |          ORDER BY adc DESC, nid) AS rank FROM sims)""".stripMargin
   }
 
+  /** DuckDB twin of v31 — the IVFADC maintenance identity: replays the
+    * COARSE training and the m residual-subspace trainings on the ⅞ base
+    * only ([[ivfAdcCtes]]' chain with `e` restricted), then routes the
+    * held-out batch under the trained coarse centroids (same score
+    * arithmetic and (sc DESC, c DESC) argmax as the engine's
+    * assignCells), takes the float-rounded residuals against the
+    * ASSIGNED cell, and encodes them under the trained residual
+    * codebooks ([[v24Oracle]]'s encode-under-standing pattern). Equality
+    * certifies ivfPqAppend ≡ assign+encode-under-the-same-models. */
+  private def v31Oracle(nCells: Int = 8, m: Int = 4, k: Int = 8,
+                        coarseIters: Int = 4, pqIters: Int = 4,
+                        trainSample: Int = 10000, dim: Int = 64,
+                        trainPred: String = "vec_id % 8 <> 0",
+                        encodePred: String = "vec_id % 8 = 0"): String = {
+    val subDim = dim / m
+    val pqBlocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, pqIters,
+        trainSample, subDim, src = "re")
+    }.mkString(",\n  ")
+    val codeCtes = (0 until m).map { ms =>
+      val lo = ms * subDim
+      s"""bb$ms AS (SELECT vec_id, c AS code FROM (
+         |         SELECT b.vec_id, l.c, row_number() OVER (
+         |           PARTITION BY b.vec_id ORDER BY
+         |             (list_inner_product(b.rv[${lo + 1}:${lo + subDim}], l.cf)
+         |               - list_inner_product(l.cd, l.cd) / 2) DESC, l.c DESC) AS rn
+         |         FROM rb b CROSS JOIN m${ms}centl$pqIters l) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n  ")
+    val codeCols = (0 until m).map(ms => s"bb$ms.code AS code_$ms").mkString(", ")
+    val codeJoins = (0 until m)
+      .map(ms => s"JOIN bb$ms ON bb$ms.vec_id = rb.vec_id").mkString("\n     ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $trainPred),
+       |  eb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE $encodePred),
+       |  ${kmeansCtes("g", "v", nCells, coarseIters, trainSample, dim)},
+       |  re AS MATERIALIZED (SELECT c.nid AS vec_id,
+       |        list_transform(range(1, $dim + 1),
+       |          i -> CAST(CAST(c.nv[i] - l.cf[i] AS REAL) AS DOUBLE)) AS v,
+       |        c.cell AS gcell
+       |      FROM gcorpus c JOIN gcentl$coarseIters l ON l.c = c.cell),
+       |  $pqBlocks,
+       |  bcell AS (SELECT vec_id, c AS cell, cf FROM (
+       |      SELECT b.vec_id, l.c, l.cf, row_number() OVER (
+       |        PARTITION BY b.vec_id ORDER BY
+       |          (list_inner_product(b.v, l.cf)
+       |            - list_inner_product(l.cd, l.cd) / 2) DESC, l.c DESC) AS rn
+       |      FROM eb b CROSS JOIN gcentl$coarseIters l) WHERE rn = 1),
+       |  rb AS MATERIALIZED (SELECT b.vec_id, bc.cell,
+       |        list_transform(range(1, $dim + 1),
+       |          i -> CAST(CAST(b.v[i] - bc.cf[i] AS REAL) AS DOUBLE)) AS rv
+       |      FROM eb b JOIN bcell bc ON bc.vec_id = b.vec_id),
+       |  $codeCtes
+       |SELECT rb.vec_id, CAST(rb.cell AS BIGINT) AS cell, $codeCols
+       |FROM rb $codeJoins
+       |ORDER BY rb.vec_id""".stripMargin
+  }
+
   /** DuckDB twin of v24 — replays the 4 subspace trainings on the ⅞ base
     * (`e` restricted to vec_id % 8 <> 0), then assigns the held-out ⅛
     * batch to each trained `m{ms}centl` codebook with the SAME score
@@ -1672,6 +1773,7 @@ object VectorQueries {
       encodePred = "TRUE"),
     "v25_pq_drift" -> v25Oracle(),
     "v29_ivfadc" -> v29Oracle(),
+    "v31_ivfadc_append" -> v31Oracle(),
     "v30_ivfadc_recall" -> v30Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
     // side, joined on (qid, nid) — n_hits is an exact integer verdict.

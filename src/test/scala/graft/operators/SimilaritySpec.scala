@@ -548,4 +548,47 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors.isEmpty,
       s"release() must unpersist the coded corpus; alive: $survivors")
   }
+
+  test("ivfPqAppend: no retraining, append ≡ encode-under-the-same-models, " +
+       "appended vectors probeable, release frees the appended codes") {
+    val vecs = (0 until 16).map { i =>
+      val v = Array.fill(8)(0.001f * ((i * 13) % 7))
+      v(i % 3) = 1.0f
+      v(4 + i % 3) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val base = Similarity.ivfPqBuild(vecs.filter($"vec_id" < 12),
+      "vec_id", "embedding", dim = 8,
+      nCells = 3, m = 2, k = 4, coarseIters = 4, pqIters = 4, trainSample = 12)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val appended = Similarity.ivfPqAppend(base,
+      vecs.filter($"vec_id" >= 12), "vec_id", "embedding")
+    val created = spark.sparkContext.getPersistentRDDs.keySet -- before
+    try {
+      // models untouched: append trains nothing
+      assert(appended.centroids.map(_.toSeq).toSeq ===
+        base.centroids.map(_.toSeq).toSeq)
+      assert(appended.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        base.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      // the fold identity: appended slice's coded rows equal a fresh
+      // assign+encode of the same slice under the standing models
+      val got = appended.coded.filter($"nid" >= 12)
+        .orderBy("nid").collect().map(_.toSeq)
+      val fresh = Similarity.ivfPqEncode(base,
+          vecs.filter($"vec_id" >= 12), "vec_id", "embedding")
+        .orderBy("nid").collect().map(_.toSeq)
+      assert(got === fresh)
+      assert(appended.coded.count() === 16)
+      // appended ids are immediately probeable: an appended query's own
+      // cluster peers (which include appended ids) surface
+      val res = Similarity.ivfPqProbe(appended,
+        vecs.filter($"vec_id" === 12), "vec_id", "embedding",
+        k = 5, nProbe = 1).collect()
+      assert(res.nonEmpty)
+      res.foreach(r => assert(r.getLong(0) === 12L))
+    } finally appended.release() // owns the base chain too
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet & created
+    assert(survivors.isEmpty,
+      s"release() must unpersist the appended codes; alive: $survivors")
+  }
 }
