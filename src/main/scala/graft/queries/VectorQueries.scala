@@ -826,6 +826,42 @@ object VectorQueries {
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 
+    // Tiered (L0/L1) epoch-roll identity for the IVFADC family — v28's
+    // pattern for the composed two-stage index, the FIFTH and last tier
+    // instance: the corpus in 5 id-keyed batches through the full
+    // lifecycle (bootstrap ivfPqBuild at 0 — both models trained on the
+    // batch-0 slice, minors 1–2 routed + residual-encoded under the
+    // standing models, L1 major at 3, minor 4), then the merged two-tier
+    // coded frame. Both encode stages commute under fixed models, so the
+    // tiered chain ≡ ivfPqBuild(batch 0) + ivfPqAppend(1–4) code-for-code;
+    // the oracle trains both models on the batch-0 slice and routes +
+    // encodes the FULL corpus under them (v31's replay, widened).
+    "v33_ivfadc_tiered_roll" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("v33_tiered").toString
+      (0 until 5).foreach { i =>
+        graft.streaming.IvfPqTieredStream.foldBatch(
+          e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
+          root, batchId = i.toLong, dim = 64, nCells = 8, m = 4, k = 8,
+          coarseIters = 4, pqIters = 4, majorEvery = 3)
+      }
+      val view = graft.streaming.IvfPqTieredStream
+        .loadCurrent(s, root, dim = 64, nCells = 8, m = 4, k = 8,
+          coarseIters = 4, pqIters = 4)
+        .getOrElse(sys.error("tiered ivfadc roll committed nothing"))
+      val out = view.index.coded
+        .select(col("nid").cast("long").as("vec_id"),
+          col("cell").cast("long").as("cell"),
+          col("code_0").cast("long").as("code_0"),
+          col("code_1").cast("long").as("code_1"),
+          col("code_2").cast("long").as("code_2"),
+          col("code_3").cast("long").as("code_3"))
+        .orderBy("vec_id")
+      val (rows, schema) =
+        try (out.collect().toSeq, out.schema) finally view.release()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    },
+
     // Tiered (L0/L1) epoch-roll identity for the VECTOR family — q81's
     // pattern applied to the IVF index: the corpus split into 5
     // deterministic id-keyed batches and folded through the FULL tiered
@@ -1774,6 +1810,12 @@ object VectorQueries {
     "v25_pq_drift" -> v25Oracle(),
     "v29_ivfadc" -> v29Oracle(),
     "v31_ivfadc_append" -> v31Oracle(),
+    // v33: v31's replay with the tiered split — train both models on the
+    // batch-0 slice (vec_id % 5 = 0), route + encode the WHOLE corpus
+    // under them. The engine ran the L0/L1 lifecycle; equality certifies
+    // tiered ≡ flat at the composed two-stage tier.
+    "v33_ivfadc_tiered_roll" -> v31Oracle(trainPred = "vec_id % 5 = 0",
+      encodePred = "TRUE"),
     "v30_ivfadc_recall" -> v30Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
     // side, joined on (qid, nid) — n_hits is an exact integer verdict.

@@ -160,4 +160,113 @@ class TieredServeSpec extends SparkSpec {
     val pairs = tieredAns.map(r => (r.head, r(2)))
     assert(pairs.contains((101L, 14L)) && pairs.contains((104L, 10L)))
   }
+
+  private def qvecs(ids: Range): DataFrame = {
+    val arr = (i: Int) => {
+      val v = Array.fill(8)(0.01f * ((i * 7) % 5))
+      v(i % 4) = 1.0f; v(4 + i % 4) = 1.0f; v
+    }
+    ids.map(i => (i.toLong, arr(i))).toDF("vec_id", "emb")
+  }
+
+  test("pq: tiered-served ADC answers equal flat-served answers; a minor " +
+       "commit swaps the pin at the next batch") {
+    val tRoot = Files.createTempDirectory("tsp_t").toString
+    val fRoot = Files.createTempDirectory("tsp_f").toString
+    val batches = Seq(qvecs(1 to 40), qvecs(101 to 110), qvecs(201 to 210),
+      qvecs(301 to 310))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      PqTieredStream.foldBatch(b, "vec_id", "emb", tRoot, i.toLong,
+        dim = 8, m = 2, k = 4, iters = 2, trainSample = 50, majorEvery = 3)
+      PqEpochStream.foldBatch(b, "vec_id", "emb", fRoot, i.toLong,
+        dim = 8, m = 2, k = 4, iters = 2, trainSample = 50)
+    }
+    val q = qvecs(1 to 6).select((col("vec_id") + 1000000L).as("qid"),
+      col("emb").as("qvec"))
+    val in = stageOne(q, Files.createTempDirectory("tsp_in").toString + "/q")
+    def serve(root: String, tiered: Boolean): Set[Seq[Any]] = {
+      val out = Files.createTempDirectory("tsp_out").toString
+      val ck = Files.createTempDirectory("tsp_ck").toString
+      val stream = spark.readStream.schema(q.schema).parquet(in)
+      val sq =
+        if (tiered) PqServeStream.startTiered(stream, root, out, ck,
+          dim = 8, k = 3, m = 2, codebookK = 4, iters = 2, trainSample = 50)
+        else PqServeStream.start(stream, root, out, ck,
+          dim = 8, k = 3, m = 2, codebookK = 4, iters = 2, trainSample = 50)
+      assert(sq.awaitTermination(180000L), "serve must drain")
+      readAnswers(out)
+    }
+    val tieredAns = serve(tRoot, tiered = true)
+    val flatAns = serve(fRoot, tiered = false)
+    assert(tieredAns === flatAns, "tiered-served ≠ flat-served")
+    assert(tieredAns.nonEmpty)
+
+    // mid-stream minor: pin swaps at the next batch and serves the delta
+    val pin = PqServeStream.tieredPinFor(spark, tRoot, dim = 8, m = 2,
+      codebookK = 4, iters = 2, trainSample = 50)
+    try {
+      val (id0, _) = pin.get()
+      PqTieredStream.foldBatch(qvecs(401 to 410), "vec_id", "emb", tRoot,
+        10L, dim = 8, m = 2, k = 4, iters = 2, trainSample = 50,
+        majorEvery = 3)
+      val (id1, t1) = pin.get()
+      assert(id1 === 10L && id1 != id0, "minor commit must bump the pin")
+      assert(t1.index.encoded.filter(col("nid") >= 401L).count() === 10L,
+        "the swapped pin must serve the minor's delta")
+    } finally pin.close()
+  }
+
+  test("ivfadc: tiered-served answers equal probing the flat build+append " +
+       "chain directly; a minor commit swaps the pin at the next batch") {
+    val tRoot = Files.createTempDirectory("tsi_t").toString
+    val batches = Seq(qvecs(1 to 40), qvecs(101 to 110), qvecs(201 to 210),
+      qvecs(301 to 310))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IvfPqTieredStream.foldBatch(b, "vec_id", "emb", tRoot, i.toLong,
+        dim = 8, nCells = 3, m = 2, k = 4, coarseIters = 2, pqIters = 2,
+        trainSample = 50, majorEvery = 3)
+    }
+    val q = qvecs(1 to 6).select((col("vec_id") + 1000000L).as("qid"),
+      col("emb").as("qvec"))
+    val in = stageOne(q, Files.createTempDirectory("tsi_in").toString + "/q")
+    val out = Files.createTempDirectory("tsi_out").toString
+    val sq = IvfPqServeStream.startTiered(
+      spark.readStream.schema(q.schema).parquet(in), tRoot, out,
+      Files.createTempDirectory("tsi_ck").toString,
+      dim = 8, k = 3, nProbe = 2, nCells = 3, m = 2, codebookK = 4,
+      coarseIters = 2, pqIters = 2, trainSample = 50)
+    assert(sq.awaitTermination(180000L), "serve must drain")
+    val tieredAns = readAnswers(out)
+
+    // the flat form of this family IS the build+append chain (v31): a
+    // direct probe over it must answer identically
+    val twin = batches.tail.foldLeft(
+      graft.operators.Similarity.ivfPqBuild(batches.head, "vec_id", "emb",
+        dim = 8, nCells = 3, m = 2, k = 4, coarseIters = 2, pqIters = 2,
+        trainSample = 50))(
+      (idx, b) => graft.operators.Similarity.ivfPqAppend(idx, b, "vec_id", "emb"))
+    try {
+      val flatAns = graft.operators.Similarity
+        .ivfPqProbe(twin, q, "qid", "qvec", k = 3, nProbe = 2)
+        .select(col("qid"), col("rank"), col("nid"), col("adc"))
+        .collect().map(_.toSeq).toSet
+      assert(tieredAns === flatAns, "tiered-served ≠ flat build+append probe")
+      assert(tieredAns.nonEmpty)
+    } finally twin.release()
+
+    // mid-stream minor: pin swaps at the next batch and serves the delta
+    val pin = IvfPqServeStream.tieredPinFor(spark, tRoot, dim = 8,
+      nCells = 3, m = 2, codebookK = 4, coarseIters = 2, pqIters = 2,
+      trainSample = 50)
+    try {
+      val (id0, _) = pin.get()
+      IvfPqTieredStream.foldBatch(qvecs(401 to 410), "vec_id", "emb", tRoot,
+        10L, dim = 8, nCells = 3, m = 2, k = 4, coarseIters = 2,
+        pqIters = 2, trainSample = 50, majorEvery = 3)
+      val (id1, t1) = pin.get()
+      assert(id1 === 10L && id1 != id0, "minor commit must bump the pin")
+      assert(t1.index.coded.filter(col("nid") >= 401L).count() === 10L,
+        "the swapped pin must serve the minor's delta")
+    } finally pin.close()
+  }
 }
