@@ -94,6 +94,44 @@ object VectorQueries {
     })
   }
 
+  /** The SAME corpus with planted cluster structure — +20 on dimension
+    * `vec_id % 8` (float add, so the oracle replays it as round-to-REAL
+    * of the exact double sum). v30 measured IVFADC's composed recall on
+    * the deliberately unstructured synthetic embeddings (~0.55 — the
+    * cell-pruning ceiling when there are no cells to find); a deployment
+    * also needs the number on data WITH cluster structure, which is what
+    * this derivation plants: 8 well-separated clusters, one per offset
+    * dimension. */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      transform(col("embedding").cast("array<float>"),
+        (x, i) => when(i.cast("long") === pmod(col("vec_id"), lit(8L)),
+          x + lit(20.0f)).otherwise(x)).as("embedding"))
+
+  // Clustered-suite cache (v32): all three index families built over the
+  // clustered derivation with MATCHED quantizer budgets (coarse nCells=8
+  // iters=4 — identical params for IVF and IVFADC's coarse, so the
+  // deterministic training yields the SAME centroids and the oracle
+  // trains once; PQ/IVFADC residual codebooks m=4 k=8 iters=4). Same
+  // lifecycle as the caches above.
+  private val clusteredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Similarity.IvfIndex, Similarity.PqIndex, Similarity.IvfPqIndex)]()
+  private def clusteredSuiteFor(s: SparkSession, dir: String)
+      : (Similarity.IvfIndex, Similarity.PqIndex, Similarity.IvfPqIndex) = {
+    graft.operators.IndexStats.lookup("clusteredSuite",
+      hit = clusteredCache.containsKey((s, dir)))
+    clusteredCache.computeIfAbsent((s, dir), { _ =>
+      val ec = clusteredEmb(s, dir)
+      (Similarity.ivfBuild(ec, "vec_id", "embedding", nCells = 8,
+        trainSample = 10000, iters = 4),
+        Similarity.pqBuild(ec, "vec_id", "embedding", dim = 64, m = 4,
+          k = 8, iters = 4),
+        Similarity.ivfPqBuild(ec, "vec_id", "embedding", dim = 64,
+          nCells = 8, m = 4, k = 8, coarseIters = 4, pqIters = 4))
+    })
+  }
+
   // Appended-IVFADC cache (v31): coarse centroids + residual codebooks
   // trained on ⅞ of the corpus (vec_id % 8 <> 0), the held-out ⅛
   // ivfPqAppend-ed under BOTH standing models — the v12/v24 maintenance
@@ -133,6 +171,9 @@ object VectorQueries {
   /** Drop (and unpersist) every cached index of `s` — session teardown
     * hygiene for JVMs that run many sessions. */
   def releaseIvfIndexes(s: SparkSession): Unit = {
+    drain(clusteredCache, s) { case (a, b, c) =>
+      a.release(); b.release(); c.release()
+    }
     drain(ivfPqAppendCache, s)(_.release())
     drain(ivfPqCache, s)(_.release())
     drain(ivfCache, s)(_.release())
@@ -157,6 +198,8 @@ object VectorQueries {
     // cache fill the prepare phase exists to absorb (review finding)
     ivfPqIndexFor(s, dir).coded.count()
     appendedIvfPqFor(s, dir).coded.count()
+    val (ci, cp, cq) = clusteredSuiteFor(s, dir)
+    ci.assigned.count(); cp.encoded.count(); cq.coded.count()
     ()
   }
 
@@ -824,6 +867,58 @@ object VectorQueries {
       val (rows, schema) =
         try (out.collect().toSeq, out.schema) finally view.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    },
+
+    // The tuning curve a deployment reads before picking an ANN tier
+    // (v20's sweep widened to all three families on data WITH planted
+    // cluster structure — the honest companion to v30's unstructured
+    // ~0.55): recall@5 vs the exact-cosine truth for IVF at nProbe
+    // 1/2/4, PQ raw-ADC and ADC-shortlist-50 → exact re-rank, and IVFADC
+    // at nProbe 1/2/4 plus the production shortlist+re-rank shape. All
+    // integer verdicts (pair counts), recall as one rounded division.
+    "v32_clustered_tuning" -> { (s, dir) =>
+      val ec = clusteredEmb(s, dir)
+      val (ivf, pq, ivfpq) = clusteredSuiteFor(s, dir)
+      val q = ec.filter(col("vec_id") < 8)
+      val exactDf = Similarity.cosineTopK(q, "vec_id", "embedding",
+          ec, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val exactRows = exactDf.collect().toSeq
+      val exact = s.createDataFrame(
+        s.sparkContext.parallelize(exactRows, 1), exactDf.schema)
+      def recallRow(family: String, setting: String,
+                    approx: DataFrame): DataFrame =
+        exact.join(approx.select(col("qid"), col("nid"), lit(1).as("hit")),
+            Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(lit(family).as("family"), lit(setting).as("setting"),
+            col("n_pairs"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_pairs"), 4)
+              .as("recall"))
+      def rerank(cands: DataFrame) = Similarity.rerankCosine(
+        cands.select("qid", "nid"), q, "vec_id", "embedding",
+        ec, "vec_id", "embedding", k = 5)
+      val rows = Seq(
+        recallRow("ivf", "nprobe=1",
+          Similarity.ivfProbe(ivf, q, "vec_id", "embedding", 5, 1)),
+        recallRow("ivf", "nprobe=2",
+          Similarity.ivfProbe(ivf, q, "vec_id", "embedding", 5, 2)),
+        recallRow("ivf", "nprobe=4",
+          Similarity.ivfProbe(ivf, q, "vec_id", "embedding", 5, 4)),
+        recallRow("pq", "adc@5",
+          Similarity.pqTopK(pq, q, "vec_id", "embedding", 5)),
+        recallRow("pq", "adc50+rerank@5",
+          rerank(Similarity.pqTopK(pq, q, "vec_id", "embedding", 50))),
+        recallRow("ivfadc", "nprobe=1 adc@5",
+          Similarity.ivfPqProbe(ivfpq, q, "vec_id", "embedding", 5, 1)),
+        recallRow("ivfadc", "nprobe=2 adc@5",
+          Similarity.ivfPqProbe(ivfpq, q, "vec_id", "embedding", 5, 2)),
+        recallRow("ivfadc", "nprobe=4 adc@5",
+          Similarity.ivfPqProbe(ivfpq, q, "vec_id", "embedding", 5, 4)),
+        recallRow("ivfadc", "nprobe=4 adc50+rerank@5",
+          rerank(Similarity.ivfPqProbe(ivfpq, q, "vec_id", "embedding", 50, 4))))
+      rows.reduce(_ unionByName _).orderBy("family", "setting")
     },
 
     // Tiered (L0/L1) epoch-roll identity for the IVFADC family — v28's
@@ -1499,6 +1594,148 @@ object VectorQueries {
        |ORDER BY rb.vec_id""".stripMargin
   }
 
+  /** DuckDB twin of v32 — the full three-family tuning-curve replay over
+    * the CLUSTERED derivation (+20 on dim `vec_id % 8`, float-rounded):
+    * ONE coarse training (IVF and IVFADC share params, and the training
+    * is deterministic, so the engine builds the same centroids twice and
+    * the oracle once), m raw-PQ subspace trainings, m residual-subspace
+    * trainings, then the exact-cosine truth and every family/setting's
+    * approximate top-k joined against it — 9 integer recall verdicts. */
+  private def v32Oracle(nCells: Int = 8, m: Int = 4, k: Int = 8,
+                        iters: Int = 4, trainSample: Int = 10000,
+                        dim: Int = 64, topK: Int = 5,
+                        shortlist: Int = 50): String = {
+    val subDim = dim / m
+    val pqBlocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"p$ms", s"v[${lo + 1}:${lo + subDim}]", k, iters,
+        trainSample, subDim, src = "ec")
+    }.mkString(",\n  ")
+    val resBlocks = (0 until m).map { ms =>
+      val lo = ms * subDim
+      kmeansCtes(s"m$ms", s"v[${lo + 1}:${lo + subDim}]", k, iters,
+        trainSample, subDim, src = "re")
+    }.mkString(",\n  ")
+    def codesCte(name: String, px: String, withCell: Boolean): String = {
+      val cols = (0 until m).map(ms => s"$px$ms.cell AS c$ms").mkString(", ")
+      val joins = (1 until m)
+        .map(ms => s"JOIN $px${ms}corpus $px$ms ON $px$ms.nid = ${px}0.nid")
+        .mkString("\n            ")
+      val cell = if (withCell) ", re.gcell AS cell" else ""
+      val reJoin = if (withCell) s"\n            JOIN re ON re.vec_id = ${px}0.nid" else ""
+      s"""$name AS (SELECT ${px}0.nid$cell, $cols
+         |            FROM ${px}0corpus ${px}0
+         |            $joins$reJoin)""".stripMargin
+    }
+    def adcSum(px: String, qcol: String): String = (0 until m).map { ms =>
+      val lo = ms * subDim
+      s"list_inner_product($qcol[${lo + 1}:${lo + subDim}], b$ms.cf)"
+    }.mkString("\n             + ")
+    def cbJoins(px: String, codesName: String): String = (0 until m)
+      .map(ms => s"JOIN $px${ms}centl$iters b$ms ON b$ms.c = $codesName.c$ms")
+      .mkString("\n           ")
+    val ivfSweeps = Seq(1, 2, 4).map { np =>
+      s"""iprobe$np AS (SELECT vec_id AS qid, c AS cell FROM (
+         |              SELECT vec_id, c, row_number() OVER (
+         |                PARTITION BY vec_id ORDER BY sc DESC, c DESC) AS rn
+         |              FROM gcscore WHERE vec_id < 8) WHERE rn <= $np),
+         |  isims$np AS (SELECT p.qid, c.nid,
+         |             list_inner_product(q.qv, c.nv) / (q.qn * c.nn) AS sim
+         |           FROM iprobe$np p JOIN gcorpus c ON c.cell = p.cell
+         |                JOIN q ON q.qid = p.qid
+         |           WHERE p.qid <> c.nid),
+         |  ivf$np AS (SELECT qid, nid FROM (
+         |            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |              ORDER BY sim DESC, nid) AS rank FROM isims$np)
+         |          WHERE rank <= $topK)""".stripMargin
+    }.mkString(",\n  ")
+    val adcSweeps = Seq(1, 2, 4).map { np =>
+      s"""aqc$np AS (SELECT p.qid, p.cell, q.qv,
+         |           list_inner_product(q.qv, l.cf) AS cdot
+         |         FROM iprobe$np p JOIN q ON q.qid = p.qid
+         |              JOIN gcentl$iters l ON l.c = p.cell),
+         |  ar$np AS (SELECT qid, nid, adc, row_number() OVER (
+         |            PARTITION BY qid ORDER BY adc DESC, nid) AS rank FROM (
+         |          SELECT qc.qid, acodes.nid,
+         |             qc.cdot
+         |             + ${adcSum("m", "qc.qv")} AS adc
+         |           FROM aqc$np qc JOIN acodes ON acodes.cell = qc.cell
+         |                AND acodes.nid <> qc.qid
+         |           ${cbJoins("m", "acodes")})),
+         |  a5_$np AS (SELECT qid, nid FROM ar$np WHERE rank <= $topK)""".stripMargin
+    }.mkString(",\n  ")
+    def recallRow(family: String, setting: String, cte: String): String =
+      s"""SELECT '$family' AS family, '$setting' AS setting,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |               AS DOUBLE) / count(*), 4) AS recall
+         |FROM ex LEFT JOIN $cte a ON a.qid = ex.qid AND a.nid = ex.nid""".stripMargin
+    val rows = Seq(
+      recallRow("ivf", "nprobe=1", "ivf1"),
+      recallRow("ivf", "nprobe=2", "ivf2"),
+      recallRow("ivf", "nprobe=4", "ivf4"),
+      recallRow("pq", "adc@5", "padc5"),
+      recallRow("pq", "adc50+rerank@5", "prr5"),
+      recallRow("ivfadc", "nprobe=1 adc@5", "a5_1"),
+      recallRow("ivfadc", "nprobe=2 adc@5", "a5_2"),
+      recallRow("ivfadc", "nprobe=4 adc@5", "a5_4"),
+      recallRow("ivfadc", "nprobe=4 adc50+rerank@5", "arr5"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |  ec AS MATERIALIZED (SELECT vec_id, list_transform(range(1, $dim + 1),
+       |        i -> CASE WHEN i - 1 = vec_id % 8
+       |          THEN CAST(CAST(v0[i] + 20 AS REAL) AS DOUBLE) ELSE v0[i] END) AS v
+       |      FROM e0),
+       |  ${kmeansCtes("g", "v", nCells, iters, trainSample, dim, src = "ec")},
+       |  $pqBlocks,
+       |  re AS MATERIALIZED (SELECT c.nid AS vec_id,
+       |        list_transform(range(1, $dim + 1),
+       |          i -> CAST(CAST(c.nv[i] - l.cf[i] AS REAL) AS DOUBLE)) AS v,
+       |        c.cell AS gcell
+       |      FROM gcorpus c JOIN gcentl$iters l ON l.c = c.cell),
+       |  $resBlocks,
+       |  q AS (SELECT vec_id AS qid, v AS qv,
+       |          sqrt(list_inner_product(v, v)) AS qn
+       |        FROM ec WHERE vec_id < 8),
+       |  ex AS (SELECT qid, nid FROM (
+       |           SELECT q.qid, c.nid,
+       |             row_number() OVER (PARTITION BY q.qid
+       |               ORDER BY list_inner_product(q.qv, c.nv) / (q.qn * c.nn)
+       |                 DESC, c.nid) AS rank
+       |           FROM q JOIN gcorpus c ON c.nid <> q.qid)
+       |         WHERE rank <= $topK),
+       |  $ivfSweeps,
+       |  ${codesCte("pcodes", "p", withCell = false)},
+       |  pr AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
+       |          ORDER BY adc DESC, nid) AS rank FROM (
+       |         SELECT q.qid, pcodes.nid,
+       |             ${adcSum("p", "q.qv")} AS adc
+       |           FROM q JOIN pcodes ON pcodes.nid <> q.qid
+       |           ${cbJoins("p", "pcodes")})),
+       |  padc5 AS (SELECT qid, nid FROM pr WHERE rank <= $topK),
+       |  prr5 AS (SELECT qid, nid FROM (
+       |           SELECT a.qid, a.nid, row_number() OVER (PARTITION BY a.qid
+       |             ORDER BY list_inner_product(q.qv, c.nv) / (q.qn * c.nn)
+       |               DESC, a.nid) AS rank
+       |           FROM (SELECT qid, nid FROM pr WHERE rank <= $shortlist) a
+       |             JOIN q ON q.qid = a.qid JOIN gcorpus c ON c.nid = a.nid)
+       |         WHERE rank <= $topK),
+       |  ${codesCte("acodes", "m", withCell = true)},
+       |  $adcSweeps,
+       |  arr5 AS (SELECT qid, nid FROM (
+       |           SELECT a.qid, a.nid, row_number() OVER (PARTITION BY a.qid
+       |             ORDER BY list_inner_product(q.qv, c.nv) / (q.qn * c.nn)
+       |               DESC, a.nid) AS rank
+       |           FROM (SELECT qid, nid FROM ar4 WHERE rank <= $shortlist) a
+       |             JOIN q ON q.qid = a.qid JOIN gcorpus c ON c.nid = a.nid)
+       |         WHERE rank <= $topK)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY family, setting""".stripMargin
+  }
+
   /** DuckDB twin of v24 — replays the 4 subspace trainings on the ⅞ base
     * (`e` restricted to vec_id % 8 <> 0), then assigns the held-out ⅛
     * batch to each trained `m{ms}centl` codebook with the SAME score
@@ -1816,6 +2053,7 @@ object VectorQueries {
     // tiered ≡ flat at the composed two-stage tier.
     "v33_ivfadc_tiered_roll" -> v31Oracle(trainPred = "vec_id % 5 = 0",
       encodePred = "TRUE"),
+    "v32_clustered_tuning" -> v32Oracle(),
     "v30_ivfadc_recall" -> v30Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by
     // side, joined on (qid, nid) — n_hits is an exact integer verdict.
