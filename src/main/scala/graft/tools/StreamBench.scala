@@ -216,6 +216,41 @@ object StreamBench {
     require(vtVecs == vCnt,
       s"tiered vector roll folded $vtVecs vectors, staged $vCnt")
 
+    // --- TIERED PQ roll: the same staged embedding drops through
+    // PqTieredStream (bootstrap trains codebooks, minors encode under
+    // the standing model, majorEvery-th union major)
+    val ptrollSec = timed {
+      val q = graft.streaming.PqTieredStream.start(
+        spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/vec_landing"),
+        "vec_id", "embedding", s"$tmp/pq_tiered", s"$tmp/ckpt_ptroll",
+        dim = 64, majorEvery = 4)
+      awaitOrStop(q, "pq_tiered_roll")
+    }
+    val ptView = graft.streaming.PqTieredStream.loadCurrent(spark,
+      s"$tmp/pq_tiered", dim = 64)
+      .getOrElse(sys.error("tiered pq roll committed nothing"))
+    val ptVecs = try ptView.index.encoded.count() finally ptView.release()
+    require(ptVecs == vCnt,
+      s"tiered pq roll folded $ptVecs vectors, staged $vCnt")
+
+    // --- TIERED IVFADC roll: same drops through IvfPqTieredStream
+    // (bootstrap trains BOTH models, minors route+encode under them)
+    val itrollSec = timed {
+      val q = graft.streaming.IvfPqTieredStream.start(
+        spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/vec_landing"),
+        "vec_id", "embedding", s"$tmp/ivfpq_tiered", s"$tmp/ckpt_itroll",
+        dim = 64, majorEvery = 4)
+      awaitOrStop(q, "ivfpq_tiered_roll")
+    }
+    val itView = graft.streaming.IvfPqTieredStream.loadCurrent(spark,
+      s"$tmp/ivfpq_tiered", dim = 64)
+      .getOrElse(sys.error("tiered ivfpq roll committed nothing"))
+    val itVecs = try itView.index.coded.count() finally itView.release()
+    require(itVecs == vCnt,
+      s"tiered ivfpq roll folded $itVecs vectors, staged $vCnt")
+
     // --- lexical epoch roll (postings maintenance path): the documents
     // table as nChunks drops; batch 0 bootstrap-builds, the rest fold —
     // the rate includes |Δ| tokenization + the compact-frame epoch rewrite
@@ -339,6 +374,21 @@ object StreamBench {
             .option("maxFilesPerTrigger", "1").parquet(in),
           s"$tmp/vec_epochs", out, ck, nCells = 16))
 
+    // quantized-tier serving: the same ANN probes against the PQ and
+    // IVFADC tiered roots just rolled (ADC / coarse-pruned ADC probes)
+    val (pqCnt, psecLo, psecHi, pfloor, pmarg) =
+      serveSection("pqq", vecQ, (in, out, ck) =>
+        graft.streaming.PqServeStream.startTiered(
+          spark.readStream.schema(vecQ.schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          s"$tmp/pq_tiered", out, ck, dim = 64))
+    val (iqCnt, isecLo, isecHi, ifloor, imarg) =
+      serveSection("ipqq", vecQ, (in, out, ck) =>
+        graft.streaming.IvfPqServeStream.startTiered(
+          spark.readStream.schema(vecQ.schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          s"$tmp/ivfpq_tiered", out, ck, dim = 64))
+
     def serveJson(q: Long, secLo: Double, secHi: Double,
                   floor: Double, margMs: Double): String =
       f"""{"queries":$q,"sec_${nChunks}b":$secLo%.2f,""" +
@@ -355,6 +405,8 @@ object StreamBench {
         f""""graph_tiered_roll":{"edges":$eCnt,"sec":$gtrollSec%.2f,"rate":${eCnt / gtrollSec}%.0f},""" +
         f""""vector_roll":{"vectors":$vCnt,"sec":$vrollSec%.2f,"rate":${vCnt / vrollSec}%.0f},""" +
         f""""vector_tiered_roll":{"vectors":$vCnt,"sec":$vtrollSec%.2f,"rate":${vCnt / vtrollSec}%.0f},""" +
+        f""""pq_tiered_roll":{"vectors":$vCnt,"sec":$ptrollSec%.2f,"rate":${vCnt / ptrollSec}%.0f},""" +
+        f""""ivfpq_tiered_roll":{"vectors":$vCnt,"sec":$itrollSec%.2f,"rate":${vCnt / itrollSec}%.0f},""" +
         f""""line_graph_roll":{"lines":$rlCnt,"sec":$crollSec%.2f,"rate":${rlCnt / crollSec}%.0f},""" +
         f""""line_graph_tiered_roll":{"lines":$rlCnt,"sec":$ctrollSec%.2f,"rate":${rlCnt / ctrollSec}%.0f},""" +
         f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f},""" +
@@ -362,6 +414,8 @@ object StreamBench {
         s""""lex_serve":${serveJson(lqCnt, lsecLo, lsecHi, lfloor, lmarg)},""" +
         s""""graph_serve":${serveJson(gqCnt, gsecLo, gsecHi, gfloor, gmarg)},""" +
         s""""vector_serve":${serveJson(vqCnt, vsecLo, vsecHi, vfloor, vmarg)},""" +
+        s""""pq_serve":${serveJson(pqCnt, psecLo, psecHi, pfloor, pmarg)},""" +
+        s""""ivfpq_serve":${serveJson(iqCnt, isecLo, isecHi, ifloor, imarg)},""" +
         s""""partial":${partials.map(p => "\"" + p + "\"").mkString("[", ",", "]")}}""")
     spark.stop()
   }
