@@ -43,7 +43,8 @@ object HtnPipeline {
 
   def run(spark: SparkSession, t: OmopTables, codes: Codelists,
           cfg: HtnConfig = HtnConfig(),
-          checkpointDir: Option[String] = None): Result = {
+          checkpointDir: Option[String] = None,
+          computeMetrics: Boolean = true): Result = {
 
     // Stage boundaries: with a checkpoint dir, stages are written to
     // parquet and re-read (EP3 restartability). Without one, stages that
@@ -160,12 +161,16 @@ object HtnPipeline {
       "analytical_htn")
 
     // ---- QC metrics (single-action counts) --------------------------------
-    val metrics = Stats.ExclusionMetrics(
-      cohort = cohort0.count(),
-      wra = wraKeys.count(),
-      afterPregnancy = afterPreg.count(),
-      afterEsrd = afterEsrd.count(),
-      afterCare = afterCare.count())
+    // skippable: the counts are 5 EAGER jobs a caller that only consumes
+    // the analytical frame (q83's oracle row, bench reps) pays for nothing
+    val metrics =
+      if (computeMetrics) Stats.ExclusionMetrics(
+        cohort = cohort0.count(),
+        wra = wraKeys.count(),
+        afterPregnancy = afterPreg.count(),
+        afterEsrd = afterEsrd.count(),
+        afterCare = afterCare.count())
+      else Stats.ExclusionMetrics(0L, 0L, 0L, 0L, 0L)
 
     Result(cohort0, eligible, denomDays, analytical, metrics,
       release = () => persisted.foreach(f =>

@@ -168,7 +168,8 @@ object HtnQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_htn_phenotype" -> { (s, dir) =>
-      val res = HtnPipeline.run(s, omop(s, dir), codes, cfg)
+      val res = HtnPipeline.run(s, omop(s, dir), codes, cfg,
+        computeMetrics = false)
       Option(lastRelease.put((s, dir), res.release))
         .foreach(r => try r() catch { case _: Exception => () })
       res.analytical
