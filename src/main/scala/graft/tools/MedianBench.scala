@@ -20,13 +20,20 @@ object MedianBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(5)
     val outFile = args.lift(2).getOrElse("perf_medians.json")
+    // optional 4th arg: comma-separated query names — a surgical re-measure
+    // of stale/new entries that fits inside a short healthy host window
+    // (the full 170+-query sweep needs ~40 min of clean capacity); the
+    // caller merges the subset file into the committed medians
+    val only = args.lift(3).map(_.split(",").toSet)
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     graft.io.Tables.canaryEvents(spark, sfDir)
     // codegen/footer warm-up on the small sf, then one-time index builds
-    graft.SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
-    }
+    graft.SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+      }
     graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)
     graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)
     graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)
@@ -39,7 +46,9 @@ object MedianBench {
     // steady-state estimator and `steal_min_rep` says how clean it was.
     val runSteal0 = graft.tools.HostCpu.snapshot()
     val spinBefore = graft.tools.HostCpu.spinScore()
-    val rows = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val rows = graft.SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         graft.tools.HostCpu.measuring {
           val t0 = System.nanoTime()
