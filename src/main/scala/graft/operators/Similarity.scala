@@ -761,6 +761,34 @@ object Similarity {
       "adc", k)
   }
 
+  /** [[pqTopK]] with a TOMBSTONE set excluded — the deletion half of PQ
+    * index maintenance, [[ivfProbeExcluding]]'s quantized twin: dead ids
+    * are anti-joined out of the coded corpus BEFORE ranking, so every
+    * query still returns k live results; the tombstone set is typically
+    * tiny → broadcast anti-join, zero extra shuffle of the codes.
+    * Compaction (physically dropping dead rows at a threshold) is the
+    * same maintenance-window story as the retrain trigger. */
+  def pqTopKExcluding(index: PqIndex, tombstones: DataFrame, tombId: String,
+                      queries: DataFrame, qid: String, qvec: String,
+                      k: Int): DataFrame = {
+    val dead = broadcast(tombstones.select(col(tombId).as("nid")).distinct())
+    val live = index.encoded.join(dead, Seq("nid"), "left_anti")
+    pqTopK(index.copy(encoded = live), queries, qid, qvec, k)
+  }
+
+  /** [[ivfPqProbe]] with a TOMBSTONE set excluded — the deletion half for
+    * the composed two-stage index (every family's maintenance story now
+    * has insert + delete + drift + epochs/tiers): same broadcast
+    * anti-join on the coded corpus before the coarse-pruned ADC rank. */
+  def ivfPqProbeExcluding(index: IvfPqIndex, tombstones: DataFrame,
+                          tombId: String, queries: DataFrame,
+                          qid: String, qvec: String,
+                          k: Int, nProbe: Int = 2): DataFrame = {
+    val dead = broadcast(tombstones.select(col(tombId).as("nid")).distinct())
+    val live = index.coded.join(dead, Seq("nid"), "left_anti")
+    ivfPqProbe(index.copy(coded = live), queries, qid, qvec, k, nProbe)
+  }
+
   /** Encode a fresh batch under an [[IvfPqIndex]]'s STANDING models —
     * IVFADC's |Δ| ingest kernel and the composition of the two existing
     * ones: [[assignCells]] routes the batch under the standing coarse

@@ -591,4 +591,40 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors.isEmpty,
       s"release() must unpersist the appended codes; alive: $survivors")
   }
+
+  test("pqTopKExcluding / ivfPqProbeExcluding: tombstoned ids never " +
+       "surface, k live results remain") {
+    val vecs = (0 until 16).map { i =>
+      val v = Array.fill(8)(0.001f * ((i * 13) % 7))
+      v(i % 3) = 1.0f
+      v(4 + i % 3) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val dead = Seq(3L, 6L, 9L).toDF("id")
+    val q = vecs.filter($"vec_id" === 0L)
+
+    val pq = Similarity.pqBuild(vecs, "vec_id", "embedding", dim = 8,
+      m = 2, k = 4, iters = 4, trainSample = 16)
+    try {
+      val res = Similarity.pqTopKExcluding(pq, dead, "id", q,
+        "vec_id", "embedding", k = 5).collect()
+      assert(res.length === 5, "k live results must remain")
+      assert(res.forall(r => !Set(3L, 6L, 9L).contains(r.getLong(2))),
+        "a tombstoned id surfaced")
+    } finally pq.release()
+
+    val ipq = Similarity.ivfPqBuild(vecs, "vec_id", "embedding", dim = 8,
+      nCells = 3, m = 2, k = 4, coarseIters = 4, pqIters = 4,
+      trainSample = 16)
+    try {
+      // query 0's own cluster (ids ≡ 0 mod 3) includes tombstones 3,6,9:
+      // the anti-join must happen BEFORE ranking, so live same-cell peers
+      // fill the k
+      val res = Similarity.ivfPqProbeExcluding(ipq, dead, "id", q,
+        "vec_id", "embedding", k = 3, nProbe = 1).collect()
+      assert(res.nonEmpty)
+      assert(res.forall(r => !Set(3L, 6L, 9L).contains(r.getLong(2))),
+        "a tombstoned id surfaced through the coarse-pruned rank")
+    } finally ipq.release()
+  }
 }
