@@ -170,9 +170,20 @@ object HtnQueries {
     "q83_htn_phenotype" -> { (s, dir) =>
       val res = HtnPipeline.run(s, omop(s, dir), codes, cfg,
         computeMetrics = false)
-      Option(lastRelease.put((s, dir), res.release))
+      // Materialize the (small) analytical table EAGERLY, then release the
+      // run's stage persists at once. Swap-releasing the whole generation
+      // lazily is UNSOUND here: Spark's CacheManager keys cache entries by
+      // CANONICALIZED PLAN, and successive runs build plan-identical
+      // stages — generation N's persist() reuses generation N−1's entry,
+      // so releasing N−1 un-caches N's stages and every later run
+      // re-executes the whole cohort chain once per flag join (measured:
+      // 10 s → 45 s per rep). localCheckpoint blocks are unique RDDs —
+      // THOSE swap safely, one generation per (session, dir).
+      val out = try res.analytical.localCheckpoint() finally res.release()
+      Option(lastRelease.put((s, dir),
+          () => graft.operators.Checkpoints.release(out)))
         .foreach(r => try r() catch { case _: Exception => () })
-      res.analytical
+      out
     }
   )
 

@@ -40,13 +40,23 @@ object TextQueries {
   // recomputes — just slower.
   private val lastRelease =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => Unit]()
-  private def swapRelease(s: SparkSession, key: String, rel: () => Unit): Unit = {
+  // Drain the previous generation BEFORE the new one builds, then register
+  // the new release. Ordering is load-bearing: Spark's CacheManager keys
+  // entries by CANONICALIZED PLAN, so a plan-identical new generation's
+  // persist() dedups onto the OLD entry — releasing the old generation
+  // AFTER the new build therefore un-cached the new generation too, and
+  // every steady-state invocation ran with its persists silently gone
+  // (q83's diagnosis: 10 s → 45 s per rep; same mechanism here).
+  private def swapBegin(s: SparkSession, key: String): Unit =
+    Option(lastRelease.remove((s, key)))
+      .foreach(r => try r() catch { case _: Exception => () })
+  private def swapRegister(s: SparkSession, key: String, rel: () => Unit): Unit = {
     Option(lastRelease.put((s, key), rel))
       .foreach(r => try r() catch { case _: Exception => () })
   }
 
   /** Drain every swap-held last generation for `s` — the session-
-    * retirement companion to [[swapRelease]]: between invocations each
+    * retirement companion to [[swapRegister]]: between invocations each
     * (query, dir) intentionally keeps ONE cached generation alive (the
     * caller may still be consuming the returned lazy frame), so a
     * retiring session must release them explicitly or its end-of-life
@@ -345,9 +355,10 @@ object TextQueries {
     // all-pairs oracle. Estimate-only LSH behavior stays covered by
     // DedupSpec's recall/precision assertions on minhashLshPairs.
     "d03_minhash_lsh" -> { (s, dir) =>
+      swapBegin(s, s"d03|$dir")
       val mp = Dedup.minhashExactPairsManaged(docs(s, dir), "doc_id", "text",
         k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
-      swapRelease(s, s"d03|$dir", mp.release)
+      swapRegister(s, s"d03|$dir", mp.release)
       mp.pairs
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                 round(col("jaccard"), 4).as("jaccard"))
@@ -364,11 +375,12 @@ object TextQueries {
     // from its persisted signature/bucket frames. Emits exactly the pairs
     // Dedup.incrementalExactPairs would (asserted in DedupSpec).
     "d06_incremental_dedup" -> { (s, dir) =>
+      swapBegin(s, s"d06|$dir")
       val d = docs(s, dir)
       val mp = Dedup.incrementalExactPairsIndexedManaged(
         d.filter(pmod(col("doc_id"), lit(2)) === 1),
         corpusSignatureIndex(s, dir), "doc_id", "text", threshold = 0.8)
-      swapRelease(s, s"d06|$dir", mp.release)
+      swapRegister(s, s"d06|$dir", mp.release)
       mp.pairs
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                 round(col("jaccard"), 4).as("jaccard"))
@@ -412,9 +424,10 @@ object TextQueries {
     // narrower bands whose coarse buckets go quadratic; measured 3.3x
     // slower at bands=16 on this corpus).
     "d04_simhash" -> { (s, dir) =>
+      swapBegin(s, s"d04|$dir")
       val mp = Dedup.simhashPairsManaged(docs(s, dir), "doc_id", "text",
         maxHamming = 3)
-      swapRelease(s, s"d04|$dir", mp.release)
+      swapRegister(s, s"d04|$dir", mp.release)
       mp.pairs
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
@@ -463,7 +476,7 @@ object TextQueries {
         Checkpoints.releaseExcept(lazyFold, labels0)
         cp
       } finally mp.release()
-      swapRelease(s, s"d13|$dir", () => Components.releaseCheckpoint(folded))
+      swapRegister(s, s"d13|$dir", () => Components.releaseCheckpoint(folded))
       Components.dupClustersFromLabels(d, "doc_id", folded)
         .select(col("id").as("doc_id"), col("cluster"), col("is_canonical"))
         .orderBy("doc_id")
@@ -738,8 +751,9 @@ object TextQueries {
     // (broadcast here; at web scale the hint drops and it's a plain
     // shuffle join on the token column).
     "t36_bpe_encode" -> { (s, dir) =>
+      swapBegin(s, s"t36|$dir")
       val (trained, _) = trainBpe(s, dir, BpeMerges)
-      swapRelease(s, s"t36|$dir", () => { trained.unpersist(); () })
+      swapRegister(s, s"t36|$dir", () => { trained.unpersist(); () })
       val vocab = trained.select(col("w"),
         size(split(trim(col("repr")), "  ")).cast("long").as("n_sym"))
       val perDoc = docs(s, dir)
