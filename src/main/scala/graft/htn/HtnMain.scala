@@ -82,7 +82,8 @@ object HtnMain {
     println("=== hypertension_130 ===")
     Stats.tabyl(result.analytical, "hypertension_130").show(20, truncate = false)
 
-    val m = result.metrics
+    val m = result.metrics.getOrElse(
+      sys.error("metrics skipped on a computeMetrics=true run"))
     val json =
       s"""{"cohort":${m.cohort},"wra":${m.wra},"after_pregnancy":${m.afterPregnancy},
          |"after_esrd":${m.afterEsrd},"after_care":${m.afterCare},

@@ -34,7 +34,10 @@ object HtnPipeline {
       eligible: DataFrame,        // after exclusions + labels (all_pop_clean)
       denominatorDays: DataFrame, // all_pop_clean3: (patient, date) grain
       analytical: DataFrame,      // final one-row-per-patient table
-      metrics: Stats.ExclusionMetrics,
+      // None ⟺ run(computeMetrics = false): a skipped-QC run must be
+      // UNREPRESENTABLE as genuine zero cohort counts, or a QC consumer
+      // handed the skipped shape silently reports an empty cohort
+      metrics: Option[Stats.ExclusionMetrics],
       // drops the checkpoint-free mode's stage persists: a caller that
       // runs pipelines repeatedly in one session (q83's oracle row, the
       // bench) must be able to retire a generation's cached frames, or
@@ -164,13 +167,13 @@ object HtnPipeline {
     // skippable: the counts are 5 EAGER jobs a caller that only consumes
     // the analytical frame (q83's oracle row, bench reps) pays for nothing
     val metrics =
-      if (computeMetrics) Stats.ExclusionMetrics(
+      if (computeMetrics) Some(Stats.ExclusionMetrics(
         cohort = cohort0.count(),
         wra = wraKeys.count(),
         afterPregnancy = afterPreg.count(),
         afterEsrd = afterEsrd.count(),
-        afterCare = afterCare.count())
-      else Stats.ExclusionMetrics(0L, 0L, 0L, 0L, 0L)
+        afterCare = afterCare.count()))
+      else None
 
     Result(cohort0, eligible, denomDays, analytical, metrics,
       release = () => persisted.foreach(f =>

@@ -172,9 +172,11 @@ object Multimodal {
   /** A lazy pair frame plus the handle that frees its internal hash cache. */
   final case class ManagedImagePairs(pairs: DataFrame, release: () => Unit)
 
-  /** [[imageNearDupPairs]] over an already-computed (media_id, phash)
-    * frame — the stored-hash-column production path. */
-  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** The pigeonhole band projection shared by the full self-join and the
+    * incremental fold: 64-bit aHash → `maxHamming + 1` (band, bv) rows
+    * per id (≤ maxHamming differing bits cannot touch every band, so any
+    * in-budget pair matches exactly in ≥ 1 band). */
+  private def bandedHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: banding needs maxHamming+1 bands of >= 4 bits")
     val bands = maxHamming + 1
@@ -186,9 +188,15 @@ object Multimodal {
       struct(lit(i).as("band"),
         shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = hashes.select(col("media_id"), col("phash"),
+    hashes.select(col("media_id"), col("phash"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("media_id"), col("phash"), col("b.band"), col("b.bv"))
+  }
+
+  /** [[imageNearDupPairs]] over an already-computed (media_id, phash)
+    * frame — the stored-hash-column production path. */
+  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = bandedHashes(hashes, maxHamming)
     val a = banded.toDF("id_a", "ph_a", "band", "bv")
     val b = banded.toDF("id_b", "ph_b", "band_b", "bv_b")
     a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
@@ -200,6 +208,66 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Incremental near-dup fold into a STANDING aHash index — the d06
+    * pattern for the media family (r14 verdict #5: every other index
+    * family had fold-≡-rebuild incremental maintenance; images were
+    * batch-only). `standing` is the stored (media_id, phash) frame (the
+    * ingest-time hash column — blobs are NEVER re-decoded); the batch
+    * pays |Δ| decode + aHash work only, and candidates come from the
+    * SAME pigeonhole band equi-join as the full rebuild, probed from the
+    * batch side — broadcast when small, so the standing side never
+    * shuffles. Returns exactly the NEW pairs (≥ 1 batch side):
+    *
+    *   pairs(standing ∪ batch) = pairs(standing) ∪ newPairs   (disjoint)
+    *
+    * — the fold ≡ rebuild identity, certified by m06's oracle (a
+    * brute-force all-pairs replay over the folded corpus restricted to
+    * batch-involved pairs) and MultimodalSpec. Id sets must be disjoint
+    * (one id authority across corpus and batch, the d06 contract). */
+  def incrementalImageNearDupPairs(standing: DataFrame, batch: DataFrame,
+                                   maxHamming: Int = 3): DataFrame =
+    incrementalNearDupPairsFromHashes(standing, imageHashes(batch), maxHamming)
+
+  /** [[incrementalImageNearDupPairs]] over already-computed batch hashes
+    * (both sides stored-hash-column). */
+  def incrementalNearDupPairsFromHashes(standing: DataFrame,
+                                        batchHashes: DataFrame,
+                                        maxHamming: Int = 3): DataFrame = {
+    val probe = bandedHashes(batchHashes, maxHamming)
+      .toDF("id_a", "ph_a", "band", "bv")
+    // the probed side is the FOLDED view (standing ∪ batch): batch×batch
+    // pairs must surface too — a planted dup arriving with its original
+    // in the same delta is still a new pair
+    val all = bandedHashes(standing.unionByName(batchHashes), maxHamming)
+      .toDF("id_b", "ph_b", "band_b", "bv_b")
+    broadcast(probe)
+      .join(all, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id_a") =!= col("id_b"))
+      // batch×batch candidates are found from both ends — normalize to
+      // (min, max) BEFORE the distinct so they collapse; XOR is symmetric
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persist a (media_id, phash) frame as a DURABLE aHash index (the
+    * ingest-time hash column's store): [[graft.operators.IndexStore]]
+    * stage semantics — commit marker, params echo, zero-job lazy load.
+    * The standing side of [[incrementalNearDupPairsFromHashes]] loads
+    * from here across sessions, so re-ingest never re-decodes blobs. */
+  def saveAHashIndex(spark: SparkSession, hashes: DataFrame, dir: String,
+                     note: String): Unit =
+    IndexStore.saveStage(spark, hashes, dir, note,
+      Map("index_kind" -> "ahash")) // "kind" is the stage meta's own key
+
+  /** Load a durable aHash index committed by [[saveAHashIndex]]; `None`
+    * when absent/torn/param-mismatched. */
+  def loadAHashIndex(spark: SparkSession, dir: String): Option[DataFrame] =
+    IndexStore.loadStage(spark, dir, None, Map("index_kind" -> "ahash"))
 
   /** Size the partition COUNT by payload bytes: media blobs are wildly
     * variable, so a row-count-derived partition count under- or

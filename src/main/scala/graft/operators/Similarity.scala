@@ -349,6 +349,89 @@ object Similarity {
     ivfProbe(index.copy(assigned = live), queries, qid, qvec, k, nProbe)
   }
 
+  /** Shared kernel of the three `*Compact` maintenance ops: one scan of
+    * the stored frame (left join against the broadcast tombstone set)
+    * counts total and dead rows together, then — when the dead share
+    * reaches `threshold` — the survivors are anti-joined out, persisted
+    * and materialized. Returns `None` when there is nothing to do (no
+    * dead rows stored, or share below threshold): the caller keeps
+    * serving the old index with query-time exclusion. The decision scan
+    * is one pass over the stored rows; the rewrite is a second — both
+    * O(index), paid ONCE in a maintenance window instead of a broadcast
+    * anti-join on every query forever. */
+  private def compactFrame(stored: DataFrame, tombstones: DataFrame,
+                           tombId: String, threshold: Double,
+                           persist: Boolean): Option[(DataFrame, () => Unit)] = {
+    val dead = broadcast(
+      tombstones.select(col(tombId).as("nid")).distinct()
+        .withColumn("is_dead", lit(1)))
+    val counted = stored.select("nid").join(dead, Seq("nid"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("is_dead"), lit(0))).as("n_dead"))
+      .head()
+    val nTotal = counted.getLong(0)
+    val nDead = if (counted.isNullAt(1)) 0L else counted.getLong(1)
+    if (nDead == 0L || (nTotal > 0 && nDead.toDouble / nTotal < threshold))
+      None
+    else {
+      val live0 = stored.join(dead.select("nid"), Seq("nid"), "left_anti")
+      val live =
+        if (persist) live0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else live0
+      if (persist) live.count()
+      Some((live, () => { if (persist) { live.unpersist(); () }; () }))
+    }
+  }
+
+  /** PHYSICAL tombstone compaction for the IVF family — the maintenance-
+    * window op [[ivfProbeExcluding]]'s scaladoc promises ("production
+    * compacts the index when tombstones pass a threshold"): dead rows
+    * are dropped from the assigned frame ONCE and the returned index
+    * carries no tombstone debt — probing it PLAIN ≡ probing the original
+    * with the exclusion ≡ rebuilding the index without the dead rows
+    * (assignment under fixed centroids commutes with row deletion — the
+    * v12 identity run backwards; the centroids are untouched, so no
+    * retrain and no re-encode anywhere). `None` below `threshold` (dead
+    * share of stored rows) — keep excluding at query time until the debt
+    * justifies the rewrite. The returned index owns its persisted
+    * survivor frame; `release()` frees it, then the base's. */
+  def ivfCompact(index: IvfIndex, tombstones: DataFrame, tombId: String,
+                 threshold: Double = 0.0,
+                 persist: Boolean = true): Option[IvfIndex] =
+    compactFrame(index.assigned, tombstones, tombId, threshold, persist)
+      .map { case (live, rel) =>
+        index.copy(assigned = live,
+          release = () => { rel(); index.release() })
+      }
+
+  /** [[ivfCompact]] for the PQ family: dead rows dropped from the coded
+    * frame, codebooks untouched (encoding under fixed codebooks commutes
+    * with deletion — v24's identity backwards). Post-compaction
+    * [[pqTopK]] ≡ [[pqTopKExcluding]] on the original ≡ rebuild-encode
+    * without the dead rows. */
+  def pqCompact(index: PqIndex, tombstones: DataFrame, tombId: String,
+                threshold: Double = 0.0,
+                persist: Boolean = true): Option[PqIndex] =
+    compactFrame(index.encoded, tombstones, tombId, threshold, persist)
+      .map { case (live, rel) =>
+        index.copy(encoded = live,
+          release = () => { rel(); index.release() })
+      }
+
+  /** [[ivfCompact]] for the composed IVFADC index: dead rows dropped
+    * from the coded frame, BOTH models untouched. Post-compaction
+    * [[ivfPqProbe]] ≡ [[ivfPqProbeExcluding]] on the original ≡
+    * rebuild-encode without the dead rows (v34's oracle certifies the
+    * full chain). */
+  def ivfPqCompact(index: IvfPqIndex, tombstones: DataFrame, tombId: String,
+                   threshold: Double = 0.0,
+                   persist: Boolean = true): Option[IvfPqIndex] =
+    compactFrame(index.coded, tombstones, tombId, threshold, persist)
+      .map { case (live, rel) =>
+        index.copy(coded = live,
+          release = () => { rel(); index.release() })
+      }
+
   /** Centroid-drift audit — the REBUILD TRIGGER the [[ivfAppend]] contract
     * promises ("production re-trains at a drift threshold") but nothing
     * measured until now. A fresh arrival batch is assigned to the EXISTING
@@ -766,8 +849,8 @@ object Similarity {
     * are anti-joined out of the coded corpus BEFORE ranking, so every
     * query still returns k live results; the tombstone set is typically
     * tiny → broadcast anti-join, zero extra shuffle of the codes.
-    * Compaction (physically dropping dead rows at a threshold) is the
-    * same maintenance-window story as the retrain trigger. */
+    * [[pqCompact]] physically drops the dead rows at a threshold and
+    * retires the per-query anti-join. */
   def pqTopKExcluding(index: PqIndex, tombstones: DataFrame, tombId: String,
                       queries: DataFrame, qid: String, qvec: String,
                       k: Int): DataFrame = {

@@ -2074,7 +2074,9 @@ object CoreQueries {
       }
       val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
         .getOrElse(sys.error("tiered roll committed nothing"))
-      tieredEdgeHistogram(s, view)
+      // histogram is collected (driver rows) before the root dies
+      try tieredEdgeHistogram(s, view)
+      finally graft.io.TempRoots.delete(root)
     },
 
     // q82: the CROSS-BATCH composition q81 leaves to spec coverage —
@@ -2098,7 +2100,9 @@ object CoreQueries {
       }
       val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
         .getOrElse(sys.error("tiered line roll committed nothing"))
-      tieredEdgeHistogram(s, view)
+      try tieredEdgeHistogram(s, view)
+      finally { graft.io.TempRoots.delete(root)
+        graft.io.TempRoots.delete(linesDir) }
     }
   )
 

@@ -1550,7 +1550,7 @@ object TextQueries {
           .orderBy("qid", "rank")
         val rows = out.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
-      } finally view.release()
+      } finally { view.release(); graft.io.TempRoots.delete(root) }
     }
   )
 

@@ -865,7 +865,8 @@ object VectorQueries {
           col("code_3").cast("long").as("code_3"))
         .orderBy("vec_id")
       val (rows, schema) =
-        try (out.collect().toSeq, out.schema) finally view.release()
+        try (out.collect().toSeq, out.schema)
+        finally { view.release(); graft.io.TempRoots.delete(root) }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 
@@ -953,7 +954,41 @@ object VectorQueries {
           col("code_3").cast("long").as("code_3"))
         .orderBy("vec_id")
       val (rows, schema) =
-        try (out.collect().toSeq, out.schema) finally view.release()
+        try (out.collect().toSeq, out.schema)
+        finally { view.release(); graft.io.TempRoots.delete(root) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    },
+
+    // PHYSICAL tombstone compaction certified end-to-end (r14 verdict
+    // #3 — until now deletion was query-time exclusion only, and a
+    // long-lived index paid the broadcast anti-join on every probe
+    // forever): every id with vec_id % 7 = 3 (~14% of the corpus) is
+    // marked dead against the STANDING IVFADC index, ivfPqCompact drops
+    // the dead codes ONCE (both models untouched — encoding under fixed
+    // models commutes with row deletion), and the compacted index is
+    // probed PLAIN, no exclusion anywhere on the query path. The oracle
+    // replays the full v29 chain — both trainings still on the FULL
+    // corpus, deletion does not untrain models — with the dead ids
+    // filtered from the scored codes, so hash equality certifies
+    // compacted-probe ≡ exclude-at-query ≡ rebuild-encode-without-dead.
+    // threshold=0.1 < 14% dead share, so the compaction MUST fire — a
+    // None is a bug, not a no-op.
+    "v34_ivfadc_compact" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val tombs = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      // release noop: the standing index is the session cache's, not ours
+      val compacted = Similarity.ivfPqCompact(
+          ivfPqIndexFor(s, dir).copy(release = () => ()),
+          tombs, "vec_id", threshold = 0.1)
+        .getOrElse(sys.error("compaction did not fire at ~14% dead"))
+      val out = Similarity.ivfPqProbe(compacted,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("adc"), 4).as("adc"))
+        .orderBy("qid", "rank")
+      val (rows, schema) =
+        try (out.collect().toSeq, out.schema) finally compacted.release()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 
@@ -989,7 +1024,8 @@ object VectorQueries {
           round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
       val (rows, schema) =
-        try (out.collect().toSeq, out.schema) finally view.release()
+        try (out.collect().toSeq, out.schema)
+        finally { view.release(); graft.io.TempRoots.delete(root) }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )
@@ -1433,8 +1469,10 @@ object VectorQueries {
   private def v29Oracle(nCells: Int = 8, m: Int = 4, k: Int = 8,
                         coarseIters: Int = 4, pqIters: Int = 4,
                         trainSample: Int = 10000, dim: Int = 64,
-                        nProbe: Int = 4, topK: Int = 5): String =
-    s"""${ivfAdcCtes(nCells, m, k, coarseIters, pqIters, trainSample, dim, nProbe)}
+                        nProbe: Int = 4, topK: Int = 5,
+                        livePred: String = "TRUE"): String =
+    s"""${ivfAdcCtes(nCells, m, k, coarseIters, pqIters, trainSample, dim,
+          nProbe, livePred)}
        |SELECT qid, rank, nid, round(adc, 4) AS adc
        |FROM r WHERE rank <= $topK
        |ORDER BY qid, rank""".stripMargin
@@ -1481,12 +1519,16 @@ object VectorQueries {
        |GROUP BY x.qid
        |ORDER BY x.qid""".stripMargin
 
-  /** The shared v29/v30 CTE chain: coarse training → residuals → m
+  /** The shared v29/v30/v34 CTE chain: coarse training → residuals → m
     * residual-subspace trainings → codes → probed cells → per-cell query
-    * residuals → ADC → ranked `r`, with `e` left visible for consumers. */
+    * residuals → ADC → ranked `r`, with `e` left visible for consumers.
+    * `livePred` (over `codes.nid`) replays a post-compaction probe: both
+    * models still train on the FULL corpus — deletion does not untrain
+    * them — but only live codes are scored (v34). */
   private def ivfAdcCtes(nCells: Int, m: Int, k: Int,
                          coarseIters: Int, pqIters: Int,
-                         trainSample: Int, dim: Int, nProbe: Int): String = {
+                         trainSample: Int, dim: Int, nProbe: Int,
+                         livePred: String = "TRUE"): String = {
     val subDim = dim / m
     val pqBlocks = (0 until m).map { ms =>
       val lo = ms * subDim
@@ -1530,6 +1572,7 @@ object VectorQueries {
        |             + $adcSum AS adc
        |           FROM qc JOIN codes ON codes.cell = qc.cell
        |                AND codes.nid <> qc.qid
+       |                AND ($livePred)
        |           $cbJoins),
        |  r AS (SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
        |          ORDER BY adc DESC, nid) AS rank FROM sims)""".stripMargin
@@ -2053,6 +2096,10 @@ object VectorQueries {
     // tiered ≡ flat at the composed two-stage tier.
     "v33_ivfadc_tiered_roll" -> v31Oracle(trainPred = "vec_id % 5 = 0",
       encodePred = "TRUE"),
+    // v34: v29's chain with the dead ids filtered from the scored codes
+    // only — the models still train on the full corpus (see the query's
+    // comment: compaction drops rows, it does not untrain)
+    "v34_ivfadc_compact" -> v29Oracle(livePred = "codes.nid % 7 <> 3"),
     "v32_clustered_tuning" -> v32Oracle(),
     "v30_ivfadc_recall" -> v30Oracle(),
     // v26: v10's exact-MIPS chain and v22's SQ8 chain replayed side by

@@ -38,10 +38,10 @@ import graft.operators.{IndexStore, Similarity}
   *
   * Like the PQ tier, this never retrains in-stream: epochs store the
   * routed CODES only — retraining both models is the maintenance
-  * window's `ivfPqBuild` over the retained corpus, committed as a fresh
-  * bootstrap. Drift triggers compose from the existing halves
-  * ([[Similarity.driftAudit]] on cells, [[Similarity.pqDriftAudit]] on
-  * residual codes).
+  * window's [[retrainMajor]] (`ivfPqBuild` over the retained corpus,
+  * committed as a NEW L1 generation; [[retrainMajorIfDrifted]] gates it
+  * on [[Similarity.driftAudit]]'s verdict). Physical tombstone
+  * compaction is the sibling maintenance major ([[compactMajor]]).
   *
   * CRASH MATRIX (the sibling tiers', verbatim — each epoch's IndexStore
   * meta is its commit marker): torn L0 → invisible → replay re-encodes
@@ -234,6 +234,125 @@ object IvfPqTieredStream {
             }
         }
       }
+    }
+  }
+
+  /** Maintenance-window PHYSICAL tombstone compaction, committed through
+    * the major path (r14 verdict #3 — until now the deletion story was
+    * query-time exclusion only, and a long-lived index paid the broadcast
+    * anti-join on every query forever): load the current ≤-2-tier view,
+    * drop the tombstoned ids from the merged codes
+    * ([[Similarity.ivfPqCompact]] — models untouched, no re-encode), and
+    * commit the survivor index as a NEW L1 generation at `epochId + 1`
+    * (maintenance epochs take the next id, so pinned servers see a
+    * normal epoch bump and swap atomically). Prunes exactly like a data
+    * major: 2 L1 generations kept, absorbed L0s kept only while the
+    * previous generation needs them (one-major reader grace). The new
+    * generation carries ZERO tombstone debt — the caller resets its
+    * tombstone set on `Some`. `None` when the dead share of the stored
+    * codes is below `threshold` (or no dead id is stored): nothing
+    * committed, keep excluding at query time. Single writer, same as
+    * [[foldBatch]]. */
+  def compactMajor(spark: SparkSession, root: String,
+                   tombstones: DataFrame, tombId: String,
+                   threshold: Double = 0.0, dim: Int = 64,
+                   nCells: Int = 8, m: Int = 4, k: Int = 8,
+                   coarseIters: Int = 4, pqIters: Int = 4,
+                   trainSample: Int = 10000): Option[Long] = {
+    val pm = params(dim, nCells, m, k, coarseIters, pqIters, trainSample)
+    l1Epochs(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+      trainSample).headOption.flatMap { prevL1 =>
+      val liveL0 = l0Epochs(spark, root, dim, nCells, m, k, coarseIters,
+        pqIters, trainSample).filter(_ > prevL1)
+      val view = loadView(spark, root, dim, nCells, m, k, coarseIters,
+        pqIters, trainSample, prevL1, liveL0, strict = true)
+        .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-compact"))
+      // the compacted index must not own (and re-release) the L1 handle —
+      // the view releases it below, once, after the commit
+      Similarity.ivfPqCompact(view.index.copy(release = () => ()),
+        tombstones, tombId, threshold) match {
+        case None => view.release(); None
+        case Some(compacted) =>
+          val newId = view.epochId + 1
+          try IndexStore.saveIvfPqIndex(spark, compacted,
+            EpochDirs.dir(l1Root(root), newId), s"compact after=$prevL1", pm)
+          finally { compacted.release(); view.release() }
+          EpochDirs.prune(spark, l1Root(root),
+            l1Epochs(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+              trainSample).take(2).toSet)
+          EpochDirs.prune(spark, l0Root(root),
+            l0Epochs(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+              trainSample).filter(_ > prevL1).toSet)
+          Some(newId)
+      }
+    }
+  }
+
+  /** Maintenance-window MODEL RETRAIN, committed through the major path
+    * (r14 verdict #4 — [[Similarity.driftAudit]]/[[Similarity.pqDriftAudit]]
+    * existed as audits; nothing acted on them at the tiered layer): train
+    * BOTH models fresh over the caller-supplied RETAINED corpus (epochs
+    * store codes only, so raw vectors must come from the corpus of
+    * record — at 100 TB that is the same table the minors ingest from)
+    * and commit the fully re-encoded index as a NEW L1 generation at
+    * `epochId + 1`. Pinned readers ([[graft.streaming.EpochPin]]) grace
+    * through the swap exactly as for a data major: the previous
+    * generation and its L0s survive one more major, loadCurrent flips to
+    * the retrained generation the moment its meta commits — the swap is
+    * atomic at the marker write. `None` when no generation is standing
+    * (nothing to retrain — bootstrap via [[foldBatch]]). */
+  def retrainMajor(corpus: DataFrame, idCol: String, vecCol: String,
+                   root: String, dim: Int, nCells: Int = 8, m: Int = 4,
+                   k: Int = 8, coarseIters: Int = 4, pqIters: Int = 4,
+                   trainSample: Int = 10000): Option[Long] = {
+    val spark = corpus.sparkSession
+    val pm = params(dim, nCells, m, k, coarseIters, pqIters, trainSample)
+    currentEpochId(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+      trainSample).map { cur =>
+      val prevL1 = l1Epochs(spark, root, dim, nCells, m, k, coarseIters,
+        pqIters, trainSample).head
+      val newId = cur + 1
+      val idx = Similarity.ivfPqBuild(corpus, idCol, vecCol, dim, nCells,
+        m, k, coarseIters, pqIters, trainSample)
+      try IndexStore.saveIvfPqIndex(spark, idx,
+        EpochDirs.dir(l1Root(root), newId), s"retrain after=$cur", pm)
+      finally idx.release()
+      EpochDirs.prune(spark, l1Root(root),
+        l1Epochs(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+          trainSample).take(2).toSet)
+      EpochDirs.prune(spark, l0Root(root),
+        l0Epochs(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+          trainSample).filter(_ > prevL1).toSet)
+      newId
+    }
+  }
+
+  /** The DRIFT-GATED wrapper a maintenance job actually runs: audit a
+    * recent arrival batch's coarse-cell routing against the standing
+    * tiered view ([[Similarity.driftAudit]] — the coded frame carries the
+    * cell column, so the audit reads codes only, no raw vectors) and fire
+    * [[retrainMajor]] only when more than `maxDriftedCells` cells drift.
+    * Returns the new generation's epoch id when the retrain fired. */
+  def retrainMajorIfDrifted(corpus: DataFrame, recent: DataFrame,
+                            idCol: String, vecCol: String, root: String,
+                            maxDriftedCells: Int, dim: Int,
+                            nCells: Int = 8, m: Int = 4, k: Int = 8,
+                            coarseIters: Int = 4, pqIters: Int = 4,
+                            trainSample: Int = 10000): Option[Long] = {
+    val spark = corpus.sparkSession
+    loadCurrent(spark, root, dim, nCells, m, k, coarseIters, pqIters,
+      trainSample).flatMap { view =>
+      val drifted =
+        try Similarity.driftAudit(
+          Similarity.IvfIndex(view.index.centroids, view.index.nCells,
+            view.index.coded, () => ()),
+          recent, idCol, vecCol)
+          .filter(org.apache.spark.sql.functions.col("drifted")).count()
+        finally view.release()
+      if (drifted > maxDriftedCells)
+        retrainMajor(corpus, idCol, vecCol, root, dim, nCells, m, k,
+          coarseIters, pqIters, trainSample)
+      else None
     }
   }
 

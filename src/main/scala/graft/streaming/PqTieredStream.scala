@@ -218,6 +218,45 @@ object PqTieredStream {
     }
   }
 
+  /** Maintenance-window PHYSICAL tombstone compaction through the major
+    * path — [[IvfPqTieredStream.compactMajor]]'s PQ twin: drop the
+    * tombstoned ids from the merged codes ([[Similarity.pqCompact]] —
+    * codebooks untouched), commit the survivor index as a NEW L1
+    * generation at `epochId + 1`, prune with the data major's reader
+    * grace. `None` below `threshold` (dead share of stored codes) or
+    * when no dead id is stored. Single writer. */
+  def compactMajor(spark: SparkSession, root: String,
+                   tombstones: DataFrame, tombId: String,
+                   threshold: Double = 0.0, dim: Int = 64,
+                   m: Int = 4, k: Int = 8, iters: Int = 4,
+                   trainSample: Int = 10000): Option[Long] = {
+    val pm = params(dim, m, k, iters, trainSample)
+    l1Epochs(spark, root, dim, m, k, iters, trainSample).headOption
+      .flatMap { prevL1 =>
+        val liveL0 = l0Epochs(spark, root, dim, m, k, iters, trainSample)
+          .filter(_ > prevL1)
+        val view = loadView(spark, root, dim, m, k, iters, trainSample,
+          prevL1, liveL0, strict = true)
+          .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-compact"))
+        Similarity.pqCompact(view.index.copy(release = () => ()),
+          tombstones, tombId, threshold) match {
+          case None => view.release(); None
+          case Some(compacted) =>
+            val newId = view.epochId + 1
+            try IndexStore.savePqIndex(spark, compacted,
+              EpochDirs.dir(l1Root(root), newId), s"compact after=$prevL1", pm)
+            finally { compacted.release(); view.release() }
+            EpochDirs.prune(spark, l1Root(root),
+              l1Epochs(spark, root, dim, m, k, iters, trainSample)
+                .take(2).toSet)
+            EpochDirs.prune(spark, l0Root(root),
+              l0Epochs(spark, root, dim, m, k, iters, trainSample)
+                .filter(_ > prevL1).toSet)
+            Some(newId)
+        }
+      }
+  }
+
   /** Start the tiered roll: `vectors` (a streaming frame with
     * `idCol`/`vecCol`) → per-batch [[foldBatch]] → committed L0/L1
     * epochs under `root`. */

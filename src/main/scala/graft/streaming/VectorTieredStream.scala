@@ -236,6 +236,42 @@ object VectorTieredStream {
     }
   }
 
+  /** Maintenance-window PHYSICAL tombstone compaction through the major
+    * path — [[IvfPqTieredStream.compactMajor]]'s IVF twin: drop the
+    * tombstoned ids from the merged assignment ([[Similarity.ivfCompact]]
+    * — centroids untouched), commit the survivor index as a NEW L1
+    * generation at `epochId + 1`, prune with the data major's reader
+    * grace. `None` below `threshold` (dead share of stored rows) or when
+    * no dead id is stored. Single writer. */
+  def compactMajor(spark: SparkSession, root: String,
+                   tombstones: DataFrame, tombId: String,
+                   threshold: Double = 0.0, nCells: Int = 16,
+                   trainSample: Int = 10000, iters: Int = 8): Option[Long] =
+    l1Epochs(spark, root, nCells, trainSample, iters).headOption
+      .flatMap { prevL1 =>
+        val liveL0 = l0Epochs(spark, root, nCells, trainSample, iters)
+          .filter(_ > prevL1)
+        val view = loadView(spark, root, nCells, trainSample, iters,
+          prevL1, liveL0, strict = true)
+          .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-compact"))
+        Similarity.ivfCompact(view.index.copy(release = () => ()),
+          tombstones, tombId, threshold) match {
+          case None => view.release(); None
+          case Some(compacted) =>
+            val newId = view.epochId + 1
+            try IndexStore.saveIvfIndex(spark, compacted,
+              EpochDirs.dir(l1Root(root), newId), s"compact after=$prevL1",
+              params(nCells, trainSample, iters))
+            finally { compacted.release(); view.release() }
+            EpochDirs.prune(spark, l1Root(root),
+              l1Epochs(spark, root, nCells, trainSample, iters).take(2).toSet)
+            EpochDirs.prune(spark, l0Root(root),
+              l0Epochs(spark, root, nCells, trainSample, iters)
+                .filter(_ > prevL1).toSet)
+            Some(newId)
+        }
+      }
+
   /** Start the tiered roll: `vectors` (a streaming frame with
     * `idCol`/`vecCol`) → per-batch [[foldBatch]] → committed L0/L1
     * epochs under `root`. */

@@ -34,11 +34,29 @@ object MedianBench {
       .foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
       }
-    graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)
-    graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)
-    graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)
-    graft.queries.CoreQueries.prepareGraphIndex(spark, sfDir)
-    graft.queries.TextQueries.preparePostingsIndex(spark, sfDir)
+    // Per-family build references, stamped as `build_<family>` rows next
+    // to the query medians (r14 verdict #2: the driver's index_build_sec
+    // read 122.9 s vs 22.4 s healthy and NOTHING in the artifact could
+    // say which family regressed vs which window starved). One cold
+    // in-session measurement per family — the caches are per (session,
+    // dir), so reps would time the cache; Bench compares its own per-
+    // family build seconds against these via the same ratio gate.
+    val buildRows = Seq[(String, () => Unit)](
+      "ivf" -> (() => graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
+      "cluster" -> (() => graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)),
+      "signature" -> (() => graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
+      "graph" -> (() => graft.queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
+      "postings" -> (() => graft.queries.TextQueries.preparePostingsIndex(spark, sfDir))
+    ).map { case (name, build) =>
+      val (sec, steal) = graft.tools.HostCpu.measuring {
+        val t0 = System.nanoTime()
+        build()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"[medians] build_$name $sec%.2fs (steal $steal%.1f%%)")
+      f""""build_$name":{"median":$sec%.4f,"min":$sec%.4f,"max":$sec%.4f,""" +
+        f""""steal_min_rep":${math.round(steal * 10) / 10.0}%s}"""
+    }
 
     // Each rep carries the host-steal share of its own window (HostCpu):
     // on this shared-host guest, identical reps swing up to 6× under
@@ -72,7 +90,7 @@ object MedianBench {
       s""""machine_cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""steal_pct_run":${math.round(runStealPct * 10) / 10.0},""" +
       s""""cpu_spin_score_before":$spinBefore,"cpu_spin_score_after":$spinAfter,""" +
-      s""""queries":{${rows.mkString(",")}}}"""
+      s""""queries":{${(rows ++ buildRows).mkString(",")}}}"""
     Files.write(Paths.get(outFile), (json + "\n").getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[medians] wrote $outFile")
     spark.stop()

@@ -251,6 +251,24 @@ object StreamBench {
     require(itVecs == vCnt,
       s"tiered ivfpq roll folded $itVecs vectors, staged $vCnt")
 
+    // --- MAINTENANCE majors on the rolled IVFADC root (r14 verdict #3/#4):
+    // physical tombstone compaction (~5% of ids dead) and a full model
+    // retrain over the retained corpus, each committed as a new L1
+    // generation — the cost a deployment's maintenance window pays
+    val itTombs = vecs.filter(col("vec_id") % 20 === 3).select("vec_id")
+    val icompactSec = timed {
+      graft.streaming.IvfPqTieredStream.compactMajor(spark,
+        s"$tmp/ivfpq_tiered", itTombs, "vec_id", threshold = 0.01,
+        dim = 64).getOrElse(sys.error("compaction major did not fire"))
+    }
+    val retainedCorpus = vecs.join(itTombs.withColumnRenamed("vec_id", "dead_id"),
+      col("vec_id") === col("dead_id"), "left_anti")
+    val iretrainSec = timed {
+      graft.streaming.IvfPqTieredStream.retrainMajor(retainedCorpus,
+        "vec_id", "embedding", s"$tmp/ivfpq_tiered", dim = 64)
+        .getOrElse(sys.error("retrain major found no standing generation"))
+    }
+
     // --- lexical epoch roll (postings maintenance path): the documents
     // table as nChunks drops; batch 0 bootstrap-builds, the rest fold —
     // the rate includes |Δ| tokenization + the compact-frame epoch rewrite
@@ -407,6 +425,8 @@ object StreamBench {
         f""""vector_tiered_roll":{"vectors":$vCnt,"sec":$vtrollSec%.2f,"rate":${vCnt / vtrollSec}%.0f},""" +
         f""""pq_tiered_roll":{"vectors":$vCnt,"sec":$ptrollSec%.2f,"rate":${vCnt / ptrollSec}%.0f},""" +
         f""""ivfpq_tiered_roll":{"vectors":$vCnt,"sec":$itrollSec%.2f,"rate":${vCnt / itrollSec}%.0f},""" +
+        f""""ivfpq_compact_major":{"vectors":$vCnt,"sec":$icompactSec%.2f},""" +
+        f""""ivfpq_retrain_major":{"vectors":$vCnt,"sec":$iretrainSec%.2f},""" +
         f""""line_graph_roll":{"lines":$rlCnt,"sec":$crollSec%.2f,"rate":${rlCnt / crollSec}%.0f},""" +
         f""""line_graph_tiered_roll":{"lines":$rlCnt,"sec":$ctrollSec%.2f,"rate":${rlCnt / ctrollSec}%.0f},""" +
         f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f},""" +

@@ -98,7 +98,7 @@ class HtnPipelineSpec extends SparkSpec {
   }
 
   test("exclusion metrics count single patients") {
-    val m = result.metrics
+    val m = result.metrics.get
     assert(m.cohort - m.afterPregnancy === 1)  // PX_PREG
     assert(m.afterPregnancy - m.afterEsrd === 1) // PX_ESRD
     assert(m.afterEsrd - m.afterCare === 1)    // PX_HOSPICE

@@ -241,4 +241,47 @@ class MultimodalSpec extends SparkSpec {
     } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
     assert(pairs.toSet === brute, "banded pair set must equal brute force")
   }
+
+  test("incremental near-dup fold ≡ rebuild: new pairs are exactly the " +
+       "batch-involved slice of the full pair set; durable store round-trips") {
+    import sqlImplicits._
+    // gradient images with a planted cross-boundary near-dup: standing
+    // image 0's 2× resize arrives IN THE BATCH as id 100, and a planted
+    // batch-internal pair (101 ≈ 102, same pixels re-encoded)
+    val imgs = syntheticReal(spark, 60).filter(_.kind == "image").collect()
+    val base = ImageCodec.decode(imgs.find(_.media_id == 0L).get.media).get
+    val standingRows = imgs.map(r => (r.media_id, r.media)).toSeq
+    val standing = standingRows.toDF("media_id", "media")
+    val batchRows = Seq(
+      (100L, ImageCodec.encodePng(
+        ImageCodec.resize(base, base.getWidth * 2, base.getHeight * 2))),
+      (101L, ImageCodec.encodePng(base)),
+      (102L, ImageCodec.encodePng(ImageCodec.resize(base,
+        base.getWidth, base.getHeight))))
+    val batch = batchRows.toDF("media_id", "media")
+
+    // durable store: save standing hashes, load back (zero re-decode)
+    val root = java.nio.file.Files.createTempDirectory("mm_ahash").toString
+    saveAHashIndex(spark, imageHashes(standing), root, "spec")
+    val loaded = loadAHashIndex(spark, root)
+      .getOrElse(fail("aHash store round-trip failed"))
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val folded = pairSet(
+      incrementalImageNearDupPairs(loaded, batch, maxHamming = 3))
+    // fold ≡ rebuild: pairs(standing ∪ batch) = pairs(standing) ∪ new,
+    // disjointly — the incremental identity every index family certifies
+    val full = pairSet(imageNearDupPairs(
+      standing.unionByName(batch), maxHamming = 3))
+    val old = pairSet(imageNearDupPairs(standing, maxHamming = 3))
+    assert(folded === (full -- old), "fold must equal rebuild-minus-standing")
+    assert(folded.intersect(old).isEmpty)
+    // both planted kinds surface: cross-boundary and batch-internal
+    assert(folded.exists(p => p._1 == 0L && p._2 == 100L),
+      s"cross-boundary planted pair missing: $folded")
+    assert(folded.exists(p => p._1 == 101L && p._2 == 102L),
+      s"batch-internal planted pair missing: $folded")
+    graft.io.TempRoots.delete(root)
+  }
 }

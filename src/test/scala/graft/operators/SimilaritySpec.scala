@@ -627,4 +627,74 @@ class SimilaritySpec extends SparkSpec {
         "a tombstoned id surfaced through the coarse-pruned rank")
     } finally ipq.release()
   }
+
+  test("ivfCompact / pqCompact / ivfPqCompact: physical compaction ≡ " +
+       "query-time exclusion; threshold and no-dead no-ops return None") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 4)
+    val dead = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // IVF: compacted plain probe ≡ excluding probe on the original
+    val ivf = Similarity.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    try {
+      val want = rows(Similarity.ivfProbeExcluding(ivf, dead, "vec_id",
+        q, "vec_id", "embedding", k = 5))
+      val c = Similarity.ivfCompact(ivf.copy(release = () => ()),
+        dead, "vec_id", threshold = 0.1)
+        .getOrElse(fail("~14% dead must compact at threshold 0.1"))
+      try {
+        assert(rows(Similarity.ivfProbe(c, q, "vec_id", "embedding",
+          k = 5)) === want)
+        // the dead rows are physically GONE, not masked
+        assert(c.assigned.filter(col("nid") % 7 === 3).count() === 0)
+        // a second compaction against the same set finds nothing stored
+        assert(Similarity.ivfCompact(c.copy(release = () => ()),
+          dead, "vec_id").isEmpty, "no dead rows stored → None")
+      } finally c.release()
+      // below threshold: nothing committed, caller keeps excluding
+      assert(Similarity.ivfCompact(ivf.copy(release = () => ()),
+        dead, "vec_id", threshold = 0.5).isEmpty,
+        "~14% dead must NOT compact at threshold 0.5")
+    } finally ivf.release()
+
+    // PQ + IVFADC: same identity through the coded families
+    val pq = Similarity.pqBuild(e, "vec_id", "embedding", dim = 64,
+      m = 4, k = 8)
+    try {
+      val want = rows(Similarity.pqTopKExcluding(pq, dead, "vec_id",
+        q, "vec_id", "embedding", k = 5))
+      val c = Similarity.pqCompact(pq.copy(release = () => ()),
+        dead, "vec_id").getOrElse(fail("dead rows stored → must compact"))
+      try assert(rows(Similarity.pqTopK(c, q, "vec_id", "embedding",
+        k = 5)) === want)
+      finally c.release()
+    } finally pq.release()
+
+    val ipq = Similarity.ivfPqBuild(e, "vec_id", "embedding", dim = 64,
+      nCells = 8, m = 4, k = 8)
+    try {
+      val want = rows(Similarity.ivfPqProbeExcluding(ipq, dead, "vec_id",
+        q, "vec_id", "embedding", k = 5, nProbe = 4))
+      val c = Similarity.ivfPqCompact(ipq.copy(release = () => ()),
+        dead, "vec_id").getOrElse(fail("dead rows stored → must compact"))
+      try assert(rows(Similarity.ivfPqProbe(c, q, "vec_id", "embedding",
+        k = 5, nProbe = 4)) === want)
+      finally c.release()
+    } finally ipq.release()
+  }
+
+  test("compact release(): the survivor persist is freed") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val dead = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ivf = Similarity.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    val c = Similarity.ivfCompact(ivf.copy(release = () => ()),
+      dead, "vec_id").get
+    c.release(); ivf.release()
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(survivors.isEmpty,
+      s"compact + base release must free every persist; alive: $survivors")
+  }
 }

@@ -155,4 +155,95 @@ class IvfPqTieredStreamSpec extends SparkSpec {
       allIds ++ more.flatMap(_.collect().map(_.getLong(0))))
     finally fresh.release()
   }
+
+  test("compactMajor: dead codes physically dropped into a NEW L1 " +
+       "generation; pinned reader graces; below threshold is a no-op") {
+    import sqlImplicits._
+    val root = Files.createTempDirectory("ipts4_idx").toString
+    val batches = Seq(vecs(1 to 40), vecs(101 to 110), vecs(201 to 210),
+      vecs(301 to 310), vecs(401 to 410))
+    batches.zipWithIndex.foreach { case (b, i) => fold(b, root, i.toLong) }
+
+    val before = load(root).getOrElse(fail("no view"))
+    val allCodes = codes(before.index)
+    val deadIds = Set(5L, 105L, 205L, 305L, 405L)
+    val dead = deadIds.toSeq.toDF("vec_id")
+
+    // below threshold (5/70 ≈ 7% < 50%): nothing committed
+    assert(IvfPqTieredStream.compactMajor(spark, root, dead, "vec_id",
+      threshold = 0.5, dim = DIM, nCells = CELLS, m = M, k = K,
+      coarseIters = ITERS, pqIters = ITERS, trainSample = TRAIN).isEmpty)
+    assert(IvfPqTieredStream.l1Epochs(spark, root, DIM, CELLS, M, K,
+      ITERS, ITERS, TRAIN).head === 3L, "a no-op must not commit an epoch")
+
+    // over threshold: survivor index commits as epochId+1
+    val newId = IvfPqTieredStream.compactMajor(spark, root, dead, "vec_id",
+      threshold = 0.05, dim = DIM, nCells = CELLS, m = M, k = K,
+      coarseIters = ITERS, pqIters = ITERS, trainSample = TRAIN)
+      .getOrElse(fail("7% dead must compact at threshold 5%"))
+    assert(newId === before.epochId + 1)
+
+    // the pre-compaction pinned reader still collects the FULL code set
+    try assert(codes(before.index) === allCodes,
+      "a pinned pre-compaction reader must grace through the swap")
+    finally before.release()
+
+    // the new generation: identical codes minus EXACTLY the dead ids,
+    // zero tombstone debt (plain probe, no exclusion), models untouched
+    val after = load(root).getOrElse(fail("no post-compaction view"))
+    try {
+      assert(after.epochId === newId)
+      assert(after.liveL0s.isEmpty, "compaction absorbs every live L0")
+      assert(codes(after.index) ===
+        allCodes.filterNot(c => deadIds.contains(c._1)))
+    } finally after.release()
+  }
+
+  test("retrainMajor: fresh models commit as a NEW L1 generation with an " +
+       "atomic swap; the drift gate holds on in-distribution batches") {
+    import sqlImplicits._
+    val root = Files.createTempDirectory("ipts5_idx").toString
+    val batches = Seq(vecs(1 to 40), vecs(101 to 110), vecs(201 to 210))
+    batches.zipWithIndex.foreach { case (b, i) => fold(b, root, i.toLong) }
+    val corpus = batches.reduce(_ unionByName _)
+
+    // in-distribution recent batch: the same generator routes the same
+    // way, no cell drifts past the 50%-relative verdict with a generous
+    // cell allowance → the gate must NOT fire
+    assert(IvfPqTieredStream.retrainMajorIfDrifted(corpus, vecs(501 to 540),
+      "vec_id", "emb", root, maxDriftedCells = CELLS, dim = DIM,
+      nCells = CELLS, m = M, k = K, coarseIters = ITERS, pqIters = ITERS,
+      trainSample = TRAIN).isEmpty, "in-distribution batch must not retrain")
+
+    val pinned = load(root).getOrElse(fail("no view"))
+    val oldEpoch = pinned.epochId
+
+    // out-of-distribution batch: all mass on one axis routes every row
+    // to one cell — definitional drift, the gate fires at 0 allowed
+    val shifted = (601 to 640).map { i =>
+      val v = Array.fill(DIM)(0.0f); v(0) = 5.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "emb")
+    val newId = IvfPqTieredStream.retrainMajorIfDrifted(corpus, shifted,
+      "vec_id", "emb", root, maxDriftedCells = 0, dim = DIM,
+      nCells = CELLS, m = M, k = K, coarseIters = ITERS, pqIters = ITERS,
+      trainSample = TRAIN).getOrElse(fail("one-cell batch must drift"))
+    assert(newId === oldEpoch + 1)
+
+    // atomic swap: loadCurrent now serves the retrained generation, whose
+    // models + codes equal a flat ivfPqBuild over the same corpus
+    val after = load(root).getOrElse(fail("no post-retrain view"))
+    val twin = Similarity.ivfPqBuild(corpus, "vec_id", "emb", DIM, CELLS,
+      M, K, ITERS, ITERS, TRAIN)
+    try {
+      assert(after.epochId === newId)
+      assert(after.index.centroids.map(_.toSeq).toSeq ===
+        twin.centroids.map(_.toSeq).toSeq)
+      assert(after.index.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        twin.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      assert(codes(after.index) === codes(twin))
+      // the pinned pre-retrain reader still collects (one-major grace)
+      assert(codes(pinned.index).nonEmpty)
+    } finally { after.release(); twin.release(); pinned.release() }
+  }
 }

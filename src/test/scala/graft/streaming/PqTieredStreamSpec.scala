@@ -149,4 +149,32 @@ class PqTieredStreamSpec extends SparkSpec {
       allIds ++ more.flatMap(_.collect().map(_.getLong(0))))
     finally fresh.release()
   }
+
+  test("compactMajor: dead codes dropped into a new L1 generation; " +
+       "below threshold is a no-op") {
+    import sqlImplicits._
+    val root = Files.createTempDirectory("pts4_idx").toString
+    val batches = Seq(vecs(1 to 40), vecs(101 to 110), vecs(201 to 210))
+    batches.zipWithIndex.foreach { case (b, i) => fold(b, root, i.toLong) }
+    val before = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no view"))
+    val allCodes = try codes(before.index) finally before.release()
+    val deadIds = Set(5L, 105L, 205L)
+    val dead = deadIds.toSeq.toDF("vec_id")
+    assert(PqTieredStream.compactMajor(spark, root, dead, "vec_id",
+      threshold = 0.5, dim = DIM, m = M, k = K, iters = ITERS,
+      trainSample = TRAIN).isEmpty, "6% dead must not compact at 50%")
+    val newId = PqTieredStream.compactMajor(spark, root, dead, "vec_id",
+      threshold = 0.05, dim = DIM, m = M, k = K, iters = ITERS,
+      trainSample = TRAIN).getOrElse(fail("6% dead must compact at 5%"))
+    assert(newId === before.epochId + 1)
+    val after = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no post-compaction view"))
+    try {
+      assert(after.epochId === newId)
+      assert(after.liveL0s.isEmpty)
+      assert(codes(after.index) ===
+        allCodes.filterNot(c => deadIds.contains(c._1)))
+    } finally after.release()
+  }
 }

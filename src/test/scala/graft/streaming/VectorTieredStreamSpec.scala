@@ -175,4 +175,35 @@ class VectorTieredStreamSpec extends SparkSpec {
       allIds ++ more.flatMap(_.collect().map(_.getLong(0))))
     finally fresh.release()
   }
+
+  test("compactMajor: dead rows dropped into a new L1 generation; " +
+       "below threshold is a no-op") {
+    import sqlImplicits._
+    val root = Files.createTempDirectory("vts4_idx").toString
+    val batches = Seq(vecs(1 to 60), vecs(101 to 120), vecs(201 to 220))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VectorTieredStream.foldBatch(b, "vec_id", "emb", root, i.toLong,
+        N_CELLS, TRAIN, ITERS, majorEvery = 3)
+    }
+    val before = VectorTieredStream.loadCurrent(spark, root, N_CELLS,
+      TRAIN, ITERS).getOrElse(fail("no view"))
+    val allPairs = try assignedPairs(before.index) finally before.release()
+    val deadIds = Set(5L, 105L, 205L, 210L)
+    val dead = deadIds.toSeq.toDF("vec_id")
+    assert(VectorTieredStream.compactMajor(spark, root, dead, "vec_id",
+      threshold = 0.5, nCells = N_CELLS, trainSample = TRAIN,
+      iters = ITERS).isEmpty, "4% dead must not compact at 50%")
+    val newId = VectorTieredStream.compactMajor(spark, root, dead,
+      "vec_id", threshold = 0.02, nCells = N_CELLS, trainSample = TRAIN,
+      iters = ITERS).getOrElse(fail("4% dead must compact at 2%"))
+    assert(newId === before.epochId + 1)
+    val after = VectorTieredStream.loadCurrent(spark, root, N_CELLS,
+      TRAIN, ITERS).getOrElse(fail("no post-compaction view"))
+    try {
+      assert(after.epochId === newId)
+      assert(after.liveL0s.isEmpty)
+      assert(assignedPairs(after.index) ===
+        allPairs.filterNot(p => deadIds.contains(p._1)))
+    } finally after.release()
+  }
 }
