@@ -228,11 +228,17 @@ object CopurchaseStream {
     * tier's committed marker makes a replayed fold a no-op. */
   def foldBatchTiered(batch: DataFrame, linesDir: String, indexRoot: String,
                       batchId: Long, majorEvery: Int = 8,
-                      compactEvery: Int = 32): Unit =
+                      compactEvery: Int = 32): BatchOutcome = {
+    // surfaced so a maintenance probe (Q82Scale) can attribute per-batch
+    // cost to the REAL tier decision — majors fire on live-L0 count, not
+    // batch-id arithmetic, and a mislabeled major reads as minor jitter
+    var out: BatchOutcome = BatchOutcome.EmptyBatch
     foldBatchWith(batch, linesDir, batchId, compactEvery) { edges =>
-      GraphTieredStream.foldBatch(edges, indexRoot, batchId, majorEvery)
+      out = GraphTieredStream.foldBatch(edges, indexRoot, batchId, majorEvery)
       ()
     }
+    out
+  }
 
   /** The shared batch body behind the flat and tiered folds: line
     * normalization + pin, compaction, bucket listing, delta derivation,
@@ -300,6 +306,7 @@ object CopurchaseStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatchTiered(batch, linesDir, indexRoot, batchId, majorEvery,
           compactEvery)
+        ()
       }
       .start()
 }

@@ -257,6 +257,57 @@ object PqTieredStream {
       }
   }
 
+  /** Maintenance-window MODEL RETRAIN through the major path —
+    * [[IvfPqTieredStream.retrainMajor]]'s PQ twin: train fresh codebooks
+    * over the caller-supplied retained corpus ([[Similarity.pqBuild]] —
+    * epochs store codes only, raw vectors come from the corpus of
+    * record) and commit the re-encoded index as a NEW L1 generation at
+    * `epochId + 1` (atomic marker-write swap; pinned readers grace one
+    * major). `None` when no generation is standing. */
+  def retrainMajor(corpus: DataFrame, idCol: String, vecCol: String,
+                   root: String, dim: Int, m: Int = 4, k: Int = 8,
+                   iters: Int = 4, trainSample: Int = 10000): Option[Long] = {
+    val spark = corpus.sparkSession
+    val pm = params(dim, m, k, iters, trainSample)
+    currentEpochId(spark, root, dim, m, k, iters, trainSample).map { cur =>
+      val prevL1 = l1Epochs(spark, root, dim, m, k, iters, trainSample).head
+      val newId = cur + 1
+      val idx = Similarity.pqBuild(corpus, idCol, vecCol, dim, m, k,
+        iters, trainSample)
+      try IndexStore.savePqIndex(spark, idx,
+        EpochDirs.dir(l1Root(root), newId), s"retrain after=$cur", pm)
+      finally idx.release()
+      EpochDirs.prune(spark, l1Root(root),
+        l1Epochs(spark, root, dim, m, k, iters, trainSample).take(2).toSet)
+      EpochDirs.prune(spark, l0Root(root),
+        l0Epochs(spark, root, dim, m, k, iters, trainSample)
+          .filter(_ > prevL1).toSet)
+      newId
+    }
+  }
+
+  /** The DRIFT-GATED wrapper — [[Similarity.pqDriftAudit]] encodes the
+    * recent batch under the standing codebooks and compares per-subspace
+    * code shares; [[retrainMajor]] fires when more than `maxDriftedCodes`
+    * (subspace, code) cells drift. */
+  def retrainMajorIfDrifted(corpus: DataFrame, recent: DataFrame,
+                            idCol: String, vecCol: String, root: String,
+                            maxDriftedCodes: Int, dim: Int,
+                            m: Int = 4, k: Int = 8, iters: Int = 4,
+                            trainSample: Int = 10000): Option[Long] = {
+    val spark = corpus.sparkSession
+    loadCurrent(spark, root, dim, m, k, iters, trainSample).flatMap { view =>
+      val drifted =
+        try Similarity.pqDriftAudit(view.index, recent, idCol, vecCol)
+          .filter(org.apache.spark.sql.functions.col("drifted")).count()
+        finally view.release()
+      if (drifted > maxDriftedCodes)
+        retrainMajor(corpus, idCol, vecCol, root, dim, m, k, iters,
+          trainSample)
+      else None
+    }
+  }
+
   /** Start the tiered roll: `vectors` (a streaming frame with
     * `idCol`/`vecCol`) → per-batch [[foldBatch]] → committed L0/L1
     * epochs under `root`. */

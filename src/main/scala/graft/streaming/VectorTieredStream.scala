@@ -272,6 +272,58 @@ object VectorTieredStream {
         }
       }
 
+  /** Maintenance-window MODEL RETRAIN through the major path —
+    * [[IvfPqTieredStream.retrainMajor]]'s IVF twin: train fresh
+    * centroids over the caller-supplied retained corpus
+    * ([[Similarity.ivfBuild]]) and commit the re-assigned index as a NEW
+    * L1 generation at `epochId + 1` (atomic marker-write swap; pinned
+    * readers grace one major). The tiered counterpart of
+    * [[VectorEpochStream]]'s in-stream `Retrained` path — there the flat
+    * roll retrains inline because every epoch rewrites the corpus
+    * anyway; here retraining is a deliberate maintenance window. `None`
+    * when no generation is standing. */
+  def retrainMajor(corpus: DataFrame, idCol: String, vecCol: String,
+                   root: String, nCells: Int = 16, trainSample: Int = 10000,
+                   iters: Int = 8): Option[Long] = {
+    val spark = corpus.sparkSession
+    currentEpochId(spark, root, nCells, trainSample, iters).map { cur =>
+      val prevL1 = l1Epochs(spark, root, nCells, trainSample, iters).head
+      val newId = cur + 1
+      val idx = Similarity.ivfBuild(corpus, idCol, vecCol, nCells,
+        trainSample, iters)
+      try IndexStore.saveIvfIndex(spark, idx,
+        EpochDirs.dir(l1Root(root), newId), s"retrain after=$cur",
+        params(nCells, trainSample, iters))
+      finally idx.release()
+      EpochDirs.prune(spark, l1Root(root),
+        l1Epochs(spark, root, nCells, trainSample, iters).take(2).toSet)
+      EpochDirs.prune(spark, l0Root(root),
+        l0Epochs(spark, root, nCells, trainSample, iters)
+          .filter(_ > prevL1).toSet)
+      newId
+    }
+  }
+
+  /** The DRIFT-GATED wrapper — [[Similarity.driftAudit]] over the tiered
+    * view vs a recent arrival batch; [[retrainMajor]] fires when more
+    * than `maxDriftedCells` cells drift. */
+  def retrainMajorIfDrifted(corpus: DataFrame, recent: DataFrame,
+                            idCol: String, vecCol: String, root: String,
+                            maxDriftedCells: Int, nCells: Int = 16,
+                            trainSample: Int = 10000,
+                            iters: Int = 8): Option[Long] = {
+    val spark = corpus.sparkSession
+    loadCurrent(spark, root, nCells, trainSample, iters).flatMap { view =>
+      val drifted =
+        try Similarity.driftAudit(view.index, recent, idCol, vecCol)
+          .filter(org.apache.spark.sql.functions.col("drifted")).count()
+        finally view.release()
+      if (drifted > maxDriftedCells)
+        retrainMajor(corpus, idCol, vecCol, root, nCells, trainSample, iters)
+      else None
+    }
+  }
+
   /** Start the tiered roll: `vectors` (a streaming frame with
     * `idCol`/`vecCol`) → per-batch [[foldBatch]] → committed L0/L1
     * epochs under `root`. */

@@ -48,14 +48,13 @@ object Q82Scale {
       val deltaRows = chunk.count()
       val s0 = HostCpu.snapshot()
       val t0 = System.nanoTime()
-      graft.streaming.CopurchaseStream.foldBatchTiered(chunk, linesDir,
-        indexRoot, batchId = i.toLong, majorEvery = majorEvery)
+      val outcome = graft.streaming.CopurchaseStream.foldBatchTiered(chunk,
+        linesDir, indexRoot, batchId = i.toLong, majorEvery = majorEvery)
       val sec = (System.nanoTime() - t0) / 1e9
       val steal = HostCpu.stealPct(s0, HostCpu.snapshot())
-      val isMajor = i > 0 && (i % majorEvery) == (majorEvery - 1)
       System.err.println(f"[q82scale] batch $i |Δ|=$deltaRows " +
-        f"sec=$sec%.2f steal=$steal%.1f%% ${if (isMajor) "MAJOR" else "minor"}")
-      (i, deltaRows, sec, steal)
+        f"sec=$sec%.2f steal=$steal%.1f%% $outcome")
+      (i, deltaRows, sec, steal, outcome.toString)
     }
 
     // converged view sanity: the merged edge set must be non-empty and
@@ -64,8 +63,10 @@ object Q82Scale {
       .getOrElse(sys.error("scale roll committed nothing"))
     val edgeCnt = try view.mergedEdges.count() finally view.release()
     val spin1 = HostCpu.spinScore()
-    val perBatch = rows.map { case (i, d, s, st) =>
-      f"""{"batch":$i,"delta_rows":$d,"sec":$s%.2f,"steal_pct":${math.round(st * 10) / 10.0}%s}"""
+    val perBatch = rows.map { case (i, d, s, st, oc) =>
+      f"""{"batch":$i,"delta_rows":$d,"sec":$s%.2f,""" +
+        f""""steal_pct":${math.round(st * 10) / 10.0}%s,""" +
+        s""""outcome":${graft.io.Jsons.str(oc)}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"q82_scale","n_lines":$nLines,""" +
       s""""n_batches":$nBatches,"major_every":$majorEvery,""" +

@@ -177,4 +177,45 @@ class PqTieredStreamSpec extends SparkSpec {
         allCodes.filterNot(c => deadIds.contains(c._1)))
     } finally after.release()
   }
+
+  test("retrainMajor: fresh codebooks commit as a new L1 generation; " +
+       "the drift gate holds on in-distribution batches") {
+    import sqlImplicits._
+    val root = Files.createTempDirectory("pts5_idx").toString
+    val batches = Seq(vecs(1 to 40), vecs(101 to 110), vecs(201 to 210))
+    batches.zipWithIndex.foreach { case (b, i) => fold(b, root, i.toLong) }
+    val corpus = batches.reduce(_ unionByName _)
+
+    assert(PqTieredStream.retrainMajorIfDrifted(corpus, vecs(501 to 540),
+      "vec_id", "emb", root, maxDriftedCodes = M * K, dim = DIM, m = M,
+      k = K, iters = ITERS, trainSample = TRAIN).isEmpty,
+      "in-distribution batch must not retrain")
+
+    val view = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no view"))
+    val oldEpoch = try view.epochId finally view.release()
+
+    // all-identical vectors collapse every subspace onto one code —
+    // definitional code drift, fires at 0 allowed
+    val shifted = (601 to 640).map { i =>
+      val v = Array.fill(DIM)(0.0f); v(0) = 5.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "emb")
+    val newId = PqTieredStream.retrainMajorIfDrifted(corpus, shifted,
+      "vec_id", "emb", root, maxDriftedCodes = 0, dim = DIM, m = M, k = K,
+      iters = ITERS, trainSample = TRAIN)
+      .getOrElse(fail("one-point batch must drift"))
+    assert(newId === oldEpoch + 1)
+
+    val after = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
+      TRAIN).getOrElse(fail("no post-retrain view"))
+    val twin = Similarity.pqBuild(corpus, "vec_id", "emb", DIM, M, K,
+      ITERS, TRAIN)
+    try {
+      assert(after.epochId === newId)
+      assert(after.index.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        twin.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      assert(codes(after.index) === codes(twin))
+    } finally { after.release(); twin.release() }
+  }
 }

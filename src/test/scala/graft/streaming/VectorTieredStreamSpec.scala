@@ -206,4 +206,45 @@ class VectorTieredStreamSpec extends SparkSpec {
         allPairs.filterNot(p => deadIds.contains(p._1)))
     } finally after.release()
   }
+
+  test("retrainMajor: fresh centroids commit as a new L1 generation; " +
+       "the drift gate holds on in-distribution batches") {
+    import sqlImplicits._
+    val root = Files.createTempDirectory("vts5_idx").toString
+    val batches = Seq(vecs(1 to 60), vecs(101 to 120), vecs(201 to 220))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VectorTieredStream.foldBatch(b, "vec_id", "emb", root, i.toLong,
+        N_CELLS, TRAIN, ITERS, majorEvery = 3)
+    }
+    val corpus = batches.reduce(_ unionByName _)
+
+    assert(VectorTieredStream.retrainMajorIfDrifted(corpus,
+      vecs(501 to 540), "vec_id", "emb", root,
+      maxDriftedCells = N_CELLS, nCells = N_CELLS, trainSample = TRAIN,
+      iters = ITERS).isEmpty, "in-distribution batch must not retrain")
+
+    val view = VectorTieredStream.loadCurrent(spark, root, N_CELLS, TRAIN,
+      ITERS).getOrElse(fail("no view"))
+    val oldEpoch = try view.epochId finally view.release()
+
+    // one far-away point routes every row to one cell: definitional drift
+    val shifted = (601 to 640).map(i => (i.toLong, Array(50.0f, 50.0f)))
+      .toDF("vec_id", "emb")
+    val newId = VectorTieredStream.retrainMajorIfDrifted(corpus, shifted,
+      "vec_id", "emb", root, maxDriftedCells = 0, nCells = N_CELLS,
+      trainSample = TRAIN, iters = ITERS)
+      .getOrElse(fail("one-point batch must drift"))
+    assert(newId === oldEpoch + 1)
+
+    val after = VectorTieredStream.loadCurrent(spark, root, N_CELLS,
+      TRAIN, ITERS).getOrElse(fail("no post-retrain view"))
+    val twin = Similarity.ivfBuild(corpus, "vec_id", "emb", N_CELLS,
+      TRAIN, ITERS)
+    try {
+      assert(after.epochId === newId)
+      assert(after.index.centroids.map(_.toSeq).toSeq ===
+        twin.centroids.map(_.toSeq).toSeq)
+      assert(assignedPairs(after.index) === assignedPairs(twin))
+    } finally { after.release(); twin.release() }
+  }
 }
