@@ -346,12 +346,22 @@ object Bench {
     // warnings against the retimed values: what survives a second healthy
     // run is a real regression signal, not a starved window
     val ratioWarningsAfter = flagged(retimed)
+    // ...split by what a survivor costs the HEADLINE: excess (sec −
+    // median) above 1 s can move `value` and reads as a regression;
+    // below it is the jitter the 1.5× gate over-catches on 0.3–1.3 s
+    // medians — two real runs both landing ≥ 1.5× of a sub-second median
+    // is routine GC/JIT noise (measured: 9 such on a 0.1%-steal window,
+    // 4.3 s aggregate on a 191.6 s headline). Both ship in the artifact;
+    // the compact counts keep the signal/noise distinction readable.
+    val (ratioMajor, ratioMinor) =
+      ratioWarningsAfter.partition { case (_, (sec, med)) => sec - med > 1.0 }
     def ratioMap(ws: Seq[(String, (Double, Double))]): String =
       ws.map { case (n, (sec, med)) =>
         s"""${jsonStr(n)}:{"sec":$sec,"median":$med,""" +
           s""""ratio":${math.round(sec / med * 100) / 100.0}}"""
       }.mkString("{", ",", "}")
-    val ratioJson = ratioMap(ratioWarningsAfter)
+    val ratioJson = ratioMap(ratioMajor)
+    val ratioMinorJson = ratioMap(ratioMinor)
     val ratioOneshotJson = ratioMap(ratioWarnings)
     val retriedJson = retried.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
@@ -418,6 +428,7 @@ object Bench {
       s""""persisted_rdds_leaked":${rddRows(leaked)},""" +
       s""""release_error":${releaseErr.map(jsonStr).getOrElse("null")},""" +
       s""""ratio_warnings":$ratioJson,""" +
+      s""""ratio_warnings_minor":$ratioMinorJson,""" +
       s""""ratio_warnings_oneshot":$ratioOneshotJson,""" +
       s""""medians_file":${jsonStr(mediansFile)},""" +
       s""""medians_commit":${jsonStr(mediansCommit)},""" +
@@ -469,7 +480,8 @@ object Bench {
          s""""cpu_spin_sampled_min":${spinSamples.min},""" else "") +
       s""""cpu_spin_starved":${capSampler.starved()},""" +
       s""""leaked_rdds":${leaked.size},""" +
-      s""""ratio_warnings":${ratioWarningsAfter.size},""" +
+      s""""ratio_warnings":${ratioMajor.size},""" +
+      s""""ratio_warnings_minor":${ratioMinor.size},""" +
       s""""full":${jsonStr(outFile)},"sf":${jsonStr(sfDir)}}"""
     // Releases already ran (before the leak census). The summary itself
     // prints in the FINALLY: a Throwable out of spark.stop() must not eat
