@@ -318,20 +318,35 @@ object Dedup {
   def signatureBuild(corpus: DataFrame, idCol: String, textCol: String,
                      k: Int = 128, bands: Int = 32,
                      shingleWidth: Int = 3): SignatureIndex = {
+    val sigs = signatureFrame(corpus, idCol, textCol, k, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = bucketsFromSigs(sigs, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count(); buckets.count()
+    SignatureIndex(k, bands, shingleWidth, sigs, buckets,
+      () => { sigs.unpersist(); buckets.unpersist(); () })
+  }
+
+  /** The per-doc signature computation alone — the `(id, sig, ss)` frame
+    * a tiered L0 epoch commits ([[graft.streaming.SignatureTieredStream]]):
+    * one tokenize pass over `df`, no bucket aggregation. */
+  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 128, shingleWidth: Int = 3): DataFrame =
+    sigShingleFrame(df, idCol, textCol, k, shingleWidth)
+
+  /** The LSH bucket aggregation over an `(id, sig, ss)` frame — shared by
+    * [[signatureBuild]] and the tiered roll (delta-side buckets at probe
+    * time, merged buckets at major time). Sorted member ids per (band,
+    * band-hash) bucket. */
+  def bucketsFromSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val sigs = sigShingleFrame(corpus, idCol, textCol, k, shingleWidth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sigs
+    sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"), bandHash(col("sig"), col("band"), r).as("bh"))
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("cids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count(); buckets.count()
-    SignatureIndex(k, bands, shingleWidth, sigs, buckets,
-      () => { sigs.unpersist(); buckets.unpersist(); () })
   }
 
   /** [[incrementalExactPairs]] against a prebuilt [[SignatureIndex]] —

@@ -189,6 +189,15 @@ object IndexStore {
     out
   }
 
+  /** Zero-job validity peek at a stored signature index (the
+    * [[ivfIndexMeta]] / [[graphIndexMeta]] shape): the meta map when
+    * present, `signature`-kinded, and parameter-matching — the tiered
+    * dedup roll's commit-marker check, no frame load or persist. */
+  def loadSignatureIndexMeta(spark: SparkSession, dir: String,
+                             expectedParams: Map[String, String] = Map.empty)
+      : Option[Map[String, String]] =
+    validMeta(spark, dir, "signature", None, expectedParams)
+
   // ---------- IVF index
 
   def saveIvfIndex(spark: SparkSession, idx: Similarity.IvfIndex,

@@ -482,6 +482,50 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TIERED signature-index lifecycle — the dedup family's LSM path as
+    // ONE oracle row (the q82 cumulative shape on MinHash-LSH): documents
+    // arrive as four doc_id%4 batches through SignatureTieredStream
+    // (O(|Δ|) tokenize minors, one mid-roll major at majorEvery=3 that
+    // re-aggregates buckets WITHOUT re-tokenizing), and each batch's new
+    // pairs are probed off the pre-fold ≤2-tier view (committed L1
+    // buckets ∪ |Δ|-sized delta buckets — the standing corpus is never
+    // re-tokenized OR re-bucketed per probe). Batch 0 has no standing
+    // view: its within-batch pairs come from the flat d03 kernel. Every
+    // pair surfaces exactly when its later endpoint arrives, so the
+    // accumulated union must equal d03's brute-force all-pairs oracle —
+    // tier commits, cross-tier probe, and major fold certified together.
+    "d14_tiered_dedup" -> { (s, dir) =>
+      import graft.streaming.SignatureTieredStream
+      val root = java.nio.file.Files
+        .createTempDirectory("d14_sig_tiers").toString
+      try {
+        val d = docs(s, dir)
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var schema: org.apache.spark.sql.types.StructType = null
+        (0 until 4).foreach { i =>
+          val batch = d.filter(pmod(col("doc_id"), lit(4)) === i)
+          val pre = SignatureTieredStream.loadCurrent(s, root)
+          val mp = pre match {
+            case Some(view) =>
+              view.newPairsFor(batch, "doc_id", "text", threshold = 0.8)
+            case None =>
+              Dedup.minhashExactPairsManaged(batch, "doc_id", "text",
+                k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
+          }
+          try {
+            val out = mp.pairs.select(col("id_a").as("doc_a"),
+              col("id_b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+            acc ++= out.collect(); schema = out.schema
+          } finally { mp.release(); pre.foreach(_.release()) }
+          SignatureTieredStream.foldBatch(batch, "doc_id", "text", root,
+            i.toLong, majorEvery = 3)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(acc.toSeq, 1), schema)
+          .orderBy("doc_a", "doc_b")
+      } finally graft.io.TempRoots.delete(root)
+    },
+
     // Token statistics per document.
     "t01_token_stats" -> { (s, dir) =>
       val toks = split(col("text"), " ")
@@ -1747,6 +1791,29 @@ object TextQueries {
     * all-pairs Hamming ≤ 3. DedupSpec proves the Spark banded pair set
     * equals brute force, so the oracle may brute-force. Bit 63 maps to
     * BIGINT's sign bit (-2⁶³), reproducing the JVM signed long exactly. */
+  /** Brute-force all-pairs 3-shingle Jaccard at 0.8 — the exact semantics
+    * d03's LSH-accelerated form must reproduce, and (because every pair
+    * surfaces exactly once across the tiered roll's batches) d14's
+    * certificate verbatim. DuckDB shingles via list comprehension over
+    * 1-based inclusive slices: i in [1, len-2] → w[i:i+2] is the 3-token
+    * window. len(w) >= 3 guards the empty-shingle case (0/0 is NaN in
+    * DuckDB, and NaN >= 0.8 is TRUE in its total order — without the
+    * guard, token-less docs would pair with each other). */
+  private val d03Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |     s AS (SELECT doc_id,
+      |             list_distinct([array_to_string(w[i:i+2], ' ')
+      |                            for i in range(1, len(w) - 1)]) AS s
+      |           FROM w WHERE len(w) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.s, b.s)) /
+      |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) /
+      |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private lazy val d04Oracle: String = {
     val mixerRows = simhashBitMixers.zipWithIndex
       .map { case ((r, s), i) => s"($i, $r, $s)" }
@@ -1970,20 +2037,12 @@ object TextQueries {
     // case (0/0 is NaN in DuckDB, and NaN >= 0.8 is TRUE in its total
     // order — without the guard, token-less docs would pair with each
     // other).
-    "d03_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |           FROM documents),
-        |     s AS (SELECT doc_id,
-        |             list_distinct([array_to_string(w[i:i+2], ' ')
-        |                            for i in range(1, len(w) - 1)]) AS s
-        |           FROM w WHERE len(w) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.s, b.s)) /
-        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.s, b.s)) /
-        |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d03_minhash_lsh" -> d03Oracle,
+
+    // d14: the tiered roll's accumulated per-batch pairs cover every pair
+    // exactly once (each surfaces when its later endpoint arrives), so
+    // the certificate is d03's brute-force all-pairs replay VERBATIM.
+    "d14_tiered_dedup" -> d03Oracle,
 
     // d06: d03's brute-force all-pairs, restricted to pairs touching the
     // odd-id batch (corpus×corpus excluded — the operator's contract).
