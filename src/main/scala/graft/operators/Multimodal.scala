@@ -254,6 +254,30 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup matches of PROBE images against a STANDING hash index only
+    * — the serving shape (no probe×probe pairs; ingest folds use
+    * [[incrementalNearDupPairsFromHashes]], which emits them): one row
+    * `(qid, media_id, hamming)` per standing image within the budget of
+    * each probe, orientation kept. Same pigeonhole banding, probe side
+    * broadcast. Probe ids should come from a namespace disjoint from the
+    * corpus (the serve contract shared with Similarity.pqTopK); a probe
+    * that IS a corpus member is guarded from matching itself by id. */
+  def nearDupProbeFromHashes(standing: DataFrame, probeHashes: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    val p = bandedHashes(probeHashes, maxHamming)
+      .toDF("qid", "ph_q", "band", "bv")
+    val s = bandedHashes(standing, maxHamming)
+      .toDF("media_id", "ph_s", "band_b", "bv_b")
+    broadcast(p)
+      .join(s, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("qid") =!= col("media_id"))
+      .select(col("qid"), col("media_id"),
+        bit_count(col("ph_q").bitwiseXOR(col("ph_s"))).cast("int")
+          .as("hamming"))
+      .distinct() // a match can share several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Persist a (media_id, phash) frame as a DURABLE aHash index (the
     * ingest-time hash column's store): [[graft.operators.IndexStore]]
     * stage semantics — commit marker, params echo, zero-job lazy load.

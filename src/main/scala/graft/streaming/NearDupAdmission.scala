@@ -117,6 +117,46 @@ object NearDupAdmission {
       }
       .start()
 
+  /** [[start]] against a TIERED signature root ([[SignatureTieredStream]])
+    * — the admission front door over the dedup family's LSM path: each
+    * batch admits against the newest COMMITTED tiered view (an
+    * [[EpochPin]] swaps on a minor or major commit, never mid-batch), so
+    * the index-epoch staleness this object's scaladoc documents shrinks
+    * from "until the next flat rebuild" to "until the next O(|Δ|) minor".
+    * The per-batch index is the view's [[SignatureTieredStream.Tiered
+    * .probeIndex]] — committed L1 buckets ∪ delta-side buckets, no
+    * standing re-aggregation. Accepted rows are stamped with the
+    * answering epoch. */
+  def startTiered(docs: DataFrame, indexRoot: String,
+                  idCol: String, textCol: String,
+                  outDir: String, checkpointDir: String,
+                  threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+                  shingleWidth: Int = 3,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    val pin = new EpochPin[SignatureTieredStream.Tiered](
+      () => SignatureTieredStream.currentEpochId(spark, indexRoot, k,
+        bands, shingleWidth),
+      () => SignatureTieredStream.loadCurrent(spark, indexRoot, k, bands,
+        shingleWidth).map(t => t.epochId -> t),
+      (t: SignatureTieredStream.Tiered) => t.release())
+    EpochPin.bound(spark, pin) {
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (epochId, view) = pin.get()
+          val kept = admit(batch, view.probeIndex, idCol, textCol, threshold)
+          try {
+            val dir = new Path(outDir, s"batch=$batchId")
+            kept.withColumn("epoch_id", lit(epochId))
+              .write.mode("overwrite").parquet(dir.toString)
+          } finally { kept.unpersist(); () }
+        }
+        .start()
+    }
+  }
+
   /** Read back the full accept log (all batch partitions). */
   def acceptLog(spark: SparkSession, outDir: String): DataFrame =
     spark.read

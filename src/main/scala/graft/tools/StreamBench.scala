@@ -311,6 +311,50 @@ object StreamBench {
     require(ltDocs == dTok,
       s"tiered lex roll folded $ltDocs docs, staged $dTok token-bearing")
 
+    // --- TIERED signature roll: the same staged document drops through
+    // SignatureTieredStream (O(|Δ|) tokenize minors, re-aggregate-only
+    // bucket majors — the dedup family's LSM path)
+    val strollSec = timed {
+      val q = graft.streaming.SignatureTieredStream.start(
+        spark.readStream.schema(docsT.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/doc_landing"),
+        "doc_id", "text", s"$tmp/sig_tiered", s"$tmp/ckpt_stroll",
+        majorEvery = 4)
+      awaitOrStop(q, "signature_tiered_roll")
+    }
+    val stView = graft.streaming.SignatureTieredStream.loadCurrent(spark,
+      s"$tmp/sig_tiered")
+      .getOrElse(sys.error("tiered signature roll committed nothing"))
+    val stDocs = try stView.sigs.count() finally stView.release()
+    // the signature kernel emits only shingle-bearing docs (≥ shingleWidth
+    // tokens) — compare against the flat kernel over the same table
+    val sigDocs = graft.operators.Dedup
+      .signatureFrame(docsT, "doc_id", "text").count()
+    require(stDocs == sigDocs,
+      s"tiered signature roll folded $stDocs docs, flat kernel has $sigDocs")
+
+    // --- TIERED media roll: real PNG drops through MediaTieredStream
+    // (|Δ| decode+aHash minors, model-free union majors)
+    val media = graft.operators.Multimodal
+      .syntheticReal(spark, 1800).toDF()
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("media"))
+    val mCnt = media.count()
+    media.repartition(nChunks).write.parquet(s"$tmp/media_landing")
+    val mtrollSec = timed {
+      val q = graft.streaming.MediaTieredStream.start(
+        spark.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/media_landing"),
+        s"$tmp/media_tiered", s"$tmp/ckpt_mtroll", majorEvery = 4)
+      awaitOrStop(q, "media_tiered_roll")
+    }
+    val mtView = graft.streaming.MediaTieredStream.loadCurrent(spark,
+      s"$tmp/media_tiered")
+      .getOrElse(sys.error("tiered media roll committed nothing"))
+    val mtImgs = mtView.hashes.count()
+    require(mtImgs == mCnt,
+      s"tiered media roll hashed $mtImgs images, staged $mCnt")
+
     // --- serve-side rates: the three serving streams probe the epochs
     // the roll sections just committed (the production pairing — a
     // single-writer roll underneath, a reader stream on top). Each
@@ -431,6 +475,8 @@ object StreamBench {
         f""""line_graph_tiered_roll":{"lines":$rlCnt,"sec":$ctrollSec%.2f,"rate":${rlCnt / ctrollSec}%.0f},""" +
         f""""lex_roll":{"docs":$dCnt,"sec":$lrollSec%.2f,"rate":${dCnt / lrollSec}%.0f},""" +
         f""""lex_tiered_roll":{"docs":$dCnt,"sec":$ltrollSec%.2f,"rate":${dCnt / ltrollSec}%.0f},""" +
+        f""""signature_tiered_roll":{"docs":$stDocs,"sec":$strollSec%.2f,"rate":${stDocs / strollSec}%.0f},""" +
+        f""""media_tiered_roll":{"images":$mCnt,"sec":$mtrollSec%.2f,"rate":${mCnt / mtrollSec}%.0f},""" +
         s""""lex_serve":${serveJson(lqCnt, lsecLo, lsecHi, lfloor, lmarg)},""" +
         s""""graph_serve":${serveJson(gqCnt, gsecLo, gsecHi, gfloor, gmarg)},""" +
         s""""vector_serve":${serveJson(vqCnt, vsecLo, vsecHi, vfloor, vmarg)},""" +

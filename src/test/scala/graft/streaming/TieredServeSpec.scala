@@ -269,4 +269,122 @@ class TieredServeSpec extends SparkSpec {
         "the swapped pin must serve the minor's delta")
     } finally pin.close()
   }
+
+  /** 64×64 random-block PNG keyed by id — distinct ids land near Hamming
+    * 32; ids ≡ 3 (mod 7) reuse the content of i−3 with one block
+    * inverted (a planted near-dup), the MediaQueries fixture shape. */
+  private def blockImg(i: Long): Array[Byte] = {
+    def color(seed: Long, bx: Int, by: Int): Int = {
+      var x = seed * 1103515245L + by * 7919L + bx * 104729L + 12345L
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+      (x & 0xffffff).toInt
+    }
+    val seed = if (i % 7 == 3 && i >= 3) i - 3 else i
+    val flip = if (i % 7 == 3) ((i * 31) % 64).toInt else -1
+    val im = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach { y =>
+      (0 until 64).foreach { x =>
+        val b = (y / 8) * 8 + (x / 8)
+        var c = color(seed, x / 8, y / 8)
+        if (b == flip) c ^= 0xffffff
+        im.setRGB(x, y, c)
+      }
+    }
+    graft.operators.ImageCodec.encodePng(im)
+  }
+
+  private def images(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, blockImg(i.toLong))).toDF("media_id", "media")
+
+  test("media: tiered-served near-dup answers equal the direct probe over " +
+       "the flat hash frame; a minor commit swaps the pin at the next batch") {
+    val tRoot = Files.createTempDirectory("tsm_t").toString
+    Seq(images(0 until 6), images(6 until 10)).zipWithIndex.foreach {
+      case (b, i) => MediaTieredStream.foldBatch(b, tRoot, i.toLong,
+        majorEvery = 2) // batch 1 is a major: the served view spans an L1
+    }
+    // probe ids in a disjoint namespace; content duplicates standing
+    // images (hamming 0 hits, plus any planted-dup spillover) + one
+    // distinct image (no hit within budget)
+    val probes = Seq(
+      (1000L, blockImg(0L)), (1003L, blockImg(3L)), (1007L, blockImg(777L)))
+      .toDF("media_id", "media")
+    val in = stageOne(probes,
+      Files.createTempDirectory("tsm_in").toString + "/q")
+    val out = Files.createTempDirectory("tsm_out").toString
+    val sq = MediaServeStream.startTiered(
+      spark.readStream.schema(probes.schema).parquet(in), tRoot, out,
+      Files.createTempDirectory("tsm_ck").toString, maxHamming = 6)
+    assert(sq.awaitTermination(180000L), "serve must drain")
+    val served = readAnswers(out)
+
+    val direct = graft.operators.Multimodal.nearDupProbeFromHashes(
+        graft.operators.Multimodal.imageHashes(images(0 until 10)),
+        graft.operators.Multimodal.imageHashes(probes), maxHamming = 6)
+      .collect().map(_.toSeq).toSet
+    assert(served === direct, "tiered-served ≠ direct flat probe")
+    // 1000 hits 0 (and 3, its planted dup within budget both ways);
+    // 1007's content seed 777 matches nothing
+    assert(served.exists(r => r.head == 1000L && r(1) == 0L))
+    assert(!served.exists(_.head == 1007L))
+
+    val pin = MediaServeStream.tieredPinFor(spark, tRoot)
+    try {
+      val (id0, _) = pin.get()
+      MediaTieredStream.foldBatch(images(50 until 55), tRoot, 5L,
+        majorEvery = 8)
+      val (id1, t1) = pin.get()
+      assert(id1 === 5L && id1 != id0, "minor commit must bump the pin")
+      assert(t1.hashes.filter(col("media_id") >= 50L).count() === 5L,
+        "the swapped pin must serve the minor's delta")
+    } finally pin.close()
+  }
+
+  test("dedup admission: tiered-pinned admission equals admission against " +
+       "the flat rebuild of the same standing corpus") {
+    // the SignatureTieredStreamSpec fixture: 40 unique tokens per doc,
+    // ids ≡ 2 (mod 5) near-dup i−2 at 3-shingle Jaccard ≈ 0.95
+    def text(i: Long): String = {
+      val base = if (i % 5 == 2 && i >= 2) i - 2 else i
+      val toks = (0 until 40).map(t => s"w${base}_$t").toArray
+      if (i % 5 == 2) toks(39) = s"alt$i"
+      toks.mkString(" ")
+    }
+    def docsOf(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, text(i.toLong))).toDF("doc_id", "text")
+    val K = 64; val BANDS = 16; val SW = 3
+    val tRoot = Files.createTempDirectory("tsd_t").toString
+    // 3 fold batches, majorEvery=3 → the view spans an L1 (major @2)
+    (0 until 3).foreach(i => SignatureTieredStream.foldBatch(
+      docsOf(i * 20 until (i + 1) * 20), "doc_id", "text", tRoot, i.toLong,
+      majorEvery = 3, K, BANDS, SW))
+    // arrival batch: 62 dups standing 60, 67 dups 65 (same batch — the
+    // pair rule rejects the larger id), 61/63/64… are fresh
+    val arrivals = docsOf(60 until 70)
+    val in = stageOne(arrivals,
+      Files.createTempDirectory("tsd_in").toString + "/d")
+    val out = Files.createTempDirectory("tsd_out").toString
+    val sq = NearDupAdmission.startTiered(
+      spark.readStream.schema(arrivals.schema).parquet(in), tRoot,
+      "doc_id", "text", out,
+      Files.createTempDirectory("tsd_ck").toString,
+      threshold = 0.8, k = K, bands = BANDS, shingleWidth = SW)
+    assert(sq.awaitTermination(180000L), "admission must drain")
+    val acceptedTiered = NearDupAdmission.acceptLog(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val flatIdx = graft.operators.Dedup.signatureBuild(docsOf(0 until 60),
+      "doc_id", "text", K, BANDS, SW)
+    val keptFlat = NearDupAdmission.admit(arrivals, flatIdx, "doc_id",
+      "text", threshold = 0.8)
+    try {
+      val acceptedFlat = keptFlat.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(acceptedTiered === acceptedFlat, "tiered admission ≠ flat")
+      assert(!acceptedTiered.contains(62L), "62 near-dups standing 60")
+      assert(!acceptedTiered.contains(67L), "67 near-dups batch sibling 65")
+      assert(acceptedTiered.contains(65L) && acceptedTiered.contains(61L))
+    } finally { keptFlat.unpersist(); flatIdx.release() }
+  }
 }
