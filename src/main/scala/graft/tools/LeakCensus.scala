@@ -36,6 +36,7 @@ object LeakCensus {
     graft.queries.CoreQueries.releaseGraphIndexes(spark)
     graft.queries.TextQueries.releasePostingsIndexes(spark)
     graft.queries.TextQueries.releaseSwapHeld(spark)
+    graft.queries.HtnQueries.releaseHeld(spark)
     val leaked = census
     println(s"=== after releases: ${leaked.size} STRAYS")
     leaked.toSeq.sortBy(_._1).foreach { case (id, n) => println(s"  $id: $n") }
