@@ -318,6 +318,9 @@ object Dedup {
   def signatureBuild(corpus: DataFrame, idCol: String, textCol: String,
                      k: Int = 128, bands: Int = 32,
                      shingleWidth: Int = 3): SignatureIndex = {
+    // validate BEFORE the persist: bucketsFromSigs would throw after the
+    // sigs cache entry is registered with no release handle constructed
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
     val sigs = signatureFrame(corpus, idCol, textCol, k, shingleWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = bucketsFromSigs(sigs, k, bands)

@@ -2067,16 +2067,19 @@ object CoreQueries {
     "q81_tiered_roll" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
       val root = java.nio.file.Files.createTempDirectory("q81_tiered").toString
-      (0 until 5).foreach { i =>
-        graft.streaming.GraphTieredStream.foldBatch(
-          copurchasePairs(li.filter(pmod(col("l_orderkey"), lit(5)) === i)),
-          root, batchId = i.toLong, majorEvery = 3)
-      }
-      val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
-        .getOrElse(sys.error("tiered roll committed nothing"))
-      // histogram is collected (driver rows) before the root dies
-      try tieredEdgeHistogram(s, view)
-      finally graft.io.TempRoots.delete(root)
+      // the try spans the FOLDS too: a mid-roll throw (starved-window
+      // retry, executor OOM) must not strand the temp root (review catch)
+      try {
+        (0 until 5).foreach { i =>
+          graft.streaming.GraphTieredStream.foldBatch(
+            copurchasePairs(li.filter(pmod(col("l_orderkey"), lit(5)) === i)),
+            root, batchId = i.toLong, majorEvery = 3)
+        }
+        val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
+          .getOrElse(sys.error("tiered roll committed nothing"))
+        // histogram is collected (driver rows) before the root dies
+        tieredEdgeHistogram(s, view)
+      } finally graft.io.TempRoots.delete(root)
     },
 
     // q82: the CROSS-BATCH composition q81 leaves to spec coverage —
@@ -2092,16 +2095,17 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
       val linesDir = java.nio.file.Files.createTempDirectory("q82_lines").toString
       val root = java.nio.file.Files.createTempDirectory("q82_tiered").toString
-      (0 until 5).foreach { i =>
-        graft.streaming.CopurchaseStream.foldBatchTiered(
-          li.filter(pmod(col("l_linenumber"), lit(5)) === i)
-            .select("l_orderkey", "l_partkey"),
-          linesDir, root, batchId = i.toLong, majorEvery = 3)
-      }
-      val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
-        .getOrElse(sys.error("tiered line roll committed nothing"))
-      try tieredEdgeHistogram(s, view)
-      finally { graft.io.TempRoots.delete(root)
+      try {
+        (0 until 5).foreach { i =>
+          graft.streaming.CopurchaseStream.foldBatchTiered(
+            li.filter(pmod(col("l_linenumber"), lit(5)) === i)
+              .select("l_orderkey", "l_partkey"),
+            linesDir, root, batchId = i.toLong, majorEvery = 3)
+        }
+        val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
+          .getOrElse(sys.error("tiered line roll committed nothing"))
+        tieredEdgeHistogram(s, view)
+      } finally { graft.io.TempRoots.delete(root)
         graft.io.TempRoots.delete(linesDir) }
     }
   )

@@ -1566,35 +1566,38 @@ object TextQueries {
       import s.implicits._
       val d = docs(s, dir)
       val root = java.nio.file.Files.createTempDirectory("t40_tiered").toString
-      (0 until 4).foreach { i =>
-        graft.streaming.LexTieredStream.foldBatch(
-          d.filter(pmod(col("doc_id"), lit(4)) === i), root,
-          batchId = i.toLong, majorEvery = 3)
-      }
-      val edits = d.filter(pmod(col("doc_id"), lit(16)).isin(0L, 8L))
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(16)) === 0, upper(col("text")))
-            .otherwise(lit("")).as("text"))
-      graft.streaming.LexTieredStream.foldBatch(edits, root,
-        batchId = 4L, majorEvery = 3)
-      val view = graft.streaming.LexTieredStream.loadCurrent(s, root)
-        .getOrElse(sys.error("tiered lex roll committed nothing"))
+      // the outer try spans the FOLDS too (review catch, the q81/q82 scope)
       try {
-        val qterms = Bm25Queries.toDF("qid", "qtext")
-          .select(col("qid"),
-            explode(array_distinct(split(col("qtext"), " "))).as("tok"))
-        val agg = bm25ScoresOverIndex(view.index, qterms, excludeSelf = false)
-        val out = graft.plans.TopK.perKey(agg, Seq("qid"),
-            Seq("score_scaled" -> false, "doc_id" -> true), 5)
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("qid")
-              .orderBy(col("score_scaled").desc, col("doc_id"))))
-          .select(col("qid"), col("rank"), col("doc_id"),
-            col("score_scaled"), col("n_terms"))
-          .orderBy("qid", "rank")
-        val rows = out.collect().toSeq
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
-      } finally { view.release(); graft.io.TempRoots.delete(root) }
+        (0 until 4).foreach { i =>
+          graft.streaming.LexTieredStream.foldBatch(
+            d.filter(pmod(col("doc_id"), lit(4)) === i), root,
+            batchId = i.toLong, majorEvery = 3)
+        }
+        val edits = d.filter(pmod(col("doc_id"), lit(16)).isin(0L, 8L))
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(16)) === 0, upper(col("text")))
+              .otherwise(lit("")).as("text"))
+        graft.streaming.LexTieredStream.foldBatch(edits, root,
+          batchId = 4L, majorEvery = 3)
+        val view = graft.streaming.LexTieredStream.loadCurrent(s, root)
+          .getOrElse(sys.error("tiered lex roll committed nothing"))
+        try {
+          val qterms = Bm25Queries.toDF("qid", "qtext")
+            .select(col("qid"),
+              explode(array_distinct(split(col("qtext"), " "))).as("tok"))
+          val agg = bm25ScoresOverIndex(view.index, qterms, excludeSelf = false)
+          val out = graft.plans.TopK.perKey(agg, Seq("qid"),
+              Seq("score_scaled" -> false, "doc_id" -> true), 5)
+            .withColumn("rank", row_number().over(
+              Window.partitionBy("qid")
+                .orderBy(col("score_scaled").desc, col("doc_id"))))
+            .select(col("qid"), col("rank"), col("doc_id"),
+              col("score_scaled"), col("n_terms"))
+            .orderBy("qid", "rank")
+          val rows = out.collect().toSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        } finally view.release()
+      } finally graft.io.TempRoots.delete(root)
     }
   )
 

@@ -848,25 +848,27 @@ object VectorQueries {
     "v28_pq_tiered_roll" -> { (s, dir) =>
       val e = emb(s, dir)
       val root = java.nio.file.Files.createTempDirectory("v28_tiered").toString
-      (0 until 5).foreach { i =>
-        graft.streaming.PqTieredStream.foldBatch(
-          e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
-          root, batchId = i.toLong, dim = 64, m = 4, k = 8, iters = 4,
-          majorEvery = 3)
-      }
-      val view = graft.streaming.PqTieredStream
-        .loadCurrent(s, root, dim = 64, m = 4, k = 8, iters = 4)
-        .getOrElse(sys.error("tiered pq roll committed nothing"))
-      val out = view.index.encoded
-        .select(col("nid").cast("long").as("vec_id"),
-          col("code_0").cast("long").as("code_0"),
-          col("code_1").cast("long").as("code_1"),
-          col("code_2").cast("long").as("code_2"),
-          col("code_3").cast("long").as("code_3"))
-        .orderBy("vec_id")
-      val (rows, schema) =
-        try (out.collect().toSeq, out.schema)
-        finally { view.release(); graft.io.TempRoots.delete(root) }
+      // the outer try spans the FOLDS too: a mid-roll throw must not
+      // strand the temp root (review catch, the q81/q82 scope)
+      val (rows, schema) = try {
+        (0 until 5).foreach { i =>
+          graft.streaming.PqTieredStream.foldBatch(
+            e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
+            root, batchId = i.toLong, dim = 64, m = 4, k = 8, iters = 4,
+            majorEvery = 3)
+        }
+        val view = graft.streaming.PqTieredStream
+          .loadCurrent(s, root, dim = 64, m = 4, k = 8, iters = 4)
+          .getOrElse(sys.error("tiered pq roll committed nothing"))
+        val out = view.index.encoded
+          .select(col("nid").cast("long").as("vec_id"),
+            col("code_0").cast("long").as("code_0"),
+            col("code_1").cast("long").as("code_1"),
+            col("code_2").cast("long").as("code_2"),
+            col("code_3").cast("long").as("code_3"))
+          .orderBy("vec_id")
+        try (out.collect().toSeq, out.schema) finally view.release()
+      } finally graft.io.TempRoots.delete(root)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 
@@ -935,27 +937,28 @@ object VectorQueries {
     "v33_ivfadc_tiered_roll" -> { (s, dir) =>
       val e = emb(s, dir)
       val root = java.nio.file.Files.createTempDirectory("v33_tiered").toString
-      (0 until 5).foreach { i =>
-        graft.streaming.IvfPqTieredStream.foldBatch(
-          e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
-          root, batchId = i.toLong, dim = 64, nCells = 8, m = 4, k = 8,
-          coarseIters = 4, pqIters = 4, majorEvery = 3)
-      }
-      val view = graft.streaming.IvfPqTieredStream
-        .loadCurrent(s, root, dim = 64, nCells = 8, m = 4, k = 8,
-          coarseIters = 4, pqIters = 4)
-        .getOrElse(sys.error("tiered ivfadc roll committed nothing"))
-      val out = view.index.coded
-        .select(col("nid").cast("long").as("vec_id"),
-          col("cell").cast("long").as("cell"),
-          col("code_0").cast("long").as("code_0"),
-          col("code_1").cast("long").as("code_1"),
-          col("code_2").cast("long").as("code_2"),
-          col("code_3").cast("long").as("code_3"))
-        .orderBy("vec_id")
-      val (rows, schema) =
-        try (out.collect().toSeq, out.schema)
-        finally { view.release(); graft.io.TempRoots.delete(root) }
+      // the outer try spans the FOLDS too (review catch, the q81/q82 scope)
+      val (rows, schema) = try {
+        (0 until 5).foreach { i =>
+          graft.streaming.IvfPqTieredStream.foldBatch(
+            e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
+            root, batchId = i.toLong, dim = 64, nCells = 8, m = 4, k = 8,
+            coarseIters = 4, pqIters = 4, majorEvery = 3)
+        }
+        val view = graft.streaming.IvfPqTieredStream
+          .loadCurrent(s, root, dim = 64, nCells = 8, m = 4, k = 8,
+            coarseIters = 4, pqIters = 4)
+          .getOrElse(sys.error("tiered ivfadc roll committed nothing"))
+        val out = view.index.coded
+          .select(col("nid").cast("long").as("vec_id"),
+            col("cell").cast("long").as("cell"),
+            col("code_0").cast("long").as("code_0"),
+            col("code_1").cast("long").as("code_1"),
+            col("code_2").cast("long").as("code_2"),
+            col("code_3").cast("long").as("code_3"))
+          .orderBy("vec_id")
+        try (out.collect().toSeq, out.schema) finally view.release()
+      } finally graft.io.TempRoots.delete(root)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 
@@ -1009,23 +1012,24 @@ object VectorQueries {
     "v27_tiered_roll" -> { (s, dir) =>
       val e = emb(s, dir)
       val root = java.nio.file.Files.createTempDirectory("v27_tiered").toString
-      (0 until 5).foreach { i =>
-        graft.streaming.VectorTieredStream.foldBatch(
-          e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
-          root, batchId = i.toLong, nCells = 16, majorEvery = 3)
-      }
-      val view = graft.streaming.VectorTieredStream
-        .loadCurrent(s, root, nCells = 16)
-        .getOrElse(sys.error("tiered vector roll committed nothing"))
-      val out = Similarity.ivfProbe(view.index,
-          e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nProbe = 4)
-        .select(col("qid"), col("rank"), col("nid"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("qid", "rank")
-      val (rows, schema) =
-        try (out.collect().toSeq, out.schema)
-        finally { view.release(); graft.io.TempRoots.delete(root) }
+      // the outer try spans the FOLDS too (review catch, the q81/q82 scope)
+      val (rows, schema) = try {
+        (0 until 5).foreach { i =>
+          graft.streaming.VectorTieredStream.foldBatch(
+            e.filter(pmod(col("vec_id"), lit(5)) === i), "vec_id", "embedding",
+            root, batchId = i.toLong, nCells = 16, majorEvery = 3)
+        }
+        val view = graft.streaming.VectorTieredStream
+          .loadCurrent(s, root, nCells = 16)
+          .getOrElse(sys.error("tiered vector roll committed nothing"))
+        val out = Similarity.ivfProbe(view.index,
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .select(col("qid"), col("rank"), col("nid"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rank")
+        try (out.collect().toSeq, out.schema) finally view.release()
+      } finally graft.io.TempRoots.delete(root)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )

@@ -8,6 +8,27 @@ import org.apache.spark.sql.SparkSession
   * children, listed and pruned with filesystem metadata only. Validity
   * (commit marker + parameter match) stays with each roll's own
   * IndexStore meta peek — this object never reads a marker. */
+/** One epoch-id namespace, two writers (the tiers that have MAINTENANCE
+  * majors — vector, PQ, IVFADC, media, signature): data epochs land at
+  * `batchId × MaintenanceSlots`, maintenance majors (compaction, retrain)
+  * at `standing-epoch-id + 1` — strictly between the last data epoch and
+  * the next, so a maintenance commit can never collide with the NEXT
+  * streaming batch's id and silently swallow that batch via the
+  * replay-skip marker (review catch: at stride 1, a compaction after
+  * batch N committed L1@N+1 and the real batch N+1 then replayed as
+  * Skipped — durable data loss). Readers keep ordering epochs by a plain
+  * Long sort. Up to MaintenanceSlots − 1 maintenance commits fit between
+  * two data batches. The graph/lex tiers have no out-of-band writer and
+  * keep raw batch ids. */
+private[graft] object TierIds {
+  val MaintenanceSlots: Long = 1L << 20
+  def dataEpoch(batchId: Long): Long = {
+    require(batchId >= 0 && batchId < Long.MaxValue / MaintenanceSlots,
+      s"batchId $batchId out of the data-epoch range")
+    batchId * MaintenanceSlots
+  }
+}
+
 private[streaming] object EpochDirs {
 
   def dir(root: String, id: Long): String = s"$root/epoch=$id"

@@ -174,8 +174,12 @@ object IvfPqTieredStream {
     val spark = batch.sparkSession
     val pm = params(dim, nCells, m, k, coarseIters, pqIters, trainSample)
     val l0pm = l0Params(dim, nCells, m, k, coarseIters, pqIters, trainSample)
-    val l0Dir = EpochDirs.dir(l0Root(root), batchId)
-    val l1Dir = EpochDirs.dir(l1Root(root), batchId)
+    // data epochs live at batchId × MaintenanceSlots so an out-of-band
+    // compaction/retrain (standing-epoch + 1) can never take the NEXT
+    // batch's id and turn its replay check into silent data loss
+    val epochId = TierIds.dataEpoch(batchId)
+    val l0Dir = EpochDirs.dir(l0Root(root), epochId)
+    val l1Dir = EpochDirs.dir(l1Root(root), epochId)
     if (IndexStore.stageMeta(spark, l0Dir, l0pm).isDefined ||
         IndexStore.ivfPqIndexMeta(spark, l1Dir, pm).isDefined)
       return Skipped // replayed after a committed save — already applied
@@ -229,7 +233,7 @@ object IvfPqTieredStream {
                   pqIters, trainSample).take(2).toSet)
               val keep = l0Epochs(spark, root, dim, nCells, m, k,
                 coarseIters, pqIters, trainSample).filter(_ > prevL1).toSet
-              EpochDirs.prune(spark, l0Root(root), keep + batchId)
+              EpochDirs.prune(spark, l0Root(root), keep + epochId)
               Major(liveL0.size)
             }
         }

@@ -144,8 +144,12 @@ object MediaTieredStream {
                  majorEvery: Int = 8): BatchOutcome = {
     require(majorEvery >= 2, s"majorEvery must be >= 2, got $majorEvery")
     val spark = batchHashes.sparkSession
-    val l0Dir = EpochDirs.dir(l0Root(root), batchId)
-    val l1Dir = EpochDirs.dir(l1Root(root), batchId)
+    // data epochs live at batchId × MaintenanceSlots so an out-of-band
+    // compaction (standing-epoch + 1) can never take the NEXT batch's id
+    // and turn its replay check into silent data loss
+    val epochId = TierIds.dataEpoch(batchId)
+    val l0Dir = EpochDirs.dir(l0Root(root), epochId)
+    val l1Dir = EpochDirs.dir(l1Root(root), epochId)
     if (IndexStore.stageMeta(spark, l0Dir, l0Params).isDefined ||
         IndexStore.stageMeta(spark, l1Dir, l1Params).isDefined)
       return BatchOutcome.Skipped // replayed after a committed save
@@ -172,7 +176,7 @@ object MediaTieredStream {
           prevL1.foreach { prev =>
             // L0s ≤ the previous L1 are two generations old — no grace
             val keep = l0Epochs(spark, root).filter(_ > prev).toSet
-            EpochDirs.prune(spark, l0Root(root), keep + batchId)
+            EpochDirs.prune(spark, l0Root(root), keep + epochId)
           }
           BatchOutcome.Major(liveL0.size)
         }

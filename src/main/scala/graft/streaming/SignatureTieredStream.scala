@@ -164,7 +164,12 @@ object SignatureTieredStream {
       st
     }
     val delta = if (deltas.isEmpty) None else Some(deltas.reduce(_ unionByName _))
-    Some(Tiered((l1Id.toSeq ++ liveL0).max, k, bands, shingleWidth, l1,
+    // every LISTED epoch failed to load (pruned/torn between the listing
+    // and the read — the race readers tolerate): no view, not a Tiered
+    // whose sigs/probeIndex would reduce over zero frames (review catch;
+    // the media twin has the same guard)
+    if (l1.isEmpty && delta.isEmpty) None
+    else Some(Tiered((l1Id.toSeq ++ liveL0).max, k, bands, shingleWidth, l1,
       delta, () => l1.foreach(_.release())))
   }
 
@@ -178,8 +183,12 @@ object SignatureTieredStream {
       : BatchOutcome = {
     require(majorEvery >= 2, s"majorEvery must be >= 2, got $majorEvery")
     val spark = batch.sparkSession
-    val l0Dir = EpochDirs.dir(l0Root(root), batchId)
-    val l1Dir = EpochDirs.dir(l1Root(root), batchId)
+    // data epochs live at batchId × MaintenanceSlots so an out-of-band
+    // compaction (standing-epoch + 1) can never take the NEXT batch's id
+    // and turn its replay check into silent data loss
+    val epochId = TierIds.dataEpoch(batchId)
+    val l0Dir = EpochDirs.dir(l0Root(root), epochId)
+    val l1Dir = EpochDirs.dir(l1Root(root), epochId)
     if (IndexStore.stageMeta(spark, l0Dir, l0Params(k, bands, shingleWidth)).isDefined ||
         IndexStore.loadSignatureIndexMeta(spark, l1Dir,
           params(k, bands, shingleWidth)).isDefined)
@@ -208,7 +217,7 @@ object SignatureTieredStream {
           prevL1.foreach { prev =>
             val keep = l0Epochs(spark, root, k, bands, shingleWidth)
               .filter(_ > prev).toSet
-            EpochDirs.prune(spark, l0Root(root), keep + batchId)
+            EpochDirs.prune(spark, l0Root(root), keep + epochId)
           }
           BatchOutcome.Major(liveL0.size)
         }

@@ -172,8 +172,12 @@ object VectorTieredStream {
     val spark = batch.sparkSession
     val pm = params(nCells, trainSample, iters)
     val l0pm = l0Params(nCells, trainSample, iters)
-    val l0Dir = EpochDirs.dir(l0Root(root), batchId)
-    val l1Dir = EpochDirs.dir(l1Root(root), batchId)
+    // data epochs live at batchId × MaintenanceSlots so an out-of-band
+    // compaction/retrain (standing-epoch + 1) can never take the NEXT
+    // batch's id and turn its replay check into silent data loss
+    val epochId = TierIds.dataEpoch(batchId)
+    val l0Dir = EpochDirs.dir(l0Root(root), epochId)
+    val l1Dir = EpochDirs.dir(l1Root(root), epochId)
     if (IndexStore.stageMeta(spark, l0Dir, l0pm).isDefined ||
         IndexStore.ivfIndexMeta(spark, l1Dir, pm).isDefined)
       return Skipped // replayed after a committed save — already applied
@@ -228,7 +232,7 @@ object VectorTieredStream {
               // L0s ≤ the previous L1 are two generations old — no grace
               val keep = l0Epochs(spark, root, nCells, trainSample, iters)
                 .filter(_ > prevL1).toSet
-              EpochDirs.prune(spark, l0Root(root), keep + batchId)
+              EpochDirs.prune(spark, l0Root(root), keep + epochId)
               Major(liveL0.size)
             }
         }

@@ -28,9 +28,12 @@ object MedianBench {
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     graft.io.Tables.canaryEvents(spark, sfDir)
-    // codegen/footer warm-up on the small sf, then one-time index builds
+    // codegen/footer warm-up on the small sf, then one-time index builds.
+    // The warm-up is NOT filtered by `only`: the build_* references below
+    // must share Bench's regime (full warm-up sweep, then concurrent
+    // builds) — a subset run that warmed one query stamped cold-JIT build
+    // references 45% above Bench's own warm concurrent spans.
     graft.SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
       }
@@ -41,21 +44,41 @@ object MedianBench {
     // in-session measurement per family — the caches are per (session,
     // dir), so reps would time the cache; Bench compares its own per-
     // family build seconds against these via the same ratio gate.
-    val buildRows = Seq[(String, () => Unit)](
-      "ivf" -> (() => graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
-      "cluster" -> (() => graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)),
-      "signature" -> (() => graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
-      "graph" -> (() => graft.queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
-      "postings" -> (() => graft.queries.TextQueries.preparePostingsIndex(spark, sfDir))
-    ).map { case (name, build) =>
-      val (sec, steal) = graft.tools.HostCpu.measuring {
-        val t0 = System.nanoTime()
-        build()
-        (System.nanoTime() - t0) / 1e9
-      }
-      System.err.println(f"[medians] build_$name $sec%.2fs (steal $steal%.1f%%)")
-      f""""build_$name":{"median":$sec%.4f,"min":$sec%.4f,"max":$sec%.4f,""" +
-        f""""steal_min_rep":${math.round(steal * 10) / 10.0}%s}"""
+    // Measured under Bench's OWN regime — the five builds run
+    // concurrently on the same bounded 3-thread pool Bench.prepare uses,
+    // because a sequential-cold reference compared against a
+    // contended-concurrent measurement is a ratio between two different
+    // execution regimes: on a core-constrained box every build would
+    // read over the gate with no real regression (review catch).
+    val buildRows = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-medians-prepare"); t.setDaemon(true); t
+        })
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val futs = Seq[(String, () => Unit)](
+        "ivf" -> (() => graft.queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
+        "cluster" -> (() => graft.queries.TextQueries.prepareClusterIndex(spark, sfDir)),
+        "signature" -> (() => graft.queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
+        "graph" -> (() => graft.queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
+        "postings" -> (() => graft.queries.TextQueries.preparePostingsIndex(spark, sfDir))
+      ).map { case (name, build) => Future {
+        val (sec, steal) = graft.tools.HostCpu.measuring {
+          val t0 = System.nanoTime()
+          build()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, sec, steal)
+      }}
+      try futs.map { f =>
+        val (name, sec, steal) = Await.result(f, Duration.Inf)
+        System.err.println(f"[medians] build_$name $sec%.2fs (steal $steal%.1f%%)")
+        f""""build_$name":{"median":$sec%.4f,"min":$sec%.4f,"max":$sec%.4f,""" +
+          f""""steal_min_rep":${math.round(steal * 10) / 10.0}%s}"""
+      } finally pool.shutdown()
     }
 
     // Each rep carries the host-steal share of its own window (HostCpu):

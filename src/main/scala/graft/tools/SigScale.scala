@@ -40,8 +40,9 @@ object SigScale {
       concat_ws(" ", (toks :+ last): _*).as("text"))
     val perBatch = nDocs / nBatches
     (0 until nBatches).foreach { i =>
-      gen.filter(col("doc_id") >= i * perBatch &&
-          col("doc_id") < (i + 1) * perBatch)
+      // the last chunk takes the division remainder — every doc is staged
+      val hi = if (i == nBatches - 1) nDocs else (i + 1) * perBatch
+      gen.filter(col("doc_id") >= i * perBatch && col("doc_id") < hi)
         .write.mode("overwrite").parquet(s"$work/chunk=$i")
     }
 

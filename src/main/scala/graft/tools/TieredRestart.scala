@@ -65,7 +65,8 @@ object TieredRestart {
     // 2. crash mid-roll: committed prefix + a torn L0 for the next chunk
     val rootB = s"$work/rollB"
     val prefixSec = timed((0 until crashAt).foreach(fold(rootB, _)))
-    val torn = new java.io.File(s"$rootB/l0/epoch=$crashAt")
+    val torn = new java.io.File(
+      s"$rootB/l0/epoch=${graft.streaming.TierIds.dataEpoch(crashAt.toLong)}")
     require(torn.mkdirs())
     java.nio.file.Files.write(torn.toPath.resolve("data.partial"),
       Array[Byte](1, 2, 3))

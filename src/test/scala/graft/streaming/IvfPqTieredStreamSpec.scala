@@ -15,6 +15,8 @@ import graft.operators.Similarity
   * a reader pinned before a major survives it. */
 class IvfPqTieredStreamSpec extends SparkSpec {
 
+  private def ep(i: Long): Long = TierIds.dataEpoch(i)
+
   private val DIM = 8
   private val CELLS = 3
   private val M = 2
@@ -57,15 +59,15 @@ class IvfPqTieredStreamSpec extends SparkSpec {
       BatchOutcome.Minor, BatchOutcome.Minor,
       BatchOutcome.Major(2), BatchOutcome.Minor))
     assert(IvfPqTieredStream.l1Epochs(spark, root, DIM, CELLS, M, K,
-      ITERS, ITERS, TRAIN) === Seq(3L, 0L))
+      ITERS, ITERS, TRAIN) === Seq(ep(3), ep(0)))
     assert(IvfPqTieredStream.l0Epochs(spark, root, DIM, CELLS, M, K,
-      ITERS, ITERS, TRAIN) === Seq(4L, 2L, 1L))
+      ITERS, ITERS, TRAIN) === Seq(ep(4), ep(2), ep(1)))
 
-    val l0rows = spark.read.parquet(s"$root/l0/epoch=4/data").count()
+    val l0rows = spark.read.parquet(s"$root/l0/epoch=${ep(4)}/data").count()
     assert(l0rows === 10L, s"a minor commit must be delta-sized, got $l0rows")
 
     val view = load(root).getOrElse(fail("no tiered view"))
-    assert(view.epochId === 4L)
+    assert(view.epochId === ep(4))
     val twin = batches.tail.foldLeft(
       Similarity.ivfPqBuild(batches.head, "vec_id", "emb", DIM, CELLS,
         M, K, ITERS, ITERS, TRAIN))(
@@ -94,7 +96,7 @@ class IvfPqTieredStreamSpec extends SparkSpec {
 
     fold(vecs(1 to 30), root, 1L) // bootstrap L1@1
 
-    val torn = new java.io.File(s"$root/l0/epoch=2")
+    val torn = new java.io.File(s"$root/l0/epoch=${ep(2)}")
     assert(torn.mkdirs())
     Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
     assert(IvfPqTieredStream.l0Epochs(spark, root, DIM, CELLS, M, K,
@@ -102,7 +104,7 @@ class IvfPqTieredStreamSpec extends SparkSpec {
     assert(fold(vecs(101 to 105), root, 2L) === BatchOutcome.Minor)
 
     assert(fold(vecs(151 to 155), root, 3L) === BatchOutcome.Minor)
-    val tornL1 = new java.io.File(s"$root/l1/epoch=4")
+    val tornL1 = new java.io.File(s"$root/l1/epoch=${ep(4)}")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     fold(vecs(201 to 205), root, 4L) match {
@@ -110,9 +112,9 @@ class IvfPqTieredStreamSpec extends SparkSpec {
       case other => fail(s"expected Major, got $other")
     }
     assert(IvfPqTieredStream.l1Epochs(spark, root, DIM, CELLS, M, K,
-      ITERS, ITERS, TRAIN) === Seq(4L, 1L))
+      ITERS, ITERS, TRAIN) === Seq(ep(4), ep(1)))
 
-    def mtimes = new java.io.File(s"$root/l1/epoch=4").listFiles
+    def mtimes = new java.io.File(s"$root/l1/epoch=${ep(4)}").listFiles
       .map(f => f.getName -> f.lastModified).toMap
     val m0 = mtimes
     Thread.sleep(1100)
@@ -174,7 +176,7 @@ class IvfPqTieredStreamSpec extends SparkSpec {
       threshold = 0.5, dim = DIM, nCells = CELLS, m = M, k = K,
       coarseIters = ITERS, pqIters = ITERS, trainSample = TRAIN).isEmpty)
     assert(IvfPqTieredStream.l1Epochs(spark, root, DIM, CELLS, M, K,
-      ITERS, ITERS, TRAIN).head === 3L, "a no-op must not commit an epoch")
+      ITERS, ITERS, TRAIN).head === ep(3), "a no-op must not commit an epoch")
 
     // over threshold: survivor index commits as epochId+1
     val newId = IvfPqTieredStream.compactMajor(spark, root, dead, "vec_id",

@@ -17,6 +17,8 @@ import graft.operators.Multimodal
   * ids into a new L1 generation. */
 class MediaTieredStreamSpec extends SparkSpec {
 
+  private def ep(i: Long): Long = TierIds.dataEpoch(i)
+
   private val MaxHamming = 6
 
   /** Deterministic synthetic hashes: id i gets a hash with bits spread by
@@ -54,17 +56,17 @@ class MediaTieredStreamSpec extends SparkSpec {
     }
     assert(outcomes.map(_.toString) === Seq("Minor", "Minor", "Major(2)",
       "Minor", "Minor", "Major(2)"))
-    assert(MediaTieredStream.l1Epochs(spark, root) === Seq(5L, 2L))
+    assert(MediaTieredStream.l1Epochs(spark, root) === Seq(ep(5), ep(2)))
     // L0s @3 @4 sit above the PREVIOUS L1@2 — kept for the one-major
     // grace; @0 @1 (two generations old) were pruned by the major @5
-    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(4L, 3L))
+    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(ep(4), ep(3)))
 
-    val l0rows = spark.read.parquet(s"$root/l0/epoch=4/data").count()
+    val l0rows = spark.read.parquet(s"$root/l0/epoch=${ep(4)}/data").count()
     assert(l0rows === 20L, s"a minor commit must be delta-sized, got $l0rows")
 
     val view = MediaTieredStream.loadCurrent(spark, root)
       .getOrElse(fail("no tiered view"))
-    assert(view.epochId === 5L)
+    assert(view.epochId === ep(5))
     val flat = hashes(0 until 120)
     assert(hashSet(view.hashes) === hashSet(flat))
     assert(pairSet(view.nearDupPairs(MaxHamming)) ===
@@ -98,18 +100,18 @@ class MediaTieredStreamSpec extends SparkSpec {
     // torn L0: data written, no marker → invisible to listing, replay
     // overwrites in place
     hashes(30 until 50).write.mode("overwrite")
-      .parquet(s"$root/l0/epoch=1/data")
-    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(0L))
+      .parquet(s"$root/l0/epoch=${ep(1)}/data")
+    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(ep(0)))
     assert(MediaTieredStream.foldHashes(hashes(30 until 50), root, 1L)
       === BatchOutcome.Minor)
-    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(1L, 0L))
+    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(ep(1), ep(0)))
     // committed replay: a no-op skip, content unchanged
     assert(MediaTieredStream.foldHashes(hashes(30 until 50), root, 1L)
       === BatchOutcome.Skipped)
     // empty batch: no content-free epochs
     assert(MediaTieredStream.foldHashes(hashes(0 until 0), root, 2L)
       === BatchOutcome.EmptyBatch)
-    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(1L, 0L))
+    assert(MediaTieredStream.l0Epochs(spark, root) === Seq(ep(1), ep(0)))
     val view = MediaTieredStream.loadCurrent(spark, root)
       .getOrElse(fail("no view"))
     assert(hashSet(view.hashes) === hashSet(hashes(0 until 50)))
@@ -126,14 +128,14 @@ class MediaTieredStreamSpec extends SparkSpec {
     // pinned at the generation the major @2 produced + L0s above it: none
     val pinned = MediaTieredStream.loadCurrent(spark, root)
       .getOrElse(fail("no view"))
-    assert(pinned.epochId === 2L)
+    assert(pinned.epochId === ep(2))
     (3 until 6).foreach { i =>
       MediaTieredStream.foldHashes(hashes(i * 20 until (i + 1) * 20), root,
         i.toLong, majorEvery = 3)
     }
     // the major @5 pruned L1 generations to {5, 2} — the pinned reader's
     // epoch is the graced generation and must still answer
-    assert(MediaTieredStream.l1Epochs(spark, root) === Seq(5L, 2L))
+    assert(MediaTieredStream.l1Epochs(spark, root) === Seq(ep(5), ep(2)))
     assert(hashSet(pinned.hashes) === hashSet(hashes(0 until 60)))
 
     // streaming wrapper over blobs: the m01-style PNG path, 2 batches
@@ -166,7 +168,7 @@ class MediaTieredStreamSpec extends SparkSpec {
       MediaTieredStream.foldHashes(hashes(i * 30 until (i + 1) * 30), root,
         i.toLong, majorEvery = 3)
     }
-    assert(MediaTieredStream.l1Epochs(spark, root).head === 2L)
+    assert(MediaTieredStream.l1Epochs(spark, root).head === ep(2))
     val dead = Seq(3L, 10L, 45L, 80L).toDF("media_id")
     // 4/90 ≈ 4.4% dead: below a 10% threshold → None
     assert(MediaTieredStream.compactMajor(spark, root, dead, "media_id",
@@ -177,17 +179,27 @@ class MediaTieredStreamSpec extends SparkSpec {
     // at threshold 0: fires, survivors only, new generation at 3
     val newId = MediaTieredStream.compactMajor(spark, root, dead, "media_id")
       .getOrElse(fail("compaction must fire"))
-    assert(newId === 3L)
-    assert(MediaTieredStream.l1Epochs(spark, root) === Seq(3L, 2L))
+    assert(newId === ep(2) + 1)
+    assert(MediaTieredStream.l1Epochs(spark, root) === Seq(ep(2) + 1, ep(2)))
     val after = MediaTieredStream.loadCurrent(spark, root)
       .getOrElse(fail("no post-compaction view"))
-    assert(after.epochId === 3L)
+    assert(after.epochId === ep(2) + 1)
     val deadSet = Set(3L, 10L, 45L, 80L)
     assert(hashSet(after.hashes) ===
       hashSet(hashes(0 until 90)).filterNot(h => deadSet.contains(h._1)))
     // physically gone from the committed generation, not query-filtered
-    val stored = spark.read.parquet(s"$root/l1/epoch=3/data")
+    val stored = spark.read.parquet(s"$root/l1/epoch=${ep(2) + 1}/data")
       .select(col("media_id")).collect().map(_.getLong(0)).toSet
     assert(stored.intersect(deadSet) === Set.empty)
+
+    // the regression TierIds.dataEpoch exists for: the batch AFTER an
+    // out-of-band maintenance major must still fold (at stride 1 the
+    // compaction held the next streaming batch's id — silent data loss)
+    assert(MediaTieredStream.foldHashes(hashes(200 until 210), root, 3L,
+      majorEvery = 3) === BatchOutcome.Minor)
+    val post = MediaTieredStream.loadCurrent(spark, root)
+      .getOrElse(fail("no post-maintenance view"))
+    assert((200L until 210L).toSet.subsetOf(hashSet(post.hashes).map(_._1)),
+      "the post-compaction batch's rows must be served")
   }
 }

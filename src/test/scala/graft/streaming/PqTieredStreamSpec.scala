@@ -14,6 +14,8 @@ import graft.operators.Similarity
   * preserved per tier, and a reader pinned before a major survives it. */
 class PqTieredStreamSpec extends SparkSpec {
 
+  private def ep(i: Long): Long = TierIds.dataEpoch(i)
+
   private val DIM = 8
   private val M = 2
   private val K = 4
@@ -50,17 +52,17 @@ class PqTieredStreamSpec extends SparkSpec {
       BatchOutcome.Minor, BatchOutcome.Minor,
       BatchOutcome.Major(2), BatchOutcome.Minor))
     assert(PqTieredStream.l1Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
-      === Seq(3L, 0L))
+      === Seq(ep(3), ep(0)))
     // absorbed L0s 1–2 kept for the one-major grace, pruned at next major
     assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
-      === Seq(4L, 2L, 1L))
+      === Seq(ep(4), ep(2), ep(1)))
 
-    val l0rows = spark.read.parquet(s"$root/l0/epoch=4/data").count()
+    val l0rows = spark.read.parquet(s"$root/l0/epoch=${ep(4)}/data").count()
     assert(l0rows === 10L, s"a minor commit must be delta-sized, got $l0rows")
 
     val view = PqTieredStream.loadCurrent(spark, root, DIM, M, K, ITERS,
       TRAIN).getOrElse(fail("no tiered view"))
-    assert(view.epochId === 4L)
+    assert(view.epochId === ep(4))
     val twin = batches.tail.foldLeft(
       Similarity.pqBuild(batches.head, "vec_id", "emb", DIM, M, K, ITERS,
         TRAIN))((idx, b) => Similarity.pqAppend(idx, b, "vec_id", "emb"))
@@ -81,17 +83,17 @@ class PqTieredStreamSpec extends SparkSpec {
 
     fold(vecs(1 to 30), root, 1L) // bootstrap L1@1
 
-    val torn = new java.io.File(s"$root/l0/epoch=2")
+    val torn = new java.io.File(s"$root/l0/epoch=${ep(2)}")
     assert(torn.mkdirs())
     Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
     assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS,
       TRAIN).isEmpty, "torn L0 must be invisible")
     assert(fold(vecs(101 to 105), root, 2L) === BatchOutcome.Minor)
     assert(PqTieredStream.l0Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
-      === Seq(2L))
+      === Seq(ep(2)))
 
     assert(fold(vecs(151 to 155), root, 3L) === BatchOutcome.Minor)
-    val tornL1 = new java.io.File(s"$root/l1/epoch=4")
+    val tornL1 = new java.io.File(s"$root/l1/epoch=${ep(4)}")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     fold(vecs(201 to 205), root, 4L) match {
@@ -99,9 +101,9 @@ class PqTieredStreamSpec extends SparkSpec {
       case other => fail(s"expected Major, got $other")
     }
     assert(PqTieredStream.l1Epochs(spark, root, DIM, M, K, ITERS, TRAIN)
-      === Seq(4L, 1L))
+      === Seq(ep(4), ep(1)))
 
-    def mtimes = new java.io.File(s"$root/l1/epoch=4").listFiles
+    def mtimes = new java.io.File(s"$root/l1/epoch=${ep(4)}").listFiles
       .map(f => f.getName -> f.lastModified).toMap
     val m0 = mtimes
     Thread.sleep(1100)

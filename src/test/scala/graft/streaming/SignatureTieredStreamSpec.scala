@@ -17,6 +17,8 @@ import graft.operators.Dedup
   * from sigs AND bucket member arrays. */
 class SignatureTieredStreamSpec extends SparkSpec {
 
+  private def ep(i: Long): Long = TierIds.dataEpoch(i)
+
   private val K = 64
   private val BANDS = 16
   private val SW = 3
@@ -66,10 +68,10 @@ class SignatureTieredStreamSpec extends SparkSpec {
     assert(outcomes.map(_.toString) === Seq("Minor", "Minor", "Major(2)",
       "Minor", "Minor", "Major(2)"))
     assert(SignatureTieredStream.l1Epochs(spark, root, K, BANDS, SW)
-      === Seq(5L, 2L))
+      === Seq(ep(5), ep(2)))
     assert(SignatureTieredStream.l0Epochs(spark, root, K, BANDS, SW)
-      === Seq(4L, 3L))
-    val l0rows = spark.read.parquet(s"$root/l0/epoch=4/data").count()
+      === Seq(ep(4), ep(3)))
+    val l0rows = spark.read.parquet(s"$root/l0/epoch=${ep(4)}/data").count()
     assert(l0rows === 20L, s"a minor commit must be delta-sized, got $l0rows")
 
     val view = load(root).getOrElse(fail("no tiered view"))
@@ -77,7 +79,7 @@ class SignatureTieredStreamSpec extends SparkSpec {
       K, BANDS, SW)
     val merged = view.mergedIndex()
     try {
-      assert(view.epochId === 5L)
+      assert(view.epochId === ep(5))
       assert(sigIds(view.sigs) === sigIds(twin.sigs))
       assert(bucketSet(merged.buckets) === bucketSet(twin.buckets))
       // the committed L1 itself (no delta above it) matches too
@@ -114,14 +116,14 @@ class SignatureTieredStreamSpec extends SparkSpec {
     assert(fold(0 until 20, root, 0L) === BatchOutcome.Minor)
     // torn L0: data without a marker is invisible and replayable
     Dedup.signatureFrame(docsOf(20 until 40), "doc_id", "text", K, SW)
-      .write.mode("overwrite").parquet(s"$root/l0/epoch=1/data")
+      .write.mode("overwrite").parquet(s"$root/l0/epoch=${ep(1)}/data")
     assert(SignatureTieredStream.l0Epochs(spark, root, K, BANDS, SW)
-      === Seq(0L))
+      === Seq(ep(0)))
     assert(fold(20 until 40, root, 1L) === BatchOutcome.Minor)
     assert(fold(20 until 40, root, 1L) === BatchOutcome.Skipped)
     assert(fold(0 until 0, root, 2L) === BatchOutcome.EmptyBatch)
     assert(SignatureTieredStream.l0Epochs(spark, root, K, BANDS, SW)
-      === Seq(1L, 0L))
+      === Seq(ep(1), ep(0)))
     val view = load(root).getOrElse(fail("no view"))
     try assert(sigIds(view.sigs) === (0L until 40L).toSet)
     finally view.release()
@@ -133,10 +135,10 @@ class SignatureTieredStreamSpec extends SparkSpec {
     val root = Files.createTempDirectory("sts4_idx").toString
     (0 until 3).foreach(i => fold(i * 20 until (i + 1) * 20, root, i.toLong))
     val pinned = load(root).getOrElse(fail("no view"))
-    assert(pinned.epochId === 2L)
+    assert(pinned.epochId === ep(2))
     (3 until 6).foreach(i => fold(i * 20 until (i + 1) * 20, root, i.toLong))
     assert(SignatureTieredStream.l1Epochs(spark, root, K, BANDS, SW)
-      === Seq(5L, 2L))
+      === Seq(ep(5), ep(2)))
     try assert(sigIds(pinned.sigs) === (0L until 60L).toSet)
     finally pinned.release()
 
@@ -166,13 +168,13 @@ class SignatureTieredStreamSpec extends SparkSpec {
     val newId = SignatureTieredStream.compactMajor(spark, root, dead,
       "doc_id", k = K, bands = BANDS, shingleWidth = SW)
       .getOrElse(fail("compaction must fire at threshold 0"))
-    assert(newId === 3L)
+    assert(newId === ep(2) + 1)
     val after = load(root).getOrElse(fail("no post-compaction view"))
     val twin = Dedup.signatureBuild(
       docsOf(0 until 60).filter(!col("doc_id").isin(deadSet.toSeq: _*)),
       "doc_id", "text", K, BANDS, SW)
     try {
-      assert(after.epochId === 3L)
+      assert(after.epochId === ep(2) + 1)
       assert(sigIds(after.sigs) === (0L until 60L).toSet -- deadSet)
       // buckets equal a rebuild over survivors: no dead id lingers in any
       // committed member array

@@ -74,7 +74,7 @@ class TieredServeSpec extends SparkSpec {
       VectorTieredStream.foldBatch(vecs(401 to 410), "vec_id", "emb", tRoot,
         10L, nCells = 4, trainSample = 50, iters = 2, majorEvery = 3)
       val (id1, t1) = pin.get()
-      assert(id1 === 10L, "minor commit must bump the pin")
+      assert(id1 === TierIds.dataEpoch(10L), "minor commit must bump the pin")
       assert(id1 != id0)
       assert(t1.index.assigned.filter(col("nid") >= 401L).count() === 10L,
         "the swapped pin must serve the minor's delta")
@@ -210,7 +210,7 @@ class TieredServeSpec extends SparkSpec {
         10L, dim = 8, m = 2, k = 4, iters = 2, trainSample = 50,
         majorEvery = 3)
       val (id1, t1) = pin.get()
-      assert(id1 === 10L && id1 != id0, "minor commit must bump the pin")
+      assert(id1 === TierIds.dataEpoch(10L) && id1 != id0, "minor commit must bump the pin")
       assert(t1.index.encoded.filter(col("nid") >= 401L).count() === 10L,
         "the swapped pin must serve the minor's delta")
     } finally pin.close()
@@ -264,7 +264,7 @@ class TieredServeSpec extends SparkSpec {
         10L, dim = 8, nCells = 3, m = 2, k = 4, coarseIters = 2,
         pqIters = 2, trainSample = 50, majorEvery = 3)
       val (id1, t1) = pin.get()
-      assert(id1 === 10L && id1 != id0, "minor commit must bump the pin")
+      assert(id1 === TierIds.dataEpoch(10L) && id1 != id0, "minor commit must bump the pin")
       assert(t1.index.coded.filter(col("nid") >= 401L).count() === 10L,
         "the swapped pin must serve the minor's delta")
     } finally pin.close()
@@ -335,7 +335,7 @@ class TieredServeSpec extends SparkSpec {
       MediaTieredStream.foldBatch(images(50 until 55), tRoot, 5L,
         majorEvery = 8)
       val (id1, t1) = pin.get()
-      assert(id1 === 5L && id1 != id0, "minor commit must bump the pin")
+      assert(id1 === TierIds.dataEpoch(5L) && id1 != id0, "minor commit must bump the pin")
       assert(t1.hashes.filter(col("media_id") >= 50L).count() === 5L,
         "the swapped pin must serve the minor's delta")
     } finally pin.close()

@@ -15,6 +15,8 @@ import graft.operators.Similarity
   * pinned before a major compaction survives it. */
 class VectorTieredStreamSpec extends SparkSpec {
 
+  private def ep(i: Long): Long = TierIds.dataEpoch(i)
+
   private val N_CELLS = 4
   private val TRAIN = 50
   private val ITERS = 2
@@ -51,19 +53,19 @@ class VectorTieredStreamSpec extends SparkSpec {
     assert(outcomes(3) === BatchOutcome.Major(2))
     assert(outcomes(4) === BatchOutcome.Minor)
     assert(VectorTieredStream.l1Epochs(spark, root, N_CELLS, TRAIN, ITERS)
-      === Seq(3L, 0L)) // two kept generations
+      === Seq(ep(3), ep(0))) // two kept generations
     // the major absorbed L0s 1 and 2 but retains them (they sit above the
     // PREVIOUS L1@0 — the one-major reader grace); the next major prunes
     assert(VectorTieredStream.l0Epochs(spark, root, N_CELLS, TRAIN, ITERS)
-      === Seq(4L, 2L, 1L))
+      === Seq(ep(4), ep(2), ep(1)))
 
     // delta-sized minor: the L0 dir holds ONE batch's rows, not the corpus
-    val l0rows = spark.read.parquet(s"$root/l0/epoch=4/data").count()
+    val l0rows = spark.read.parquet(s"$root/l0/epoch=${ep(4)}/data").count()
     assert(l0rows === 20L, s"a minor commit must be delta-sized, got $l0rows")
 
     val view = VectorTieredStream.loadCurrent(spark, root, N_CELLS, TRAIN,
       ITERS).getOrElse(fail("no tiered view"))
-    assert(view.epochId === 4L)
+    assert(view.epochId === ep(4))
     // flat twin: build on batch 0, append 1–4 — centroids, assignment,
     // and probe answers must all match exactly
     val twin = batches.tail.foldLeft(
@@ -93,7 +95,7 @@ class VectorTieredStreamSpec extends SparkSpec {
 
     // torn L0: a dir without its meta marker is invisible AND its
     // replayed batch overwrites it (re-assignment is deterministic)
-    val torn = new java.io.File(s"$root/l0/epoch=2")
+    val torn = new java.io.File(s"$root/l0/epoch=${ep(2)}")
     assert(torn.mkdirs())
     Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
     assert(VectorTieredStream.l0Epochs(spark, root, N_CELLS, TRAIN,
@@ -102,7 +104,7 @@ class VectorTieredStreamSpec extends SparkSpec {
       root, 2L, N_CELLS, TRAIN, ITERS, majorEvery = 3)
       === BatchOutcome.Minor)
     assert(VectorTieredStream.l0Epochs(spark, root, N_CELLS, TRAIN, ITERS)
-      === Seq(2L))
+      === Seq(ep(2)))
 
     // second live minor at batch 3; batch 4 is the major (2 live deltas
     // + 1 ≥ 3). Simulate the major's crash mid-save with a torn L1 dir;
@@ -110,7 +112,7 @@ class VectorTieredStreamSpec extends SparkSpec {
     assert(VectorTieredStream.foldBatch(vecs(151 to 160), "vec_id", "emb",
       root, 3L, N_CELLS, TRAIN, ITERS, majorEvery = 3)
       === BatchOutcome.Minor)
-    val tornL1 = new java.io.File(s"$root/l1/epoch=4")
+    val tornL1 = new java.io.File(s"$root/l1/epoch=${ep(4)}")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     VectorTieredStream.foldBatch(vecs(201 to 210), "vec_id", "emb", root,
@@ -119,10 +121,10 @@ class VectorTieredStreamSpec extends SparkSpec {
       case other => fail(s"expected Major, got $other")
     }
     assert(VectorTieredStream.l1Epochs(spark, root, N_CELLS, TRAIN, ITERS)
-      === Seq(4L, 1L))
+      === Seq(ep(4), ep(1)))
 
     // replay of the committed major: a pure no-op (mtimes unchanged)
-    def mtimes = new java.io.File(s"$root/l1/epoch=4").listFiles
+    def mtimes = new java.io.File(s"$root/l1/epoch=${ep(4)}").listFiles
       .map(f => f.getName -> f.lastModified).toMap
     val m0 = mtimes
     Thread.sleep(1100)
@@ -205,6 +207,20 @@ class VectorTieredStreamSpec extends SparkSpec {
       assert(assignedPairs(after.index) ===
         allPairs.filterNot(p => deadIds.contains(p._1)))
     } finally after.release()
+
+    // the regression TierIds.dataEpoch exists for: the batch AFTER an
+    // out-of-band maintenance major must still fold — at stride 1 the
+    // compaction held the NEXT streaming batch's id, so its replay check
+    // read Skipped and the batch's data was silently lost (review catch)
+    assert(VectorTieredStream.foldBatch(vecs(301 to 310), "vec_id", "emb",
+      root, 3L, N_CELLS, TRAIN, ITERS, majorEvery = 3)
+      === BatchOutcome.Minor)
+    val post = VectorTieredStream.loadCurrent(spark, root, N_CELLS, TRAIN,
+      ITERS).getOrElse(fail("no post-maintenance view"))
+    try assert((301L to 310L).toSet.subsetOf(
+      assignedPairs(post.index).map(_._1)),
+      "the post-compaction batch's rows must be served")
+    finally post.release()
   }
 
   test("retrainMajor: fresh centroids commit as a new L1 generation; " +
