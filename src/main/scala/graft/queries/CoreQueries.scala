@@ -2107,23 +2107,80 @@ object CoreQueries {
         tieredEdgeHistogram(s, view)
       } finally { graft.io.TempRoots.delete(root)
         graft.io.TempRoots.delete(linesDir) }
+    },
+
+    // q84: the graph family's EDGE-RETRACTION lifecycle as ONE oracle row
+    // (the m07 shape at the graph layer — closing the last family
+    // asymmetry, r15 verdict #1): the q81 roll (5 batches, major at 2,
+    // live minors above it — dead edges land in BOTH tiers), then every
+    // stored edge with (src + dst) % 7 == 3 is tombstoned. BOTH
+    // retraction paths must agree exactly: the query-time exclusion read
+    // (mergedEdgesExcluding over the pre-compaction view) and the plain
+    // read after compactMajor physically rebuilds the survivors into a
+    // new L1 generation — asserted identical engine-side before the
+    // result returns. The oracle replays the all-at-once pair set minus
+    // the same tombstone rule, so hash equality certifies
+    // roll + exclusion-read + physical compaction ≡ a from-scratch
+    // rebuild over the effective (post-retraction) edge set.
+    "q84_graph_retraction" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+      val work = java.nio.file.Files.createTempDirectory("q84_tiered").toString
+      try {
+        val root = s"$work/tiers"
+        (0 until 5).foreach { i =>
+          graft.streaming.GraphTieredStream.foldBatch(
+            copurchasePairs(li.filter(pmod(col("l_orderkey"), lit(5)) === i)),
+            root, batchId = i.toLong, majorEvery = 3)
+        }
+        val view = graft.streaming.GraphTieredStream.loadCurrent(s, root)
+          .getOrElse(sys.error("tiered roll committed nothing"))
+        val before = try {
+          // tombstones derive from the STORED view but are staged to their
+          // own parquet first: compaction prunes the epochs the lazy frame
+          // would re-read, and a GDPR worklist is a durable artifact, not
+          // a view-lifetime lineage (no driver collect, no cached RDD)
+          view.mergedEdges
+            .filter((col("src") + col("dst")) % 7 === 3)
+            .write.mode("overwrite").parquet(s"$work/dead")
+          edgeHistogramRows(view.mergedEdgesExcluding(
+            s.read.parquet(s"$work/dead")))
+        } finally view.release()
+        graft.streaming.GraphTieredStream.compactMajor(s, root,
+            s.read.parquet(s"$work/dead"))
+          .getOrElse(sys.error("q84 compaction must fire at ~1/7 dead"))
+        val clean = graft.streaming.GraphTieredStream.loadCurrent(s, root)
+          .getOrElse(sys.error("no tiered view after compaction"))
+        val (rows, histSchema) =
+          try edgeHistogramRows(clean.mergedEdges) finally clean.release()
+        require(rows == before._1,
+          "query-time exclusion read diverged from physical compaction")
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
+      } finally graft.io.TempRoots.delete(work)
     }
   )
 
-  /** The q81/q82 result shape: out-degree histogram (with id checksums)
-    * over a tiered view's merged edge set, collected under the view's
-    * release and re-parallelized to one deterministic partition. */
-  private def tieredEdgeHistogram(s: SparkSession,
-      view: graft.streaming.GraphTieredStream.Tiered): DataFrame = {
-    val hist = view.mergedEdges
+  /** The q81/q82/q84 result shape: out-degree histogram (with id
+    * checksums) over an edge frame, collected to driver rows (tiny —
+    * one row per distinct degree). */
+  private def edgeHistogramRows(edges: DataFrame)
+      : (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val hist = edges
       .groupBy("src")
       .agg(count(lit(1)).as("outdeg"), sum(col("dst")).as("dst_sum"))
       .groupBy("outdeg")
       .agg(count(lit(1)).as("n_srcs"), sum(col("src")).as("src_sum"),
         sum(col("dst_sum")).as("dst_sum"))
       .orderBy("outdeg")
+    (hist.collect().toSeq, hist.schema)
+  }
+
+  /** [[edgeHistogramRows]] over a tiered view's merged edge set,
+    * collected under the view's release and re-parallelized to one
+    * deterministic partition. */
+  private def tieredEdgeHistogram(s: SparkSession,
+      view: graft.streaming.GraphTieredStream.Tiered): DataFrame = {
     val (rows, histSchema) =
-      try (hist.collect().toSeq, hist.schema) finally view.release()
+      try edgeHistogramRows(view.mergedEdges) finally view.release()
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), histSchema)
   }
 
@@ -2571,6 +2628,24 @@ object CoreQueries {
         |  WHERE year(a.l_shipdate) = 1997 AND year(b.l_shipdate) = 1997),
         |  per AS (SELECT src, count(*) AS outdeg, sum(dst) AS dst_sum
         |          FROM pairs GROUP BY src)
+        |SELECT outdeg, count(*) AS n_srcs, CAST(sum(src) AS BIGINT) AS src_sum,
+        |       CAST(sum(dst_sum) AS BIGINT) AS dst_sum
+        |FROM per GROUP BY outdeg ORDER BY outdeg""".stripMargin,
+
+    // q84: the same full-corpus pair replay MINUS the tombstone rule —
+    // the from-scratch rebuild over the effective (post-retraction) edge
+    // set that both the exclusion read and the physical compaction must
+    // equal (the engine side additionally asserts those two agree).
+    "q84_graph_retraction" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+        |         CAST(b.l_partkey AS BIGINT) AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE year(a.l_shipdate) = 1997 AND year(b.l_shipdate) = 1997),
+        |  live AS (SELECT src, dst FROM pairs WHERE (src + dst) % 7 <> 3),
+        |  per AS (SELECT src, count(*) AS outdeg, sum(dst) AS dst_sum
+        |          FROM live GROUP BY src)
         |SELECT outdeg, count(*) AS n_srcs, CAST(sum(src) AS BIGINT) AS src_sum,
         |       CAST(sum(dst_sum) AS BIGINT) AS dst_sum
         |FROM per GROUP BY outdeg ORDER BY outdeg""".stripMargin,

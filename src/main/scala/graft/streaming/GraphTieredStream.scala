@@ -34,6 +34,22 @@ import graft.operators.{Adjacency, Checkpoints, IndexStore}
   * [[Tiered.mergedHybrid]] remains the full-build escape hatch for
   * whole-graph consumers.
   *
+  * RETRACTION (round 16 — the last family asymmetry): edges can be
+  * REMOVED without a full rebuild, the same two-stage story as the
+  * vector/PQ/IVFADC/media/signature tiers. Query-time: the `…Excluding`
+  * reads on [[Tiered]] anti-join a caller-held tombstone edge set — a
+  * GDPR-style "drop this user's co-purchase edges" is served immediately,
+  * at dead-set-proportional extra cost per read. Maintenance-window:
+  * [[compactMajor]] physically rebuilds the index over the survivor
+  * edges into a NEW L1 generation, after which plain reads are clean and
+  * the tombstone set can be retired. Tombstones are EDGE-level (src, dst)
+  * pairs — the retraction primitive; node-level retraction derives its
+  * edge set from a neighbors read first. Because compaction is an
+  * out-of-band writer, graph data epochs moved to the strided id scheme
+  * ([[TierIds.dataEpoch]]) like the other maintenance families, and every
+  * fold stamps/requires the stride layout marker (legacy raw-id roots
+  * refuse loudly instead of silently double-applying replays).
+  *
   * CRASH MATRIX (the [[GraphEpochStream]] guarantees, preserved per tier —
   * each epoch's IndexStore meta is its commit marker):
   *  - crash mid-L0-write → no marker → replay rewrites the torn dir with
@@ -155,6 +171,70 @@ object GraphTieredStream {
     def mergedHybrid(hubLimit: Long = Adjacency.DefaultHubLimit): Adjacency.Hybrid =
       Checkpoints.sweepingOnFailure(delta.sparkSession.sparkContext)(
         Adjacency.build(mergedEdges, dedup = true, hubLimit = hubLimit))
+
+    // ---- tombstoned-edge exclusion reads (query-time retraction) ----
+    // `dead` is a (src, dst) edge tombstone frame held by the caller (the
+    // ivfProbeExcluding pattern at the graph layer). No forced broadcast
+    // on it: tombstone sets are usually tiny and AQE broadcasts them at
+    // runtime, but a bulk GDPR sweep may not be — the mergedOutDegrees
+    // review convention.
+
+    /** [[neighbors]] with a tombstone edge set excluded — the point-read
+      * retraction path. The anti-join keys on the PRE-projection
+      * (src, dst), so only the queried sources' dead edges ever join;
+      * cost stays query-proportional plus the dead-set join. */
+    def neighborsExcluding(per: DataFrame, dead: DataFrame): DataFrame = {
+      val payload = per.columns.filter(_ != "src").toSeq.map(col)
+      val outCols = payload :+ col("dst")
+      // "__src" survives expand as payload, keeping the src key next to
+      // each produced dst so the edge-level anti-join has both halves
+      val keyed = per.withColumn("__src", col("src"))
+      val l1Side = l1.map(_.expand(keyed).select((col("__src") +: outCols): _*))
+      val deltaSide = delta.join(keyed, Seq("src"))
+        .select((col("__src") +: outCols): _*)
+      l1Side.fold(deltaSide)(_.unionByName(deltaSide))
+        .join(dead.select(col("src").as("__src"), col("dst")).distinct(),
+          Seq("__src", "dst"), "left_anti")
+        .select(outCols: _*).distinct()
+    }
+
+    /** [[mergedEdges]] minus the tombstone set — the survivor edge
+      * multiset a physical compaction would store. */
+    def mergedEdgesExcluding(dead: DataFrame): DataFrame =
+      mergedEdges.join(
+        dead.select(col("src"), col("dst")).distinct(),
+        Seq("src", "dst"), "left_anti")
+
+    /** EXACT out-degrees over the survivor edge set at |dead|-proportional
+      * extra cost (never a full re-count): only the tombstoned SOURCES'
+      * stored edges are recovered (the semi-join sits below the L1
+      * explode, the [[mergedOutDegrees]] discipline), a tombstone naming
+      * an edge that is not actually stored subtracts nothing, and sources
+      * whose every edge died vanish from the output — degrees equal
+      * `mergedEdgesExcluding(dead).groupBy(src).count()` exactly. */
+    def mergedOutDegreesExcluding(dead: DataFrame): DataFrame = {
+      val dd = dead.select(col("src"), col("dst")).distinct()
+      val srcs = dd.select("src").distinct()
+      val l1Side = l1.map(h => h.expand(srcs.withColumn("qid", col("src")))
+        .select(col("qid").as("src"), col("dst")))
+      val dSide = delta.join(srcs, Seq("src")).select(col("src"), col("dst"))
+      val stored = l1Side.fold(dSide)(_.unionByName(dSide)).distinct()
+      val rm = dd.join(stored, Seq("src", "dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__rm"))
+      mergedOutDegrees.join(rm, Seq("src"), "left")
+        .select(col("src"),
+          (col("outdeg") - coalesce(col("__rm"), lit(0L))).as("outdeg"))
+        .filter(col("outdeg") > 0)
+    }
+
+    /** Full-adjacency view over the survivor edges — what [[compactMajor]]
+      * commits durably, available to a whole-graph consumer that cannot
+      * wait for the maintenance window. Caller releases. */
+    def mergedHybridExcluding(dead: DataFrame,
+        hubLimit: Long = Adjacency.DefaultHubLimit): Adjacency.Hybrid =
+      Checkpoints.sweepingOnFailure(delta.sparkSession.sparkContext)(
+        Adjacency.build(mergedEdgesExcluding(dead), dedup = true,
+          hubLimit = hubLimit))
   }
 
   /** The id [[loadCurrent]] would return — the serving pin's zero-job
@@ -221,8 +301,13 @@ object GraphTieredStream {
                 hubLimit: Long = Adjacency.DefaultHubLimit): BatchOutcome = {
     require(majorEvery >= 2, s"majorEvery must be >= 2, got $majorEvery")
     val spark = edges.sparkSession
-    val l0Dir = EpochDirs.dir(l0Root(root), batchId)
-    val l1Dir = EpochDirs.dir(l1Root(root), batchId)
+    // data epochs live at batchId × MaintenanceSlots so an out-of-band
+    // compaction (standing-epoch + 1) can never take the NEXT batch's id
+    // and turn its replay check into silent data loss
+    TierIds.ensureStrideLayout(spark, root) // refuse pre-stride legacy roots
+    val epochId = TierIds.dataEpoch(batchId)
+    val l0Dir = EpochDirs.dir(l0Root(root), epochId)
+    val l1Dir = EpochDirs.dir(l1Root(root), epochId)
     if (IndexStore.stageMeta(spark, l0Dir, l0Params(hubLimit)).isDefined ||
         IndexStore.graphIndexMeta(spark, l1Dir, params(hubLimit)).isDefined)
       return BatchOutcome.Skipped // replayed after a committed save
@@ -232,13 +317,13 @@ object GraphTieredStream {
       .distinct() // within-batch dedup; cross-tier dedup is the read/major's
     Deltas.withMaterialized(norm) { delta =>
       if (delta.isEmpty) BatchOutcome.EmptyBatch // no content-free epochs
-      else foldNonEmpty(spark, delta, root, batchId, majorEvery, hubLimit,
+      else foldNonEmpty(spark, delta, root, epochId, majorEvery, hubLimit,
         l0Dir, l1Dir)
     }
   }
 
   private def foldNonEmpty(spark: SparkSession, norm: DataFrame,
-                           root: String, batchId: Long, majorEvery: Int,
+                           root: String, epochId: Long, majorEvery: Int,
                            hubLimit: Long, l0Dir: String, l1Dir: String)
       : BatchOutcome = {
     val prevL1 = l1Epochs(spark, root, hubLimit).headOption
@@ -246,7 +331,7 @@ object GraphTieredStream {
       .filter(id => prevL1.forall(id > _))
     if (liveL0.size + 1 < majorEvery) {
       // MINOR: delta-sized durable commit (the whole point of the tier)
-      IndexStore.saveStage(spark, norm, l0Dir, s"batch:$batchId",
+      IndexStore.saveStage(spark, norm, l0Dir, s"epoch:$epochId",
         l0Params(hubLimit))
       BatchOutcome.Minor
     } else {
@@ -262,18 +347,77 @@ object GraphTieredStream {
           Adjacency.build(allEdges, dedup = true, hubLimit = hubLimit))
         finally view.foreach(_.release())
       try IndexStore.saveGraphIndex(spark, built, l1Dir,
-        s"batch:$batchId", params(hubLimit))
+        s"epoch:$epochId", params(hubLimit))
       finally built.release()
       EpochDirs.prune(spark, l1Root(root),
         l1Epochs(spark, root, hubLimit).take(2).toSet)
       prevL1.foreach { prev =>
         // L0s ≤ the previous L1 are two generations old — no grace left
         val keep = l0Epochs(spark, root, hubLimit).filter(_ > prev).toSet
-        EpochDirs.prune(spark, l0Root(root), keep + batchId)
+        EpochDirs.prune(spark, l0Root(root), keep + epochId)
       }
       BatchOutcome.Major(liveL0.size)
     }
   }
+
+  /** Maintenance-window PHYSICAL edge retraction through the major path —
+    * the media/signature [[MediaTieredStream.compactMajor]] shape at the
+    * graph layer: one scan decides (total + dead edges counted together
+    * against the broadcast tombstone pair set over the merged ≤2-tier
+    * view), and at dead share ≥ `threshold` the survivor edges are
+    * anti-joined out ONCE, rebuilt into a full [[Adjacency.Hybrid]]
+    * (exactly the build a data major pays — compaction is a major, not a
+    * new cost class), and committed as a NEW L1 generation at
+    * `epochId + 1` (a maintenance slot — can never collide with the next
+    * streaming batch's strided id). Live L0s are absorbed: after the
+    * commit the new L1 sits above every data epoch, so plain reads are
+    * clean of the dead edges with no tombstone anti-join, and the
+    * previous generation's L0s keep the data major's one-generation
+    * reader grace. `None` below threshold, when no tombstoned edge is
+    * actually stored, AND on a minors-only root (no standing L1
+    * generation yet — compaction is an L1 rewrite; before the first data
+    * major there is nothing to rewrite, and a caller needing dead edges
+    * gone that early reads through [[Tiered.mergedEdgesExcluding]]).
+    * Single writer, idempotent under re-run (a second call with the same
+    * tombstones finds no stored dead edge and returns None). */
+  def compactMajor(spark: SparkSession, root: String, tombstones: DataFrame,
+                   threshold: Double = 0.0,
+                   hubLimit: Long = Adjacency.DefaultHubLimit): Option[Long] =
+    l1Epochs(spark, root, hubLimit).headOption.flatMap { prevL1 =>
+      val liveL0 = l0Epochs(spark, root, hubLimit).filter(_ > prevL1)
+      val view = loadView(spark, root, hubLimit, Some(prevL1), liveL0,
+        strict = true)
+        .getOrElse(sys.error(s"standing L1 epoch=$prevL1 vanished mid-compact"))
+      try {
+        val dead = broadcast(tombstones
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst")).distinct())
+        val counts = view.mergedEdges
+          .join(dead.withColumn("__dead", lit(1)), Seq("src", "dst"), "left")
+          .agg(count(lit(1)).as("total"), sum("__dead").as("dead"))
+          .collect()(0)
+        val total = counts.getLong(0)
+        val deadN = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        if (deadN == 0 || total == 0 || deadN.toDouble / total < threshold)
+          None
+        else {
+          val built = Checkpoints.sweepingOnFailure(spark.sparkContext)(
+            Adjacency.build(
+              view.mergedEdges.join(dead, Seq("src", "dst"), "left_anti"),
+              dedup = true, hubLimit = hubLimit))
+          val newId = view.epochId + 1
+          try IndexStore.saveGraphIndex(spark, built,
+            EpochDirs.dir(l1Root(root), newId), s"compact after=$prevL1",
+            params(hubLimit))
+          finally built.release()
+          EpochDirs.prune(spark, l1Root(root),
+            l1Epochs(spark, root, hubLimit).take(2).toSet)
+          EpochDirs.prune(spark, l0Root(root),
+            l0Epochs(spark, root, hubLimit).filter(_ > prevL1).toSet)
+          Some(newId)
+        }
+      } finally view.release()
+    }
 
   /** Start the tiered roll: `edges` (a streaming `(src, dst)` frame) →
     * per-batch [[foldBatch]] → committed L0/L1 epochs under `root`. */

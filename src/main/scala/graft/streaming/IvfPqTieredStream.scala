@@ -177,6 +177,7 @@ object IvfPqTieredStream {
     // data epochs live at batchId × MaintenanceSlots so an out-of-band
     // compaction/retrain (standing-epoch + 1) can never take the NEXT
     // batch's id and turn its replay check into silent data loss
+    TierIds.ensureStrideLayout(spark, root) // refuse pre-stride legacy roots
     val epochId = TierIds.dataEpoch(batchId)
     val l0Dir = EpochDirs.dir(l0Root(root), epochId)
     val l1Dir = EpochDirs.dir(l1Root(root), epochId)

@@ -147,6 +147,7 @@ object MediaTieredStream {
     // data epochs live at batchId × MaintenanceSlots so an out-of-band
     // compaction (standing-epoch + 1) can never take the NEXT batch's id
     // and turn its replay check into silent data loss
+    TierIds.ensureStrideLayout(spark, root) // refuse pre-stride legacy roots
     val epochId = TierIds.dataEpoch(batchId)
     val l0Dir = EpochDirs.dir(l0Root(root), epochId)
     val l1Dir = EpochDirs.dir(l1Root(root), epochId)
@@ -190,8 +191,11 @@ object MediaTieredStream {
     * counted together against the broadcast tombstone set), at the dead
     * share `threshold` the survivors are anti-joined out ONCE and
     * committed as a NEW L1 generation at `epochId + 1` with the data
-    * major's reader grace. `None` below threshold or when no dead id is
-    * stored. Single writer. */
+    * major's reader grace. `None` below threshold, when no dead id is
+    * stored, AND on a minors-only root (no standing L1 generation yet —
+    * compaction is an L1 rewrite; before the first data major there is
+    * nothing to rewrite, and the dead ids fall out at that major's merge
+    * instead). Single writer. */
   def compactMajor(spark: SparkSession, root: String,
                    tombstones: DataFrame, tombId: String,
                    threshold: Double = 0.0): Option[Long] =

@@ -186,6 +186,7 @@ object SignatureTieredStream {
     // data epochs live at batchId × MaintenanceSlots so an out-of-band
     // compaction (standing-epoch + 1) can never take the NEXT batch's id
     // and turn its replay check into silent data loss
+    TierIds.ensureStrideLayout(spark, root) // refuse pre-stride legacy roots
     val epochId = TierIds.dataEpoch(batchId)
     val l0Dir = EpochDirs.dir(l0Root(root), epochId)
     val l1Dir = EpochDirs.dir(l1Root(root), epochId)
@@ -231,7 +232,10 @@ object SignatureTieredStream {
     * bucket's member array cannot be dropped in place — the bucket frame
     * is rebuilt, same cost class as a data major), committed as a NEW L1
     * generation at `epochId + 1`. `None` below `threshold` (dead share of
-    * stored docs) or when no dead id is stored. Single writer. */
+    * stored docs), when no dead id is stored, AND on a minors-only root
+    * (no standing L1 generation yet — compaction is an L1 rewrite; before
+    * the first data major there is nothing to rewrite, and the dead ids
+    * fall out at that major's re-aggregation instead). Single writer. */
   def compactMajor(spark: SparkSession, root: String,
                    tombstones: DataFrame, tombId: String,
                    threshold: Double = 0.0, k: Int = 128, bands: Int = 32,

@@ -28,6 +28,10 @@ object Q82Scale {
     spark.sparkContext.setLogLevel("WARN")
     val spin0 = HostCpu.spinScore()
     val work = java.nio.file.Files.createTempDirectory("q82_scale").toString
+    // the try spans the WHOLE roll: a mid-roll throw must not strand the
+    // ~10× staged corpus + tiered root in /tmp (ADVICE r15 — the same
+    // TempRoots discipline the q81/q82 queries follow)
+    try {
 
     // 4-line orders; parts hashed so within-order parts are distinct in
     // expectation (collisions are fine — distinct() handles them)
@@ -73,7 +77,7 @@ object Q82Scale {
       s""""merged_edges":$edgeCnt,"per_batch":$perBatch,""" +
       f""""total_sec":${rows.map(_._3).sum}%.2f,""" +
       s""""cpu_spin_before":$spin0,"cpu_spin_after":$spin1}""")
-    graft.io.TempRoots.delete(work)
+    } finally graft.io.TempRoots.delete(work)
     spark.stop()
   }
 }

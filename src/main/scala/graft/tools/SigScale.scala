@@ -28,6 +28,10 @@ object SigScale {
     spark.sparkContext.setLogLevel("WARN")
     val spin0 = HostCpu.spinScore()
     val work = java.nio.file.Files.createTempDirectory("sig_scale").toString
+    // the try spans the WHOLE roll: a mid-roll throw must not strand the
+    // staged chunks + tiered root in /tmp (ADVICE r15 — the same
+    // TempRoots discipline the d14/t40 queries follow)
+    try {
 
     // 40 unique tokens per doc; ids ≡ 2 (mod 5) reuse id−2's tokens with
     // the last one changed (3-shingle Jaccard ≈ 0.95 — a planted pair)
@@ -98,6 +102,7 @@ object SigScale {
     require(sigCnt == nDocs, s"folded $sigCnt sigs, generated $nDocs")
     require(totalPairs == expectPairs,
       s"accumulated $totalPairs pairs, fixture plants $expectPairs")
+    } finally graft.io.TempRoots.delete(work)
     spark.stop()
   }
 }

@@ -19,6 +19,10 @@ class GraphTieredStreamSpec extends SparkSpec {
     df.select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Data epochs live at the maintenance stride (graph joined the strided
+    * families when compaction gave it an out-of-band writer). */
+  private def ep(batchId: Long): Long = TierIds.dataEpoch(batchId)
+
   test("12 batches at majorEvery=4 converge to the full build; minors are " +
        "delta-sized; point reads are tier-complete") {
     val root = Files.createTempDirectory("gts_idx").toString
@@ -69,28 +73,28 @@ class GraphTieredStreamSpec extends SparkSpec {
 
     // torn L0: a dir without its meta marker must be invisible AND
     // overwritten by its replay
-    val torn = new java.io.File(s"$root/l0/epoch=1")
+    val torn = new java.io.File(s"$root/l0/epoch=${ep(1)}")
     assert(torn.mkdirs())
     Files.write(torn.toPath.resolve("junk"), Array[Byte](1))
     assert(GraphTieredStream.l0Epochs(spark, root,
-      Adjacency.DefaultHubLimit) === Seq(0L), "torn L0 must be invisible")
+      Adjacency.DefaultHubLimit) === Seq(ep(0)), "torn L0 must be invisible")
     GraphTieredStream.foldBatch(Seq((2L, 3L)).toDF("src", "dst"),
       root, batchId = 1L, majorEvery = 3)
     assert(GraphTieredStream.l0Epochs(spark, root,
-      Adjacency.DefaultHubLimit).toSet === Set(0L, 1L))
+      Adjacency.DefaultHubLimit).toSet === Set(ep(0), ep(1)))
 
     // batch 2 is the major (3rd live delta). Simulate its crash mid-save:
     // a torn L1 dir, then the replay compacts and overwrites it.
-    val tornL1 = new java.io.File(s"$root/l1/epoch=2")
+    val tornL1 = new java.io.File(s"$root/l1/epoch=${ep(2)}")
     assert(tornL1.mkdirs())
     Files.write(tornL1.toPath.resolve("junk"), Array[Byte](1))
     GraphTieredStream.foldBatch(Seq((3L, 4L)).toDF("src", "dst"),
       root, batchId = 2L, majorEvery = 3)
     assert(GraphTieredStream.l1Epochs(spark, root,
-      Adjacency.DefaultHubLimit) === Seq(2L), "replayed major must commit")
+      Adjacency.DefaultHubLimit) === Seq(ep(2)), "replayed major must commit")
 
     // replay of the committed major: a pure no-op (mtimes unchanged)
-    def mtimes = new java.io.File(s"$root/l1/epoch=2").listFiles
+    def mtimes = new java.io.File(s"$root/l1/epoch=${ep(2)}").listFiles
       .map(f => f.getName -> f.lastModified).toMap
     val m0 = mtimes
     Thread.sleep(1100)
@@ -138,5 +142,100 @@ class GraphTieredStreamSpec extends SparkSpec {
     val fresh = GraphTieredStream.loadCurrent(spark, root).getOrElse(fail())
     try assert(edgeSet(fresh.mergedEdges) === (all ++ more).toSet)
     finally fresh.release()
+  }
+
+  test("edge retraction: exclusion reads equal a rebuild without the dead " +
+       "edges, compactMajor physically drops them at a maintenance id, and " +
+       "the next data batch folds as a Minor (no id collision)") {
+    val fn = org.apache.spark.sql.functions
+    val root = Files.createTempDirectory("gts4_idx").toString
+    // 5 batches at majorEvery=3: major at batch 2, minors 3-4 → the view
+    // merges BOTH tiers, and dead edges live in both
+    val all = (0 until 30).map(i => (i % 6 + 1L, (i * 7) % 15 + 100L))
+    all.grouped(6).zipWithIndex.foreach { case (chunk, i) =>
+      GraphTieredStream.foldBatch(chunk.toDF("src", "dst"), root,
+        batchId = i.toLong, majorEvery = 3)
+    }
+    // tombstones: every stored edge with (src + dst) % 5 == 1, plus one
+    // edge that is NOT stored (must subtract nothing anywhere)
+    val deadSet = all.toSet.filter(e => (e._1 + e._2) % 5 == 1)
+    assert(deadSet.nonEmpty, "fixture must tombstone something")
+    val dead = (deadSet + ((999L, 999L))).toSeq.toDF("src", "dst")
+    val survivors = all.toSet -- deadSet
+
+    val view = GraphTieredStream.loadCurrent(spark, root).getOrElse(fail())
+    try {
+      assert(edgeSet(view.mergedEdgesExcluding(dead)) === survivors,
+        "query-time exclusion must equal the survivor edge set")
+      // point-read exclusion: every queried source's surviving dsts
+      val per = (1L to 6L).toDF("src").withColumn("qid", fn.col("src"))
+      val got = view.neighborsExcluding(per, dead).select("qid", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === survivors, "excluding point read must match survivors")
+      // exact survivor degrees, |dead|-proportional path vs the definition
+      val wantDeg = survivors.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val gotDeg = view.mergedOutDegreesExcluding(dead)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDeg === wantDeg,
+        "mergedOutDegreesExcluding must equal survivor-edge-set degrees")
+      // hybrid over survivors: bit-identical expand to a flat rebuild
+      val hyb = view.mergedHybridExcluding(dead)
+      try assert(edgeSet(hyb.edges) === survivors) finally hyb.release()
+    } finally view.release()
+
+    // physical compaction: a NEW L1 generation at standing-epoch + 1
+    val preId = GraphTieredStream.currentEpochId(spark, root).getOrElse(fail())
+    val newId = GraphTieredStream.compactMajor(spark, root, dead)
+      .getOrElse(fail("compaction must fire with stored dead edges"))
+    assert(newId === preId + 1, "compaction commits at a maintenance slot")
+    val clean = GraphTieredStream.loadCurrent(spark, root).getOrElse(fail())
+    try assert(edgeSet(clean.mergedEdges) === survivors,
+      "post-compaction plain reads must be clean of the dead edges")
+    finally clean.release()
+
+    // idempotent: the dead edges are gone, a re-run finds nothing to drop
+    assert(GraphTieredStream.compactMajor(spark, root, dead).isEmpty,
+      "a second compaction with the same tombstones must be a no-op")
+
+    // the epoch-id stride regression (the r15 TierIds catch, graph-shaped):
+    // the NEXT data batch must commit as a Minor, not replay-Skip into
+    // the maintenance commit's id
+    val out = GraphTieredStream.foldBatch(
+      Seq((90L, 91L)).toDF("src", "dst"), root, batchId = 5L, majorEvery = 3)
+    assert(out === BatchOutcome.Minor,
+      s"post-compaction data batch must fold as Minor, got $out")
+    val after = GraphTieredStream.loadCurrent(spark, root).getOrElse(fail())
+    try assert(edgeSet(after.mergedEdges) === survivors + ((90L, 91L)))
+    finally after.release()
+  }
+
+  test("compactMajor is None on a minors-only root and below threshold; a " +
+       "legacy pre-stride root refuses to fold") {
+    val root = Files.createTempDirectory("gts5_idx").toString
+    GraphTieredStream.foldBatch(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"),
+      root, batchId = 0L, majorEvery = 3)
+    // minors-only: nothing to rewrite (documented None case)
+    assert(GraphTieredStream.compactMajor(spark, root,
+      Seq((1L, 2L)).toDF("src", "dst")).isEmpty)
+    (1 to 2).foreach { i =>
+      GraphTieredStream.foldBatch(Seq((10L + i, 20L + i)).toDF("src", "dst"),
+        root, batchId = i.toLong, majorEvery = 3)
+    }
+    // 1 dead of 4 stored = 25% < 50% threshold → None; then fires at 20%
+    assert(GraphTieredStream.compactMajor(spark, root,
+      Seq((1L, 2L)).toDF("src", "dst"), threshold = 0.5).isEmpty)
+    assert(GraphTieredStream.compactMajor(spark, root,
+      Seq((1L, 2L)).toDF("src", "dst"), threshold = 0.2).isDefined)
+
+    // legacy-root refusal: epochs on disk but no stride marker (exactly
+    // what a pre-stride writer left behind) must fail loudly, not
+    // silently double-apply replays under re-based ids
+    assert(new java.io.File(s"$root/_tier_layout").delete())
+    val err = intercept[IllegalArgumentException] {
+      GraphTieredStream.foldBatch(Seq((7L, 8L)).toDF("src", "dst"),
+        root, batchId = 3L, majorEvery = 3)
+    }
+    assert(err.getMessage.contains("pre-stride"),
+      s"refusal must name the legacy layout, got: ${err.getMessage}")
   }
 }

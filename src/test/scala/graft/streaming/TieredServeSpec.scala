@@ -137,7 +137,7 @@ class TieredServeSpec extends SparkSpec {
       GraphEpochStream.foldBatch(es.toDF("src", "dst"), fRoot, i.toLong)
     }
     assert(GraphTieredStream.l1Epochs(spark, root,
-      graft.operators.Adjacency.DefaultHubLimit).head === 2L)
+      graft.operators.Adjacency.DefaultHubLimit).head === TierIds.dataEpoch(2))
 
     val q = Seq((101L, 1L), (104L, 4L)).toDF("qid", "node")
     val in = stageOne(q, Files.createTempDirectory("tsg_in").toString + "/q")
