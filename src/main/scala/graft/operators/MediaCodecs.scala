@@ -339,6 +339,66 @@ object AudioCodec {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** 64-bit audio fingerprint — the aHash discipline on the ENERGY
+    * ENVELOPE: the 16-bit PCM payload splits into 64 equal time windows,
+    * per-window RMS is computed, and bit w is set iff window w's RMS ≥
+    * the 64-window mean. Invariant under global gain (both sides of the
+    * comparison scale together) and robust to small local edits (one
+    * window's bit flips, the rest stand), so Hamming distance between
+    * fingerprints tracks envelope similarity — near-dup audio detection
+    * becomes the same 64-bit banded-join problem as images. None on
+    * undecodable bytes, non-16-bit encodings, and payloads shorter than
+    * 64 samples (no meaningful envelope). Channels are not deinterleaved:
+    * windows cut across the interleaved stream, which preserves the
+    * envelope shape for any fixed channel count. */
+  def energyFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          if (n < 64) None
+          else {
+            val acc = new Array[Double](64)
+            val cnt = new Array[Int](64)
+            var i = 0
+            while (i + 1 < data.length) {
+              val s =
+                if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              val x = s / 32768.0
+              // sample index → window by integer division (n ≥ 64, so
+              // every window gets ≥ 1 sample)
+              val w = math.min(63, (i / 2) * 64L / n).toInt
+              acc(w) += x * x
+              cnt(w) += 1
+              i += 2
+            }
+            // per-window RMS over the window's TRUE sample count (windows
+            // differ by ±1 sample when 64 ∤ n)
+            val rms = new Array[Double](64)
+            var w = 0
+            while (w < 64) {
+              rms(w) = math.sqrt(acc(w) / math.max(1, cnt(w)))
+              w += 1
+            }
+            var mean = 0.0
+            w = 0
+            while (w < 64) { mean += rms(w); w += 1 }
+            mean /= 64
+            var h = 0L
+            w = 0
+            while (w < 64) { if (rms(w) >= mean) h |= (1L << w); w += 1 }
+            Some(h)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** Encode 16-bit mono PCM samples as a WAV container. */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)

@@ -175,8 +175,11 @@ object Multimodal {
   /** The pigeonhole band projection shared by the full self-join and the
     * incremental fold: 64-bit aHash → `maxHamming + 1` (band, bv) rows
     * per id (≤ maxHamming differing bits cannot touch every band, so any
-    * in-budget pair matches exactly in ≥ 1 band). */
-  private def bandedHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    * in-budget pair matches exactly in ≥ 1 band). `keep` = the key
+    * columns carried beside (band, bv) — (media_id, phash) for whole-item
+    * hashes, plus frame_idx for per-frame video hashes. */
+  private def banded(hashes: DataFrame, maxHamming: Int,
+                     keep: Seq[String]): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: banding needs maxHamming+1 bands of >= 4 bits")
     val bands = maxHamming + 1
@@ -188,10 +191,19 @@ object Multimodal {
       struct(lit(i).as("band"),
         shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bv"))
     }
-    hashes.select(col("media_id"), col("phash"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("media_id"), col("phash"), col("b.band"), col("b.bv"))
+    hashes.select(keep.map(col) :+ explode(array(bandCols: _*)).as("b"): _*)
+      .select(keep.map(col) :+ col("b.band") :+ col("b.bv"): _*)
   }
+
+  private def bandedHashes(hashes: DataFrame, maxHamming: Int): DataFrame =
+    banded(hashes, maxHamming, Seq("media_id", "phash"))
+
+  /** Modality-agnostic near-dup pairs over any 64-bit perceptual-hash
+    * frame `(media_id, phash)` — the banding neither knows nor cares
+    * which codec produced the hash, so audio fingerprints
+    * ([[audioFingerprints]]) ride the same machinery as image aHashes. */
+  def nearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    imageNearDupPairsFromHashes(hashes, maxHamming)
 
   /** [[imageNearDupPairs]] over an already-computed (media_id, phash)
     * frame — the stored-hash-column production path. */
@@ -252,6 +264,80 @@ object Multimodal {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audio fingerprint per blob: decode → 64-bit energy-envelope hash
+    * ([[AudioCodec.energyFingerprint]]) — the audio modality's
+    * [[imageHashes]]: runs ONCE at ingest, the 8-byte fingerprint is
+    * stored beside the blob, and near-dup detection downstream
+    * ([[nearDupPairsFromHashes]]) touches only the hash column.
+    * Undecodable/unsupported blobs are skipped. Input needs
+    * (media_id, media). */
+  def audioFingerprints(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        AudioCodec.energyFingerprint(bytes).map(h => (id, h))
+      })
+      .toDF("media_id", "phash")
+  }
+
+  /** Per-frame aHash over MJPEG video blobs: every `every`-th frame is
+    * decoded ([[VideoCodec.decodeFrames]]'s sampling) and aHashed —
+    * (media_id, frame_idx, phash), frame_idx over the SAMPLED sequence.
+    * The ingest-once column for video near-dup; undecodable frames and
+    * non-MJPEG blobs contribute nothing (skip-don't-throw). */
+  def videoFrameHashes(df: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          VideoCodec.sampleFrames(bytes, every).zipWithIndex.flatMap {
+            case (frame, idx) =>
+              ImageCodec.decode(frame).map(img =>
+                (id, idx, ImageCodec.aHash(img)))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "phash")
+  }
+
+  /** Clip-level video near-dup by ALIGNED-FRAME vote: two clips pair when
+    * ≥ `minClose` of their equal-index frames are within `maxHamming`
+    * aHash bits — the per-frame banding ([[banded]], keyed on frame_idx
+    * too, so candidates only ever form between same-index frames) finds
+    * every close frame pair with no false negatives, one popcount
+    * verifies each, and the clip vote is a per-pair count. Near-identical
+    * clips (re-encodes, noise, a few edited frames) keep most frames
+    * aligned-close; unrelated clips contribute nothing to the count.
+    * Trimmed/shifted variants need an alignment-free vote (each frame vs
+    * SOME frame of the other clip) — same banding minus the frame_idx
+    * join key, quadratic in matching frames; out of scope until a
+    * workload needs it. Input = a [[videoFrameHashes]] frame; output
+    * (id_a, id_b, n_close). */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
+                        minClose: Int = 1): DataFrame = {
+    require(minClose >= 1, s"minClose must be >= 1, got $minClose")
+    val b = banded(frameHashes, maxHamming,
+      Seq("media_id", "frame_idx", "phash"))
+    val a = b.toDF("id_a", "frame_idx", "ph_a", "band", "bv")
+    val c = b.toDF("id_b", "frame_idx_b", "ph_b", "band_b", "bv_b")
+    a.join(c, col("frame_idx") === col("frame_idx_b") &&
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"), col("ph_a"),
+        col("ph_b"))
+      .distinct() // a frame pair can share several bands
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_close"))
+      .filter(col("n_close") >= minClose)
   }
 
   /** Near-dup matches of PROBE images against a STANDING hash index only

@@ -284,4 +284,95 @@ class MultimodalSpec extends SparkSpec {
       s"batch-internal planted pair missing: $folded")
     graft.io.TempRoots.delete(root)
   }
+
+  test("audio energy fingerprint: gain-invariant, planted-pair margin, " +
+       "skip-don't-throw on short/undecodable payloads") {
+    import sqlImplicits._
+    // seed-keyed envelope (the m08 fixture formula's shape): 64 windows
+    // of a 440 Hz sine, amplitudes in [0.15, 0.95]
+    def wav(seed: Long, gain: Double, flipW: Int): Array[Byte] = {
+      def unit(w: Int): Double = {
+        var x = seed * 6364136223846793005L + w * 104729L + 1442695040888963407L
+        x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+        (x >>> 11).toDouble / (1L << 53).toDouble
+      }
+      val amp = Array.tabulate(64) { w =>
+        val a = 0.15 + 0.8 * unit(w)
+        if (w == flipW) 1.1 - a else a
+      }
+      val samples = Array.tabulate[Short](64 * 125) { t =>
+        (math.sin(2 * math.Pi * 440.0 * t / 8000) * amp(t / 125) *
+          16384 * gain).toShort
+      }
+      AudioCodec.encodeWav(samples, 8000)
+    }
+    def fp(b: Array[Byte]): Long = AudioCodec.energyFingerprint(b).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    // global gain leaves the above/below-mean pattern intact (small
+    // quantization wiggle allowed at 0.5× gain)
+    assert(ham(fp(wav(7, 1.0, -1)), fp(wav(7, 0.5, -1))) <= 2,
+      "fingerprint must be (near-)invariant under global gain")
+    // planted near-dup (one window reflected) stays well inside budget 6;
+    // distinct seeds sit near 32
+    (0L until 8L).foreach { s0 =>
+      val d = ham(fp(wav(s0, 1.0, -1)), fp(wav(s0, 1.0, (s0 * 31 % 64).toInt)))
+      assert(d <= 6, s"planted pair at distance $d, budget 6 (seed $s0)")
+    }
+    val far = ham(fp(wav(1, 1.0, -1)), fp(wav(2, 1.0, -1)))
+    assert(far > 12, s"distinct seeds must be far apart, got $far")
+    // malformed-input policy: too-short PCM and garbage both skip
+    assert(AudioCodec.energyFingerprint(
+      AudioCodec.encodeWav(Array.fill[Short](32)(100), 8000)).isEmpty)
+    assert(AudioCodec.energyFingerprint(Array.fill[Byte](64)(42)).isEmpty)
+
+    // the distributed operator drops undecodable rows, keeps the rest
+    val rows = Seq((1L, wav(1, 1.0, -1)), (2L, Array.fill[Byte](10)(7)))
+      .toDF("media_id", "media")
+    val got = audioFingerprints(rows).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(1L))
+    assert(got.head.getLong(1) === fp(wav(1, 1.0, -1)))
+  }
+
+  test("video near-dup: aligned-frame banding finds exactly the planted " +
+       "clip pair at full vote; unrelated clips share no close frame") {
+    import sqlImplicits._
+    def clip(seed: Long, flipBase: Int): Array[Byte] =
+      VideoCodec.encodeMjpeg(Iterator.range(0, 8).map { f =>
+        val im = new java.awt.image.BufferedImage(64, 64,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            val b = (y / 8) * 8 + (x / 8)
+            var c = {
+              var h = (seed + f) * 1103515245L + (y / 8) * 7919L +
+                (x / 8) * 104729L + 12345L
+              h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+              (h & 0xffffff).toInt
+            }
+            if (flipBase >= 0 && b == (flipBase + f * 17) % 64) c ^= 0xffffff
+            im.setRGB(x, y, c)
+            x += 1
+          }
+          y += 1
+        }
+        im
+      })
+    val rows = Seq(
+      (0L, clip(100, -1)), (1L, clip(100, 5)), // planted pair 0 ≈ 1
+      (2L, clip(200, -1))) // unrelated
+      .toDF("media_id", "media")
+    val hashes = videoFrameHashes(rows)
+    assert(hashes.count() === 24L, "3 clips × 8 frames must hash")
+    val pairs = videoNearDupPairs(hashes, maxHamming = 6, minClose = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 8L)),
+      s"exactly the planted pair at full 8-frame vote, got ${pairs.toSeq}")
+    // below the vote floor nothing survives: budget 0 kills the lossy-
+    // JPEG-perturbed planted frames too
+    assert(videoNearDupPairs(hashes, maxHamming = 0, minClose = 1)
+      .filter("id_a <> id_b").count() === 0L)
+  }
 }
