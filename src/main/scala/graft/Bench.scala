@@ -286,17 +286,19 @@ object Bench {
     // Build-phase health (r14 verdict #2): per-family build references
     // are stamped as `build_<family>` rows by MedianBench; a build
     // exceeding the same ratio gate (absolute floor 2 s — builds are
-    // seconds, not milliseconds) is named in `build_ratio_warnings`, so
-    // a reader can tell a build regression from a starved window. The
-    // builds are cached per (session, dir), so a retry would measure the
-    // cache, not the build — a warning is the honest guard here.
-    val buildRatioWarnings = indexBuilds.flatMap { case (name, sec, err) =>
-      medians.get(s"build_$name").collect {
-        case med if err.isEmpty && med > 0 &&
-            sec > ratioGate * med && sec - med > 2.0 =>
-          name -> ((sec, med))
+    // seconds, not milliseconds) is flagged here. One-shot flags feed the
+    // RETIME below (r15 verdict #3); what survives that second real build
+    // ships in `build_ratio_warnings`.
+    def buildFlagged(builds: Seq[(String, Double, Option[String])])
+        : Seq[(String, (Double, Double))] =
+      builds.flatMap { case (name, sec, err) =>
+        medians.get(s"build_$name").collect {
+          case med if err.isEmpty && med > 0 &&
+              sec > ratioGate * med && sec - med > 2.0 =>
+            name -> ((sec, med))
+        }
       }
-    }
+    val buildRatioWarnings = buildFlagged(indexBuilds)
 
     // Starvation-proof headline (r13 verdict #1): BENCH_r13 went out 2.5×
     // inflated by a host-steal burst the artifact itself DETECTED (33
@@ -340,6 +342,60 @@ object Bench {
         }
       }
     }
+    // Build-phase retime (r15 verdict #3 — the guard fired at 3.61× on
+    // the ivf build and only warned): a ratio-flagged build re-runs ONCE
+    // on a recovered window. The family's session cache is RELEASED
+    // first, so the retry measures a real build, not the cache — and the
+    // block runs AFTER the timed queries and their retries, so the cache
+    // churn cannot touch any query timing (the rebuilt cache is dropped
+    // again by the final release census). Reported per-family build
+    // seconds take the min of the two real builds; `build_retry` names
+    // the retimes, and `build_ratio_warnings` carries only what survived
+    // the second build — a real build regression, not a starved window.
+    var buildRetried = Map.empty[String, Double]
+    var buildRetryFailed = List.empty[String]
+    if (buildRatioWarnings.nonEmpty) {
+      val retryWaitSec =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT_SEC", "300").toLong
+      val bw0 = System.nanoTime()
+      var spinB = tools.HostCpu.spinScore()
+      while (spinB < spinThreshold &&
+             (System.nanoTime() - bw0) / 1e9 < retryWaitSec) {
+        System.err.println(s"[bench] ${buildRatioWarnings.size} ratio-" +
+          s"flagged index builds; waiting for capacity before re-build " +
+          s"(spin $spinB < $spinThreshold)")
+        Thread.sleep(15000L)
+        spinB = tools.HostCpu.spinScore()
+      }
+      val releasers = Map[String, () => Unit](
+        "ivf" -> (() => queries.VectorQueries.releaseIvfIndexes(spark)),
+        "cluster" -> (() => queries.TextQueries.releaseClusterLabels(spark)),
+        "signature" -> (() => queries.TextQueries.releaseSignatureIndexes(spark)),
+        "graph" -> (() => queries.CoreQueries.releaseGraphIndexes(spark)),
+        "postings" -> (() => queries.TextQueries.releasePostingsIndexes(spark)))
+      val builders = Map[String, () => Unit](
+        "ivf" -> (() => queries.VectorQueries.prepareIvfIndex(spark, sfDir)),
+        "cluster" -> (() => queries.TextQueries.prepareClusterIndex(spark, sfDir)),
+        "signature" -> (() => queries.TextQueries.prepareSignatureIndex(spark, sfDir)),
+        "graph" -> (() => queries.CoreQueries.prepareGraphIndex(spark, sfDir)),
+        "postings" -> (() => queries.TextQueries.preparePostingsIndex(spark, sfDir)))
+      buildRatioWarnings.foreach { case (name, _) =>
+        try {
+          releasers(name)()
+          val t0 = System.nanoTime()
+          builders(name)()
+          buildRetried += name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          buildRetryFailed ::= name
+          System.err.println(s"[bench] re-build of $name failed " +
+            s"(one-shot time kept): ${e.toString.take(200)}")
+        }
+      }
+    }
+    val buildsRetimed = indexBuilds.map { case (name, sec, err) =>
+      (name, math.min(sec, buildRetried.getOrElse(name, sec)), err) }
+    val buildRatioWarningsAfter = buildFlagged(buildsRetimed)
+
     val retimed = results.map { case (name, sec) =>
       name -> math.min(sec, retried.getOrElse(name, sec)) }
     val totalRetimed = if (retimed.nonEmpty) retimed.values.sum else 0.0
@@ -366,10 +422,17 @@ object Bench {
     val retriedJson = retried.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
     val retryFailedJson = retryFailed.map(jsonStr).mkString("[", ",", "]")
-    val buildRatioJson = buildRatioWarnings.map { case (n, (sec, med)) =>
-      s"""${jsonStr(n)}:{"sec":$sec,"median":$med,""" +
-        s""""ratio":${math.round(sec / med * 100) / 100.0}}"""
-    }.mkString("{", ",", "}")
+    def buildRatioMap(ws: Seq[(String, (Double, Double))]): String =
+      ws.map { case (n, (sec, med)) =>
+        s"""${jsonStr(n)}:{"sec":$sec,"median":$med,""" +
+          s""""ratio":${math.round(sec / med * 100) / 100.0}}"""
+      }.mkString("{", ",", "}")
+    val buildRatioJson = buildRatioMap(buildRatioWarningsAfter)
+    val buildRatioOneshotJson = buildRatioMap(buildRatioWarnings)
+    val buildRetryJson = buildRetried.map { case (k, v) =>
+      s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+    val buildRetryFailedJson = buildRetryFailed.map(jsonStr)
+      .mkString("[", ",", "]")
 
     // Persisted-block census, split by lifecycle (r12 verdict #5): the
     // STANDING summary (pre-release) covers the intentional residents —
@@ -423,6 +486,9 @@ object Bench {
       s""""index_cache_prepare":$prepareCacheJson,"index_cache":$cacheJson,""" +
       s""""timed_index_misses":$timedMisses,""" +
       s""""build_ratio_warnings":$buildRatioJson,""" +
+      s""""build_ratio_warnings_oneshot":$buildRatioOneshotJson,""" +
+      s""""build_retry":$buildRetryJson,""" +
+      s""""build_retry_failed":$buildRetryFailedJson,""" +
       s""""dedup_drops":$dropsJson,""" +
       s""""persisted_rdds_standing":$standingJson,""" +
       s""""persisted_rdds_leaked":${rddRows(leaked)},""" +
@@ -471,7 +537,8 @@ object Bench {
       s""""total_of_medians":${r3(totalOfMedians)},"retried":${retried.size},""" +
       s""""n":${results.size},"worst5":$worst5,""" +
       s""""index_build_sec":${r3(idxSec)},"index_build_failed":$anyBuildFailed,""" +
-      s""""build_ratio_warnings":${buildRatioWarnings.size},""" +
+      s""""build_ratio_warnings":${buildRatioWarningsAfter.size},""" +
+      s""""build_retried":${buildRetried.size},""" +
       s""""timed_index_misses":$timedMisses,""" +
       s""""load_warning":$loaded,""" +
       s""""steal_pct_queries":${math.round(stealQueriesPct * 10) / 10.0},""" +

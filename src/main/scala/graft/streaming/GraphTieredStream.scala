@@ -420,17 +420,31 @@ object GraphTieredStream {
     }
 
   /** Start the tiered roll: `edges` (a streaming `(src, dst)` frame) →
-    * per-batch [[foldBatch]] → committed L0/L1 epochs under `root`. */
+    * per-batch [[foldBatch]] → committed L0/L1 epochs under `root`.
+    * `maintenance` opts into scheduled in-stream compaction after data
+    * majors — the graph policy's tombstone supplier yields (src, dst)
+    * EDGE pairs and `tombId` is ignored ([[MaintenancePolicy]]). */
   def start(edges: DataFrame, root: String, checkpointDir: String,
             majorEvery: Int = 8,
             hubLimit: Long = Adjacency.DefaultHubLimit,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            maintenance: Option[MaintenancePolicy] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var majorsSeen = 0L // instance cadence only; safety is the ops' own
     edges.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, root, batchId, majorEvery, hubLimit)
+        foldBatch(batch, root, batchId, majorEvery, hubLimit) match {
+          case BatchOutcome.Major(_) =>
+            majorsSeen += 1
+            maintenance.filter(_.due(majorsSeen)).foreach { p =>
+              p.tombstones.foreach(ts => compactMajor(batch.sparkSession,
+                root, ts(), p.threshold, hubLimit))
+            }
+          case _ => ()
+        }
         ()
       }
       .start()
+  }
 }

@@ -369,14 +369,30 @@ object IvfPqTieredStream {
             nCells: Int = 8, m: Int = 4, k: Int = 8,
             coarseIters: Int = 4, pqIters: Int = 4,
             trainSample: Int = 10000, majorEvery: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            maintenance: Option[MaintenancePolicy] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var majorsSeen = 0L // instance cadence only; safety is the ops' own
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, idCol, vecCol, root, batchId, dim, nCells, m, k,
-          coarseIters, pqIters, trainSample, majorEvery)
+          coarseIters, pqIters, trainSample, majorEvery) match {
+          case BatchOutcome.Major(_) =>
+            majorsSeen += 1
+            maintenance.filter(_.due(majorsSeen)).foreach { p =>
+              val spark = batch.sparkSession
+              p.tombstones.foreach(ts => compactMajor(spark, root, ts(),
+                p.tombId, p.threshold, dim, nCells, m, k, coarseIters,
+                pqIters, trainSample))
+              p.retrainCorpus.foreach(c => retrainMajorIfDrifted(c(), batch,
+                idCol, vecCol, root, p.maxDrifted, dim, nCells, m, k,
+                coarseIters, pqIters, trainSample))
+            }
+          case _ => ()
+        }
         ()
       }
       .start()
+  }
 }

@@ -231,13 +231,24 @@ object MediaTieredStream {
     * `root`. */
   def start(media: DataFrame, root: String, checkpointDir: String,
             majorEvery: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            maintenance: Option[MaintenancePolicy] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var majorsSeen = 0L // instance cadence only; safety is the ops' own
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, root, batchId, majorEvery)
+        foldBatch(batch, root, batchId, majorEvery) match {
+          case BatchOutcome.Major(_) =>
+            majorsSeen += 1
+            maintenance.filter(_.due(majorsSeen)).foreach { p =>
+              p.tombstones.foreach(ts => compactMajor(batch.sparkSession,
+                root, ts(), p.tombId, p.threshold))
+            }
+          case _ => ()
+        }
         ()
       }
       .start()
+  }
 }

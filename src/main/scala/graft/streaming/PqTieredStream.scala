@@ -320,14 +320,29 @@ object PqTieredStream {
             root: String, checkpointDir: String, dim: Int,
             m: Int = 4, k: Int = 8, iters: Int = 4,
             trainSample: Int = 10000, majorEvery: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            maintenance: Option[MaintenancePolicy] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var majorsSeen = 0L // instance cadence only; safety is the ops' own
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, idCol, vecCol, root, batchId, dim, m, k, iters,
-          trainSample, majorEvery)
+          trainSample, majorEvery) match {
+          case BatchOutcome.Major(_) =>
+            majorsSeen += 1
+            maintenance.filter(_.due(majorsSeen)).foreach { p =>
+              val spark = batch.sparkSession
+              p.tombstones.foreach(ts => compactMajor(spark, root, ts(),
+                p.tombId, p.threshold, dim, m, k, iters, trainSample))
+              p.retrainCorpus.foreach(c => retrainMajorIfDrifted(c(), batch,
+                idCol, vecCol, root, p.maxDrifted, dim, m, k, iters,
+                trainSample))
+            }
+          case _ => ()
+        }
         ()
       }
       .start()
+  }
 }

@@ -278,14 +278,25 @@ object SignatureTieredStream {
   def start(docs: DataFrame, idCol: String, textCol: String, root: String,
             checkpointDir: String, majorEvery: Int = 8, k: Int = 128,
             bands: Int = 32, shingleWidth: Int = 3,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            maintenance: Option[MaintenancePolicy] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var majorsSeen = 0L // instance cadence only; safety is the ops' own
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, idCol, textCol, root, batchId, majorEvery, k,
-          bands, shingleWidth)
+          bands, shingleWidth) match {
+          case BatchOutcome.Major(_) =>
+            majorsSeen += 1
+            maintenance.filter(_.due(majorsSeen)).foreach { p =>
+              p.tombstones.foreach(ts => compactMajor(batch.sparkSession,
+                root, ts(), p.tombId, p.threshold, k, bands, shingleWidth))
+            }
+          case _ => ()
+        }
         ()
       }
       .start()
+  }
 }

@@ -331,19 +331,36 @@ object VectorTieredStream {
 
   /** Start the tiered roll: `vectors` (a streaming frame with
     * `idCol`/`vecCol`) → per-batch [[foldBatch]] → committed L0/L1
-    * epochs under `root`. */
+    * epochs under `root`. `maintenance` opts into scheduled in-stream
+    * compaction/retrain after data majors ([[MaintenancePolicy]]);
+    * `recent` for the drift gate is the batch that triggered the major. */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             root: String, checkpointDir: String,
             nCells: Int = 16, trainSample: Int = 10000, iters: Int = 8,
             majorEvery: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            maintenance: Option[MaintenancePolicy] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var majorsSeen = 0L // instance cadence only; safety is the ops' own
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, idCol, vecCol, root, batchId, nCells, trainSample,
-          iters, majorEvery)
+          iters, majorEvery) match {
+          case BatchOutcome.Major(_) =>
+            majorsSeen += 1
+            maintenance.filter(_.due(majorsSeen)).foreach { p =>
+              val spark = batch.sparkSession
+              p.tombstones.foreach(ts => compactMajor(spark, root, ts(),
+                p.tombId, p.threshold, nCells, trainSample, iters))
+              p.retrainCorpus.foreach(c => retrainMajorIfDrifted(c(), batch,
+                idCol, vecCol, root, p.maxDrifted, nCells, trainSample,
+                iters))
+            }
+          case _ => ()
+        }
         ()
       }
       .start()
+  }
 }
