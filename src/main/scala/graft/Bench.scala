@@ -255,9 +255,13 @@ object Bench {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mediansFile)),
         java.nio.charset.StandardCharsets.UTF_8)
-      val mRe = """"([A-Za-z0-9_]+)":\{"median":([0-9.eE+-]+)""".r
-      val cRe = """"commit":"([0-9a-f]+)"""".r
-      val sfRe = """"sf":"([^"]+)"""".r
+      // whitespace-tolerant: a medians file round-tripped through a
+      // pretty-printer must not silently disarm the ratio gate (r16: a
+      // spaced rewrite made every regex miss and the artifact shipped
+      // total_of_medians 0.0 with zero retries)
+      val mRe = """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"median"\s*:\s*([0-9.eE+-]+)""".r
+      val cRe = """"commit"\s*:\s*"([0-9a-f]+)"""".r
+      val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
       // a ratio against another scale factor's medians is noise, not a
       // guard — compare only when the benched dir IS the medians' dir
       val sfMatches = sfRe.findFirstMatchIn(txt).map(_.group(1)).exists(m =>
