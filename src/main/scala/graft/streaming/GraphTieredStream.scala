@@ -119,10 +119,18 @@ object GraphTieredStream {
 
     /** The merged edge set (src, dst), deduped across tiers — the L1
       * edges pay one explode (the [[Adjacency.Hybrid.edges]] contract). */
-    def mergedEdges: DataFrame = {
+    def mergedEdges: DataFrame = rawEdges.distinct()
+
+    /** [[mergedEdges]] WITHOUT the cross-tier distinct — the major/compact
+      * path feeds this straight into `Adjacency.build(dedup = true)`,
+      * whose collect_set / flat-distinct collapses duplicates anyway; a
+      * pre-distinct there was a full extra shuffle of the merged corpus.
+      * (L1 edges are already deduped by the build contract; duplicates
+      * can only come from delta rows re-deriving a stored edge.) */
+    private[streaming] def rawEdges: DataFrame = {
       val d = delta.select(col("src"), col("dst"))
       l1.map(_.edges.select(col("src"), col("dst")).unionByName(d))
-        .getOrElse(d).distinct()
+        .getOrElse(d)
     }
 
     /** EXACT cross-tier out-degrees at |Δ| cost — upgrades the
@@ -329,25 +337,34 @@ object GraphTieredStream {
     val prevL1 = l1Epochs(spark, root, hubLimit).headOption
     val liveL0 = l0Epochs(spark, root, hubLimit)
       .filter(id => prevL1.forall(id > _))
+    import graft.io.JobLabels.labeled
     if (liveL0.size + 1 < majorEvery) {
       // MINOR: delta-sized durable commit (the whole point of the tier)
-      IndexStore.saveStage(spark, norm, l0Dir, s"epoch:$epochId",
-        l0Params(hubLimit))
+      labeled(spark.sparkContext, s"graph-tier e$epochId: minor-save")(
+        IndexStore.saveStage(spark, norm, l0Dir, s"epoch:$epochId",
+          l0Params(hubLimit)))
       BatchOutcome.Minor
     } else {
       // MAJOR: fold standing L1 + live deltas + this batch into a full
       // index; prune absorbed L0s (grace: only those ≤ the PREVIOUS L1)
-      // and old L1 generations after the commit
+      // and old L1 generations after the commit. The merged union feeds
+      // the build RAW (no pre-distinct): with dedup=true the build's own
+      // collect_set / flat-distinct collapses cross-tier duplicates, so a
+      // distinct here was a full extra shuffle of the merged corpus per
+      // major for nothing (hub routing is by raw multiplicity by
+      // contract — conservative, result-identical).
       val view = loadView(spark, root, hubLimit, prevL1, liveL0,
         strict = true)
-      val allEdges = view.map(_.mergedEdges.unionByName(norm).distinct())
+      val allEdges = view.map(v => v.rawEdges.unionByName(norm))
         .getOrElse(norm)
       val built =
-        try Checkpoints.sweepingOnFailure(spark.sparkContext)(
-          Adjacency.build(allEdges, dedup = true, hubLimit = hubLimit))
+        try labeled(spark.sparkContext, s"graph-tier e$epochId: major-build")(
+          Checkpoints.sweepingOnFailure(spark.sparkContext)(
+            Adjacency.build(allEdges, dedup = true, hubLimit = hubLimit)))
         finally view.foreach(_.release())
-      try IndexStore.saveGraphIndex(spark, built, l1Dir,
-        s"epoch:$epochId", params(hubLimit))
+      try labeled(spark.sparkContext, s"graph-tier e$epochId: major-save")(
+        IndexStore.saveGraphIndex(spark, built, l1Dir,
+          s"epoch:$epochId", params(hubLimit)))
       finally built.release()
       EpochDirs.prune(spark, l1Root(root),
         l1Epochs(spark, root, hubLimit).take(2).toSet)
@@ -392,19 +409,28 @@ object GraphTieredStream {
         val dead = broadcast(tombstones
           .select(col("src").cast("long").as("src"),
             col("dst").cast("long").as("dst")).distinct())
-        val counts = view.mergedEdges
-          .join(dead.withColumn("__dead", lit(1)), Seq("src", "dst"), "left")
-          .agg(count(lit(1)).as("total"), sum("__dead").as("dead"))
-          .collect()(0)
+        val counts = graft.io.JobLabels.labeled(spark.sparkContext,
+          "graph-tier compact: dead-share") {
+          view.mergedEdges
+            .join(dead.withColumn("__dead", lit(1)), Seq("src", "dst"), "left")
+            .agg(count(lit(1)).as("total"), sum("__dead").as("dead"))
+            .collect()(0)
+        }
         val total = counts.getLong(0)
         val deadN = if (counts.isNullAt(1)) 0L else counts.getLong(1)
         if (deadN == 0 || total == 0 || deadN.toDouble / total < threshold)
           None
         else {
-          val built = Checkpoints.sweepingOnFailure(spark.sparkContext)(
-            Adjacency.build(
-              view.mergedEdges.join(dead, Seq("src", "dst"), "left_anti"),
-              dedup = true, hubLimit = hubLimit))
+          // survivors feed the build RAW (rawEdges, not mergedEdges): the
+          // anti-join drops every copy of a dead pair and the dedup=true
+          // build collapses the rest — the pre-distinct was an extra
+          // corpus-wide shuffle (same argument as the data major)
+          val built = graft.io.JobLabels.labeled(spark.sparkContext,
+            "graph-tier compact: rebuild")(
+            Checkpoints.sweepingOnFailure(spark.sparkContext)(
+              Adjacency.build(
+                view.rawEdges.join(dead, Seq("src", "dst"), "left_anti"),
+                dedup = true, hubLimit = hubLimit)))
           val newId = view.epochId + 1
           try IndexStore.saveGraphIndex(spark, built,
             EpochDirs.dir(l1Root(root), newId), s"compact after=$prevL1",
