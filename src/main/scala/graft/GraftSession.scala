@@ -52,6 +52,16 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // Commit with one rename per file instead of two (FileOutputCommitter
+    // v1 renames task → job-temp → final; v2 renames task → final at task
+    // commit). The epoch stores' torn-write detection never relied on the
+    // v1 job-commit barrier — a commit is visible only once its meta
+    // marker (written AFTER the data) validates — so v2's weaker
+    // mid-job visibility is invisible to readers here, and every epoch
+    // write (the tiered rolls commit 5–10 per query) saves a
+    // driver-side rename pass. Same reasoning holds on HDFS at cluster
+    // scale; object stores use their own committers anyway.
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.ui.enabled", "false")
 
   /** Opt this session's iterative operators (connected components,

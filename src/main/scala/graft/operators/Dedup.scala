@@ -377,11 +377,27 @@ object Dedup {
                                           threshold: Double = 0.8,
                                           estMargin: Double = 0.2,
                                           maxBucket: Int = 1000): ManagedPairs = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val r = index.k / index.bands
     val bs = sigShingleFrame(batch, idCol, textCol, index.k, index.shingleWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inner = incrementalPairsFromSigs(bs, index, threshold, estMargin,
+      maxBucket)
+    ManagedPairs(inner.pairs, () => { bs.unpersist(); () }, inner.drops)
+  }
+
+  /** [[incrementalExactPairsIndexedManaged]] over a PRECOMPUTED (and
+    * caller-persisted) batch `(id, sig, ss)` frame — the d14/tiered-roll
+    * path computes the batch signatures ONCE and shares the frame between
+    * this probe and the L0 fold commit, instead of tokenizing the batch
+    * twice. The caller owns `bs`'s lifecycle; the returned release is a
+    * no-op. */
+  private[graft] def incrementalPairsFromSigs(bs: DataFrame,
+                                              index: SignatureIndex,
+                                              threshold: Double,
+                                              estMargin: Double,
+                                              maxBucket: Int): ManagedPairs = {
+    val spark = bs.sparkSession
+    import spark.implicits._
+    val r = index.k / index.bands
     val bBuckets = bs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(index.bands - 1))).as("band"))
@@ -434,7 +450,7 @@ object Dedup {
       .withColumn("jaccard", call_function("set_jaccard", col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    ManagedPairs(verified, () => { bs.unpersist(); () }, () => drops.stats())
+    ManagedPairs(verified, () => (), () => drops.stats())
   }
 
   /** The LSH band hash — ONE definition shared by the self-dedup path and

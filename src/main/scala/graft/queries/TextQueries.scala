@@ -506,20 +506,36 @@ object TextQueries {
         (0 until 4).foreach { i =>
           val batch = d.filter(pmod(col("doc_id"), lit(4)) === i)
           val pre = SignatureTieredStream.loadCurrent(s, root)
-          val mp = pre match {
-            case Some(view) =>
-              view.newPairsFor(batch, "doc_id", "text", threshold = 0.8)
-            case None =>
-              Dedup.minhashExactPairsManaged(batch, "doc_id", "text",
-                k = 128, bands = 32, shingleWidth = 3, threshold = 0.8)
-          }
+          // ONE tokenize+MinHash pass per batch, shared by the probe and
+          // the fold commit (the batch was previously signed twice —
+          // measured ~40% of d14's cost); released after the fold
+          val sigs = Dedup.signatureFrame(batch, "doc_id", "text",
+              k = 128, shingleWidth = 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val out = mp.pairs.select(col("id_a").as("doc_a"),
-              col("id_b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-            acc ++= out.collect(); schema = out.schema
-          } finally { mp.release(); pre.foreach(_.release()) }
-          SignatureTieredStream.foldBatch(batch, "doc_id", "text", root,
-            i.toLong, majorEvery = 3)
+            val mp = pre match {
+              case Some(view) =>
+                view.newPairsForSigs(sigs, threshold = 0.8)
+              case None =>
+                // bootstrap self-dedup off the SAME shared signature
+                // frame: an empty standing index reduces the incremental
+                // probe to exactly the within-batch pairs (same banding,
+                // same est prefilter t−0.2, same exact verification as
+                // the flat d03 kernel it replaces — which re-tokenized
+                // the batch a second time)
+                Dedup.incrementalPairsFromSigs(sigs,
+                  Dedup.SignatureIndex(128, 32, 3, sigs.limit(0),
+                    Dedup.bucketsFromSigs(sigs.limit(0), 128, 32), () => ()),
+                  threshold = 0.8, estMargin = 0.2, maxBucket = 1000)
+            }
+            try {
+              val out = mp.pairs.select(col("id_a").as("doc_a"),
+                col("id_b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+              acc ++= out.collect(); schema = out.schema
+            } finally { mp.release(); pre.foreach(_.release()) }
+            SignatureTieredStream.foldSigs(sigs, root, i.toLong,
+              majorEvery = 3)
+          } finally { sigs.unpersist(); () }
         }
         s.createDataFrame(s.sparkContext.parallelize(acc.toSeq, 1), schema)
           .orderBy("doc_a", "doc_b")

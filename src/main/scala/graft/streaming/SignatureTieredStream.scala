@@ -113,6 +113,17 @@ object SignatureTieredStream {
       Dedup.incrementalExactPairsIndexedManaged(batch, probeIndex, idCol,
         textCol, threshold, estMargin, maxBucket)
 
+    /** [[newPairsFor]] over a PRECOMPUTED (caller-persisted) batch
+      * signature frame — a caller that both probes AND folds a batch
+      * computes [[Dedup.signatureFrame]] once and shares it with
+      * [[foldSigs]] instead of tokenizing the batch twice (the returned
+      * release is a no-op; the caller owns the frame). */
+    def newPairsForSigs(batchSigs: DataFrame, threshold: Double = 0.8,
+                        estMargin: Double = 0.2,
+                        maxBucket: Int = 1000): Dedup.ManagedPairs =
+      Dedup.incrementalPairsFromSigs(batchSigs, probeIndex, threshold,
+        estMargin, maxBucket)
+
     /** Full re-aggregated index over the merged sigs — pays the bucket
       * groupBy a major would (use at L1 cadence, not per probe). Caller
       * releases; this [[Tiered]] stays usable. */
@@ -180,9 +191,21 @@ object SignatureTieredStream {
   def foldBatch(batch: DataFrame, idCol: String, textCol: String,
                 root: String, batchId: Long, majorEvery: Int = 8,
                 k: Int = 128, bands: Int = 32, shingleWidth: Int = 3)
-      : BatchOutcome = {
+      : BatchOutcome =
+    // the frame is lazy: a Skipped replay never executes the tokenize
+    foldSigs(Dedup.signatureFrame(batch, idCol, textCol, k, shingleWidth),
+      root, batchId, majorEvery, k, bands, shingleWidth)
+
+  /** [[foldBatch]] over a PRECOMPUTED `(id, sig, ss)` signature frame —
+    * the probe-then-fold shape (d14) computes [[Dedup.signatureFrame]]
+    * once per batch and shares it between [[Tiered.newPairsForSigs]] and
+    * this commit, halving the batch's tokenize+MinHash cost. Same checks,
+    * same commits, same idempotency as [[foldBatch]]. */
+  def foldSigs(sigs: DataFrame, root: String, batchId: Long,
+               majorEvery: Int = 8, k: Int = 128, bands: Int = 32,
+               shingleWidth: Int = 3): BatchOutcome = {
     require(majorEvery >= 2, s"majorEvery must be >= 2, got $majorEvery")
-    val spark = batch.sparkSession
+    val spark = sigs.sparkSession
     // data epochs live at batchId × MaintenanceSlots so an out-of-band
     // compaction (standing-epoch + 1) can never take the NEXT batch's id
     // and turn its replay check into silent data loss
@@ -194,7 +217,6 @@ object SignatureTieredStream {
         IndexStore.loadSignatureIndexMeta(spark, l1Dir,
           params(k, bands, shingleWidth)).isDefined)
       return BatchOutcome.Skipped
-    val sigs = Dedup.signatureFrame(batch, idCol, textCol, k, shingleWidth)
     Deltas.withMaterialized(sigs) { delta =>
       if (delta.isEmpty) BatchOutcome.EmptyBatch
       else {
