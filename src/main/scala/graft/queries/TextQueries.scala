@@ -294,8 +294,16 @@ object TextQueries {
       .select(col("w"), concat(lit(" "),
         array_join(split(col("w"), ""), "  "), lit(" ")).as("repr"),
         col("n"))
-    var cur = w0.persist()
-    cur.count()
+    // Rounds are STAGED (lineage-truncated, the iterative-operator
+    // convention) rather than persisted: a persisted round keeps the whole
+    // withColumn chain in its logical plan, so round r's 1-row argmax
+    // re-analyzed an r-deep tree and the DRIVER, not the executors, owned
+    // the loop's cost — measured 3.1 s of t36's 4.8 s wall was job gaps.
+    // stage() is eager, so the previous round releases immediately, and
+    // each round plans a constant-size tree. Callers release the returned
+    // frame with Checkpoints.release (unpersist() frees nothing on a
+    // staged frame).
+    var cur = graft.operators.Checkpoints.stage(w0)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     try for (r <- 1 to k) {
       val syms = split(trim(col("repr")), "  ")
@@ -314,17 +322,13 @@ object TextQueries {
         val parts = pair.split("  ", 2)
         val (pa, pb) = (parts(0), parts(1))
         merges += ((r, pa, pb, pa + pb, cnt))
-        val next = cur.withColumn("repr",
-          replace(col("repr"), lit(s" $pa  $pb "), lit(s" $pa$pb ")))
-          .persist()
-        // stage the round, then free the previous one; a failed staging
-        // count must free NEXT here (the outer catch only reaches cur)
-        try next.count()
-        catch { case t: Throwable => next.unpersist(); throw t }
-        cur.unpersist()
+        val next = graft.operators.Checkpoints.stage(cur.withColumn("repr",
+          replace(col("repr"), lit(s" $pa  $pb "), lit(s" $pa$pb "))))
+        graft.operators.Checkpoints.release(cur)
         cur = next
       }
-    } catch { case t: Throwable => cur.unpersist(); throw t }
+    } catch { case t: Throwable =>
+      graft.operators.Checkpoints.release(cur); throw t }
     (cur, merges.result())
   }
 
@@ -796,7 +800,8 @@ object TextQueries {
     // BpeTrainerSpec and replayed per-merge by the oracle's unrolled CTEs.
     "t35_bpe_trainer" -> { (s, dir) =>
       val (trained, merges) = trainBpe(s, dir, BpeMerges)
-      trained.unpersist() // the trainer's product IS the merge table
+      // the trainer's product IS the merge table; free the staged frame
+      graft.operators.Checkpoints.release(trained)
       import s.implicits._
       merges.toDF("rank", "pa", "pb", "merged", "n").orderBy("rank")
     },
@@ -813,7 +818,8 @@ object TextQueries {
     "t36_bpe_encode" -> { (s, dir) =>
       swapBegin(s, s"t36|$dir")
       val (trained, _) = trainBpe(s, dir, BpeMerges)
-      swapRegister(s, s"t36|$dir", () => { trained.unpersist(); () })
+      swapRegister(s, s"t36|$dir",
+        () => graft.operators.Checkpoints.release(trained))
       val vocab = trained.select(col("w"),
         size(split(trim(col("repr")), "  ")).cast("long").as("n_sym"))
       val perDoc = docs(s, dir)
