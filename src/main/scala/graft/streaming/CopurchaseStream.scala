@@ -284,11 +284,15 @@ object CopurchaseStream {
             standingLines(spark, linesDir, batchId, Some(buckets)))
           .persist()
         try {
-          labeled(spark.sparkContext, s"copurchase b$batchId: delta-edges")(
+          val n = labeled(spark.sparkContext, s"copurchase b$batchId: delta-edges")(
             edges.count()) // pin the delta BEFORE the lines write changes state
           labeled(spark.sparkContext, s"copurchase b$batchId: lines-write")(
             pinned.write.mode("overwrite").parquet(s"$linesDir/batch=$batchId"))
-          fold(edges)
+          // the fold's shuffles (within-batch distinct, a major's
+          // re-aggregation) are |Δ|-sized — run them at the measured
+          // width (lower-only; a cluster session keeps its parallelism)
+          graft.operators.Checkpoints.withShufflePartitions(spark,
+            graft.operators.Checkpoints.partitionsForRows(n))(fold(edges))
         } finally { edges.unpersist(); () }
       }
     }

@@ -127,7 +127,7 @@ object GraphTieredStream {
       * pre-distinct there was a full extra shuffle of the merged corpus.
       * (L1 edges are already deduped by the build contract; duplicates
       * can only come from delta rows re-deriving a stored edge.) */
-    private[streaming] def rawEdges: DataFrame = {
+    private[graft] def rawEdges: DataFrame = {
       val d = delta.select(col("src"), col("dst"))
       l1.map(_.edges.select(col("src"), col("dst")).unionByName(d))
         .getOrElse(d)
