@@ -109,9 +109,24 @@ object CoreQueries {
     * (session, dir) — the explicit once-per-corpus-version step; the
     * builds are eager (Adjacency.build materializes both layouts). */
   def prepareGraphIndex(s: SparkSession, dir: String): Unit = {
-    copurchaseAdjacency(s, dir)
-    standingCopurchaseAdjacency(s, dir)
-    ()
+    // two independent adjacency builds (full corpus + the 99% standing
+    // epoch q79 folds into) — concurrent for the same reason as
+    // prepareIvfIndex: each is pair-gen + a collect_set shuffle with
+    // driver round-trips between, and the family's wall should pay the
+    // slower build, not the sum
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-graph-prepare"); t.setDaemon(true); t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val futs = Seq(
+      Future { copurchaseAdjacency(s, dir); () },
+      Future { standingCopurchaseAdjacency(s, dir); () })
+    try futs.foreach(f => Await.result(f,
+      scala.concurrent.duration.Duration(1800L,
+        java.util.concurrent.TimeUnit.SECONDS)))
+    finally { pool.shutdownNow(); () }
   }
 
   /** Drop cached graph indexes of `s` and release their persisted

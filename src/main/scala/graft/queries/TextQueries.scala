@@ -201,12 +201,24 @@ object TextQueries {
     // deliberately lazy (zero Spark jobs) — without the action, a
     // disk-served bench would report a ~0s "build" and the first timed
     // d05/d08 query would absorb the scan+persist cost the prepare step
-    // exists to take.
-    dupClusterLabels(s, dir).count()
-    // the standing (even-id) labels d13 folds into — same once-per-corpus
-    // lifecycle, so d13 times the |Δ| fold, not the standing CC
-    standingClusterLabels(s, dir).count()
-    ()
+    // exists to take. The full-corpus and standing (even-id — d13's fold
+    // base) label builds are independent CC runs whose cost is round
+    // driver round-trips over small frames; run them CONCURRENTLY (the
+    // prepareIvfIndex discipline) so the family's wall pays the slower
+    // one, not the sum.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-cluster-prepare"); t.setDaemon(true); t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val futs = Seq(
+      Future { dupClusterLabels(s, dir).count(); () },
+      Future { standingClusterLabels(s, dir).count(); () })
+    try futs.foreach(f => Await.result(f,
+      scala.concurrent.duration.Duration(1800L,
+        java.util.concurrent.TimeUnit.SECONDS)))
+    finally { pool.shutdownNow(); () }
   }
 
   // One MinHash signature index per (session, dir) over the STANDING
